@@ -1,0 +1,274 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables.{dsum, davg, oSum, oAvg}
+
+/** Core relational operator inventory (SURVEY.md §2.2–2.6), one verifiable
+  * query per operator, expressed Spark-first so Catalyst gets full pushdown
+  * / pruning / broadcast freedom.
+  *
+  * Reference semantics: map/filter/withColumn/mapColumn/selectColumns/
+  * renameColumn (`python/tuplex/dataset.py:49-317`), join/leftJoin
+  * (`dataset.py:384-498`), unique/aggregate/aggregateByKey
+  * (`dataset.py:36-47,593-704`), take (`dataset.py:113-160`). Sort, set
+  * ops and semi/anti joins are capability supersets (SURVEY §2.5/2.6).
+  */
+object Relational {
+
+  private def lineitem(s: SparkSession, d: String) = Tables(s, d, "lineitem")
+  private def orders(s: SparkSession, d: String)   = Tables(s, d, "orders")
+  private def customer(s: SparkSession, d: String) = Tables(s, d, "customer")
+  private def nation(s: SparkSession, d: String)   = Tables(s, d, "nation")
+  private def region(s: SparkSession, d: String)   = Tables(s, d, "region")
+  private def part(s: SparkSession, d: String)     = Tables(s, d, "part")
+  private def events(s: SparkSession, d: String)   = Tables(s, d, "events")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- aggregateByKey capability: grouped aggregation (TPC-H Q1 shape) --
+    Q("q1_agg",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${oSum("l_quantity")} AS sum_qty,
+         |  ${oSum("l_extendedprice")} AS sum_base_price,
+         |  ${oSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${oSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  ${oAvg("l_quantity")} AS avg_qty,
+         |  ${oAvg("l_extendedprice")} AS avg_price,
+         |  ${oAvg("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ---- filter + global fold aggregate (TPC-H Q6 shape; TPCH.cc:24) -----
+    Q("q6_filter_agg",
+      s"""SELECT ${oSum("l_extendedprice * l_discount")} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount >= 0.02 AND l_discount <= 0.06
+         |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    },
+
+    // ---- join + disjunctive filter + agg (TPC-H Q19 shape; TPCH.cc:229) --
+    Q("q19_join_filter",
+      s"""SELECT ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, d) =>
+      val l = lineitem(s, d)
+      val p = part(s, d)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3"  && col("p_size").between(1, 35) && col("l_quantity").between(20, 30)))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    },
+
+    // ---- filter (dataset.py:83) ------------------------------------------
+    Q("q_filter",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity >= 45 AND l_discount <= 0.02""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_quantity") >= 45 && col("l_discount") <= 0.02)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    },
+
+    // ---- map / selectColumns: row-wise computed projection ----------------
+    Q("q_map_project",
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS revenue,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("charge"))
+    },
+
+    // ---- withColumn (dataset.py:201) --------------------------------------
+    Q("q_withcolumn",
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'debt'
+        |       WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS tier,
+        |  upper(c_name) AS name_upper, c_mktsegment
+        |FROM customer""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .withColumn("tier",
+          when(col("c_acctbal") < 0, "debt")
+            .when(col("c_acctbal") < 5000, "low")
+            .otherwise("high"))
+        .withColumn("name_upper", upper(col("c_name")))
+        .select("c_custkey", "tier", "name_upper", "c_mktsegment")
+    },
+
+    // ---- mapColumn (dataset.py:231): in-place single-column transform -----
+    Q("q_mapcolumn",
+      """SELECT c_custkey, lower(c_mktsegment) AS c_mktsegment
+        |FROM customer""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .withColumn("c_mktsegment", lower(col("c_mktsegment")))
+        .select("c_custkey", "c_mktsegment")
+    },
+
+    // ---- renameColumn (dataset.py:293) ------------------------------------
+    Q("q_rename",
+      "SELECT o_orderkey AS order_id, o_totalprice AS total FROM orders") { (s, d) =>
+      orders(s, d)
+        .withColumnRenamed("o_orderkey", "order_id")
+        .withColumnRenamed("o_totalprice", "total")
+        .select("order_id", "total")
+    },
+
+    // ---- inner equi-join chain through broadcast dims (dataset.py:384) ----
+    Q("q_join_inner",
+      s"""SELECT r_name, count(*) AS n_orders, ${oSum("o_totalprice")} AS total
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+    },
+
+    // ---- leftJoin (dataset.py:442): keep customers w/o orders -------------
+    Q("q_join_left",
+      s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+         |  coalesce(${oSum("o_totalprice")}, 0.0) AS total
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total"))
+    },
+
+    // ---- right join (enum'd but unimplemented in reference,
+    //      PhysicalPlan.cc:138-144 — superset here) -------------------------
+    Q("q_join_right",
+      """SELECT c_custkey, max(o_totalprice) AS max_price
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"), "right_outer")
+        .groupBy(col("c_custkey"))
+        .agg(max(col("o_totalprice")).as("max_price"))
+    },
+
+    // ---- left-semi join (superset; SURVEY §2.3) ---------------------------
+    Q("q_join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin) { (s, d) =>
+      val o = orders(s, d).filter(col("o_orderstatus") === "O")
+      customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
+    // ---- left-anti join (superset) ----------------------------------------
+    Q("q_join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    // ---- unique (dataset.py:36) -------------------------------------------
+    Q("q_unique",
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders") { (s, d) =>
+      orders(s, d).select("o_orderstatus", "o_orderpriority").distinct()
+    },
+
+    // ---- global fold aggregate (dataset.py:593) ---------------------------
+    Q("q_agg_global",
+      s"""SELECT count(*) AS n_rows, ${oSum("l_quantity")} AS sum_qty,
+         |  max(l_quantity) AS max_qty, min(l_quantity) AS min_qty
+         |FROM lineitem""".stripMargin) { (s, d) =>
+      lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_quantity")).as("min_qty"))
+    },
+
+    // ---- aggregateByKey fold (dataset.py:644) over events -----------------
+    Q("q_agg_bykey",
+      s"""SELECT event_type, count(*) AS n, ${oSum("value")} AS total_value,
+         |  max(value) AS max_value
+         |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"),
+          max(col("value")).as("max_value"))
+    },
+
+    // ---- orderBy + limit = deterministic top-k (superset; SURVEY §2.5) ----
+    Q("q_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    // ---- union (superset; SURVEY §2.6) ------------------------------------
+    Q("q_union",
+      """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin) { (s, d) =>
+      val o = orders(s, d).select("o_orderkey", "o_orderpriority")
+      o.filter(col("o_orderpriority") === "1-URGENT")
+        .unionByName(o.filter(col("o_orderpriority") === "5-LOW"))
+    },
+
+    // ---- intersect (superset) ---------------------------------------------
+    Q("q_intersect",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 0""".stripMargin) { (s, d) =>
+      val c = customer(s, d)
+      c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+        .intersect(c.filter(col("c_acctbal") > 0).select("c_custkey"))
+    },
+
+    // ---- except (superset) ------------------------------------------------
+    Q("q_except",
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders""".stripMargin) { (s, d) =>
+      customer(s, d).select("c_custkey")
+        .except(orders(s, d).select(col("o_custkey").as("c_custkey")))
+    }
+  )
+}

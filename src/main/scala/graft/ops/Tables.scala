@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Table loaders + oracle-exactness helpers shared by all query entries.
+  *
+  * Exactness strategy (driver hash-compares our parquet output against a
+  * DuckDB run of the oracle SQL):
+  *   - Float *aggregates* are computed over `DECIMAL(18,4)` casts — decimal
+  *     arithmetic is exact and associative, so Spark and DuckDB produce the
+  *     mathematically identical value regardless of partial-aggregation
+  *     order; the final cast back to double is then bit-identical too.
+  *   - Per-row float expressions use the same IEEE op shape on both sides
+  *     (same literals, same order), which is bit-exact by construction.
+  */
+object Tables {
+  def apply(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(s, dir) else s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
+    * natively; read it as long and rebuild a (µs-truncated) timestamp. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Exact float sum: per-row fixed-point quantization (×10⁴, floor+0.5 —
+    * pure IEEE ops, bit-identical across engines, unlike double→DECIMAL
+    * casts whose half-rounding differs), exact BIGINT accumulation, one
+    * final identical double division. Fits ~1e9 rows of 1e5-magnitude
+    * values in the int64 accumulator; for larger scales bump the scheme to
+    * DECIMAL accumulation. */
+  def dsum(c: Column): Column =
+    (sum(floor(c.cast(DoubleType) * 10000d + 0.5d).cast("long")) / 10000.0)
+      .cast(DoubleType)
+
+  /** Exact float avg: exact fixed-point sum / exact count — identical IEEE
+    * divisions on identical operands on both sides. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Oracle-side (DuckDB) equivalents of dsum/davg. */
+  def oSum(x: String): String =
+    s"CAST(SUM(CAST(floor(CAST(($x) AS DOUBLE) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS DOUBLE)"
+  def oAvg(x: String): String = s"${oSum(x)} / count(*)"
+}
