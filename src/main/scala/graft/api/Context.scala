@@ -1,0 +1,147 @@
+package graft.api
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Entry point of the graft pipeline API: wraps a SparkSession the way the
+  * reference's `Context` wraps its runtime (`python/tuplex/context.py:50`),
+  * exposing sources (`parallelize`, `csv`, `text`, `orc`, + parquet as a
+  * superset) and VFS utilities (`ls`/`cp`/`rm`, `context.py:437-477`).
+  *
+  * Options mirror the `tuplex.*` config surface where meaningful on Spark
+  * (e.g. `csv.maxDetectionRows` for schema-inference sampling); everything
+  * execution-related (memory, partitions, spill) is deliberately left to
+  * Spark's own configuration — Tungsten already owns those concerns.
+  */
+final class Context(val spark: SparkSession, val options: Map[String, String] = Map.empty) {
+
+  private def opt(key: String, default: String): String = options.getOrElse(key, default)
+
+  /** Local/in-memory rows → DataSet (`context.py:246-286`). Column names
+    * default to _1.._n like the reference's auto-generated tuple columns. */
+  def parallelize[T: Encoder](values: Seq[T], columns: Seq[String] = Nil): DataSet = {
+    var df = spark.createDataset(values).toDF()
+    if (columns.nonEmpty) df = df.toDF(columns: _*)
+    DataSet.fromDataFrame(this, df)
+  }
+
+  def fromDataFrame(df: DataFrame): DataSet = DataSet.fromDataFrame(this, df)
+
+  /** CSV source with sample-based inference (`FileInputOperator.cc:47-98`):
+    * header + per-column types via Spark's sampler, delimiter via our own
+    * small driver-side sniffer (Spark has no delimiter inference), explicit
+    * `typeHints` overriding inferred column types
+    * (`python/tuplex/context.py:321,344-346`), multiple null-value strings.
+    */
+  def csv(
+      pattern: String,
+      columns: Seq[String] = Nil,
+      header: Option[Boolean] = None,
+      delimiter: Option[String] = None,
+      quotechar: String = "\"",
+      nullValues: Seq[String] = Seq(""),
+      typeHints: Map[String, DataType] = Map.empty): DataSet = {
+    val delim = delimiter.getOrElse(CsvSniffer.sniffDelimiter(spark, pattern))
+    val hasHeader = header.getOrElse(CsvSniffer.sniffHeader(spark, pattern, delim))
+    var reader = spark.read
+      .option("header", hasHeader.toString)
+      .option("sep", delim)
+      .option("quote", quotechar)
+      .option("inferSchema", "true")
+      .option("nullValue", nullValues.headOption.orNull)
+      .option("samplingRatio", opt("csv.samplingRatio", "1.0"))
+      .option("mode", "PERMISSIVE")
+    var df = reader.csv(pattern)
+    // extra null-value strings beyond the first (Spark supports only one)
+    for (nv <- nullValues.drop(1); c <- df.columns)
+      df = df.withColumn(c, when(col(c) === nv, lit(null)).otherwise(col(c)))
+    for ((name, tpe) <- typeHints if df.columns.contains(name))
+      df = df.withColumn(name, col(name).cast(tpe))
+    if (columns.nonEmpty) df = df.toDF(columns: _*)
+    DataSet.fromDataFrame(this, df)
+  }
+
+  /** Text source: one string column per line (`context.py:367-387`). */
+  def text(pattern: String, nullValues: Seq[String] = Nil): DataSet = {
+    var df = spark.read.text(pattern)
+    for (nv <- nullValues)
+      df = df.withColumn("value", when(col("value") === nv, lit(null)).otherwise(col("value")))
+    DataSet.fromDataFrame(this, df)
+  }
+
+  /** ORC source (`context.py:389-405`). */
+  def orc(pattern: String, columns: Seq[String] = Nil): DataSet = {
+    var df = spark.read.orc(pattern)
+    if (columns.nonEmpty) df = df.select(columns.map(col): _*)
+    DataSet.fromDataFrame(this, df)
+  }
+
+  /** Parquet source — capability superset (reference has no parquet). */
+  def parquet(pattern: String, columns: Seq[String] = Nil): DataSet = {
+    var df = spark.read.parquet(pattern)
+    if (columns.nonEmpty) df = df.select(columns.map(col): _*)
+    DataSet.fromDataFrame(this, df)
+  }
+
+  // ---- VFS utilities (context.py:437-477) — Hadoop FS covers file://, s3a://, hdfs:// .
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def ls(pattern: String): Seq[String] = {
+    val p = new Path(pattern)
+    Option(fs(p).globStatus(p)).map(_.toSeq.map(_.getPath.toString)).getOrElse(Nil)
+  }
+
+  def cp(src: String, dst: String): Unit = {
+    val s = new Path(src); val d = new Path(dst)
+    org.apache.hadoop.fs.FileUtil.copy(fs(s), s, fs(d), d, false, spark.sparkContext.hadoopConfiguration)
+  }
+
+  def rm(pattern: String): Unit =
+    ls(pattern).foreach { f => val p = new Path(f); fs(p).delete(p, true) }
+}
+
+/** Driver-side CSV dialect sniffing — the capability analogue of the
+  * reference's `CSVStatistic` sampling (`utils/include/CSVStatistic.h:37-88`):
+  * reads a small head sample of the first matching file and picks the
+  * delimiter whose per-line count is most consistent, then decides header
+  * presence by comparing first-line vs body numeric-ness. */
+object CsvSniffer {
+  private val Candidates = Seq(',', ';', '\t', '|')
+
+  private def sampleLines(spark: SparkSession, pattern: String, n: Int = 64): Seq[String] = {
+    // driver-side head sample, like the reference's maxDetectionMemory read
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val first = Option(fs.globStatus(p)).flatMap(_.headOption.map(_.getPath))
+      .getOrElse(p)
+    val in = fs.open(first)
+    try {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      src.getLines().take(n).toList
+    } finally in.close()
+  }
+
+  def sniffDelimiter(spark: SparkSession, pattern: String): String = {
+    val lines = sampleLines(spark, pattern).filter(_.nonEmpty)
+    if (lines.isEmpty) return ","
+    val best = Candidates.maxBy { d =>
+      val counts = lines.map(_.count(_ == d))
+      if (counts.head == 0) -1.0
+      else counts.head.toDouble - counts.map(c => math.abs(c - counts.head)).sum
+    }
+    best.toString
+  }
+
+  def sniffHeader(spark: SparkSession, pattern: String, delim: String): Boolean = {
+    val lines = sampleLines(spark, pattern).filter(_.nonEmpty)
+    if (lines.size < 2) return false
+    def numericCells(l: String) =
+      l.split(java.util.regex.Pattern.quote(delim), -1)
+        .count(c => scala.util.Try(c.trim.toDouble).isSuccess)
+    // header ⇔ first line has no numeric cells while the body does
+    numericCells(lines.head) == 0 && lines.tail.exists(numericCells(_) > 0)
+  }
+}

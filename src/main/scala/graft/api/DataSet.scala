@@ -1,0 +1,362 @@
+package graft.api
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One batch of rows that raised inside a failable operator, pending
+  * `resolve`/`ignore` (reference semantics: `core/src/logical/
+  * ResolveOperator.cc`, `python/tuplex/dataset.py:162-199`).
+  *
+  * `rows` carries the operator's *input* columns (what a resolver function
+  * receives) plus bookkeeping: `_g_rowid` (stable merge-in-order id),
+  * `_g_cls` (exception class name), `_g_msg`. `reapply` re-runs a resolver
+  * over matching rows and is defined only while this is the most recent
+  * operator — Tuplex resolvers bind to the immediately preceding op
+  * (`dataset.py:163-167`); any further transform retires the batch. */
+private[api] final case class BadBatch(
+    opId: Int,
+    rows: DataFrame,
+    reapply: Option[(AnyRef, DataFrame) => (DataFrame, DataFrame)])
+
+/** Immutable, lazily-evaluated pipeline node with Tuplex's operator
+  * surface (SURVEY.md §2) re-expressed on Spark DataFrames.
+  *
+  * Dual-mode processing (SURVEY §7.4): UDF-bearing operators are
+  * `try`-wrapped per row; failing rows divert to an error channel
+  * (`bad` batches) instead of failing the job, exactly the capability of
+  * the reference's normal-case/exception-path split
+  * (`core/src/ee/local/LocalBackend.cc:957`, `ResolveTask.cc:268`) —
+  * minus speculative compilation, which the JVM makes unnecessary.
+  * `collect()` merges resolved rows back in original row order via the
+  * stable `_g_rowid`, matching `mergeExceptionsInOrder`
+  * (`LocalBackend.cc:841-852`); order is intentionally not guaranteed
+  * after joins/aggregates, the reference's own limitation.
+  *
+  * Scale note: the error channel is plan-level (two filtered branches of
+  * the same scan), so Catalyst still pushes filters/pruning into the scan;
+  * nothing is materialized on the driver.
+  */
+final class DataSet private (
+    val ctx: Context,
+    private val good: DataFrame,
+    private val bad: List[BadBatch],
+    private val opId: Int) {
+
+  import DataSet._
+
+  // ------------------------------------------------------------------ meta
+
+  def columns: Seq[String] = good.columns.toSeq.filterNot(HiddenCols)
+  def schema: StructType = StructType(good.schema.fields.filterNot(f => HiddenCols(f.name)))
+
+  /** The public DataFrame view (no bookkeeping columns). */
+  def toDF: DataFrame = good.drop(HiddenCols.toSeq: _*)
+
+  private def retired: List[BadBatch] = bad.map(_.copy(reapply = None))
+  private def next(df: DataFrame): DataSet = new DataSet(ctx, df, retired, opId + 1)
+  /** Rebuild row ids after an order-destroying op (join/agg/set op). */
+  private def reid(df: DataFrame): DataFrame =
+    df.withColumn(RowId, monotonically_increasing_id())
+
+  // ------------------------------------------- projections (dataset.py §2.2)
+
+  def selectColumns(names: Seq[String]): DataSet =
+    next(good.select((names :+ RowId).map(col): _*))
+
+  /** Select by (possibly negative) position, like the reference. */
+  def selectColumnsAt(indices: Seq[Int]): DataSet = {
+    val cs = columns
+    selectColumns(indices.map(i => cs(if (i < 0) cs.length + i else i)))
+  }
+
+  def renameColumn(from: String, to: String): DataSet =
+    next(good.withColumnRenamed(from, to))
+
+  def renameColumnAt(index: Int, to: String): DataSet =
+    renameColumn(columns(if (index < 0) columns.length + index else index), to)
+
+  def withColumn(name: String, expr: Column): DataSet = next(good.withColumn(name, expr))
+
+  def mapColumn(name: String, f: Column => Column): DataSet =
+    next(good.withColumn(name, f(col(name))))
+
+  def filter(cond: Column): DataSet = next(good.filter(cond))
+
+  // ------------------------------------- failable UDF ops (error channel)
+
+  private def tryUdf[A: TypeTag, B: TypeTag](f: A => B) =
+    udf((a: A) =>
+      try (Option(f(a)), null: String, null: String)
+      catch { case e: Throwable => (None: Option[B], e.getClass.getName, String.valueOf(e.getMessage)) })
+
+  /** Split a frame that has a `_g_res = (value, cls, msg)` struct into
+    * (ok-with-column-set, bad-with-original-input) halves. */
+  private def split(tmp: DataFrame, name: String): (DataFrame, DataFrame) = {
+    val ok = tmp.filter(col("_g_res._2").isNull)
+      .withColumn(name, col("_g_res._1")).drop("_g_res")
+    val failed = tmp.filter(col("_g_res._2").isNotNull)
+      .withColumn(ErrCls, col("_g_res._2"))
+      .withColumn(ErrMsg, col("_g_res._3"))
+      .drop("_g_res")
+    (ok, failed)
+  }
+
+  private def failableColumnOp[A: TypeTag, B: TypeTag](
+      name: String, in: Column, f: A => B): DataSet = {
+    val u = tryUdf(f)
+    val (ok, failed) = split(good.withColumn("_g_res", u(in)), name)
+    val reapply = (fn: AnyRef, rows: DataFrame) => {
+      val ug = tryUdf(fn.asInstanceOf[A => B])
+      split(rows.drop(ErrCls, ErrMsg).withColumn("_g_res", ug(in)), name)
+    }
+    new DataSet(ctx, ok,
+      BadBatch(opId + 1, failed, Some(reapply)) :: retired, opId + 1)
+  }
+
+  /** `withColumn(column, ftor)` with per-row exception capture
+    * (`dataset.py:201-229`). `in` selects the ftor's input column(s) —
+    * pass a struct for multi-column UDFs. */
+  def withColumnUdf[A: TypeTag, B: TypeTag](name: String, in: Column)(f: A => B): DataSet =
+    failableColumnOp(name, in, f)
+
+  /** `mapColumn(column, ftor)` — in-place single-column transform with
+    * exception capture (`dataset.py:231-260`). */
+  def mapColumnUdf[A: TypeTag, B: TypeTag](name: String)(f: A => B): DataSet =
+    failableColumnOp(name, col(name), f)
+
+  /** Two-argument variant of [[withColumnUdf]] for UDFs over two input
+    * columns (scala UDFs receive struct inputs as Row, so explicit
+    * arities are the type-safe route). */
+  def withColumnUdf2[A1: TypeTag, A2: TypeTag, B: TypeTag](
+      name: String, in1: Column, in2: Column)(f: (A1, A2) => B): DataSet = {
+    val u = udf((a1: A1, a2: A2) =>
+      try (Option(f(a1, a2)), null: String, null: String)
+      catch { case e: Throwable => (None: Option[B], e.getClass.getName, String.valueOf(e.getMessage)) })
+    val (ok, failed) = split(good.withColumn("_g_res", u(in1, in2)), name)
+    val reapply = (fn: AnyRef, rows: DataFrame) => {
+      val g = fn.asInstanceOf[(A1, A2) => B]
+      val ug = udf((a1: A1, a2: A2) =>
+        try (Option(g(a1, a2)), null: String, null: String)
+        catch { case e: Throwable => (None: Option[B], e.getClass.getName, String.valueOf(e.getMessage)) })
+      split(rows.drop(ErrCls, ErrMsg).withColumn("_g_res", ug(in1, in2)), name)
+    }
+    new DataSet(ctx, ok,
+      BadBatch(opId + 1, failed, Some(reapply)) :: retired, opId + 1)
+  }
+
+  /** Full-row `map(ftor)` (`dataset.py:49-81`): arbitrary Row → Row
+    * transform with a new output schema, per-row exception capture, and
+    * resolver support. This is the reference's most general operator; it
+    * deliberately uses mapPartitions (opaque lambda — Catalyst can't see
+    * into it, same as the reference's compiled UDFs), so prefer the
+    * Column-based ops when the transform is expressible. */
+  def mapRows(outSchema: StructType)(f: Row => Row): DataSet = {
+    val inSchema = schema
+    val inCols = columns
+    val nOut = outSchema.length
+    val full = StructType(outSchema.fields.toSeq ++ Seq(
+      StructField("_g_in", inSchema, nullable = false),
+      StructField(RowId, LongType, nullable = false),
+      StructField(ErrCls, StringType, nullable = true),
+      StructField(ErrMsg, StringType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(full)
+    def run(g: Row => Row, src: DataFrame): (DataFrame, DataFrame) = {
+      val pre = src.select(struct(inCols.map(col): _*).as("_g_in"), col(RowId))
+      val mapped = pre.mapPartitions { it =>
+        it.map { r =>
+          val in = r.getStruct(0); val id = r.getLong(1)
+          try {
+            val o = g(in)
+            Row.fromSeq(o.toSeq ++ Seq(in, id, null, null))
+          } catch {
+            case e: Throwable =>
+              Row.fromSeq(Seq.fill[Any](nOut)(null) ++
+                Seq(in, id, e.getClass.getName, String.valueOf(e.getMessage)))
+          }
+        }
+      }(enc)
+      val ok = mapped.filter(col(ErrCls).isNull)
+        .select(outSchema.fieldNames.map(col) :+ col(RowId): _*)
+      val failed = mapped.filter(col(ErrCls).isNotNull)
+        .select(col("_g_in.*") +: Seq(col(RowId), col(ErrCls), col(ErrMsg)): _*)
+      (ok, failed)
+    }
+    val (ok, failed) = run(f, good)
+    val reapply = (fn: AnyRef, rows: DataFrame) =>
+      run(fn.asInstanceOf[Row => Row], rows.drop(ErrCls, ErrMsg))
+    new DataSet(ctx, ok,
+      BadBatch(opId + 1, failed, Some(reapply)) :: retired, opId + 1)
+  }
+
+  /** `filter(ftor)` with exception capture (`dataset.py:83-111`): rows
+    * where the predicate throws divert to the error channel. */
+  def filterUdf[A: TypeTag](in: Column)(f: A => Boolean): DataSet = {
+    val u = tryUdf(f)
+    val (ok0, failed) = split(good.withColumn("_g_res", u(in)), "_g_keep")
+    val ok = ok0.filter(col("_g_keep")).drop("_g_keep")
+    val reapply = (fn: AnyRef, rows: DataFrame) => {
+      val ug = tryUdf(fn.asInstanceOf[A => Boolean])
+      val (rok, rbad) = split(rows.drop(ErrCls, ErrMsg).withColumn("_g_res", ug(in)), "_g_keep")
+      (rok.filter(col("_g_keep")).drop("_g_keep"), rbad.drop("_g_keep"))
+    }
+    new DataSet(ctx, ok,
+      BadBatch(opId + 1, failed, Some(reapply)) :: retired, opId + 1)
+  }
+
+  // ------------------------------------- resolve / ignore (dataset.py §2.7)
+
+  /** Attach a resolver for `errClass` exceptions raised by the preceding
+    * operator (`dataset.py:162-199`). The resolver gets the same input the
+    * failing UDF got; it may itself throw (chaining into further
+    * resolvers). Matching is by exact exception class name. */
+  def resolve[A, B](errClass: Class[_ <: Throwable])(f: A => B): DataSet = bad match {
+    case head :: rest if head.reapply.isDefined =>
+      val matching = head.rows.filter(col(ErrCls) === errClass.getName)
+      val nonMatching = head.rows.filter(col(ErrCls) =!= errClass.getName)
+      val (ok, stillBad) = head.reapply.get(f, matching)
+      val merged = good.unionByName(ok.select(good.columns.map(col): _*))
+      new DataSet(ctx, merged,
+        head.copy(rows = nonMatching.unionByName(stillBad)) :: rest, opId)
+    case _ =>
+      throw new IllegalStateException(
+        "resolve() must directly follow a UDF operator (or another resolve/ignore)")
+  }
+
+  /** Silently drop rows that raised `errClass` in the preceding operator
+    * (`dataset.py:319-344`). */
+  def ignore(errClass: Class[_ <: Throwable]): DataSet = bad match {
+    case head :: rest if head.reapply.isDefined =>
+      new DataSet(ctx, good,
+        head.copy(rows = head.rows.filter(col(ErrCls) =!= errClass.getName)) :: rest, opId)
+    case _ =>
+      throw new IllegalStateException(
+        "ignore() must directly follow a UDF operator (or another resolve/ignore)")
+  }
+
+  /** Exception-class → count of unresolved rows (`dataset.py:706-715`). */
+  def exceptionCounts: Map[String, Long] =
+    bad.flatMap { b =>
+      b.rows.groupBy(col(ErrCls)).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+    }.groupMapReduce(_._1)(_._2)(_ + _)
+
+  // --------------------------------------------- joins (dataset.py §2.3)
+
+  /** Equi-join with Tuplex's name disambiguation: overlapping non-key
+    * columns get the given suffixes (`dataset.py:384-440`). Small right
+    * sides should be marked broadcastable by the caller via
+    * `broadcast(other.toDF)` upstream; Spark AQE otherwise picks the
+    * strategy from runtime stats. */
+  def join(other: DataSet, leftOn: String, rightOn: String,
+      how: String = "inner", lsuffix: String = "", rsuffix: String = "_r"): DataSet = {
+    val l = toDF
+    val r = other.toDF
+    val overlap = l.columns.toSet.intersect(r.columns.toSet) - leftOn - rightOn
+    val lRen = overlap.foldLeft(l)((d, c) => d.withColumnRenamed(c, c + lsuffix))
+    val rRen = overlap.foldLeft(r)((d, c) => d.withColumnRenamed(c, c + rsuffix))
+    val joined = lRen.join(rRen, lRen(leftOn) === rRen(rightOn), how)
+    next(reid(joined.drop(rRen(rightOn))))
+  }
+
+  def leftJoin(other: DataSet, leftOn: String, rightOn: String): DataSet =
+    join(other, leftOn, rightOn, "left_outer")
+
+  def rightJoin(other: DataSet, leftOn: String, rightOn: String): DataSet =
+    join(other, leftOn, rightOn, "right_outer")
+
+  // ----------------------------------------- aggregates (dataset.py §2.4)
+
+  def unique(): DataSet = next(reid(toDF.distinct()))
+
+  /** Global fold with Spark treeAggregate semantics — the reference's
+    * `aggregate(combine, aggregate, initial_value)` (`dataset.py:593-642`)
+    * is exactly a distributed fold: per-partition `agg`, cross-partition
+    * `combine`. Returns a 1-row DataSet. */
+  def aggregate[B: Encoder: scala.reflect.ClassTag](zero: B)(agg: (B, Row) => B, combine: (B, B) => B): DataSet = {
+    val result = toDF.rdd.treeAggregate(zero)(agg, combine)
+    ctx.fromDataFrame(ctx.spark.createDataset(Seq(result))(implicitly[Encoder[B]]).toDF())
+  }
+
+  /** Grouped fold (`aggregateByKey`, `dataset.py:644-704`): hash-partition
+    * by key, per-partition map-side combine, shuffle only partials — the
+    * same partial/final split Spark's HashAggregate does. Output: key
+    * columns + the fold result columns (struct fields flattened when B is
+    * a Product). */
+  def aggregateByKey[B: Encoder: scala.reflect.ClassTag](keys: Seq[String], zero: B)(
+      agg: (B, Row) => B, combine: (B, B) => B): DataSet = {
+    val df = toDF
+    val keyIdx = keys.map(df.columns.indexOf(_))
+    val enc = implicitly[Encoder[B]]
+    val bSchema = enc.schema
+    val isProduct = classOf[Product].isAssignableFrom(enc.clsTag.runtimeClass)
+    val keyFields = keys.map(k => df.schema(k))
+    val outSchema =
+      if (isProduct) StructType(keyFields ++ bSchema.fields)
+      else StructType(keyFields :+ StructField("agg", bSchema.fields.head.dataType))
+    val rows = df.rdd
+      .map(r => (keyIdx.map(r.get(_)).toList, r))
+      .aggregateByKey(zero)(agg, combine)
+      .map { case (k, b) =>
+        val bVals = b match {
+          case p: Product if isProduct => p.productIterator.toSeq
+          case v => Seq(v)
+        }
+        Row.fromSeq(k ++ bVals)
+      }
+    next(reid(ctx.spark.createDataFrame(rows, outSchema)))
+  }
+
+  // --------------------------- order/limit/set ops (SURVEY §2.5/2.6 superset)
+
+  def orderBy(cols: Column*): DataSet = next(reid(toDF.orderBy(cols: _*)))
+  def limit(n: Int): DataSet = next(good.orderBy(RowId).limit(n))
+  def union(other: DataSet): DataSet = next(reid(toDF.unionByName(other.toDF)))
+  def intersect(other: DataSet): DataSet = next(reid(toDF.intersect(other.toDF)))
+  def except(other: DataSet): DataSet = next(reid(toDF.except(other.toDF)))
+
+  /** flatMap/explode superset (absent in the reference, SURVEY §2.9). */
+  def explodeColumn(name: String, out: String): DataSet =
+    next(good.withColumn(out, explode(col(name))))
+
+  def cache(): DataSet = { good.persist(); this }
+
+  // --------------------------------------------------------------- actions
+
+  /** Rows in original order (merge-in-order semantics). */
+  def collect(): Array[Row] = good.orderBy(RowId).drop(HiddenCols.toSeq: _*).collect()
+  def take(n: Int): Array[Row] = good.orderBy(RowId).drop(HiddenCols.toSeq: _*).take(n)
+  def count(): Long = good.count()
+  def show(n: Int = 20): Unit = toDF.show(n)
+
+  // ------------------------------------------------------ sinks (§2.1)
+
+  private def writer(numParts: Int, numRows: Long) = {
+    var df = toDF
+    if (numRows > 0) df = df.limit(numRows.toInt)
+    if (numParts > 0) df.repartition(numParts).write else df.write
+  }
+
+  def tocsv(path: String, numParts: Int = 0, numRows: Long = 0,
+      header: Boolean = true, nullValue: String = ""): Unit =
+    writer(numParts, numRows).option("header", header.toString)
+      .option("nullValue", nullValue).mode("overwrite").csv(path)
+
+  def toorc(path: String, numParts: Int = 0, numRows: Long = 0): Unit =
+    writer(numParts, numRows).mode("overwrite").orc(path)
+
+  def toparquet(path: String, numParts: Int = 0, numRows: Long = 0): Unit =
+    writer(numParts, numRows).mode("overwrite").parquet(path)
+}
+
+object DataSet {
+  private[api] val RowId = "_g_rowid"
+  private[api] val ErrCls = "_g_cls"
+  private[api] val ErrMsg = "_g_msg"
+  private[api] val HiddenCols: Set[String] = Set(RowId, ErrCls, ErrMsg)
+
+  private[api] def fromDataFrame(ctx: Context, df: DataFrame): DataSet =
+    new DataSet(ctx, df.withColumn(RowId, monotonically_increasing_id()), Nil, 0)
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.Context
+
+/** Inventory entries exercised through the graft.api pipeline layer —
+  * the reference's distinctive operators (SURVEY §2.7 error handling,
+  * §2.4 fold aggregates, §2.2 full-row map) driven end-to-end through
+  * `Context`/`DataSet` and verified against SQL oracles. */
+object ApiOps {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- resolve(eclass, ftor): per-row exception capture + resolver
+    //      (dataset.py:162-199; ResolveTask.cc:268) ------------------------
+    Q("q_resolve",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN -1
+        |       ELSE 100 // (o_orderkey % 10) END AS q
+        |FROM orders""".stripMargin) { (s, d) =>
+      val ctx = new Context(s)
+      ctx.fromDataFrame(Tables(s, d, "orders"))
+        .withColumnUdf[Long, Long]("q", col("o_orderkey"))(k => 100L / (k % 10))
+        .resolve[Long, Long](classOf[ArithmeticException])(_ => -1L)
+        .selectColumns(Seq("o_orderkey", "q"))
+        .toDF
+    },
+
+    // ---- ignore(eclass): silently drop raising rows (dataset.py:319-344) --
+    Q("q_ignore",
+      """SELECT o_orderkey, 100 // (o_orderkey % 10) AS q
+        |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin) { (s, d) =>
+      val ctx = new Context(s)
+      ctx.fromDataFrame(Tables(s, d, "orders"))
+        .withColumnUdf[Long, Long]("q", col("o_orderkey"))(k => 100L / (k % 10))
+        .ignore(classOf[ArithmeticException])
+        .selectColumns(Seq("o_orderkey", "q"))
+        .toDF
+    },
+
+    // ---- full-row map with schema change (dataset.py:49-81) ---------------
+    Q("q_udf_map",
+      """SELECT c_custkey AS id,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign,
+        |  length(c_name) AS name_len
+        |FROM customer""".stripMargin) { (s, d) =>
+      val ctx = new Context(s)
+      ctx.fromDataFrame(Tables(s, d, "customer"))
+        .selectColumns(Seq("c_custkey", "c_acctbal", "c_name"))
+        .mapRows(StructType(Seq(
+          StructField("id", LongType),
+          StructField("bal_sign", StringType),
+          StructField("name_len", IntegerType)))) { r =>
+          Row(r.getLong(0), if (r.getDouble(1) < 0) "neg" else "pos",
+            r.getString(2).length)
+        }
+        .toDF
+    },
+
+    // ---- global fold aggregate (dataset.py:593-642): treeAggregate over
+    //      partitions; fixed-point accumulation keeps the fold
+    //      order-independent hence oracle-exact -----------------------------
+    Q("q_agg_fold",
+      s"""SELECT count(*) AS n, ${Tables.oSum("l_quantity")} AS sum_qty
+         |FROM lineitem""".stripMargin) { (s, d) =>
+      val ctx = new Context(s)
+      import s.implicits._
+      ctx.fromDataFrame(Tables(s, d, "lineitem").select("l_quantity"))
+        .aggregate[(Long, Long)]((0L, 0L))(
+          (b, r) => (b._1 + 1, b._2 + math.floor(r.getDouble(0) * 10000d + 0.5d).toLong),
+          (x, y) => (x._1 + y._1, x._2 + y._2))
+        .withColumn("sum_qty", col("_2") / 10000.0)
+        .renameColumn("_1", "n")
+        .selectColumns(Seq("n", "sum_qty"))
+        .toDF
+    },
+
+    // ---- grouped fold aggregateByKey (dataset.py:644-704) -----------------
+    Q("q_agg_fold_bykey",
+      s"""SELECT event_type, count(*) AS n, ${Tables.oSum("value")} AS total
+         |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      val ctx = new Context(s)
+      import s.implicits._
+      ctx.fromDataFrame(Tables(s, d, "events").select("event_type", "value"))
+        .aggregateByKey[(Long, Long)](Seq("event_type"), (0L, 0L))(
+          (b, r) => (b._1 + 1, b._2 + math.floor(r.getDouble(1) * 10000d + 0.5d).toLong),
+          (x, y) => (x._1 + y._1, x._2 + y._2))
+        .withColumn("total", col("_2") / 10000.0)
+        .renameColumn("_1", "n")
+        .selectColumns(Seq("event_type", "n", "total"))
+        .toDF
+    }
+  )
+}

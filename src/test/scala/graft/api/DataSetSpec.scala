@@ -1,0 +1,163 @@
+package graft.api
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator + dual-mode semantics tests, mirroring the reference's
+  * `python/tests/test_exceptions.py` (merge order :37-268), `test_resolve.py`
+  * and `test/core/DataFrameOperations.cc` coverage. */
+class DataSetSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  lazy val ctx = new Context(spark)
+  def imp = { val s = spark; s.implicits }
+
+  test("parallelize + collect preserves order") {
+    import spark.implicits._
+    val ds = ctx.parallelize(Seq(3, 1, 2), Seq("x"))
+    assert(ds.collect().map(_.getInt(0)).toSeq == Seq(3, 1, 2))
+  }
+
+  test("map (full-row) with schema change") {
+    import spark.implicits._
+    val ds = ctx.parallelize(Seq((1, "a"), (2, "b")), Seq("n", "s"))
+      .mapRows(StructType(Seq(StructField("twice", IntegerType), StructField("up", StringType)))) { r =>
+        Row(r.getInt(0) * 2, r.getString(1).toUpperCase)
+      }
+    assert(ds.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((2, "A"), (4, "B")))
+  }
+
+  test("failing rows divert, resolve merges back in original order") {
+    import spark.implicits._
+    // mirror of test_exceptions.py: x -> 10/x over [2,0,5,0,1]
+    val ds = ctx.parallelize(Seq(2, 0, 5, 0, 1), Seq("x"))
+      .withColumnUdf[Int, Int]("y", col("x"))(x => 10 / x)
+    // unresolved: errors dropped from output, order of the rest preserved
+    assert(ds.collect().map(_.getInt(1)).toSeq == Seq(5, 2, 10))
+    assert(ds.exceptionCounts == Map("java.lang.ArithmeticException" -> 2L))
+    // resolved: merged back in original row order
+    val res = ds.resolve[Int, Int](classOf[ArithmeticException])(_ => -1)
+    assert(res.collect().map(_.getInt(1)).toSeq == Seq(5, -1, 2, -1, 10))
+    assert(res.exceptionCounts.isEmpty)
+  }
+
+  test("ignore drops matching error rows") {
+    import spark.implicits._
+    val ds = ctx.parallelize(Seq(1, 0, 4), Seq("x"))
+      .mapColumnUdf[Int, Int]("x")(x => 100 / x)
+      .ignore(classOf[ArithmeticException])
+    assert(ds.collect().map(_.getInt(0)).toSeq == Seq(100, 25))
+    assert(ds.exceptionCounts.isEmpty)
+  }
+
+  test("resolver that itself throws chains to next resolver") {
+    import spark.implicits._
+    val ds = ctx.parallelize(Seq(4, 0, -1), Seq("x"))
+      .withColumnUdf[Int, Int]("y", col("x")) { x =>
+        if (x < 0) throw new IllegalArgumentException("neg") else 10 / x
+      }
+      .resolve[Int, Int](classOf[ArithmeticException]) { x =>
+        if (x == 0) throw new IllegalArgumentException("still bad") else 1
+      }
+    assert(ds.exceptionCounts == Map("java.lang.IllegalArgumentException" -> 2L))
+    val fin = ds.resolve[Int, Int](classOf[IllegalArgumentException])(_ => -99)
+    assert(fin.collect().map(_.getInt(1)).toSeq == Seq(2, -99, -99))
+  }
+
+  test("filterUdf with exception capture") {
+    import spark.implicits._
+    val ds = ctx.parallelize(Seq("5", "x", "12"), Seq("s"))
+      .filterUdf[String](col("s"))(s => s.toInt > 6)
+    assert(ds.collect().map(_.getString(0)).toSeq == Seq("12"))
+    assert(ds.exceptionCounts.keys.toSeq == Seq("java.lang.NumberFormatException"))
+    val res = ds.resolve[String, Boolean](classOf[NumberFormatException])(_ => true)
+    assert(res.collect().map(_.getString(0)).toSeq == Seq("x", "12"))
+  }
+
+  test("selectColumns by name and negative index, rename") {
+    import spark.implicits._
+    val ds = ctx.parallelize(Seq((1, "a", 2.0)), Seq("x", "y", "z"))
+    assert(ds.selectColumnsAt(Seq(-1, 0)).columns == Seq("z", "x"))
+    assert(ds.renameColumnAt(-1, "w").columns == Seq("x", "y", "w"))
+    assert(ds.selectColumns(Seq("y")).collect().head.getString(0) == "a")
+  }
+
+  test("join disambiguates overlapping columns with suffixes") {
+    import spark.implicits._
+    val l = ctx.parallelize(Seq((1, "x"), (2, "y")), Seq("k", "v"))
+    val r = ctx.parallelize(Seq((1, "X"), (3, "Z")), Seq("k2", "v"))
+    val j = l.join(r, "k", "k2")
+    assert(j.columns == Seq("k", "v", "v_r"))
+    assert(j.toDF.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1, "x", "X")))
+    val lj = l.leftJoin(r, "k", "k2")
+    assert(lj.count() == 2)
+  }
+
+  test("aggregate global fold (treeAggregate semantics)") {
+    import spark.implicits._
+    val ds = ctx.parallelize(Seq(1, 2, 3, 4), Seq("x"))
+    val agg = ds.aggregate[Long](0L)((b, r) => b + r.getInt(0), _ + _)
+    assert(agg.collect().head.getLong(0) == 10L)
+  }
+
+  test("aggregateByKey fold with product buffer") {
+    import spark.implicits._
+    val ds = ctx.parallelize(
+      Seq(("a", 1.0), ("b", 2.0), ("a", 3.0)), Seq("k", "v"))
+    val agg = ds.aggregateByKey[(Long, Double)](Seq("k"), (0L, 0.0))(
+      (b, r) => (b._1 + 1, b._2 + r.getDouble(1)),
+      (x, y) => (x._1 + y._1, x._2 + y._2))
+    val got = agg.toDF.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("a", 2L, 4.0), ("b", 1L, 2.0)))
+  }
+
+  test("unique / union / intersect / except / orderBy / limit") {
+    import spark.implicits._
+    val ds = ctx.parallelize(Seq(3, 1, 3, 2), Seq("x"))
+    assert(ds.unique().count() == 3)
+    assert(ds.union(ds).count() == 8)
+    val other = ctx.parallelize(Seq(3, 9), Seq("x"))
+    assert(ds.intersect(other).collect().map(_.getInt(0)).toSet == Set(3))
+    assert(ds.except(other).collect().map(_.getInt(0)).toSet == Set(1, 2))
+    assert(ds.orderBy(col("x").desc).toDF.head().getInt(0) == 3)
+    assert(ds.limit(2).collect().map(_.getInt(0)).toSeq == Seq(3, 1))
+  }
+
+  test("csv round-trip with sniffed dialect + tocsv sink") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    ctx.parallelize(Seq((1, "a"), (2, "b")), Seq("num", "name"))
+      .tocsv(s"$dir/out", numParts = 1)
+    val back = ctx.csv(s"$dir/out/*.csv")
+    assert(back.columns == Seq("num", "name"))
+    assert(back.count() == 2)
+    assert(back.schema.fields.head.dataType == IntegerType)
+  }
+
+  test("orc round-trip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    ctx.parallelize(Seq((1.5, "a")), Seq("d", "s")).toorc(s"$dir/out")
+    assert(ctx.orc(s"$dir/out").count() == 1)
+  }
+
+  test("ls/cp/rm file utilities") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.txt"), "hi")
+    assert(ctx.ls(s"$dir/*.txt").size == 1)
+    ctx.cp(s"$dir/a.txt", s"$dir/b.txt")
+    assert(ctx.ls(s"$dir/*.txt").size == 2)
+    ctx.rm(s"$dir/*.txt")
+    assert(ctx.ls(s"$dir/*.txt").isEmpty)
+  }
+}
