@@ -20,15 +20,19 @@ def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    def fresh_con():
+        # fresh connection per query: a fatal DuckDB error on one oracle
+        # must not cascade into the rest
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        return c
 
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            exp = con.execute(sql).fetchdf()
+            exp = fresh_con().execute(sql).fetchdf()
             got = duckdb.connect().execute(
                 f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
         except Exception as e:

@@ -1,0 +1,125 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Deduplication operators for web-scale corpora. Design notes for the
+  * 100 TB case baked into each method:
+  *
+  *  - exact/content-hash dedup: one hash-partitioned shuffle on the
+  *    group key (the hash), map-side partial aggregation; no driver state.
+  *  - MinHash-LSH near-dup: signatures are computed scan-side inside
+  *    codegen (higher-order functions over the shingle array, no UDF);
+  *    banding turns the quadratic pair search into an equi-join on
+  *    (band, bandHash) — the classic LSH trick — so Spark shuffles only
+  *    band buckets, never the cross product. Exact Jaccard confirms
+  *    candidates, bounding false positives; band/row parameters trade
+  *    recall vs shuffle volume.
+  *  - SimHash near-dup: 64-bit fingerprints (native codegen expression),
+  *    candidate generation by banding the fingerprint into 4×16-bit
+  *    chunks (Hamming-distance ≤3 pairs share ≥1 chunk by pigeonhole).
+  */
+object Dedup {
+
+  /** Canonical text normalization: lowercase, trim, collapse whitespace. */
+  def normalizeText(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  /** Exact dedup: keep the row with the smallest `idCol` per distinct
+    * (normalized) `textCol`. One shuffle on the text hash. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(normalizeText(col(textCol)).as("norm_text"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Content-hash dedup groups: md5 of normalized text → (hash, keeper id,
+    * multiplicity). Hash-group instead of raw text keys so the shuffle
+    * moves 16-byte keys, not documents — the difference at 100 TB. */
+  def contentHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(normalizeText(col(textCol)).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature of the word-`k`-shingle set: `numHashes` seeded
+    * xxhash64 minima, computed as pure column expressions. */
+  def minhashSignature(textCol: Column, k: Int, numHashes: Int): Column = {
+    val sh = TextFunctions.shingles(textCol, k)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(array_distinct(sh), s => xxhash64(s, lit(seed))))
+    }: _*)
+  }
+
+  /** LSH candidate pairs (idA < idB) from banding the MinHash signature:
+    * docs sharing any band bucket become candidates. */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("_id"),
+      minhashSignature(col(textCol), k, numHashes).as("_sig"))
+    val banded = sig.select(col("_id"), posexplode(
+      array((0 until bands).map(b =>
+        hash(slice(col("_sig"), b * rows + 1, rows), lit(b))): _*)))
+      .toDF("_id", "_band", "_bucket")
+    val a = banded.toDF("id_a", "band_a", "bucket_a")
+    val b = banded.toDF("id_b", "band_b", "bucket_b")
+    a.join(b, a("band_a") === b("band_b") && a("bucket_a") === b("bucket_b") &&
+        a("id_a") < b("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard similarity of two docs' distinct word-`k`-shingle sets. */
+  def jaccardShingles(aText: Column, bText: Column, k: Int): Column = {
+    val a = array_distinct(TextFunctions.shingles(aText, k))
+    val b = array_distinct(TextFunctions.shingles(bText, k))
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  }
+
+  /** Near-duplicate pairs: LSH candidates, then exact-Jaccard confirm at
+    * `threshold`. Output: (id_a, id_b, jaccard). */
+  def nearDupMinhash(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 3, numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    val cands = lshCandidates(df, idCol, textCol, k, numHashes, bands)
+    val docs = df.select(col(idCol), col(textCol))
+    val aDocs = docs.toDF("id_a", "text_a")
+    val bDocs = docs.toDF("id_b", "text_b")
+    cands.join(aDocs, "id_a").join(bDocs, "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccardShingles(col("text_a"), col("text_b"), k).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash fingerprints + near-dup candidate pairs within Hamming
+    * distance `maxHamming` (banding the 64-bit print into 4 chunks). */
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      TextFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("simhash"))
+
+  def nearDupSimhash(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = simhashFingerprints(df, idCol, textCol)
+    val banded = fp.select(col(idCol).as("_id"), col("simhash"), posexplode(
+      array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)))
+      .select(col("_id"), col("simhash"), col("col.chunk").as("_chunk"), col("col.v").as("_v"))
+    val a = banded.toDF("id_a", "sim_a", "chunk_a", "v_a")
+    val b = banded.toDF("id_b", "sim_b", "chunk_b", "v_b")
+    a.join(b, a("chunk_a") === b("chunk_b") && a("v_a") === b("v_b") &&
+        a("id_a") < b("id_b"))
+      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b")).distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** n-gram (character) Jaccard near-dup — for short strings where word
+    * shingles are too coarse. */
+  def charNgramJaccard(aText: Column, bText: Column, n: Int): Column = {
+    def grams(c: Column) = array_distinct(
+      transform(sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
+        i => substr(c, i, lit(n))))
+    val ga = grams(aText)
+    val gb = grams(bText)
+    size(array_intersect(ga, gb)).cast("double") / size(array_union(ga, gb))
+  }
+}

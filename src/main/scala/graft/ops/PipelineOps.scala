@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.text.TextFunctions._
+
+/** Training-data pipeline operators (driver north star): text analysis,
+  * deduplication, similarity search, windowed/JSON event analytics —
+  * each verifiable against a DuckDB oracle where SQL can express it. */
+object PipelineOps {
+
+  // DuckDB-side token array of trimmed text (keeps duplicates).
+  private val oToks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  private def inList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- token counting (whitespace + subword approximation) --------------
+    Q("q_token_count",
+      s"""SELECT doc_id,
+         |  len($oToks) AS n_tokens,
+         |  len(list_distinct($oToks)) AS n_uniq_tokens,
+         |  list_sum(list_transform($oToks, t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INT)))) AS n_subwords
+         |FROM documents""".stripMargin) { (s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        uniqTokenCount(col("text")).as("n_uniq_tokens"),
+        subwordCount(col("text")).cast("long").as("n_subwords"))
+    },
+
+    // ---- quality scoring: integer signal counts ---------------------------
+    Q("q_text_quality",
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  len($oToks) AS n_tokens,
+         |  len(list_distinct($oToks)) AS n_uniq_tokens,
+         |  list_sum(list_transform($oToks, t -> length(t))) AS n_token_chars,
+         |  len(list_filter($oToks, t -> t IN ${inList(StopwordsEn)})) AS n_stopwords
+         |FROM documents""".stripMargin) { (s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        tokenCount(col("text")).as("n_tokens"),
+        uniqTokenCount(col("text")).as("n_uniq_tokens"),
+        tokenCharCount(col("text")).cast("long").as("n_token_chars"),
+        wordListHits(col("text"), StopwordsEn).cast("long").as("n_stopwords"))
+    },
+
+    // ---- language ID: argmax of per-language stopword hits ----------------
+    Q("q_lang_id", {
+      val hits = LangWordlists.map { case (l, ws) =>
+        s"len(list_filter($oToks, t -> t IN ${inList(ws)})) AS hits_$l"
+      }.mkString(", ")
+      val langs = LangWordlists.map(_._1)
+      val m = s"greatest(${langs.map("hits_" + _).mkString(", ")})"
+      val firstMax = langs.map(l => s"WHEN hits_$l = $m THEN '$l'").mkString(" ")
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN $m = 0 THEN 'und' $firstMax END AS lang_pred
+         |FROM (SELECT doc_id, lang, $hits FROM documents)""".stripMargin
+    }) { (s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
+    },
+
+    // ---- document fingerprint (xxhash64 digest — no DuckDB equivalent) ----
+    Q.noOracle("q_fingerprint") { (s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fingerprint"),
+        simhash64(tokens(col("text"))).as("simhash"))
+    },
+
+    // ---- exact dedup (normalized text, keep min id) -----------------------
+    Q("q_dedup_exact",
+      """SELECT lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm_text,
+        |  min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+      Dedup.exact(Tables(s, d, "documents"), "doc_id", "text")
+        .select("norm_text", "doc_id", "n_copies")
+    },
+
+    // ---- content-hash dedup groups ----------------------------------------
+    Q("q_dedup_hash",
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+      Dedup.contentHash(Tables(s, d, "documents"), "doc_id", "text")
+    },
+
+    // ---- MinHash-LSH near-dup, exact-Jaccard confirmed at 0.8 -------------
+    // Oracle = ground-truth all-pairs Jaccard; the LSH path must reach
+    // recall ~1 at the threshold (64 hashes × 16 bands of 4).
+    Q("q_dedup_minhash",
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
+        |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS g
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8""".stripMargin) { (s, d) =>
+      Dedup.nearDupMinhash(Tables(s, d, "documents"), "doc_id", "text",
+        threshold = 0.8, k = 3, numHashes = 64, bands = 16)
+    },
+
+    // ---- SimHash near-dup (fingerprint banding; no SQL oracle) ------------
+    Q.noOracle("q_dedup_simhash") { (s, d) =>
+      Dedup.nearDupSimhash(Tables(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+    },
+
+    // ---- ANN: brute-force cosine top-5 (ids only → float-robust) ----------
+    Q("q_ann_bruteforce",
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+        |pairs AS (SELECT q.vec_id AS qid, c.vec_id AS nid, q.embedding AS qe, c.embedding AS ce
+        |          FROM q, embeddings c WHERE c.vec_id <> q.vec_id),
+        |dots AS (SELECT qid, nid,
+        |  list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE))) AS dot,
+        |  list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE))) AS qq,
+        |  list_sum(list_transform(generate_series(1, len(ce)), i -> CAST(ce[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE))) AS cc
+        |  FROM pairs)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT qid AS query_id, nid AS neighbor_id,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, nid) AS rank
+        |  FROM dots)
+        |WHERE rank <= 5""".stripMargin) { (s, d) =>
+      val emb = Tables(s, d, "embeddings").select("vec_id", "embedding")
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+        .select("query_id", "rank", "neighbor_id")
+    },
+
+    // ---- ANN: LSH-bucketed approximate top-5 (scale path; no oracle) ------
+    Q.noOracle("q_ann_lsh") { (s, d) =>
+      val emb = Tables(s, d, "embeddings").select("vec_id", "embedding")
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, dim = 64)
+        .select("query_id", "rank", "neighbor_id")
+    },
+
+    // ---- window functions over events (superset; SURVEY §2.5) -------------
+    Q("q_window",
+      """SELECT event_id, user_id, rn FROM (
+        |  SELECT event_id, user_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 3""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("event_id", "user_id", "rn")
+    },
+
+    // ---- tumbling daily window aggregation --------------------------------
+    Q("q_window_day",
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         |  count(*) AS n, ${Tables.oSum("value")} AS total
+         |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Tables(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("total"))
+    },
+
+    // ---- JSON property extraction + aggregation ---------------------------
+    Q("q_events_json",
+      """SELECT event_type, sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      Tables(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+    }
+  )
+}

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column ⇄ Expression converters — the
+  * supported way for an extension library to wrap custom Catalyst
+  * expressions as user-facing `Column`s on Spark 4's split Column API.
+  * Kept to exactly these two forwarders. */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

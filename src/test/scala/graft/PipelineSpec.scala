@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.text.TextFunctions
+
+/** Semantics tests for the training-data-pipeline modules on crafted
+  * fixtures (the driver testdata has no true near-dups, so recall is
+  * exercised here). */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+      (2L, "completely different content about spark query engines and columnar formats"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+      (4L, "unrelated short text")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min id and counts copies") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+    assert(got.count() == 4)
+    val dup = got.filter(col("n_copies") === 2).collect()
+    assert(dup.length == 1 && dup.head.getAs[Long]("doc_id") == 0L)
+  }
+
+  test("minhash LSH finds the near-dup pair and not unrelated docs") {
+    val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text",
+        threshold = 0.5, k = 3, numHashes = 64, bands = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L))) // exact dup certainly caught
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash: identical docs same print; near-dups within hamming 3") {
+    val fp = Dedup.simhashFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(3L))
+    assert(SimHashTestHelper.hamming(fp(0L), fp(1L)) <= 6)
+    assert(SimHashTestHelper.hamming(fp(0L), fp(2L)) > 10)
+    val nd = Dedup.nearDupSimhash(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((0L, 3L)))
+  }
+
+  test("char n-gram jaccard") {
+    import spark.implicits._
+    val df = Seq(("abcdef", "abcdeg")).toDF("a", "b")
+      .select(Dedup.charNgramJaccard(col("a"), col("b"), 3).as("j"))
+    val j = df.head().getDouble(0)
+    assert(j > 0.3 && j < 1.0)
+  }
+
+  test("language id picks the wordlist with most hits") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat is on the mat", "en"),
+      ("der hund ist nicht da und die katze", "de"),
+      ("le chat est sur la table et les chiens", "fr"),
+      ("el perro y los gatos en la casa", "es"),
+      ("xyzzy plugh", "und")
+    ).toDF("text", "expect")
+    val got = df.select(TextFunctions.langId(col("text")).as("got"), col("expect"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("token metrics") {
+    import spark.implicits._
+    val df = Seq("  hello   world hello  ").toDF("text")
+    val r = df.select(
+      TextFunctions.tokenCount(col("text")),
+      TextFunctions.uniqTokenCount(col("text")),
+      TextFunctions.tokenCharCount(col("text")),
+      TextFunctions.subwordCount(col("text"))).head()
+    assert(r.getInt(0) == 3 && r.getInt(1) == 2 && r.getInt(2) == 15)
+    assert(r.getInt(3) == 6) // ceil(5/4)=2 per token
+  }
+
+  test("brute-force ANN: self-similar vectors rank first; LSH recalls them") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = (0L until 40L).map(i => (i, vec()))
+    // vec 100 = vec 0 + tiny noise → must be vec 0's top neighbor
+    val noisy = (100L, base.head._2.map(x => x + 0.01f))
+    val corpus = spark.createDataset(base :+ noisy).toDF("id", "vec")
+    val queries = corpus.filter(col("id") === 0L)
+    val bf = Ann.bruteForceTopK(corpus, queries, k = 3).collect()
+    assert(bf.head.getAs[Long]("neighbor_id") == 100L)
+    val lsh = Ann.lshTopK(corpus, queries, k = 3, dim = 16, nBits = 8)
+      .collect()
+    assert(lsh.head.getAs[Long]("neighbor_id") == 100L)
+  }
+
+  test("shingles produce k-grams in order") {
+    import spark.implicits._
+    val r = Seq("a b c d").toDF("t")
+      .select(TextFunctions.shingles(col("t"), 3).as("s")).head()
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+  }
+}
+
+object SimHashTestHelper {
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
