@@ -49,17 +49,36 @@ object Dedup {
     }: _*)
   }
 
+  /** Docs with their distinct shingle set and MinHash signature, computed
+    * exactly once and persisted — every downstream reference (banding,
+    * both sides of the candidate self-join, the Jaccard confirm) reuses
+    * these arrays instead of re-deriving them from text. Without this the
+    * signature expression tree is re-evaluated per reference and the
+    * confirm re-shingles per candidate pair — the difference between
+    * seconds and minutes at sf0.1, and between feasible and not at 100 TB. */
+  private def shingledDocs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("_id"),
+        array_distinct(TextFunctions.shingles(col(textCol), k)).as("_sh"))
+      .withColumn("_sig", array((0 until numHashes).map { seed =>
+        array_min(transform(col("_sh"), s => xxhash64(s, lit(seed))))
+      }: _*))
+      .persist()
+
+  private def bandBuckets(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    docs.select(col("_id"), posexplode(
+      array((0 until bands).map(b =>
+        hash(slice(col("_sig"), b * rows + 1, rows), lit(b))): _*)))
+      .toDF("_id", "_band", "_bucket")
+  }
+
   /** LSH candidate pairs (idA < idB) from banding the MinHash signature:
     * docs sharing any band bucket become candidates. */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 32, bands: Int = 16): DataFrame = {
-    val rows = numHashes / bands
-    val sig = df.select(col(idCol).as("_id"),
-      minhashSignature(col(textCol), k, numHashes).as("_sig"))
-    val banded = sig.select(col("_id"), posexplode(
-      array((0 until bands).map(b =>
-        hash(slice(col("_sig"), b * rows + 1, rows), lit(b))): _*)))
-      .toDF("_id", "_band", "_bucket")
+    val banded = bandBuckets(shingledDocs(df, idCol, textCol, k, numHashes),
+      numHashes, bands)
     val a = banded.toDF("id_a", "band_a", "bucket_a")
     val b = banded.toDF("id_b", "band_b", "bucket_b")
     a.join(b, a("band_a") === b("band_b") && a("bucket_a") === b("bucket_b") &&
@@ -75,17 +94,26 @@ object Dedup {
   }
 
   /** Near-duplicate pairs: LSH candidates, then exact-Jaccard confirm at
-    * `threshold`. Output: (id_a, id_b, jaccard). */
+    * `threshold` over the precomputed shingle sets.
+    * Output: (id_a, id_b, jaccard). */
   def nearDupMinhash(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3, numHashes: Int = 32, bands: Int = 16): DataFrame = {
-    val cands = lshCandidates(df, idCol, textCol, k, numHashes, bands)
-    val docs = df.select(col(idCol), col(textCol))
-    val aDocs = docs.toDF("id_a", "text_a")
-    val bDocs = docs.toDF("id_b", "text_b")
-    cands.join(aDocs, "id_a").join(bDocs, "id_b")
-      .select(col("id_a"), col("id_b"),
-        jaccardShingles(col("text_a"), col("text_b"), k).as("jaccard"))
+    val docs = shingledDocs(df, idCol, textCol, k, numHashes)
+    val banded = bandBuckets(docs, numHashes, bands)
+    val a = banded.toDF("id_a", "band_a", "bucket_a")
+    val b = banded.toDF("id_b", "band_b", "bucket_b")
+    val cands = a.join(b,
+        a("band_a") === b("band_b") && a("bucket_a") === b("bucket_b") &&
+        a("id_a") < b("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(docs.select(col("_id").as("id_a"), col("_sh").as("_sh_a")), "id_a")
+      .join(docs.select(col("_id").as("id_b"), col("_sh").as("_sh_b")), "id_b")
+      .withColumn("_inter", size(array_intersect(col("_sh_a"), col("_sh_b"))))
+      .withColumn("jaccard", col("_inter").cast("double") /
+        (size(col("_sh_a")) + size(col("_sh_b")) - col("_inter")))
       .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** SimHash fingerprints + near-dup candidate pairs within Hamming
