@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.ops.Tables
+import graft.streaming.Streams
+
+class StreamMediaSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("streaming windowed agg equals batch aggregation") {
+    val streamed = Streams.runWindowedAgg(spark, dir, "1 day",
+        Seq("n" -> count(lit(1))))
+      .select(to_date(col("window.start")).as("day"), col("event_type"), col("n"))
+    val batch = Tables(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stateful mapGroupsWithState user counts equal batch counts") {
+    val streamed = Streams.userEventCounts(spark, dir)
+    val batch = Tables(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("multimodal payload round-trip: bytes, meta, batched features") {
+    val media = Multimodal.withBinaryPayload(
+      Tables(spark, dir, "documents"), "text", "image")
+    val row = media.select(col("payload"), col("meta.kind"),
+      col("meta.sample_rate"), col("text")).head()
+    assert(new String(row.getAs[Array[Byte]](0), "UTF-8") == row.getString(3))
+    assert(row.getString(1) == "image" && row.getInt(2) == 16000)
+
+    val feats = Multimodal.extractFeatures(media, "doc_id", "payload", dim = 8)
+    val f = feats.head()
+    assert(f.getSeq[Float](1).size == 8)
+    assert(feats.count() == media.count())
+    // deterministic: same payload → same features
+    val twice = Multimodal.extractFeatures(media, "doc_id", "payload", dim = 8)
+    assert(feats.exceptAll(twice).isEmpty)
+  }
+
+  test("frame sampling yields n binary chunks") {
+    val media = Multimodal.withBinaryPayload(
+      Tables(spark, dir, "documents"), "text", "video")
+    val r = Multimodal.frameSample(media, "payload", 4).select("frames").head()
+    assert(r.getSeq[Array[Byte]](0).size == 4)
+  }
+}
