@@ -10,7 +10,8 @@ object SparkEntry {
 
   /** Full verifiable-query registry (one per operator, SURVEY.md §2). */
   def registry: Seq[Q] =
-    Relational.all ++ ApiOps.all ++ PipelineOps.all ++ StreamMediaOps.all
+    Relational.all ++ ApiOps.all ++ PipelineOps.all ++ StreamMediaOps.all ++
+      CoverageOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,191 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.api.Context
+import Tables.{dsum, oSum}
+
+/** Remaining SURVEY §2 inventory: sources/sinks exercised as round-trips
+  * inside the correctness gate, cache, take, flatMap/explode, rollup, and
+  * the scalar-function families (string/math/regex/date) the reference
+  * compiles in its UDFs (FunctionRegistry.cc) — here as builtin
+  * `functions._` columns, oracle-checked against DuckDB.
+  *
+  * Oracle-exactness notes: math is restricted to IEEE-exact ops (sqrt,
+  * abs, floor/ceil, integer pow/mod) — transcendentals differ across libm
+  * implementations; `round()` differs in half-case convention between
+  * engines, so it never appears on a float output. */
+object CoverageOps {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  val all: Seq[Q] = Seq(
+
+    // ---- tocsv + csv source round-trip (dataset.py:500; context.py:288) ---
+    Q("q_csv_roundtrip",
+      s"""SELECT count(*) AS n, ${oSum("l_quantity")} AS sum_qty,
+         |  ${oSum("l_extendedprice")} AS sum_price
+         |FROM lineitem""".stripMargin) { (s, d) =>
+      val ctx = new Context(s)
+      val out = tmpDir("graft_csv_rt") + "/lineitem"
+      ctx.fromDataFrame(Tables(s, d, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice"))
+        .tocsv(out, numParts = 4)
+      ctx.csv(s"$out/*.csv").toDF.agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+    },
+
+    // ---- toorc + orc source round-trip (dataset.py:554; context.py:389) ---
+    Q("q_orc_roundtrip",
+      s"""SELECT count(*) AS n, ${oSum("o_totalprice")} AS total
+         |FROM orders""".stripMargin) { (s, d) =>
+      val ctx = new Context(s)
+      val out = tmpDir("graft_orc_rt") + "/orders"
+      ctx.fromDataFrame(Tables(s, d, "orders").select("o_orderkey", "o_totalprice"))
+        .toorc(out)
+      ctx.orc(out).toDF.agg(
+        count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    },
+
+    // ---- text source: line-per-row ingestion (context.py:367) -------------
+    Q("q_text_source",
+      """SELECT count(*) AS n, sum(length(text)) AS total_chars
+        |FROM documents""".stripMargin) { (s, d) =>
+      val ctx = new Context(s)
+      val out = tmpDir("graft_text_rt") + "/docs"
+      Tables(s, d, "documents").select("text").write.mode("overwrite").text(out)
+      ctx.text(s"$out/*.txt").toDF.agg(
+        count(lit(1)).as("n"), sum(length(col("value"))).as("total_chars"))
+    },
+
+    // ---- cache: materialize once, reuse across two aggregates -------------
+    Q("q_cache",
+      s"""SELECT count(*) AS n, ${oSum("l_quantity")} AS sum_qty,
+         |  count(DISTINCT l_orderkey) AS n_orders
+         |FROM lineitem""".stripMargin) { (s, d) =>
+      val cached = Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity").cache()
+      val a = cached.agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      val b = cached.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      a.crossJoin(b)
+    },
+
+    // ---- take: first-n in pipeline order (dataset.py:113) -----------------
+    Q("q_take",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 50""".stripMargin) { (s, d) =>
+      val ctx = new Context(s)
+      ctx.fromDataFrame(Tables(s, d, "orders").select("o_orderkey", "o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .limit(50)
+        .toDF
+    },
+
+    // ---- flatMap/explode superset (SURVEY §2.9: absent in reference) ------
+    Q("q_explode",
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)
+    },
+
+    // ---- rollup (grouping-sets superset) ----------------------------------
+    Q("q_rollup",
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |  ${oSum("o_totalprice")} AS total
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin) { (s, d) =>
+      Tables(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    },
+
+    // ---- string-function family (FunctionRegistry.cc:2582-2723) -----------
+    Q("q_string_funcs",
+      """SELECT c_custkey,
+        |  upper(c_name) AS up, lower(c_mktsegment) AS lo,
+        |  substr(c_name, 1, 8) AS sub,
+        |  replace(c_name, '#', '-') AS repl,
+        |  concat(c_name, '|', c_mktsegment) AS cat,
+        |  length(c_name) AS len,
+        |  reverse(c_name) AS rev,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  trim(concat('  ', c_name, '  ')) AS trimmed
+        |FROM customer""".stripMargin) { (s, d) =>
+      Tables(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        regexp_replace(col("c_name"), "#", "-").as("repl"),
+        concat(col("c_name"), lit("|"), col("c_mktsegment")).as("cat"),
+        length(col("c_name")).as("len"),
+        reverse(col("c_name")).as("rev"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        trim(concat(lit("  "), col("c_name"), lit("  "))).as("trimmed"))
+    },
+
+    // ---- math-function family (StandardModules.cc:40-88), IEEE-exact ops --
+    Q("q_math_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS a,
+        |  ceil(l_extendedprice) AS c,
+        |  floor(l_extendedprice) AS f,
+        |  sqrt(l_quantity) AS sq,
+        |  l_quantity * l_quantity AS p2,
+        |  l_orderkey % 7 AS m,
+        |  sign(l_discount - 0.05) AS sg,
+        |  greatest(l_quantity, 25.0) AS g, least(l_quantity, 25.0) AS l
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("a"),
+        ceil(col("l_extendedprice")).as("c"),
+        floor(col("l_extendedprice")).as("f"),
+        sqrt(col("l_quantity")).as("sq"),
+        (col("l_quantity") * col("l_quantity")).as("p2"),
+        (col("l_orderkey") % 7).as("m"),
+        signum(col("l_discount") - 0.05).as("sg"),
+        greatest(col("l_quantity"), lit(25.0)).as("g"),
+        least(col("l_quantity"), lit(25.0)).as("l"))
+    },
+
+    // ---- regex family (re.search/re.sub → rlike/regexp_*) ------------------
+    Q("q_regex",
+      """SELECT event_type,
+        |  sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+        |  count(*) FILTER (WHERE regexp_matches(props, '[0-9]{2,}')) AS n_2digit
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      Tables(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          sum(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")).as("sum_k"),
+          count(when(col("props").rlike("[0-9]{2,}"), 1)).as("n_2digit"))
+    },
+
+    // ---- date/time family (capability superset: reference keeps dates as
+    //      strings, SURVEY §1.2) --------------------------------------------
+    Q("q_date_funcs",
+      s"""SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+         |  quarter(o_orderdate) AS q, count(*) AS n,
+         |  ${oSum("o_totalprice")} AS total,
+         |  min(CAST(o_orderdate AS DATE)) AS first_day
+         |FROM orders GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          quarter(col("o_orderdate")).as("q"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          min(to_date(col("o_orderdate"))).as("first_day"))
+    }
+  )
+}
