@@ -172,6 +172,59 @@ object CoverageOps {
           count(when(col("props").rlike("[0-9]{2,}"), 1)).as("n_2digit"))
     },
 
+    // ---- analytic window functions (lag/lead/rank/ntile superset) ---------
+    Q("q_window_funcs",
+      """SELECT event_id, user_id,
+        |  row_number() OVER w AS rn,
+        |  lag(event_id, 1) OVER w AS prev_event,
+        |  lead(event_id, 1) OVER w AS next_event,
+        |  ntile(4) OVER w AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).as("rn"),
+        lag(col("event_id"), 1).over(w).as("prev_event"),
+        lead(col("event_id"), 1).over(w).as("next_event"),
+        ntile(4).over(w).as("quartile"))
+    },
+
+    // ---- extended string family: pad/trim/search/split/printf -------------
+    Q("q_string_funcs2",
+      """SELECT c_custkey,
+        |  ltrim(concat('  ', c_name)) AS lt,
+        |  rtrim(concat(c_name, '  ')) AS rt,
+        |  strpos(c_name, '#') AS pos,
+        |  CAST(starts_with(c_name, 'Customer') AS INT) AS sw,
+        |  CAST(ends_with(c_name, '0') AS INT) AS ew,
+        |  split_part(c_name, '#', 2) AS id_part,
+        |  printf('%s-%03d', c_mktsegment, c_custkey % 1000) AS fmt
+        |FROM customer""".stripMargin) { (s, d) =>
+      Tables(s, d, "customer").select(
+        col("c_custkey"),
+        ltrim(concat(lit("  "), col("c_name"))).as("lt"),
+        rtrim(concat(col("c_name"), lit("  "))).as("rt"),
+        instr(col("c_name"), "#").as("pos"),
+        col("c_name").startsWith("Customer").cast("int").as("sw"),
+        col("c_name").endsWith("0").cast("int").as("ew"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("id_part"),
+        format_string("%s-%03d", col("c_mktsegment"), col("c_custkey") % 1000).as("fmt"))
+    },
+
+    // ---- typed Dataset[T] path: case-class encoder, typed filter/map ------
+    Q("q_typed",
+      """SELECT o_orderkey AS order_id, o_totalprice / 2 AS half
+        |FROM orders WHERE o_totalprice > 100000""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        .as[(Long, Double)]
+        .filter(_._2 > 100000)
+        .map(o => (o._1, o._2 / 2))
+        .toDF("order_id", "half")
+    },
+
     // ---- date/time family (capability superset: reference keeps dates as
     //      strings, SURVEY §1.2) --------------------------------------------
     Q("q_date_funcs",
