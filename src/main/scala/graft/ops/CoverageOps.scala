@@ -225,6 +225,50 @@ object CoverageOps {
         .toDF("order_id", "half")
     },
 
+    // ---- cast semantics incl. parse failure (SymbolTable.cc:82-135:
+    //      int()/float() raise on bad input → here try_cast to NULL, or
+    //      the error channel via filterUdf for Tuplex's raising behavior) --
+    Q("q_cast",
+      """SELECT event_id,
+        |  TRY_CAST(props->>'k' AS BIGINT) AS k,
+        |  TRY_CAST(event_type AS BIGINT) AS bad_int,
+        |  CAST(floor(value) AS BIGINT) AS v_floor,
+        |  CAST(user_id AS DOUBLE) AS uid_d,
+        |  CAST(CAST(value > 2 AS BOOLEAN) AS INT) AS flag
+        |FROM events""".stripMargin) { (s, d) =>
+      Tables(s, d, "events").select(
+        col("event_id"),
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"),
+        expr("try_cast(event_type AS BIGINT)").as("bad_int"),
+        floor(col("value")).cast("bigint").as("v_floor"),
+        col("user_id").cast("double").as("uid_d"),
+        (col("value") > 2).cast("int").as("flag"))
+    },
+
+    // ---- collection functions (len/indexing/dict-list ops, SURVEY §2.8) ---
+    Q("q_collections",
+      """SELECT doc_id,
+        |  len(toks) AS n,
+        |  toks[1] AS first_tok,
+        |  toks[len(toks)] AS last_tok,
+        |  CAST(list_contains(toks, 'spark') AS INT) AS has_spark,
+        |  array_to_string(list_sort(toks[1:3]), ' ') AS first3_sorted,
+        |  array_to_string(toks[2:4], ' ') AS mid
+        |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |      FROM documents)""".stripMargin) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          graft.text.TextFunctions.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n"),
+          element_at(col("toks"), 1).as("first_tok"),
+          expr("element_at(toks, size(toks))").as("last_tok"),
+          array_contains(col("toks"), "spark").cast("int").as("has_spark"),
+          array_join(sort_array(slice(col("toks"), 1, 3)), " ").as("first3_sorted"),
+          array_join(slice(col("toks"), 2, 3), " ").as("mid"))
+    },
+
     // ---- date/time family (capability superset: reference keeps dates as
     //      strings, SURVEY §1.2) --------------------------------------------
     Q("q_date_funcs",
