@@ -60,9 +60,14 @@ object Dedup {
       k: Int, numHashes: Int): DataFrame =
     df.select(col(idCol).as("_id"),
         array_distinct(TextFunctions.shingles(col(textCol), k)).as("_sh"))
+      // hash each shingle string ONCE to a long, then derive the numHashes
+      // signature minima by re-mixing longs — 8-byte hashing per seed
+      // instead of re-hashing ~30-char strings numHashes times
+      .withColumn("_hs", transform(col("_sh"), s => xxhash64(s)))
       .withColumn("_sig", array((0 until numHashes).map { seed =>
-        array_min(transform(col("_sh"), s => xxhash64(s, lit(seed))))
+        array_min(transform(col("_hs"), h => xxhash64(h, lit(seed))))
       }: _*))
+      .drop("_hs")
       .persist()
 
   private def bandBuckets(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {

@@ -146,6 +146,14 @@ object PipelineOps {
         .select("query_id", "rank", "neighbor_id")
     },
 
+    // ---- ANN: IVF coarse-quantized top-5 (scale path; no oracle) ----------
+    Q.noOracle("q_ann_ivf") { (s, d) =>
+      val emb = Tables(s, d, "embeddings").select("vec_id", "embedding")
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+          nCells = 16, nProbe = 4)
+        .select("query_id", "rank", "neighbor_id")
+    },
+
     // ---- window functions over events (superset; SURVEY §2.5) -------------
     Q("q_window",
       """SELECT event_id, user_id, rn FROM (

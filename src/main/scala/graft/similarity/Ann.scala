@@ -59,6 +59,39 @@ object Ann {
     bits.reduce(_ + _)
   }
 
+  /** IVF-style approximate top-k: coarse-quantize the corpus against
+    * `nCells` centroids (deterministically sampled from the corpus itself —
+    * a k-means-- that needs no iterative training), then each query probes
+    * only its `nProbe` nearest cells. The cell assignment is one broadcast
+    * join over the corpus scan; at 100 TB the assignment is computed once
+    * and persisted/bucketed so queries touch ~nProbe/nCells of the data. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus.toDF("neighbor_id", "c_vec")
+    // deterministic centroids: the nCells corpus vectors with smallest ids
+    val centroids = broadcast(c.orderBy(col("neighbor_id")).limit(nCells)
+      .select(col("neighbor_id").as("cell_id"), col("c_vec").as("cent")))
+    def nearestCells(df: DataFrame, vec: String, n: Int) = {
+      val w = Window.partitionBy(df.columns.head)
+        .orderBy(col("_cd").desc, col("cell_id").asc)
+      df.crossJoin(centroids)
+        .withColumn("_cd", cosine(col(vec), col("cent")))
+        .withColumn("_cr", row_number().over(w))
+        .filter(col("_cr") <= n)
+        .drop("cent", "_cd", "_cr")
+    }
+    val cellC = nearestCells(c, "c_vec", 1)
+    val cellQ = nearestCells(queries.toDF("query_id", "q_vec"), "q_vec", nProbe)
+    val scored = cellQ.join(cellC, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cos")).distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** Approximate top-k: candidates = same-signature bucket (multi-probe:
     * original + each 1-bit flip), ranked by exact cosine within bucket.
     * Recall grows with probes; shuffle volume shrinks with nBits. */

@@ -111,6 +111,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.head.getAs[Long]("neighbor_id") == 100L)
   }
 
+  test("IVF ANN recalls the planted near-duplicate vector") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = (0L until 60L).map(i => (i, vec()))
+    val noisy = (200L, base.head._2.map(x => x + 0.01f))
+    val corpus = spark.createDataset(base :+ noisy).toDF("id", "vec")
+    val queries = corpus.filter(col("id") === 0L)
+    val ivf = Ann.ivfTopK(corpus, queries, k = 3, nCells = 8, nProbe = 3)
+      .collect()
+    // vec 200 ≈ vec 0 lands in the same cell, so it must be recalled first
+    assert(ivf.head.getAs[Long]("neighbor_id") == 200L)
+  }
+
   test("shingles produce k-grams in order") {
     import spark.implicits._
     val r = Seq("a b c d").toDF("t")
