@@ -34,7 +34,7 @@ def main():
         try:
             exp = fresh_con().execute(sql).fetchdf()
             got = duckdb.connect().execute(
-                f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
+                f"SELECT * FROM '{outdir}/{name}.parquet'").fetchdf()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
