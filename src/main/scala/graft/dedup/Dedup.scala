@@ -2,7 +2,9 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftBridge
 
+import graft.functions.{MinHashSig, ShingleHashes, SortedIntersectCount}
 import graft.text.TextFunctions
 
 /** Deduplication operators for web-scale corpora. Design notes for the
@@ -40,34 +42,49 @@ object Dedup {
     df.groupBy(md5(normalizeText(col(textCol)).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature of the word-`k`-shingle set: `numHashes` seeded
-    * xxhash64 minima, computed as pure column expressions. */
-  def minhashSignature(textCol: Column, k: Int, numHashes: Int): Column = {
-    val sh = TextFunctions.shingles(textCol, k)
-    array((0 until numHashes).map { seed =>
-      array_min(transform(array_distinct(sh), s => xxhash64(s, lit(seed))))
-    }: _*)
+  /** Sorted distinct word-`k`-shingle hashes (native expression — one pass
+    * per document, long arithmetic only, stays inside WholeStageCodegen). */
+  def shingleHashes(textCol: Column, k: Int): Column =
+    GraftBridge.column(ShingleHashes(GraftBridge.expression(textCol), k))
+
+  /** MinHash signature (`numHashes` slots) of a shingle-hash array. */
+  def minhashSigOfHashes(hashesCol: Column, numHashes: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(hashesCol), numHashes))
+
+  /** MinHash signature of the word-`k`-shingle set of a text column. */
+  def minhashSignature(textCol: Column, k: Int, numHashes: Int): Column =
+    minhashSigOfHashes(shingleHashes(textCol, k), numHashes)
+
+  /** |a ∩ b| of two sorted long arrays (native merge walk). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectCount(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Shingling is CPU-bound per row: if the scan yields fewer partitions
+    * than cores (small files / few row groups — the sf0.1 case), fan out
+    * first. At real scale the scan already has thousands of row-group
+    * splits, so this is a no-op and no shuffle is added. */
+  private def withMinParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** Docs with their distinct shingle set and MinHash signature, computed
-    * exactly once and persisted — every downstream reference (banding,
-    * both sides of the candidate self-join, the Jaccard confirm) reuses
-    * these arrays instead of re-deriving them from text. Without this the
-    * signature expression tree is re-evaluated per reference and the
-    * confirm re-shingles per candidate pair — the difference between
-    * seconds and minutes at sf0.1, and between feasible and not at 100 TB. */
+  /** Docs with their distinct shingle-hash set and MinHash signature,
+    * computed exactly once and persisted — every downstream reference
+    * (banding, both sides of the candidate self-join, the Jaccard confirm)
+    * reuses these arrays instead of re-deriving them from text. Without
+    * this the signature tree is re-evaluated per reference and the confirm
+    * re-shingles per candidate pair — the difference between seconds and
+    * minutes at sf0.1, and between feasible and not at 100 TB. Documents
+    * with no shingles (< k tokens) are dropped: they have no Jaccard
+    * similarity to anything and would otherwise all collide on the
+    * sentinel signature. */
   private def shingledDocs(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int): DataFrame =
-    df.select(col(idCol).as("_id"),
-        array_distinct(TextFunctions.shingles(col(textCol), k)).as("_sh"))
-      // hash each shingle string ONCE to a long, then derive the numHashes
-      // signature minima by re-mixing longs — 8-byte hashing per seed
-      // instead of re-hashing ~30-char strings numHashes times
-      .withColumn("_hs", transform(col("_sh"), s => xxhash64(s)))
-      .withColumn("_sig", array((0 until numHashes).map { seed =>
-        array_min(transform(col("_hs"), h => xxhash64(h, lit(seed))))
-      }: _*))
-      .drop("_hs")
+    withMinParallelism(df)
+      .select(col(idCol).as("_id"), shingleHashes(col(textCol), k).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .withColumn("_sig", minhashSigOfHashes(col("_sh"), numHashes))
       .persist()
 
   private def bandBuckets(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
@@ -114,7 +131,7 @@ object Dedup {
     cands
       .join(docs.select(col("_id").as("id_a"), col("_sh").as("_sh_a")), "id_a")
       .join(docs.select(col("_id").as("id_b"), col("_sh").as("_sh_b")), "id_b")
-      .withColumn("_inter", size(array_intersect(col("_sh_a"), col("_sh_b"))))
+      .withColumn("_inter", sortedIntersectCount(col("_sh_a"), col("_sh_b")))
       .withColumn("jaccard", col("_inter").cast("double") /
         (size(col("_sh_a")) + size(col("_sh_b")) - col("_inter")))
       .filter(col("jaccard") >= threshold)
@@ -129,7 +146,7 @@ object Dedup {
 
   def nearDupSimhash(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = simhashFingerprints(df, idCol, textCol)
+    val fp = simhashFingerprints(withMinParallelism(df), idCol, textCol)
     val banded = fp.select(col(idCol).as("_id"), col("simhash"), posexplode(
       array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),
