@@ -60,14 +60,8 @@ object Dedup {
     GraftBridge.column(SortedIntersectCount(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
-  /** Shingling is CPU-bound per row: if the scan yields fewer partitions
-    * than cores (small files / few row groups — the sf0.1 case), fan out
-    * first. At real scale the scan already has thousands of row-group
-    * splits, so this is a no-op and no shuffle is added. */
-  private def withMinParallelism(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def withMinParallelism(df: DataFrame): DataFrame =
+    graft.ops.Par.ensureMin(df)
 
   /** Docs with their distinct shingle-hash set and MinHash signature,
     * computed exactly once and persisted — every downstream reference

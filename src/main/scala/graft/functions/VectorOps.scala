@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native vector kernels for the similarity-search operators: cosine and
+  * random-hyperplane signatures as codegen'd Catalyst expressions. The
+  * higher-order-function formulation (`aggregate(zip_with(...))`) runs
+  * interpreted and allocates three intermediate arrays per row-pair; these
+  * run a single fused double-precision loop.
+  *
+  * Accumulation is sequential left-to-right in double, matching the fold
+  * semantics of `functions.aggregate` the operators previously used.
+  */
+object VectorUtil {
+
+  /** Cosine similarity of two float-array vectors. */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Sign-bit signature of `v` against `planes` (row-major nBits × dim). */
+  def hyperSig(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    var sig = 0L
+    val dim = v.numElements()
+    var b = 0
+    while (b < planes.length) {
+      val h = planes(b)
+      val d = math.min(dim, h.length)
+      var dot = 0.0
+      var i = 0
+      while (i < d) { dot += v.getFloat(i).toDouble * h(i); i += 1 }
+      if (dot >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** `cosine_sim(a, b)` for two `array<float>` columns → double. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires two array<float>, got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorUtil.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorUtil.cosineF($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `hyperplane_sig(vec)` → long bucket id from seeded random hyperplanes
+  * (generated once on the driver, shipped with the plan). */
+case class HyperplaneSig(child: Expression, dim: Int, nBits: Int, seed: Long)
+    extends UnaryExpression {
+
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sig requires array<float>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorUtil.hyperSig(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorUtil.hyperSig($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}

@@ -1,14 +1,17 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.{CosineSim, HyperplaneSig}
+import graft.ops.Par
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
   * Scale design: brute force is the exact baseline — a broadcast of the
-  * (small) query set against the corpus scan, cosine evaluated inside
-  * codegen via higher-order functions, top-k per query via window. The
+  * (small) query set against the corpus scan, cosine evaluated by a native
+  * codegen expression, top-k per query via window. The
   * LSH variant prunes the corpus with random-hyperplane sign buckets so
   * the per-query work drops from O(corpus) to O(bucket); IVF-style
   * coarse quantization would slot into the same bucket-join shape.
@@ -16,21 +19,17 @@ import org.apache.spark.sql.functions._
 object Ann {
 
   /** Cosine similarity of two float-array columns, accumulated in double
-    * (sequential fold → deterministic). */
-  def cosine(a: Column, b: Column): Column = {
-    def d(c: Column) = transform(c, x => x.cast("double"))
-    val dot = aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), _ + _)
-    val na = aggregate(transform(d(a), x => x * x), lit(0.0), _ + _)
-    val nb = aggregate(transform(d(b), x => x * x), lit(0.0), _ + _)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+    * (sequential fold → deterministic; native codegen expression). */
+  def cosine(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSim(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Exact top-k neighbors for each query vector (brute force).
     * `queries`/`corpus`: (id, vec). Output: (query_id, neighbor_id, rank,
     * cos). Broadcast the query side — at 100 TB the corpus streams once. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.toDF("query_id", "q_vec"))
-    val c = corpus.toDF("neighbor_id", "c_vec")
+    val c = Par.ensureMin(corpus.toDF("neighbor_id", "c_vec"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_vec"), col("c_vec")).as("cos"))
@@ -40,24 +39,11 @@ object Ann {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
-  /** Deterministic pseudo-random hyperplanes (seeded), as literal arrays —
-    * computed on the driver once, broadcast with the plan. */
-  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
-  }
-
-  /** Random-hyperplane signature: one bit per plane = sign of dot(v, h). */
-  def lshSignature(vec: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column = {
-    val planes = hyperplanes(dim, nBits, seed)
-    val bits = planes.zipWithIndex.map { case (h, i) =>
-      val hCol = typedLit(h.toSeq)
-      val dot = aggregate(zip_with(vec, hCol, (x, y) => x.cast("double") * y),
-        lit(0.0), _ + _)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Random-hyperplane signature: one bit per plane = sign of dot(v, h).
+    * Planes are generated once on the driver (seeded) and shipped with the
+    * plan; the per-row work is one fused native loop. */
+  def lshSignature(vec: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column =
+    GraftBridge.column(HyperplaneSig(GraftBridge.expression(vec), dim, nBits, seed))
 
   /** IVF-style approximate top-k: coarse-quantize the corpus against
     * `nCells` centroids (deterministically sampled from the corpus itself —
@@ -67,7 +53,7 @@ object Ann {
     * and persisted/bucketed so queries touch ~nProbe/nCells of the data. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val c = corpus.toDF("neighbor_id", "c_vec")
+    val c = Par.ensureMin(corpus.toDF("neighbor_id", "c_vec"))
     // deterministic centroids: the nCells corpus vectors with smallest ids
     val centroids = broadcast(c.orderBy(col("neighbor_id")).limit(nCells)
       .select(col("neighbor_id").as("cell_id"), col("c_vec").as("cent")))
@@ -97,7 +83,7 @@ object Ann {
     * Recall grows with probes; shuffle volume shrinks with nBits. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int, nBits: Int = 12, seed: Long = 42L): DataFrame = {
-    val sigC = corpus.toDF("neighbor_id", "c_vec")
+    val sigC = Par.ensureMin(corpus.toDF("neighbor_id", "c_vec"))
       .withColumn("sig", lshSignature(col("c_vec"), dim, nBits, seed))
     val probes = array((0 until nBits).map(b =>
       col("q_sig").bitwiseXOR(lit(1L << b))) :+ col("q_sig"): _*)
