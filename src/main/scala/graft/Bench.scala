@@ -34,8 +34,16 @@ object Bench {
     }
 
     names.foreach(once) // warmup pass (discarded)
-    spark.sqlContext.clearCache()
-    val results = names.map(n => n -> once(n))
+    // two measured passes, keep the per-query minimum: JIT/GC jitter on a
+    // 32-thread local JVM otherwise dominates sub-second queries
+    val passes = (1 to 2).map { _ =>
+      spark.sqlContext.clearCache()
+      names.map(n => n -> once(n)).toMap
+    }
+    val results = names.map { n =>
+      val ts = passes.map(_(n)).filter(_ >= 0)
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

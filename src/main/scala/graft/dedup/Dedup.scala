@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.GraftBridge
 
-import graft.functions.{MinHashSig, ShingleHashes, SortedIntersectCount}
+import graft.functions.{CharNgramHashes, MinHashSig, ShingleHashes, SortedIntersectCount}
 import graft.text.TextFunctions
 
 /** Deduplication operators for web-scale corpora. Design notes for the
@@ -47,6 +47,10 @@ object Dedup {
   def shingleHashes(textCol: Column, k: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(textCol), k))
 
+  /** Sorted distinct character-n-gram hashes (native expression). */
+  def charNgramHashes(textCol: Column, n: Int): Column =
+    GraftBridge.column(CharNgramHashes(GraftBridge.expression(textCol), n))
+
   /** MinHash signature (`numHashes` slots) of a shingle-hash array. */
   def minhashSigOfHashes(hashesCol: Column, numHashes: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(hashesCol), numHashes))
@@ -75,8 +79,14 @@ object Dedup {
     * sentinel signature. */
   private def shingledDocs(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int): DataFrame =
+    hashedDocs(df, idCol, textCol, shingleHashes(_, k), numHashes)
+
+  /** Same as [[shingledDocs]] for any gram hasher (word shingles, char
+    * n-grams, …) producing a sorted distinct `array<bigint>`. */
+  private def hashedDocs(df: DataFrame, idCol: String, textCol: String,
+      gramHashes: Column => Column, numHashes: Int): DataFrame =
     withMinParallelism(df)
-      .select(col(idCol).as("_id"), shingleHashes(col(textCol), k).as("_sh"))
+      .select(col(idCol).as("_id"), gramHashes(col(textCol)).as("_sh"))
       .filter(size(col("_sh")) > 0)
       .withColumn("_sig", minhashSigOfHashes(col("_sh"), numHashes))
       .persist()
@@ -113,8 +123,23 @@ object Dedup {
     * `threshold` over the precomputed shingle sets.
     * Output: (id_a, id_b, jaccard). */
   def nearDupMinhash(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, k: Int = 3, numHashes: Int = 32, bands: Int = 16): DataFrame = {
-    val docs = shingledDocs(df, idCol, textCol, k, numHashes)
+      threshold: Double, k: Int = 3, numHashes: Int = 32, bands: Int = 16): DataFrame =
+    nearDupOfHashedDocs(shingledDocs(df, idCol, textCol, k, numHashes),
+      threshold, numHashes, bands)
+
+  /** Character-n-gram Jaccard near-dup — same MinHash-LSH shape as
+    * [[nearDupMinhash]] but over char n-grams, for short strings where
+    * word shingles are too coarse. Output: (id_a, id_b, jaccard). */
+  def nearDupCharNgram(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, numHashes: Int = 128, bands: Int = 16): DataFrame =
+    nearDupOfHashedDocs(
+      hashedDocs(df, idCol, textCol, charNgramHashes(_, n), numHashes),
+      threshold, numHashes, bands)
+
+  /** LSH banding → candidate pairs → exact-Jaccard confirm over the
+    * precomputed gram-hash sets. */
+  private def nearDupOfHashedDocs(docs: DataFrame, threshold: Double,
+      numHashes: Int, bands: Int): DataFrame = {
     val banded = bandBuckets(docs, numHashes, bands)
     val a = banded.toDF("id_a", "band_a", "bucket_a")
     val b = banded.toDF("id_b", "band_b", "bucket_b")
@@ -130,6 +155,46 @@ object Dedup {
         (size(col("_sh_a")) + size(col("_sh_b")) - col("_inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding-cosine near-dup, exact: all pairs (idA < idB) with
+    * cosine ≥ `threshold`. O(n²) pair scoring — the ground-truth variant;
+    * use [[nearDupEmbeddingLsh]] as the scale path. Output:
+    * (id_a, id_b) — ids only, so results are float-representation-robust. */
+  def nearDupEmbedding(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = withMinParallelism(df.select(col(idCol).as("id_a"), col(vecCol).as("_va")))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .filter(graft.similarity.Ann.cosine(col("_va"), col("_vb")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dup, approximate at scale: `tables` independent
+    * random-hyperplane signatures of `bits` bits each (AND within a table,
+    * OR across tables — the cosine analogue of MinHash banding); pairs
+    * sharing any table's bucket are candidates, confirmed by exact cosine.
+    * Recall at similarity s: 1-(1-p^bits)^tables with p = 1-acos(s)/π. */
+  def nearDupEmbeddingLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, bits: Int = 8, tables: Int = 16): DataFrame = {
+    val vecs = withMinParallelism(
+        df.select(col(idCol).as("_id"), col(vecCol).as("_v")))
+      .persist()
+    val banded = vecs.select(col("_id"), posexplode(
+        array((0 until tables).map(t =>
+          graft.similarity.Ann.lshSignature(col("_v"), dim, bits, seed = 1000L + t)): _*)))
+      .toDF("_id", "_table", "_sig")
+    val a = banded.toDF("id_a", "table_a", "sig_a")
+    val b = banded.toDF("id_b", "table_b", "sig_b")
+    val cands = a.join(b, col("table_a") === col("table_b") &&
+        col("sig_a") === col("sig_b") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(vecs.select(col("_id").as("id_a"), col("_v").as("_va")), "id_a")
+      .join(vecs.select(col("_id").as("id_b"), col("_v").as("_vb")), "id_b")
+      .withColumn("cos", graft.similarity.Ann.cosine(col("_va"), col("_vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
   }
 
   /** SimHash fingerprints + near-dup candidate pairs within Hamming

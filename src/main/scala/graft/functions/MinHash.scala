@@ -57,6 +57,30 @@ object MinHashUtil {
     UnsafeArrayData.fromPrimitiveArray(if (w == n) sh else java.util.Arrays.copyOf(sh, w))
   }
 
+  /** Distinct, sorted 64-bit hashes of the character n-grams of `text`.
+    * Texts shorter than n contribute their whole string as one gram
+    * (mirrors `substr(text, i, n)` over `sequence(1, max(len-n+1, 1))`). */
+  def charNgramHashes(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    val count = math.max(len - n + 1, 1)
+    val gh = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      val u = UTF8String.fromString(s.substring(i, math.min(i + n, len)))
+      gh(i) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(gh)
+    var w = 0
+    i = 0
+    while (i < count) {
+      if (w == 0 || gh(i) != gh(w - 1)) { gh(w) = gh(i); w += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(if (w == count) gh else java.util.Arrays.copyOf(gh, w))
+  }
+
   /** m-slot MinHash signature from a shingle-hash set: slot s = min over
     * shingles of XXH64(h, seed=s). Empty input → all-sentinel signature
     * (callers filter empty docs before LSH banding). */
@@ -112,6 +136,28 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.MinHashUtil.shingleHashes($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `char_ngram_hashes(text, n)` → sorted distinct `array<bigint>`. */
+case class CharNgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_ngram_hashes requires string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_ngram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashUtil.charNgramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashUtil.charNgramHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramHashes =
     copy(child = newChild)
 }
 

@@ -118,6 +118,52 @@ object PipelineOps {
       Dedup.nearDupSimhash(Tables(s, d, "documents"), "doc_id", "text", maxHamming = 3)
     },
 
+    // ---- char-3-gram Jaccard near-dup (MinHash-LSH over char n-grams) -----
+    Q("q_dedup_ngram",
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text) - 2, 1)),
+        |    i -> text[i:i+2])) AS g
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+        |FROM g a, g b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8""".stripMargin) { (s, d) =>
+      // char-3-grams of random docs share j≈0.46 at the median, so the
+      // banding must be far steeper than the word-shingle case: 8 rows per
+      // band keeps the random-pair candidate rate ~3% while missing a
+      // true j≥0.93 pair with P≈2e-6 (measured on the sf0.01 corpus).
+      Dedup.nearDupCharNgram(Tables(s, d, "documents"), "doc_id", "text",
+        threshold = 0.8, n = 3, numHashes = 128, bands = 16)
+    },
+
+    // ---- embedding-cosine near-dup, exact (ids only → float-robust) -------
+    Q("q_dedup_embed",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*a.v[i])))
+        |     * sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i]*b.v[i]))))
+        |    >= 0.45""".stripMargin) { (s, d) =>
+      Dedup.nearDupEmbedding(Tables(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45)
+    },
+
+    // ---- embedding-cosine near-dup, LSH scale path (no SQL oracle) --------
+    // Low threshold on this synthetic corpus → few selective bits per table;
+    // real dedup thresholds (≥0.9) use the defaults (8 bits × 16 tables).
+    Q.noOracle("q_dedup_embed_lsh") { (s, d) =>
+      Dedup.nearDupEmbeddingLsh(Tables(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, dim = 64, bits = 4, tables = 8)
+    },
+
     // ---- ANN: brute-force cosine top-5 (ids only → float-robust) ----------
     Q("q_ann_bruteforce",
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),

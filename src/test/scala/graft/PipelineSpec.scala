@@ -69,6 +69,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(j > 0.3 && j < 1.0)
   }
 
+  test("char n-gram MinHash-LSH near-dup agrees with string-based jaccard") {
+    val pairs = Dedup.nearDupCharNgram(docs, "doc_id", "text",
+        threshold = 0.8, n = 3, numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet.contains((0L, 3L)) && pairs((0L, 3L)) == 1.0)
+    assert(pairs.keySet.contains((0L, 1L))) // near-dup: one word differs
+    assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+    // hash-set jaccard equals string-set jaccard (no collisions expected)
+    import spark.implicits._
+    val want = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") === 0L && col("b.doc_id") === 1L)
+      .select(Dedup.charNgramJaccard(col("a.text"), col("b.text"), 3))
+      .head().getDouble(0)
+    assert(math.abs(pairs((0L, 1L)) - want) < 1e-12)
+  }
+
+  test("embedding near-dup: exact finds planted pair; LSH recalls it") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f // cosine ~ 1
+    val far = Array.tabulate(64)(i => math.cos(i * 1.3).toFloat)
+    val vecs = Seq((0L, base.toSeq), (1L, near.toSeq), (2L, far.toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val exact = Dedup.nearDupEmbedding(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((0L, 1L)))
+    val lsh = Dedup.nearDupEmbeddingLsh(vecs, "vec_id", "embedding", 0.95,
+        dim = 64, bits = 8, tables = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == Set((0L, 1L)))
+  }
+
   test("language id picks the wordlist with most hits") {
     import spark.implicits._
     val df = Seq(
