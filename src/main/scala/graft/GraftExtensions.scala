@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.SimHash64
+import graft.functions.{CharNgramHashes, CosineSim, HyperplaneSig, MinHashSig, ShingleHashes, SimHash64, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT simhash64(...)")`
@@ -12,10 +13,41 @@ import graft.functions.SimHash64
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `.withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an integer literal argument, got $other")
+  }
+
+  private def longLit(e: Expression, fn: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an integer literal argument, got $other")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head)))
+    def register(name: String)(builder: Seq[Expression] => Expression): Unit =
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+
+    register("simhash64") { args => SimHash64(args.head) }
+    register("shingle_hashes") { args =>
+      ShingleHashes(args(0), intLit(args(1), "shingle_hashes")) }
+    register("char_ngram_hashes") { args =>
+      CharNgramHashes(args(0), intLit(args(1), "char_ngram_hashes")) }
+    register("minhash_sig") { args =>
+      MinHashSig(args(0), intLit(args(1), "minhash_sig")) }
+    register("sorted_intersect_count") { args =>
+      SortedIntersectCount(args(0), args(1)) }
+    register("cosine_sim") { args => CosineSim(args(0), args(1)) }
+    register("hyperplane_sig") { args =>
+      HyperplaneSig(args(0), intLit(args(1), "hyperplane_sig"),
+        intLit(args(2), "hyperplane_sig"),
+        if (args.length > 3) longLit(args(3), "hyperplane_sig") else 42L) }
   }
 }

@@ -4,14 +4,15 @@ import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CosineSim, HyperplaneSig}
+import graft.functions.{CosineSim, HyperplaneSig, TopKByScore}
 import graft.ops.Par
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
   * Scale design: brute force is the exact baseline — a broadcast of the
   * (small) query set against the corpus scan, cosine evaluated by a native
-  * codegen expression, top-k per query via window. The
+  * codegen expression, top-k per query via a bounded partial aggregate
+  * (only ≤k rows per partition per query ever reach the shuffle). The
   * LSH variant prunes the corpus with random-hyperplane sign buckets so
   * the per-query work drops from O(corpus) to O(bucket); IVF-style
   * coarse quantization would slot into the same bucket-join shape.
@@ -33,10 +34,7 @@ object Ann {
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_vec"), col("c_vec")).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rankTopK(scored, k)
   }
 
   /** Random-hyperplane signature: one bit per plane = sign of dot(v, h).
@@ -72,10 +70,7 @@ object Ann {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_vec"), col("c_vec")).as("cos")).distinct()
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rankTopK(scored, k)
   }
 
   /** Approximate top-k: candidates = same-signature bucket (multi-probe:
@@ -94,9 +89,29 @@ object Ann {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_vec"), col("c_vec")).as("cos")).distinct()
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rankTopK(scored, k)
+  }
+
+  /** Rank the scored candidates to (query_id, rank, neighbor_id, cos).
+    * Long ids go through the native bounded top-k aggregate: map-side
+    * partial aggregation reduces every partition to ≤k entries per query
+    * BEFORE the shuffle, where a row_number window would shuffle the whole
+    * scored set. Other id types fall back to the window. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    if (scored.schema("neighbor_id").dataType == LongType) {
+      val agg = GraftBridge.column(TopKByScore(
+        GraftBridge.expression(col("cos")),
+        GraftBridge.expression(col("neighbor_id")), k).toAggregateExpression())
+      scored.groupBy("query_id").agg(agg.as("_nn"))
+        .select(col("query_id"), posexplode(col("_nn")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("neighbor_id"), col("col.score").as("cos"))
+    } else {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    }
   }
 }

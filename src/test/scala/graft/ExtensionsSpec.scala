@@ -32,5 +32,21 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(viaSql.toSeq == viaCol.toSeq)
     assert(viaSql.distinct.length == 1)
+
+    // minhash family from SQL matches the Column API
+    val sqlMh = spark.sql(
+      """SELECT sorted_intersect_count(
+        |  shingle_hashes(text, 3), shingle_hashes(text, 3)) AS n,
+        |  size(minhash_sig(char_ngram_hashes(text, 3), 16)) AS m
+        |FROM t""".stripMargin).collect()
+    assert(sqlMh.forall(r => r.getInt(0) > 0 && r.getInt(1) == 16))
+
+    // vector family from SQL
+    val sqlVec = spark.sql(
+      """SELECT cosine_sim(cast(array(1.0, 0.0) AS array<float>),
+        |                  cast(array(1.0, 0.0) AS array<float>)) AS c,
+        |  hyperplane_sig(cast(array(1.0, 0.0) AS array<float>), 2, 8) AS s
+        |FROM t LIMIT 1""".stripMargin).head()
+    assert(math.abs(sqlVec.getDouble(0) - 1.0) < 1e-12)
   }
 }

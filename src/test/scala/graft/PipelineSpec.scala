@@ -158,6 +158,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.head.getAs[Long]("neighbor_id") == 200L)
   }
 
+  test("top_k_by_score agg equals sort-take oracle, incl. score ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    val rnd = new scala.util.Random(3)
+    // few distinct scores → many ties exercising the id tie-break
+    val rows = (0L until 200L).map(i => (i % 4, rnd.nextInt(10) / 10.0, i))
+    val df = rows.toDF("g", "score", "id").repartition(7)
+    val agg = GraftBridge.column(graft.functions.TopKByScore(
+      GraftBridge.expression(col("score")),
+      GraftBridge.expression(col("id")), 5).toAggregateExpression())
+    val got = df.groupBy("g").agg(agg.as("nn")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getDouble(0), x.getLong(1)))).toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(t => (t._2, t._3)).sortBy(t => (-t._1, t._2)).take(5)
+    }
+    assert(got == want)
+  }
+
   test("shingles produce k-grams in order") {
     import spark.implicits._
     val r = Seq("a b c d").toDF("t")
