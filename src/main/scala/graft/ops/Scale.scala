@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-out helpers: the shuffle-shaping tools a 100 TB deployment needs
+  * beyond what AQE does automatically.
+  *
+  *  - [[saltedJoin]] — explicit key salting for pathologically skewed join
+  *    keys (one key = a double-digit % of the table). AQE's skew-join
+  *    splitting handles moderate skew; salting removes the hot-key straggler
+  *    entirely by splitting each skewed key into `salts` sub-keys and
+  *    replicating the other (smaller) side per sub-key.
+  *  - [[writeBucketed]] / [[readBucketedTable]] — hash-bucketed tables:
+  *    two tables bucketed on the same key with the same bucket count join
+  *    with NO exchange on either side (verified by ScaleSpec against the
+  *    physical plan). This is the persisted analogue of co-partitioning:
+  *    pay the shuffle once at write time, never again per query.
+  */
+object Scale {
+
+  /** Skew-safe equi join. The skewed (big) side is salted into `salts`
+    * sub-keys; the other side is replicated `salts`× so every sub-key finds
+    * its match. Result equals `skewed.join(other, key, joinType)` exactly;
+    * only the shuffle distribution changes. Supports inner/left joins (the
+    * replicated side must be the non-preserved side). */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, skewedKey: String,
+      otherKey: String, joinType: String = "inner", salts: Int = 16): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val jt = joinType.toLowerCase.replace("outer", "").replace("_", "")
+    require(Seq("inner", "left").contains(jt),
+      s"saltedJoin supports inner/left joins, got $joinType")
+    // any deterministic ~uniform routing works; hash of the per-row id
+    // spreads a hot key across `salts` reducers
+    val se = skewed.withColumn("_salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val oe = other.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    se.join(oe,
+        se(skewedKey) === oe(otherKey) && se("_salt") === oe("_salt"), joinType)
+      .drop("_salt")
+  }
+
+  /** Persist `df` hash-bucketed (and sorted) by `key` into `numBuckets`
+    * buckets as a catalog table at `path`. Joins/aggregations on `key`
+    * between tables with identical bucketing then need no shuffle. */
+  def writeBucketed(df: DataFrame, table: String, path: String, key: String,
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, key).sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def readBucketedTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

@@ -51,6 +51,23 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming exact dedup: content-hash `dropDuplicates` under an event-
+    * time watermark, so dedup state is bounded — the streaming twin of
+    * `graft.dedup.Dedup.contentHash`. At scale the watermark is what keeps
+    * the state store finite; without it every key lives forever. */
+  def dedupStream(spark: SparkSession, dir: String, keyCols: Seq[String],
+      watermark: String = "1 day"): DataFrame = {
+    val name = s"graft_dedup_${nameCounter.incrementAndGet()}"
+    val q = eventStream(spark, dir)
+      .withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Stateful per-user session counting via mapGroupsWithState: counts
     * events per user with explicit GroupState — the reference-free
     * `KeyValueGroupedDataset` custom-state path. */

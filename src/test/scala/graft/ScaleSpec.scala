@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Scale
+
+/** Shuffle-shaping helpers: salted joins must be result-identical to plain
+  * joins; bucketed tables must join with no exchange. */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("saltedJoin equals plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 90% of rows share key 0 — the pathological case salting exists for
+    val skewed = (0L until 2000L)
+      .map(i => (if (i % 10 == 0) i % 7 else 0L, i)).toDF("k", "v")
+    val dim = (0L until 7L).map(i => (i, s"name_$i")).toDF("id", "name")
+
+    for (jt <- Seq("inner", "left")) {
+      val want = skewed.join(dim, skewed("k") === dim("id"), jt)
+        .select("k", "v", "name").collect().map(_.toString).sorted
+      val got = Scale.saltedJoin(skewed, dim, "k", "id", jt, salts = 8)
+        .select("k", "v", "name").collect().map(_.toString).sorted
+      assert(got.toSeq == want.toSeq, s"$jt join mismatch")
+    }
+  }
+
+  test("bucketed tables join with no shuffle exchange") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bkt").toString
+    val fact = (0L until 1000L).map(i => (i % 50, i)).toDF("k", "v")
+    val dim = (0L until 50L).map(i => (i, s"d_$i")).toDF("k", "d")
+    Scale.writeBucketed(fact, "bkt_fact", s"$dir/fact", "k", 8)
+    Scale.writeBucketed(dim, "bkt_dim", s"$dir/dim", "k", 8)
+
+    val joined = Scale.readBucketedTable(spark, "bkt_fact")
+      .join(Scale.readBucketedTable(spark, "bkt_dim")
+        .withColumnRenamed("k", "k2"), col("k") === col("k2"))
+      // avoid broadcast so the bucketing (not BHJ) is what removes shuffles
+      .hint("merge")
+    assert(joined.count() == 1000)
+
+    val plan = joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty,
+      s"expected no shuffle exchange, got:\n${plan.treeString}")
+  }
+}

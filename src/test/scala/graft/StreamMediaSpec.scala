@@ -41,6 +41,14 @@ class StreamMediaSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming watermarked dedup equals batch dropDuplicates") {
+    val streamed = Streams.dedupStream(spark, dir,
+      Seq("user_id", "event_type"))
+    val batch = Tables(spark, dir, "events")
+      .dropDuplicates("user_id", "event_type", "ts")
+    assert(streamed.count() == batch.count())
+  }
+
   test("multimodal payload round-trip: bytes, meta, batched features") {
     val media = Multimodal.withBinaryPayload(
       Tables(spark, dir, "documents"), "text", "image")
