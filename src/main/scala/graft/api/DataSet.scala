@@ -191,6 +191,49 @@ final class DataSet private (
       BadBatch(opId + 1, failed, Some(reapply)) :: retired, opId + 1)
   }
 
+  /** Row → many rows with exception capture — UDTF-style superset (the
+    * reference has no flatMap at all, SURVEY §2.9); same error-channel and
+    * resolver semantics as [[mapRows]]. */
+  def flatMapRows(outSchema: StructType)(f: Row => IterableOnce[Row]): DataSet = {
+    val inSchema = schema
+    val inCols = columns
+    val nOut = outSchema.length
+    val full = StructType(outSchema.fields.toSeq ++ Seq(
+      StructField("_g_in", inSchema, nullable = false),
+      StructField(RowId, LongType, nullable = false),
+      StructField(ErrCls, StringType, nullable = true),
+      StructField(ErrMsg, StringType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(full)
+    def run(g: Row => IterableOnce[Row], src: DataFrame): (DataFrame, DataFrame) = {
+      val pre = src.select(struct(inCols.map(col): _*).as("_g_in"), col(RowId))
+      val mapped = pre.mapPartitions { it =>
+        it.flatMap { r =>
+          val in = r.getStruct(0); val id = r.getLong(1)
+          try {
+            // materialize inside the try: lazy iterators would throw
+            // outside the per-row exception scope
+            g(in).iterator.toVector.map(o =>
+              Row.fromSeq(o.toSeq ++ Seq(in, id, null, null)))
+          } catch {
+            case e: Throwable =>
+              Seq(Row.fromSeq(Seq.fill[Any](nOut)(null) ++
+                Seq(in, id, e.getClass.getName, String.valueOf(e.getMessage))))
+          }
+        }
+      }(enc)
+      val ok = mapped.filter(col(ErrCls).isNull)
+        .select(outSchema.fieldNames.map(col) :+ col(RowId): _*)
+      val failed = mapped.filter(col(ErrCls).isNotNull)
+        .select(col("_g_in.*") +: Seq(col(RowId), col(ErrCls), col(ErrMsg)): _*)
+      (ok, failed)
+    }
+    val (ok, failed) = run(f, good)
+    val reapply = (fn: AnyRef, rows: DataFrame) =>
+      run(fn.asInstanceOf[Row => IterableOnce[Row]], rows.drop(ErrCls, ErrMsg))
+    new DataSet(ctx, ok,
+      BadBatch(opId + 1, failed, Some(reapply)) :: retired, opId + 1)
+  }
+
   /** `filter(ftor)` with exception capture (`dataset.py:83-111`): rows
     * where the predicate throws divert to the error channel. */
   def filterUdf[A: TypeTag](in: Column)(f: A => Boolean): DataSet = {
@@ -333,16 +376,36 @@ final class DataSet private (
 
   // ------------------------------------------------------ sinks (§2.1)
 
-  private def writer(numParts: Int, numRows: Long) = {
+  private def writer(numParts: Int, numRows: Long, maxRecordsPerPart: Long = 0) = {
     var df = toDF
     if (numRows > 0) df = df.limit(numRows.toInt)
-    if (numParts > 0) df.repartition(numParts).write else df.write
+    val w = if (numParts > 0) df.repartition(numParts).write else df.write
+    // record-count part sizing — the capability analogue of the reference's
+    // byte-based part_size (`dataset.py:504`)
+    if (maxRecordsPerPart > 0) w.option("maxRecordsPerFile", maxRecordsPerPart) else w
+  }
+
+  /** Rename written `part-*` files via the user's generator, mirroring the
+    * reference's `part_name_generator` UDF (`dataset.py:506,516-518`). */
+  private def renameParts(path: String, gen: Int => String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (src, i) =>
+      fs.rename(src, new org.apache.hadoop.fs.Path(p, gen(i)))
+    }
   }
 
   def tocsv(path: String, numParts: Int = 0, numRows: Long = 0,
-      header: Boolean = true, nullValue: String = ""): Unit =
-    writer(numParts, numRows).option("header", header.toString)
+      header: Boolean = true, nullValue: String = "",
+      maxRecordsPerPart: Long = 0,
+      partNameGenerator: Option[Int => String] = None): Unit = {
+    writer(numParts, numRows, maxRecordsPerPart)
+      .option("header", header.toString)
       .option("nullValue", nullValue).mode("overwrite").csv(path)
+    partNameGenerator.foreach(renameParts(path, _))
+  }
 
   def toorc(path: String, numParts: Int = 0, numRows: Long = 0): Unit =
     writer(numParts, numRows).mode("overwrite").orc(path)

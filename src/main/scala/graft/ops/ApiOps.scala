@@ -60,6 +60,22 @@ object ApiOps {
         .toDF
     },
 
+    // ---- UDTF-style flatMap (superset; reference has no flatMap,
+    //      SURVEY §2.9) ---------------------------------------------------
+    Q("q_udtf_flatmap",
+      """SELECT p_partkey, unnest(generate_series(1, p_size % 3 + 1)) AS i
+        |FROM part""".stripMargin) { (s, d) =>
+      val ctx = new Context(s)
+      ctx.fromDataFrame(Tables(s, d, "part"))
+        .selectColumns(Seq("p_partkey", "p_size"))
+        .flatMapRows(StructType(Seq(
+          StructField("p_partkey", LongType),
+          StructField("i", IntegerType)))) { r =>
+          (1 to (r.getInt(1) % 3 + 1)).map(i => Row(r.getLong(0), i))
+        }
+        .toDF
+    },
+
     // ---- global fold aggregate (dataset.py:593-642): treeAggregate over
     //      partitions; fixed-point accumulation keeps the fold
     //      order-independent hence oracle-exact -----------------------------

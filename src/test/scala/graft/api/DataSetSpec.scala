@@ -144,6 +144,38 @@ class DataSetSpec extends AnyFunSuite {
     assert(back.schema.fields.head.dataType == IntegerType)
   }
 
+  test("tocsv part name generator renames parts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pn").toString
+    ctx.parallelize((1 to 10).map(i => (i, s"r$i")), Seq("num", "name"))
+      .tocsv(s"$dir/out", numParts = 2,
+        partNameGenerator = Some(i => f"chunk_$i%03d.csv"))
+    val names = ctx.ls(s"$dir/out/chunk_*.csv").map(_.split('/').last).sorted
+    assert(names == Seq("chunk_000.csv", "chunk_001.csv"))
+    assert(ctx.csv(s"$dir/out/chunk_*.csv").count() == 10)
+  }
+
+  test("flatMapRows expands rows and captures per-row errors") {
+    import spark.implicits._
+    val out = StructType(Seq(StructField("y", IntegerType)))
+    val ds = ctx.parallelize(Seq(2, 0, 3), Seq("x"))
+      .flatMapRows(out) { r =>
+        val x = r.getInt(0)
+        if (x == 0) throw new IllegalArgumentException("zero")
+        (1 to x).map(Row(_))
+      }
+    assert(ds.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 1, 2, 3))
+    assert(ds.exceptionCounts == Map("java.lang.IllegalArgumentException" -> 1L))
+    val resolved = ctx.parallelize(Seq(2, 0), Seq("x"))
+      .flatMapRows(out) { r =>
+        val x = r.getInt(0)
+        if (x == 0) throw new IllegalArgumentException("zero")
+        (1 to x).map(Row(_))
+      }
+      .resolve(classOf[IllegalArgumentException]) { (_: Row) => Seq(Row(-1)) }
+    assert(resolved.collect().map(_.getInt(0)).toSeq == Seq(1, 2, -1))
+  }
+
   test("orc round-trip") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
