@@ -42,7 +42,8 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
       delimiter: Option[String] = None,
       quotechar: String = "\"",
       nullValues: Seq[String] = Seq(""),
-      typeHints: Map[String, DataType] = Map.empty): DataSet = {
+      typeHints: Map[String, DataType] = Map.empty,
+      typeHintsAt: Map[Int, DataType] = Map.empty): DataSet = {
     val delim = delimiter.getOrElse(CsvSniffer.sniffDelimiter(spark, pattern))
     val hasHeader = header.getOrElse(CsvSniffer.sniffHeader(spark, pattern, delim))
     var reader = spark.read
@@ -59,6 +60,13 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
       df = df.withColumn(c, when(col(c) === nv, lit(null)).otherwise(col(c)))
     for ((name, tpe) <- typeHints if df.columns.contains(name))
       df = df.withColumn(name, col(name).cast(tpe))
+    // hints by position (negative = from the end), like the reference's
+    // index-keyed type_hints (`python/tuplex/context.py:321,344-346`)
+    for ((idx, tpe) <- typeHintsAt) {
+      val i = if (idx < 0) df.columns.length + idx else idx
+      if (i >= 0 && i < df.columns.length)
+        df = df.withColumn(df.columns(i), col(df.columns(i)).cast(tpe))
+    }
     if (columns.nonEmpty) df = df.toDF(columns: _*)
     DataSet.fromDataFrame(this, df)
   }

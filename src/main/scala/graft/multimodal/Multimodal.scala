@@ -70,6 +70,21 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** STUB image resize: a real codec would re-encode the payload to
+    * (w, h); here the payload passes through (no codec libs) and the typed
+    * metadata records the target geometry — downstream schema and
+    * partitioning behave exactly as in production. */
+  def resize(df: DataFrame, w: Int, h: Int): DataFrame =
+    df.withColumn("meta", struct(
+      col("meta.kind"), lit(w).as("width"), lit(h).as("height"),
+      col("meta.sample_rate"), col("meta.n_frames")))
+
+  /** STUB audio resample to `rate` Hz — metadata analogue of [[resize]]. */
+  def resample(df: DataFrame, rate: Int): DataFrame =
+    df.withColumn("meta", struct(
+      col("meta.kind"), col("meta.width"), col("meta.height"),
+      lit(rate).as("sample_rate"), col("meta.n_frames")))
+
   /** STUB frame sampler: split the payload into `n` byte chunks standing
     * in for decoded video frames (array<binary> column). */
   def frameSample(df: DataFrame, payloadCol: String, n: Int): DataFrame = {

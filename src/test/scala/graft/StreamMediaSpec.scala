@@ -41,6 +41,17 @@ class StreamMediaSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("resize/resample update typed metadata, payload intact") {
+    val media = Multimodal.withBinaryPayload(
+      Tables(spark, dir, "documents").limit(10), "text", "image")
+    val r = Multimodal.resample(Multimodal.resize(media, 224, 224), 8000)
+      .select(col("meta.width"), col("meta.height"), col("meta.sample_rate"),
+        octet_length(col("payload")).as("len"), length(col("text")).as("tlen"))
+      .collect()
+    assert(r.forall(x => x.getInt(0) == 224 && x.getInt(1) == 224 && x.getInt(2) == 8000))
+    assert(r.forall(x => x.getInt(3) == x.getInt(4))) // payload untouched
+  }
+
   test("streaming watermarked dedup equals batch dropDuplicates") {
     val streamed = Streams.dedupStream(spark, dir,
       Seq("user_id", "event_type"))

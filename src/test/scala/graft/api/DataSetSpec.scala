@@ -144,6 +144,17 @@ class DataSetSpec extends AnyFunSuite {
     assert(back.schema.fields.head.dataType == IntegerType)
   }
 
+  test("csv type hints by name and by (negative) index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_th").toString
+    ctx.parallelize(Seq((1, "2", "3.5")), Seq("a", "b", "c")).tocsv(s"$dir/out")
+    val ds = ctx.csv(s"$dir/out/*.csv",
+      typeHints = Map("b" -> LongType),
+      typeHintsAt = Map(-1 -> StringType))
+    val f = ds.schema.fields
+    assert(f(1).dataType == LongType && f(2).dataType == StringType)
+  }
+
   test("tocsv part name generator renames parts") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pn").toString
