@@ -46,15 +46,20 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
       typeHintsAt: Map[Int, DataType] = Map.empty): DataSet = {
     val delim = delimiter.getOrElse(CsvSniffer.sniffDelimiter(spark, pattern))
     val hasHeader = header.getOrElse(CsvSniffer.sniffHeader(spark, pattern, delim))
-    var reader = spark.read
+    def opts(r: org.apache.spark.sql.DataFrameReader) = r
       .option("header", hasHeader.toString)
       .option("sep", delim)
       .option("quote", quotechar)
-      .option("inferSchema", "true")
       .option("nullValue", nullValues.headOption.orNull)
-      .option("samplingRatio", opt("csv.samplingRatio", "1.0"))
       .option("mode", "PERMISSIVE")
-    var df = reader.csv(pattern)
+    // schema inference from a BOUNDED sample (`csv.maxDetectionRows`,
+    // mirroring `FileInputOperator.cc:47-98`): Spark's inferSchema=true
+    // would parse every byte of the input twice — untenable when the glob
+    // is 100 TB. `limit` on the line stream stops the sample scan early.
+    val detectionRows = opt("csv.maxDetectionRows", "10000").toInt
+    val sample = spark.read.textFile(pattern).limit(detectionRows)
+    val inferred = opts(spark.read.option("inferSchema", "true")).csv(sample).schema
+    var df = opts(spark.read.schema(inferred)).csv(pattern)
     // extra null-value strings beyond the first (Spark supports only one)
     for (nv <- nullValues.drop(1); c <- df.columns)
       df = df.withColumn(c, when(col(c) === nv, lit(null)).otherwise(col(c)))
