@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -46,6 +46,30 @@ object VectorUtil {
       b += 1
     }
     sig
+  }
+
+  /** Ids of the `n` nearest centroids to `v` by cosine (desc, id asc). */
+  def nearestCells(v: ArrayData, ids: Array[Long],
+      cents: Array[Array[Double]], n: Int): ArrayData = {
+    val m = ids.length
+    val scores = new Array[Double](m)
+    var ci = 0
+    while (ci < m) {
+      val h = cents(ci)
+      val d = math.min(v.numElements(), h.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < d) {
+        val x = v.getFloat(i).toDouble; val y = h(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      scores(ci) = dot / (math.sqrt(na) * math.sqrt(nb))
+      ci += 1
+    }
+    val order = (0 until m).sortBy(i => (-scores(i), ids(i)))
+    UnsafeArrayData.fromPrimitiveArray(
+      order.take(math.min(n, m)).map(ids).toArray)
   }
 }
 
@@ -100,5 +124,38 @@ case class HyperplaneSig(child: Expression, dim: Int, nBits: Int, seed: Long)
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+/** `nearest_cells(vec)` → the ids of the `n` nearest of the fixed
+  * `centroids` by cosine. Centroids are collected once on the driver
+  * (they are the coarse-quantizer "model", like k-means centers) and
+  * shipped with the plan — cell assignment is then a shuffle-free map
+  * over the corpus scan, not a crossJoin + window. */
+case class NearestCells(child: Expression, ids: Array[Long],
+    centroids: Array[Array[Double]], n: Int) extends UnaryExpression {
+  require(ids.length == centroids.length && ids.nonEmpty,
+    "ids/centroids must be same non-zero length")
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells requires array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorUtil.nearestCells(input.asInstanceOf[ArrayData], ids, centroids, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("cellIds", ids, "long[]")
+    val centsRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorUtil.nearestCells($c, $idsRef, $centsRef, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
     copy(child = newChild)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CosineSim, HyperplaneSig, TopKByScore}
+import graft.functions.{CosineSim, HyperplaneSig, NearestCells, TopKByScore}
 import graft.ops.Par
 
 /** Similarity search over embedding columns (`Array[Float]`).
@@ -46,30 +46,29 @@ object Ann {
   /** IVF-style approximate top-k: coarse-quantize the corpus against
     * `nCells` centroids (deterministically sampled from the corpus itself —
     * a k-means-- that needs no iterative training), then each query probes
-    * only its `nProbe` nearest cells. The cell assignment is one broadcast
-    * join over the corpus scan; at 100 TB the assignment is computed once
-    * and persisted/bucketed so queries touch ~nProbe/nCells of the data. */
+    * only its `nProbe` nearest cells. The centroids are the quantizer
+    * "model": collected once on the driver (like k-means centers) and
+    * shipped with the plan, so cell assignment is a shuffle-free native
+    * map over the corpus scan — no crossJoin, no window. At 100 TB the
+    * assignment is computed once and persisted/bucketed by cell so queries
+    * touch ~nProbe/nCells of the data. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val c = Par.ensureMin(corpus.toDF("neighbor_id", "c_vec"))
     // deterministic centroids: the nCells corpus vectors with smallest ids
-    val centroids = broadcast(c.orderBy(col("neighbor_id")).limit(nCells)
-      .select(col("neighbor_id").as("cell_id"), col("c_vec").as("cent")))
-    def nearestCells(df: DataFrame, vec: String, n: Int) = {
-      val w = Window.partitionBy(df.columns.head)
-        .orderBy(col("_cd").desc, col("cell_id").asc)
-      df.crossJoin(centroids)
-        .withColumn("_cd", cosine(col(vec), col("cent")))
-        .withColumn("_cr", row_number().over(w))
-        .filter(col("_cr") <= n)
-        .drop("cent", "_cd", "_cr")
-    }
-    val cellC = nearestCells(c, "c_vec", 1)
-    val cellQ = nearestCells(queries.toDF("query_id", "q_vec"), "q_vec", nProbe)
+    val cents = c.orderBy(col("neighbor_id")).limit(nCells).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def nearest(vec: Column, n: Int) = GraftBridge.column(
+      NearestCells(GraftBridge.expression(vec), cents.map(_._1), cents.map(_._2), n))
+    val cellC = c.withColumn("cell_id", element_at(nearest(col("c_vec"), 1), 1))
+    val cellQ = broadcast(queries.toDF("query_id", "q_vec")
+      .withColumn("cell_id", explode(nearest(col("q_vec"), nProbe))))
+    // pairs are unique (1 cell per corpus vector, nProbe distinct cells per
+    // query) — no distinct needed
     val scored = cellQ.join(cellC, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_vec"), col("c_vec")).as("cos")).distinct()
+        cosine(col("q_vec"), col("c_vec")).as("cos"))
     rankTopK(scored, k)
   }
 
