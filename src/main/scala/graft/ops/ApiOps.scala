@@ -108,6 +108,44 @@ object ApiOps {
         .renameColumn("_1", "n")
         .selectColumns(Seq("event_type", "n", "total"))
         .toDF
+    },
+
+    // ---- golden end-to-end pipeline (SURVEY §5 tier "golden pipelines",
+    //      test/core/FullPipelines.cc shape): source → filter → join →
+    //      UDF column map with thrown exceptions → resolver → second join
+    //      → grouped fold → projection, oracle-checked as one unit -------
+    Q("q_pipeline_golden",
+      s"""SELECT n_name, count(*) AS n_orders,
+         |  ${Tables.oSum("o_totalprice")} AS total
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_totalprice > 50000
+         |GROUP BY n_name""".stripMargin) { (s, d) =>
+      val ctx = new Context(s)
+      import s.implicits._
+      ctx.fromDataFrame(Tables(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice"))
+        .filter(col("o_totalprice") > 50000)
+        .join(ctx.fromDataFrame(Tables(s, d, "customer")
+          .select("c_custkey", "c_name", "c_nationkey")), "o_custkey", "c_custkey")
+        // UDF that throws for ~half the rows; the resolver supplies the
+        // same uppercase result → net semantics = upper(c_name), but the
+        // rows flow error-channel → resolve → merge mid-pipeline
+        .mapColumnUdf[String, String]("c_name")(nm =>
+          if (nm.length % 2 == 0) throw new IllegalStateException("even")
+          else nm.toUpperCase)
+        .resolve(classOf[IllegalStateException])((nm: String) => nm.toUpperCase)
+        .join(ctx.fromDataFrame(Tables(s, d, "nation")
+          .select("n_nationkey", "n_name")), "c_nationkey", "n_nationkey")
+        .aggregateByKey[(Long, Long)](Seq("n_name"), (0L, 0L))(
+          (b, r) => (b._1 + 1,
+            b._2 + math.floor(r.getAs[Double]("o_totalprice") * 10000d + 0.5d).toLong),
+          (x, y) => (x._1 + y._1, x._2 + y._2))
+        .withColumn("total", col("_2") / 10000.0)
+        .renameColumn("_1", "n_orders")
+        .selectColumns(Seq("n_name", "n_orders", "total"))
+        .toDF
     }
   )
 }
