@@ -283,6 +283,17 @@ object CoverageOps {
           quarter(col("o_orderdate")).as("q"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
           min(to_date(col("o_orderdate"))).as("first_day"))
+    },
+
+    // ---- random.choice equivalent (StandardModules.cc:118-134): seeded
+    //      deterministic pick via hash-indexed element_at; true rand() is
+    //      also available. No cross-engine oracle for hash values → rows
+    //      check only ------------------------------------------------------
+    Q.noOracle("q_random_choice") { (s, d) =>
+      val toks = graft.text.TextFunctions.tokens(col("text"))
+      Tables(s, d, "documents").select(col("doc_id"),
+        element_at(toks, (pmod(xxhash64(col("doc_id")), size(toks)) + 1)
+          .cast("int")).as("chosen_tok"))
     }
   )
 }
