@@ -22,10 +22,34 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (n <- names) {
+    if (args.length > 1 && args(1) == "--audit") audit(spark, sfDir)
+    else for (n <- names) {
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
+  }
+
+  /** Sweep every registry query's physical plan for scale red flags:
+    * CartesianProduct (unbounded cross) and non-broadcast nested-loop
+    * joins (a BNLJ with a broadcast side is fine — that's the intended
+    * shape for small-side inequality joins). */
+  def audit(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // static plans: AQE would wrap the tree in AdaptiveSparkPlanExec and
+    // hide join nodes until execution
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    var bad = 0
+    for (n <- SparkEntry.queries.keys.toSeq.sorted) {
+      try {
+        val plan = SparkEntry.queries(n)(spark, sfDir)
+          .queryExecution.executedPlan
+        val cart = plan.collectWithSubqueries { case c: CartesianProductExec => c }
+        val bnlj = plan.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }
+        if (cart.nonEmpty) { bad += 1; println(s"AUDIT $n: CARTESIAN PRODUCT") }
+        else if (bnlj.nonEmpty) println(s"AUDIT $n: bnlj(broadcast) x${bnlj.size} [ok]")
+      } catch { case e: Throwable => println(s"AUDIT $n: plan failed ${e.getMessage}") }
+    }
+    println(s"AUDIT done, $bad red flags")
   }
 }
