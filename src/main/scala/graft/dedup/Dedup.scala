@@ -12,8 +12,8 @@ import graft.text.TextFunctions
   *
   *  - exact/content-hash dedup: one hash-partitioned shuffle on the
   *    group key (the hash), map-side partial aggregation; no driver state.
-  *  - MinHash-LSH near-dup: signatures are computed scan-side inside
-  *    codegen (higher-order functions over the shingle array, no UDF);
+  *  - MinHash-LSH near-dup: shingle hashes and signatures are computed
+  *    scan-side by single-pass native codegen expressions (no UDF);
   *    banding turns the quadratic pair search into an equi-join on
   *    (band, bandHash) — the classic LSH trick — so Spark shuffles only
   *    band buckets, never the cross product. Exact Jaccard confirms
@@ -163,8 +163,9 @@ object Dedup {
     * (id_a, id_b) — ids only, so results are float-representation-robust. */
   def nearDupEmbedding(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = withMinParallelism(df.select(col(idCol).as("id_a"), col(vecCol).as("_va")))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    val fv = col(vecCol).cast("array<float>")
+    val a = withMinParallelism(df.select(col(idCol).as("id_a"), fv.as("_va")))
+    val b = df.select(col(idCol).as("id_b"), fv.as("_vb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .filter(graft.similarity.Ann.cosine(col("_va"), col("_vb")) >= threshold)
       .select("id_a", "id_b")
@@ -178,7 +179,7 @@ object Dedup {
   def nearDupEmbeddingLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, bits: Int = 8, tables: Int = 16): DataFrame = {
     val vecs = withMinParallelism(
-        df.select(col(idCol).as("_id"), col(vecCol).as("_v")))
+        df.select(col(idCol).as("_id"), col(vecCol).cast("array<float>").as("_v")))
       .persist()
     val banded = vecs.select(col("_id"), posexplode(
         array((0 until tables).map(t =>

@@ -24,9 +24,21 @@ object MinHashUtil {
   /** Distinct, sorted 64-bit hashes of the word k-shingles of `text`.
     * Shingle hash = XXH64 seed-chain over the per-token hashes, so no
     * shingle strings are ever materialized. */
+  /** ASCII-space-only trim, matching Spark's `trim()` and DuckDB's `trim()`
+    * (Java `String.trim` also strips \t/\n/\r, which would diverge from
+    * the oracle on texts with leading control whitespace). */
+  private def trimSpaces(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    s.substring(from, to)
+  }
+
   def shingleHashes(text: UTF8String, k: Int): ArrayData = {
-    val toks = text.toString.trim.split("\\s+")
-    val nTok = if (toks.length == 1 && toks(0).isEmpty) 0 else toks.length
+    val trimmed = trimSpaces(text.toString)
+    val toks = trimmed.split("\\s+")
+    val nTok = if (trimmed.isEmpty) 0 else toks.length
     val n = nTok - k + 1
     if (n <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     // hash each token once
@@ -59,15 +71,20 @@ object MinHashUtil {
 
   /** Distinct, sorted 64-bit hashes of the character n-grams of `text`.
     * Texts shorter than n contribute their whole string as one gram
-    * (mirrors `substr(text, i, n)` over `sequence(1, max(len-n+1, 1))`). */
+    * (mirrors `substr(text, i, n)` over `sequence(1, max(len-n+1, 1))`).
+    * Characters are Unicode code points — `String.substring`'s UTF-16 code
+    * units would split surrogate pairs and diverge from Spark's `substr`
+    * and the DuckDB oracle on non-BMP text. */
   def charNgramHashes(text: UTF8String, n: Int): ArrayData = {
     val s = text.toString
-    val len = s.length
+    val cps = s.codePoints().toArray
+    val len = cps.length
     val count = math.max(len - n + 1, 1)
     val gh = new Array[Long](count)
     var i = 0
     while (i < count) {
-      val u = UTF8String.fromString(s.substring(i, math.min(i + n, len)))
+      val g = new String(cps, i, math.min(n, len - i))
+      val u = UTF8String.fromString(g)
       gh(i) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
       i += 1
     }

@@ -19,6 +19,11 @@ import graft.ops.Par
   */
 object Ann {
 
+  /** Normalize the vector column to `array<float>` (no-op when already
+    * float) so callers with `array<double>` embeddings keep working. */
+  private def asFloatVec(df: DataFrame, c: String): DataFrame =
+    df.withColumn(c, col(c).cast("array<float>"))
+
   /** Cosine similarity of two float-array columns, accumulated in double
     * (sequential fold → deterministic; native codegen expression). */
   def cosine(a: Column, b: Column): Column =
@@ -29,8 +34,8 @@ object Ann {
     * `queries`/`corpus`: (id, vec). Output: (query_id, neighbor_id, rank,
     * cos). Broadcast the query side — at 100 TB the corpus streams once. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.toDF("query_id", "q_vec"))
-    val c = Par.ensureMin(corpus.toDF("neighbor_id", "c_vec"))
+    val q = broadcast(asFloatVec(queries.toDF("query_id", "q_vec"), "q_vec"))
+    val c = Par.ensureMin(asFloatVec(corpus.toDF("neighbor_id", "c_vec"), "c_vec"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_vec"), col("c_vec")).as("cos"))
@@ -54,14 +59,16 @@ object Ann {
     * touch ~nProbe/nCells of the data. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val c = Par.ensureMin(corpus.toDF("neighbor_id", "c_vec"))
+    require(corpus.schema.head.dataType == org.apache.spark.sql.types.LongType,
+      s"ivfTopK requires a bigint id column, got ${corpus.schema.head.dataType}")
+    val c = Par.ensureMin(asFloatVec(corpus.toDF("neighbor_id", "c_vec"), "c_vec"))
     // deterministic centroids: the nCells corpus vectors with smallest ids
     val cents = c.orderBy(col("neighbor_id")).limit(nCells).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
     def nearest(vec: Column, n: Int) = GraftBridge.column(
       NearestCells(GraftBridge.expression(vec), cents.map(_._1), cents.map(_._2), n))
     val cellC = c.withColumn("cell_id", element_at(nearest(col("c_vec"), 1), 1))
-    val cellQ = broadcast(queries.toDF("query_id", "q_vec")
+    val cellQ = broadcast(asFloatVec(queries.toDF("query_id", "q_vec"), "q_vec")
       .withColumn("cell_id", explode(nearest(col("q_vec"), nProbe))))
     // pairs are unique (1 cell per corpus vector, nProbe distinct cells per
     // query) — no distinct needed
@@ -77,11 +84,11 @@ object Ann {
     * Recall grows with probes; shuffle volume shrinks with nBits. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int, nBits: Int = 12, seed: Long = 42L): DataFrame = {
-    val sigC = Par.ensureMin(corpus.toDF("neighbor_id", "c_vec"))
+    val sigC = Par.ensureMin(asFloatVec(corpus.toDF("neighbor_id", "c_vec"), "c_vec"))
       .withColumn("sig", lshSignature(col("c_vec"), dim, nBits, seed))
     val probes = array((0 until nBits).map(b =>
       col("q_sig").bitwiseXOR(lit(1L << b))) :+ col("q_sig"): _*)
-    val sigQ = broadcast(queries.toDF("query_id", "q_vec")
+    val sigQ = broadcast(asFloatVec(queries.toDF("query_id", "q_vec"), "q_vec")
       .withColumn("q_sig", lshSignature(col("q_vec"), dim, nBits, seed))
       .withColumn("sig", explode(probes)))
     val scored = sigQ.join(sigC, Seq("sig"))

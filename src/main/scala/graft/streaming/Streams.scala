@@ -51,10 +51,14 @@ object Streams {
     spark.table(name)
   }
 
-  /** Streaming exact dedup: content-hash `dropDuplicates` under an event-
-    * time watermark, so dedup state is bounded — the streaming twin of
-    * `graft.dedup.Dedup.contentHash`. At scale the watermark is what keeps
-    * the state store finite; without it every key lives forever. */
+  /** Streaming exact dedup under an event-time watermark. The dedup key is
+    * EXPLICITLY `keyCols` + the event time `ts`: a duplicate is the same
+    * content re-delivered at the same event time (the at-least-once replay
+    * case) — rows matching on `keyCols` at different event times are kept.
+    * Including the event-time column in the key is what lets Spark drop
+    * state past the watermark; for time-agnostic keys use
+    * `dropDuplicatesWithinWatermark` (unbounded-lateness dups then slip
+    * through at the watermark horizon). */
   def dedupStream(spark: SparkSession, dir: String, keyCols: Seq[String],
       watermark: String = "1 day"): DataFrame = {
     val name = s"graft_dedup_${nameCounter.incrementAndGet()}"

@@ -144,6 +144,21 @@ class DataSetSpec extends AnyFunSuite {
     assert(back.schema.fields.head.dataType == IntegerType)
   }
 
+  test("csv rows unparseable against the sampled schema enter the error channel") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    // sample (first 2 data rows) infers int,int; row 4 has a non-int cell
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "a,b\n1,2\n3,4\n5,oops\n7,8\n")
+    val ctx2 = new Context(spark, Map("csv.maxDetectionRows" -> "3"))
+    val ds = ctx2.csv(s"$dir/in.csv")
+    assert(ds.schema.fields.map(_.dataType).toSeq == Seq(IntegerType, IntegerType))
+    // the corrupt row is diverted, not silently nulled (materialize columns:
+    // a zero-column count() skips parsing and so cannot drop malformed rows)
+    assert(ds.collect().length == 3)
+    assert(ds.exceptionCounts == Map(DataSet.ParseErrorClass -> 1L))
+    assert(ds.ignore(classOf[CsvParseError]).exceptionCounts.isEmpty)
+  }
+
   test("csv type hints by name and by (negative) index") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_th").toString
