@@ -67,46 +67,61 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
     val inferred = opts(spark.read.option("inferSchema", "true")
       .option("samplingRatio", opt("csv.samplingRatio", "1.0"))
       .option("mode", "PERMISSIVE")).csv(sample).schema
-    // Rows that don't parse against the sampled schema (malformed line, or
-    // a type the bounded sample never saw) are INPUT EXCEPTIONS, not silent
-    // nulls, mirroring the reference's parse-errors-as-exceptions path
-    // (`PhysicalPlan.cc:202-208`). The main read DROPs malformed rows; the
-    // error channel re-derives them from the raw lines with a `from_csv`
-    // expression (Spark forbids corrupt-record-only scans, and this keeps
-    // the extra text read lazy — it only runs if the error channel is
-    // actually consumed via ignore/exceptionCounts).
+    // type hints override the sampled types IN THE PARSE SCHEMA (not as
+    // post-read casts): a value that is valid under the hinted type must
+    // parse, not fall into the error channel because the sample guessed
+    // a narrower type.
+    val hinted = {
+      val byName = inferred.fields.map(f =>
+        typeHints.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f))
+      for ((idx, tpe) <- typeHintsAt) {
+        val i = if (idx < 0) byName.length + idx else idx
+        if (i >= 0 && i < byName.length) byName(i) = byName(i).copy(dataType = tpe)
+      }
+      StructType(byName)
+    }
+    // Rows that don't parse against the (hinted) schema — malformed line,
+    // or a type the bounded sample never saw — are INPUT EXCEPTIONS, not
+    // silent nulls, mirroring the reference's parse-errors-as-exceptions
+    // path (`PhysicalPlan.cc:202-208`). The main read DROPs malformed
+    // rows; the error channel re-derives them from the raw lines with a
+    // `from_csv` expression (Spark forbids corrupt-record-only scans, and
+    // this keeps the extra text read lazy — it only runs if the error
+    // channel is actually consumed via ignore/exceptionCounts).
     val corruptCol = "_g_corrupt"
-    var df = opts(spark.read.schema(inferred)
+    var df = opts(spark.read.schema(hinted)
       .option("mode", "DROPMALFORMED")).csv(pattern)
     val failed = {
-      val parseSchema = StructType(inferred.fields :+
+      val parseSchema = StructType(hinted.fields :+
         StructField(corruptCol, StringType, nullable = true))
       val parseOpts = Map(
         "sep" -> delim, "quote" -> quotechar,
         "nullValue" -> nullValues.headOption.getOrElse(""),
         "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)
-      var lines = spark.read.text(pattern)
+      // the csv scan skips blank lines; the text read must too, or they
+      // surface as phantom parse errors
+      var lines = spark.read.text(pattern).filter(length(col("value")) > 0)
       if (hasHeader) {
-        val headerLine = spark.read.textFile(pattern).first()
-        lines = lines.filter(col("value") =!= headerLine)
+        // header text from the driver-side sniff sample — no Spark job, no
+        // crash on empty input. Known imprecision on pathological inputs:
+        // a DATA line byte-identical to the header is dropped by the main
+        // scan but not counted here, and in a multi-file glob only the
+        // first file's header text is recognized.
+        CsvSniffer.firstLine(spark, pattern).foreach { h =>
+          lines = lines.filter(col("value") =!= h)
+        }
       }
       lines
         .select(from_csv(col("value"), parseSchema, parseOpts).as("_p"))
         .filter(col(s"_p.$corruptCol").isNotNull)
         .select(col("_p.*"))
     }
-    // extra null-value strings beyond the first (Spark supports only one)
+    // extra null-value strings beyond the first (Spark parses only one
+    // natively): honored as post-read substitution — full-fidelity for
+    // string columns; for typed columns a row whose cell holds a secondary
+    // null token cannot parse and diverts to the error channel instead
     for (nv <- nullValues.drop(1); c <- df.columns)
       df = df.withColumn(c, when(col(c) === nv, lit(null)).otherwise(col(c)))
-    for ((name, tpe) <- typeHints if df.columns.contains(name))
-      df = df.withColumn(name, col(name).cast(tpe))
-    // hints by position (negative = from the end), like the reference's
-    // index-keyed type_hints (`python/tuplex/context.py:321,344-346`)
-    for ((idx, tpe) <- typeHintsAt) {
-      val i = if (idx < 0) df.columns.length + idx else idx
-      if (i >= 0 && i < df.columns.length)
-        df = df.withColumn(df.columns(i), col(df.columns(i)).cast(tpe))
-    }
     if (columns.nonEmpty) df = df.toDF(columns: _*)
     DataSet.fromDataFrameWithParseErrors(this, df, failed)
   }
@@ -171,6 +186,11 @@ object CsvSniffer {
       src.getLines().take(n).toList
     } finally in.close()
   }
+
+  /** First line of the first matching file, read driver-side (no Spark
+    * job); None when the input is empty. */
+  def firstLine(spark: SparkSession, pattern: String): Option[String] =
+    sampleLines(spark, pattern, n = 1).headOption
 
   def sniffDelimiter(spark: SparkSession, pattern: String): String = {
     val lines = sampleLines(spark, pattern).filter(_.nonEmpty)

@@ -158,7 +158,9 @@ final class DataSet private (
     val inCols = columns
     val nOut = outSchema.length
     // error rows carry nulls in the out fields — the internal encoder must
-    // allow that even when the caller declared them non-nullable
+    // allow that even when the caller declared them non-nullable. Side
+    // effect: the visible output schema is nullable-widened too (standard
+    // Spark behavior for map-style operators).
     val outNullable = outSchema.fields.toSeq.map(_.copy(nullable = true))
     val full = StructType(outNullable ++ Seq(
       StructField("_g_in", inSchema, nullable = false),
@@ -202,7 +204,9 @@ final class DataSet private (
     val inCols = columns
     val nOut = outSchema.length
     // error rows carry nulls in the out fields — the internal encoder must
-    // allow that even when the caller declared them non-nullable
+    // allow that even when the caller declared them non-nullable. Side
+    // effect: the visible output schema is nullable-widened too (standard
+    // Spark behavior for map-style operators).
     val outNullable = outSchema.fields.toSeq.map(_.copy(nullable = true))
     val full = StructType(outNullable ++ Seq(
       StructField("_g_in", inSchema, nullable = false),
@@ -379,7 +383,14 @@ final class DataSet private (
   /** Rows in original order (merge-in-order semantics). */
   def collect(): Array[Row] = good.orderBy(RowId).drop(HiddenCols.toSeq: _*).collect()
   def take(n: Int): Array[Row] = good.orderBy(RowId).drop(HiddenCols.toSeq: _*).take(n)
-  def count(): Long = good.count()
+  /** Row count. When an error channel exists (CSV source / UDF ops), the
+    * count materializes every column: a zero-column count over a
+    * DROPMALFORMED csv scan would skip cell parsing and count malformed
+    * rows that every other action excludes. */
+  def count(): Long =
+    if (bad.isEmpty) good.count()
+    else toDF.select(count_if(lit(true)).as("n"),
+      first(struct(columns.map(col): _*)).as("_force")).head.getLong(0)
   def show(n: Int = 20): Unit = toDF.show(n)
 
   // ------------------------------------------------------ sinks (§2.1)

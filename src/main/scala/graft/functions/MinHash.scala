@@ -37,7 +37,9 @@ object MinHashUtil {
 
   def shingleHashes(text: UTF8String, k: Int): ArrayData = {
     val trimmed = trimSpaces(text.toString)
-    val toks = trimmed.split("\\s+")
+    // limit -1: Spark's split keeps trailing empty tokens (e.g. after a
+    // trailing tab); Java's default split drops them and would diverge
+    val toks = trimmed.split("\\s+", -1)
     val nTok = if (trimmed.isEmpty) 0 else toks.length
     val n = nTok - k + 1
     if (n <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)

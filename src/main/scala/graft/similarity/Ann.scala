@@ -59,14 +59,15 @@ object Ann {
     * touch ~nProbe/nCells of the data. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    require(corpus.schema.head.dataType == org.apache.spark.sql.types.LongType,
-      s"ivfTopK requires a bigint id column, got ${corpus.schema.head.dataType}")
     val c = Par.ensureMin(asFloatVec(corpus.toDF("neighbor_id", "c_vec"), "c_vec"))
-    // deterministic centroids: the nCells corpus vectors with smallest ids
+    // deterministic centroids: the nCells corpus vectors with smallest ids;
+    // cells are numbered by POSITION 0..nCells-1, independent of the id
+    // column's type (any orderable id works)
     val cents = c.orderBy(col("neighbor_id")).limit(nCells).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    val cellIds = Array.tabulate(cents.length)(_.toLong)
     def nearest(vec: Column, n: Int) = GraftBridge.column(
-      NearestCells(GraftBridge.expression(vec), cents.map(_._1), cents.map(_._2), n))
+      NearestCells(GraftBridge.expression(vec), cellIds, cents, n))
     val cellC = c.withColumn("cell_id", element_at(nearest(col("c_vec"), 1), 1))
     val cellQ = broadcast(asFloatVec(queries.toDF("query_id", "q_vec"), "q_vec")
       .withColumn("cell_id", explode(nearest(col("q_vec"), nProbe))))

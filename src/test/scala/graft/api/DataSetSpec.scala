@@ -152,11 +152,20 @@ class DataSetSpec extends AnyFunSuite {
     val ctx2 = new Context(spark, Map("csv.maxDetectionRows" -> "3"))
     val ds = ctx2.csv(s"$dir/in.csv")
     assert(ds.schema.fields.map(_.dataType).toSeq == Seq(IntegerType, IntegerType))
-    // the corrupt row is diverted, not silently nulled (materialize columns:
-    // a zero-column count() skips parsing and so cannot drop malformed rows)
+    // the corrupt row is diverted, not silently nulled; count agrees
     assert(ds.collect().length == 3)
+    assert(ds.count() == 3)
     assert(ds.exceptionCounts == Map(DataSet.ParseErrorClass -> 1L))
     assert(ds.ignore(classOf[CsvParseError]).exceptionCounts.isEmpty)
+    // a type hint that makes the cell valid rescues the row entirely
+    val hintedDs = ctx2.csv(s"$dir/in.csv", typeHints = Map("b" -> StringType))
+    assert(hintedDs.collect().length == 4)
+    assert(hintedDs.exceptionCounts.isEmpty)
+    // blank lines are skipped by both scans — no phantom errors
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/blank.csv"),
+      "a,b\n1,2\n\n3,4\n")
+    val blank = ctx2.csv(s"$dir/blank.csv")
+    assert(blank.collect().length == 2 && blank.exceptionCounts.isEmpty)
   }
 
   test("csv type hints by name and by (negative) index") {
