@@ -109,6 +109,37 @@ object CoverageOps {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
     },
 
+    // ---- cube grouping sets (superset sibling of rollup) ------------------
+    Q("q_cube",
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin) { (s, d) =>
+      Tables(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- exact percentile (sort-based, linear interpolation — identical
+    //      definition in Spark `percentile` and DuckDB `quantile_cont`) ----
+    Q("q_percentile",
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"))
+    },
+
+    // ---- sketch aggregates (HLL distinct, approximate percentile) — no
+    //      cross-engine oracle for sketch internals → rows-only ------------
+    Q.noOracle("q_approx_agg") { (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
+    },
+
     // ---- string-function family (FunctionRegistry.cc:2582-2723) -----------
     Q("q_string_funcs",
       """SELECT c_custkey,
