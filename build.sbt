@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output must reach stdout UNPREFIXED: the round driver
+// parses the bench/verify JSON line from captured output, and sbt's default
+// LoggedOutput wraps every process line in "[info] "/"[error] " which breaks
+// json.loads (round-1 BENCH_r01.json: parsed=null with the JSON visible in
+// the tail). StdoutOutput passes the child's stdout/stderr through verbatim.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,14 +1,19 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Benchmark main (driver contract): one warmup pass over every registry
   * query (JIT, codegen cache, file-index warm — mirrors the reference's
   * warmup-then-measure methodology, sigmod21-reproducibility/README.md:164),
   * then two measured passes keeping the per-query MINIMUM (steady state;
   * GC/JIT jitter on a 32-thread local JVM otherwise dominates sub-second
-  * queries); prints a single JSON line with per-query seconds and their
-  * total. */
+  * queries).
+  *
+  * Output contract: the JSON result is (a) written to bench.json in the
+  * working directory and (b) printed as the FINAL stdout line, bare — no
+  * logger prefix (build.sbt sets StdoutOutput; log4j2.properties keeps
+  * Spark on stderr) — because the driver json-parses captured output. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,7 +27,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     def once(name: String): Double = {
@@ -50,7 +55,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench.json"), json + "\n")
     spark.stop()
+    // Last line of stdout, after spark.stop() so nothing interleaves.
+    println(json)
+    System.out.flush()
   }
 }
