@@ -198,6 +198,51 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Recall gate for [[nearDupEmbeddingLsh]]: found pairs are confirmed by
+    * exact cosine (precision 1 by construction), so the only failure mode
+    * is missed pairs. Output: one row (n_exact, recall_ok) — n_exact is
+    * recomputable by a DuckDB oracle, recall_ok asserts
+    * |found| ≥ ceil(minRecall·n_exact). Ground truth is the all-pairs
+    * [[nearDupEmbedding]]; at 100 TB this check runs on a sampled slice,
+    * never the full corpus. */
+  def embedLshRecall(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, bits: Int, tables: Int,
+      minRecall: Double): DataFrame = {
+    val exact = nearDupEmbedding(df, idCol, vecCol, threshold)
+    val found = nearDupEmbeddingLsh(df, idCol, vecCol, threshold, dim, bits, tables)
+      .select("id_a", "id_b")
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nHit = found.join(exact, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    // 1-row × 1-row crossJoin: intentional (scalar combine, not a scan join)
+    nExact.crossJoin(nHit).select(col("n_exact"),
+      (col("n_hit") >= ceil(col("n_exact") * minRecall)).as("recall_ok"))
+  }
+
+  /** Exactness gate for [[nearDupSimhash]]: the 4×16-bit chunk banding is
+    * provably lossless for Hamming ≤ 3 (pigeonhole: 3 flipped bits damage
+    * at most 3 of 4 chunks), so the banded pair set must EQUAL the
+    * all-pairs ground truth. Banded pairs filter on the same Hamming
+    * bound (⊆ exact), hence count equality ⟺ set equality. Output: one
+    * row (n_docs, sets_match) — n_docs keeps the oracle data-dependent. */
+  def simhashRecallCheck(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = simhashFingerprints(withMinParallelism(df), idCol, textCol)
+      .toDF("_id", "_fp").persist()
+    // ground truth: all-pairs Hamming over (id, 64-bit print) — 16 bytes a
+    // row, broadcast-NLJ on purpose; this is the labeled ground-truth side
+    val a = fp.toDF("id_a", "fp_a")
+    val b = fp.toDF("id_b", "fp_b")
+    val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxHamming)
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nBand = nearDupSimhash(df, idCol, textCol, maxHamming)
+      .agg(count(lit(1)).as("n_band"))
+    val nDocs = fp.agg(count(lit(1)).as("n_docs"))
+    nDocs.crossJoin(nExact).crossJoin(nBand)
+      .select(col("n_docs"), (col("n_exact") === col("n_band")).as("sets_match"))
+  }
+
   /** SimHash fingerprints + near-dup candidate pairs within Hamming
     * distance `maxHamming` (banding the 64-bit print into 4 chunks). */
   def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -80,23 +80,62 @@ object Ann {
     rankTopK(scored, k)
   }
 
-  /** Approximate top-k: candidates = same-signature bucket (multi-probe:
-    * original + each 1-bit flip), ranked by exact cosine within bucket.
-    * Recall grows with probes; shuffle volume shrinks with nBits. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      dim: Int, nBits: Int = 12, seed: Long = 42L): DataFrame = {
-    val sigC = Par.ensureMin(asFloatVec(corpus.toDF("neighbor_id", "c_vec"), "c_vec"))
-      .withColumn("sig", lshSignature(col("c_vec"), dim, nBits, seed))
-    val probes = array((0 until nBits).map(b =>
-      col("q_sig").bitwiseXOR(lit(1L << b))) :+ col("q_sig"): _*)
-    val sigQ = broadcast(asFloatVec(queries.toDF("query_id", "q_vec"), "q_vec")
-      .withColumn("q_sig", lshSignature(col("q_vec"), dim, nBits, seed))
-      .withColumn("sig", explode(probes)))
-    val scored = sigQ.join(sigC, Seq("sig"))
+  /** Approximate top-k via multi-table hyperplane LSH (AND within a table,
+    * OR across tables — same construction as embedding near-dup): a corpus
+    * vector is a candidate when it shares ANY table's `bits`-bit signature
+    * with the query; candidates are reranked by exact cosine. Per-neighbor
+    * recall at angular similarity p = 1-(1-p^bits)^tables, so recall is
+    * tuned by `tables` without growing bucket sizes. The banded corpus is
+    * (id, table, sig) — 16 bytes a row, `tables`× replicated — and the
+    * candidate join touches only matching buckets, never the cross
+    * product; vectors are joined back ONLY for the candidate rerank.
+    * (The previous single-table multi-probe variant measured recall ≈ 0
+    * on the sf0.01 corpus — 1-bit probes cannot rescue a 12-bit AND.) */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      bits: Int = 4, tables: Int = 24, seed: Long = 42L): DataFrame = {
+    val c = Par.ensureMin(asFloatVec(corpus.toDF("neighbor_id", "c_vec"), "c_vec"))
+      .persist()
+    def banded(df: DataFrame, vecCol: String) =
+      df.select(col("*"), posexplode(array((0 until tables).map(t =>
+          lshSignature(col(vecCol), dim, bits, seed + t)): _*)))
+        .withColumnRenamed("pos", "_table").withColumnRenamed("col", "_sig")
+    val q = broadcast(asFloatVec(queries.toDF("query_id", "q_vec"), "q_vec"))
+    val cands = banded(q.select("query_id", "q_vec"), "q_vec")
+      .select(col("query_id"), col("_table"), col("_sig"))
+      .join(banded(c.select("neighbor_id", "c_vec"), "c_vec")
+        .select(col("neighbor_id"), col("_table"), col("_sig")),
+        Seq("_table", "_sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cands
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_vec"), col("c_vec")).as("cos")).distinct()
+        cosine(col("q_vec"), col("c_vec")).as("cos"))
     rankTopK(scored, k)
+  }
+
+  /** Recall gate for an approximate top-k result: per query, does `approx`
+    * recover at least ceil(minRecall·k') of the exact brute-force top-k
+    * (k' = the query's true neighbor count, ≤ k)? Output: (query_id,
+    * recall_ok) — deterministic (seeded hashes, exact ground truth), so a
+    * DuckDB oracle can assert every query id is `true`. Ground truth is
+    * re-computed here (all-pairs over the query sample) — the validation
+    * pattern for a 100 TB corpus is exactly this with a sampled query set,
+    * mirroring the reference's validate-across-configs tier
+    * (benchmarks/zillow/Z1/validate_all.py). */
+  def recallAtK(corpus: DataFrame, queries: DataFrame, k: Int,
+      approx: DataFrame, minRecall: Double): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)) >=
+          ceil(col("n_true") * minRecall)).as("recall_ok"))
   }
 
   /** Rank the scored candidates to (query_id, rank, neighbor_id, cos).

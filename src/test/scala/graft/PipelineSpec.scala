@@ -139,7 +139,7 @@ class PipelineSpec extends AnyFunSuite {
     val queries = corpus.filter(col("id") === 0L)
     val bf = Ann.bruteForceTopK(corpus, queries, k = 3).collect()
     assert(bf.head.getAs[Long]("neighbor_id") == 100L)
-    val lsh = Ann.lshTopK(corpus, queries, k = 3, dim = 16, nBits = 8)
+    val lsh = Ann.lshTopK(corpus, queries, k = 3, dim = 16, bits = 4, tables = 8)
       .collect()
     assert(lsh.head.getAs[Long]("neighbor_id") == 100L)
   }
