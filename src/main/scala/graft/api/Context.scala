@@ -67,12 +67,22 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
     val inferred = opts(spark.read.option("inferSchema", "true")
       .option("samplingRatio", opt("csv.samplingRatio", "1.0"))
       .option("mode", "PERMISSIVE")).csv(sample).schema
-    // type hints override the sampled types IN THE PARSE SCHEMA (not as
-    // post-read casts): a value that is valid under the hinted type must
-    // parse, not fall into the error channel because the sample guessed
-    // a narrower type.
+    // `columns` renames FIRST (the reference's order: columns= names are
+    // what the user knows), then type hints override the sampled types IN
+    // THE PARSE SCHEMA (not as post-read casts): a value that is valid
+    // under the hinted type must parse, not fall into the error channel
+    // because the sample guessed a narrower type. Baking the final names
+    // into the read schema keeps the good frame, the error channel, and
+    // resolver reapplies on one consistent naming (csv schema matching is
+    // positional under enforceSchema, so names never affect parsing).
     val hinted = {
-      val byName = inferred.fields.map(f =>
+      val named =
+        if (columns.nonEmpty) {
+          require(columns.length == inferred.length,
+            s"columns has ${columns.length} names for ${inferred.length} csv fields")
+          inferred.fields.zip(columns).map { case (f, n) => f.copy(name = n) }
+        } else inferred.fields
+      val byName = named.map(f =>
         typeHints.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f))
       for ((idx, tpe) <- typeHintsAt) {
         val i = if (idx < 0) byName.length + idx else idx
@@ -89,32 +99,36 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
     // this keeps the extra text read lazy — it only runs if the error
     // channel is actually consumed via ignore/exceptionCounts).
     val corruptCol = "_g_corrupt"
+    val parseOpts = Map(
+      "sep" -> delim, "quote" -> quotechar,
+      "nullValue" -> nullValues.headOption.getOrElse(""),
+      "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)
     var df = opts(spark.read.schema(hinted)
       .option("mode", "DROPMALFORMED")).csv(pattern)
     val failed = {
       val parseSchema = StructType(hinted.fields :+
         StructField(corruptCol, StringType, nullable = true))
-      val parseOpts = Map(
-        "sep" -> delim, "quote" -> quotechar,
-        "nullValue" -> nullValues.headOption.getOrElse(""),
-        "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)
-      // the csv scan skips blank lines; the text read must too, or they
-      // surface as phantom parse errors
-      var lines = spark.read.text(pattern).filter(length(col("value")) > 0)
-      if (hasHeader) {
-        // header text from the driver-side sniff sample — no Spark job, no
-        // crash on empty input. Known imprecision on pathological inputs:
-        // a DATA line byte-identical to the header is dropped by the main
-        // scan but not counted here, and in a multi-file glob only the
-        // first file's header text is recognized.
-        CsvSniffer.firstLine(spark, pattern).foreach { h =>
-          lines = lines.filter(col("value") =!= h)
-        }
-      }
+      // the raw-line scan must mirror the csv scan's line discipline:
+      // skip blank lines, and with a header drop the FIRST LINE OF EVERY
+      // FILE — exactly what the csv reader does. TextInputFormat keys each
+      // line with its byte offset in the file, so "first line" is simply
+      // offset == 0, per file, distributed, with no header-text comparison
+      // (a data line byte-identical to the header stays in the channel,
+      // and multi-file globs with divergent header text are handled).
+      import org.apache.hadoop.io.{LongWritable, Text}
+      import org.apache.hadoop.mapred.TextInputFormat
+      val rawLines = spark.sparkContext
+        .hadoopFile[LongWritable, Text, TextInputFormat](
+          pattern, spark.sparkContext.defaultMinPartitions)
+      val kept = (if (hasHeader) rawLines.filter(_._1.get != 0L) else rawLines)
+        .map(_._2.toString)  // copy out: TextInputFormat reuses Writables
+      val lines = spark.createDataset(kept)(org.apache.spark.sql.Encoders.STRING)
+        .toDF("value").filter(length(col("value")) > 0)
       lines
-        .select(from_csv(col("value"), parseSchema, parseOpts).as("_p"))
+        .select(col("value").as(DataSet.RawLine),
+          from_csv(col("value"), parseSchema, parseOpts).as("_p"))
         .filter(col(s"_p.$corruptCol").isNotNull)
-        .select(col("_p.*"))
+        .select(col("_p.*"), col(DataSet.RawLine))
     }
     // extra null-value strings beyond the first (Spark parses only one
     // natively): honored as post-read substitution — full-fidelity for
@@ -122,8 +136,7 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
     // null token cannot parse and diverts to the error channel instead
     for (nv <- nullValues.drop(1); c <- df.columns)
       df = df.withColumn(c, when(col(c) === nv, lit(null)).otherwise(col(c)))
-    if (columns.nonEmpty) df = df.toDF(columns: _*)
-    DataSet.fromDataFrameWithParseErrors(this, df, failed)
+    DataSet.fromDataFrameWithParseErrors(this, df, failed, hinted, parseOpts)
   }
 
   /** Text source: one string column per line (`context.py:367-387`). */
@@ -186,11 +199,6 @@ object CsvSniffer {
       src.getLines().take(n).toList
     } finally in.close()
   }
-
-  /** First line of the first matching file, read driver-side (no Spark
-    * job); None when the input is empty. */
-  def firstLine(spark: SparkSession, pattern: String): Option[String] =
-    sampleLines(spark, pattern, n = 1).headOption
 
   def sniffDelimiter(spark: SparkSession, pattern: String): String = {
     val lines = sampleLines(spark, pattern).filter(_.nonEmpty)

@@ -441,17 +441,23 @@ object DataSet {
   private[api] val RowId = "_g_rowid"
   private[api] val ErrCls = "_g_cls"
   private[api] val ErrMsg = "_g_msg"
-  private[api] val HiddenCols: Set[String] = Set(RowId, ErrCls, ErrMsg)
+  private[api] val RawLine = "_g_raw"
+  private[api] val HiddenCols: Set[String] = Set(RowId, ErrCls, ErrMsg, RawLine)
 
   private[api] def fromDataFrame(ctx: Context, df: DataFrame): DataSet =
     new DataSet(ctx, df.withColumn(RowId, monotonically_increasing_id()), Nil, 0)
 
-  /** Source with input-exception rows (e.g. CSV parse failures): the failed
-    * rows populate the error channel so `ignore`/`exceptionCounts` see them.
-    * They carry no resolver reapply — a parse failure has no UDF to re-run
-    * (use explicit string columns + `mapColumnUdf` for repairable input). */
+  /** Source with input-exception rows (CSV parse failures): the failed rows
+    * populate the error channel so `ignore`/`exceptionCounts`/`resolve` see
+    * them. Parse errors are resolvable like UDF exceptions — the reference
+    * feeds both through one resolver path (`PhysicalPlan.cc:202-208`,
+    * `ResolveTask.cc:268`): the reapply re-parses the carried raw line
+    * under the relaxed all-string schema and hands the resolver a
+    * `Row` of string cells; it returns a row of the dataset's typed
+    * schema (or throws, chaining into further resolvers). */
   private[api] def fromDataFrameWithParseErrors(
-      ctx: Context, df: DataFrame, failed: DataFrame): DataSet = {
+      ctx: Context, df: DataFrame, failed: DataFrame,
+      schema: StructType, parseOpts: Map[String, String]): DataSet = {
     // the corrupt-record column (raw line), when present, becomes the
     // exception message
     val msg = if (failed.columns.contains("_g_corrupt")) col("_g_corrupt")
@@ -462,8 +468,48 @@ object DataSet {
       .withColumn(ErrMsg, msg)
       .drop("_g_corrupt")
     new DataSet(ctx, df.withColumn(RowId, monotonically_increasing_id()),
-      List(BadBatch(0, failedRows, None)), 0)
+      List(BadBatch(0, failedRows, Some(csvParseReapply(schema, parseOpts)))), 0)
   }
+
+  /** Resolver reapply for input parse errors: all-string re-parse of the
+    * raw line → user resolver `Row => Row` → typed row. The raw line is
+    * carried through still-failing rows so chained resolvers can retry
+    * from the original input, and the resolver's own exception class/
+    * message replace the parse error's for matching and reporting. */
+  private def csvParseReapply(schema: StructType,
+      parseOpts: Map[String, String]): (AnyRef, DataFrame) => (DataFrame, DataFrame) =
+    (fn, rows) => {
+      val f = fn.asInstanceOf[Row => Row]
+      val strSchema = StructType(schema.fields.map(x =>
+        StructField(x.name, StringType, nullable = true)))
+      // relaxed parse: no failure mode — every cell lands as a string
+      val relaxedOpts = parseOpts - "mode" - "columnNameOfCorruptRecord"
+      val nOut = schema.length
+      val outNullable = schema.fields.toSeq.map(_.copy(nullable = true))
+      val full = StructType(outNullable ++ Seq(
+        StructField(RawLine, StringType, nullable = true),
+        StructField(RowId, LongType, nullable = false),
+        StructField(ErrCls, StringType, nullable = true),
+        StructField(ErrMsg, StringType, nullable = true)))
+      val enc = org.apache.spark.sql.Encoders.row(full)
+      val pre = rows.select(
+        from_csv(col(RawLine), strSchema, relaxedOpts).as("_g_cells"),
+        col(RawLine), col(RowId))
+      val mapped = pre.mapPartitions { it =>
+        it.map { r =>
+          val cells = r.getStruct(0); val raw = r.getString(1); val id = r.getLong(2)
+          try Row.fromSeq(f(cells).toSeq ++ Seq(raw, id, null, null))
+          catch { case e: Throwable =>
+            Row.fromSeq(Seq.fill[Any](nOut)(null) ++
+              Seq(raw, id, e.getClass.getName, String.valueOf(e.getMessage)))
+          }
+        }
+      }(enc)
+      val ok = mapped.filter(col(ErrCls).isNull)
+        .select(schema.fieldNames.map(col) :+ col(RowId): _*)
+      val stillBad = mapped.filter(col(ErrCls).isNotNull)
+      (ok, stillBad)
+    }
 
   /** Exception class used for input parse failures (exact-name matched by
     * `ignore`/`resolve`, like every other error-channel class). */

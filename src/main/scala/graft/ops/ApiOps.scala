@@ -29,6 +29,37 @@ object ApiOps {
         .toDF
     },
 
+    // ---- resolve() over INPUT parse errors: the reference feeds csv parse
+    //      failures through the same resolver machinery as UDF exceptions
+    //      (PhysicalPlan.cc:202-208, ResolveTask.cc:268). A dirty csv
+    //      (price cells prefixed "USD" for every 7th order) is read with a
+    //      typed schema; the bad rows divert to the error channel; the
+    //      resolver re-parses from the relaxed all-string cells and the
+    //      repaired rows merge back — the oracle recomputes over the
+    //      ORIGINAL clean table, so the totals only match if every dirty
+    //      row was repaired to its exact value. ---------------------------
+    Q("q_csv_resolve",
+      s"""SELECT count(*) AS n, ${Tables.oSum("o_totalprice")} AS total,
+         |  count(*) FILTER (WHERE o_orderkey % 7 = 0) AS n_repaired
+         |FROM orders""".stripMargin) { (s, d) =>
+      val ctx = new Context(s)
+      val out = java.nio.file.Files.createTempDirectory("graft_csv_rs").toString + "/dirty"
+      Tables(s, d, "orders")
+        .select(concat_ws(",", col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, concat(lit("USD"), col("o_totalprice")))
+            .otherwise(col("o_totalprice").cast("string"))).as("value"))
+        .write.mode("overwrite").text(out)
+      ctx.csv(s"$out/*.txt", columns = Seq("k", "price"),
+          header = Some(false), delimiter = Some(","),
+          typeHintsAt = Map(0 -> LongType, 1 -> DoubleType))
+        .resolve[Row, Row](classOf[graft.api.CsvParseError]) { cells =>
+          Row(cells.getString(0).toLong,
+            cells.getString(1).stripPrefix("USD").toDouble)
+        }
+        .toDF.agg(count(lit(1)).as("n"), Tables.dsum(col("price")).as("total"),
+          count_if(col("k") % 7 === 0).as("n_repaired"))
+    },
+
     // ---- ignore(eclass): silently drop raising rows (dataset.py:319-344) --
     Q("q_ignore",
       """SELECT o_orderkey, 100 // (o_orderkey % 10) AS q

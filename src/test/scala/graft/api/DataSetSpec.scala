@@ -168,6 +168,41 @@ class DataSetSpec extends AnyFunSuite {
     assert(blank.collect().length == 2 && blank.exceptionCounts.isEmpty)
   }
 
+  test("resolve() repairs csv parse errors from the all-string reparse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvres").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "a,b\n1,2\n3,4\n5,oops\n7,8\n9,nope\n")
+    val ctx2 = new Context(spark, Map("csv.maxDetectionRows" -> "3"))
+    // resolver repairs "oops" but rethrows on "nope" → chains to ignore
+    val ds = ctx2.csv(s"$dir/in.csv")
+      .resolve[Row, Row](classOf[CsvParseError]) { cells =>
+        if (cells.getString(1) == "nope") throw new IllegalArgumentException("bad")
+        Row(cells.getString(0).toInt, -1)
+      }
+    assert(ds.exceptionCounts == Map("java.lang.IllegalArgumentException" -> 1L))
+    val got = ds.ignore(classOf[IllegalArgumentException])
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == Set((1, 2), (3, 4), (5, -1), (7, 8)))
+  }
+
+  test("multi-file glob: every file's header line is stripped per file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvglob").toString
+    // second file's header text differs from the first's — per-file
+    // offset-0 stripping must handle it (no header-text comparison)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/f1.csv"),
+      "a,b\n1,2\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/f2.csv"),
+      "A,B\n3,4\na,b\n5,6\n")
+    // typed hints: the bounded sample sees f2's header as a data line and
+    // would otherwise widen both columns to string
+    val ds = new Context(spark).csv(s"$dir/*.csv",
+      typeHintsAt = Map(0 -> IntegerType, 1 -> IntegerType))
+    // the mid-file data line "a,b" is a REAL parse error (not a header):
+    // it must surface in the channel, not be silently dropped
+    assert(ds.exceptionCounts == Map(DataSet.ParseErrorClass -> 1L))
+    assert(ds.ignore(classOf[CsvParseError]).collect().length == 3)
+  }
+
   test("csv type hints by name and by (negative) index") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_th").toString
