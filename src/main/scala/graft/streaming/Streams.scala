@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.util.concurrent.atomic.AtomicLong
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -9,11 +9,24 @@ import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (capability superset — the reference has
   * no streams, SURVEY §0). Streams the events table and produces the same
-  * answers as the batch path, demonstrating the readStream → transform →
-  * writeStream shape plus stateful processing. */
+  * answers as the batch path, in the shape that scales: watermarked
+  * event-time state, Append output, and a FILE sink — never a driver-side
+  * memory sink, never Complete mode (round-1 verdict item #4).
+  *
+  * Finite-stream mechanics: Append mode only emits a window/group once
+  * the watermark passes it, and the watermark only advances with new
+  * data — so a bounded replay would otherwise hold its final windows in
+  * state forever. The staged source appends one SENTINEL row far in the
+  * future (2100-01-01); it advances the watermark past every real window
+  * end, the no-data micro-batch then flushes all real state, and the
+  * sentinel's own group (never finalized, or filtered by key) stays out
+  * of the results. On a true unbounded stream the sentinel is simply
+  * unnecessary — the operators are identical. */
 object Streams {
 
-  private val nameCounter = new AtomicLong(0)
+  /** Group key / event_type marking the watermark-advancing sentinel. */
+  private val SentinelType = "_g_sentinel"
+  private val SentinelNs = 4102444800L * 1000000000L // 2100-01-01T00:00Z, ns
 
   /** Events schema as a *stream* source: ns timestamps arrive as longs
     * (matching graft.ops.Tables' batch workaround) and are rebuilt. */
@@ -25,31 +38,49 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Stage the events file plus the sentinel row into a fresh watch
+    * directory and return the bounded file-source stream over it, with
+    * `ts` rebuilt as a proper timestamp. */
+  private def stagedEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // glob form: the file source requires a directory/glob to watch, not a
-    // bare file path ([t] makes it a glob matching exactly events.parquet)
+    val watch = Files.createTempDirectory("graft_stream_in")
+    Files.copy(Paths.get(s"$dir/events.parquet"), watch.resolve("events.parquet"))
+    import spark.implicits._
+    Seq((-1L, SentinelNs, -1L, SentinelType, 0.0, null: String))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(watch.toString)
     spark.readStream.schema(eventsRawSchema)
-      .parquet(s"$dir/events.parque[t]")
+      .parquet(watch.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Tumbling-window aggregation over the stream, drained synchronously
-    * into a memory sink (complete mode). Returns the result table.
-    * `agg` maps output column name → aggregate over the window group. */
-  def runWindowedAgg(spark: SparkSession, dir: String, windowDur: String,
-      aggs: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = eventStream(spark, dir)
-      .groupBy(window(col("ts"), windowDur), col("event_type"))
-      .agg(aggs.head._2.as(aggs.head._1),
-        aggs.tail.map { case (n, c) => c.as(n) }: _*)
-      .writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name).start()
+  /** Drain `q` into a parquet file sink and read the result back. */
+  private def runToParquet(build: String => org.apache.spark.sql.streaming.DataStreamWriter[_]): DataFrame = {
+    val root = Files.createTempDirectory("graft_stream_out").toString
+    val q = build(root)
+      .outputMode(OutputMode.Append())
+      .format("parquet").option("path", s"$root/data")
+      .option("checkpointLocation", s"$root/chk")
+      .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(name)
+    SparkSession.active.read.parquet(s"$root/data")
   }
+
+  /** Tumbling-window aggregation over the stream: watermark + Append into
+    * a parquet sink — bounded state (windows drop once the watermark
+    * passes), nothing driver-side. Returns the finalized result table.
+    * `aggs` maps output column name → aggregate over the window group. */
+  def runWindowedAgg(spark: SparkSession, dir: String, windowDur: String,
+      aggs: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    runToParquet { _ =>
+      stagedEventStream(spark, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), windowDur), col("event_type"))
+        .agg(aggs.head._2.as(aggs.head._1),
+          aggs.tail.map { case (n, c) => c.as(n) }: _*)
+        .writeStream
+    }.filter(col("event_type") =!= SentinelType)
 
   /** Streaming exact dedup under an event-time watermark. The dedup key is
     * EXPLICITLY `keyCols` + the event time `ts`: a duplicate is the same
@@ -60,39 +91,50 @@ object Streams {
     * `dropDuplicatesWithinWatermark` (unbounded-lateness dups then slip
     * through at the watermark horizon). */
   def dedupStream(spark: SparkSession, dir: String, keyCols: Seq[String],
-      watermark: String = "1 day"): DataFrame = {
-    val name = s"graft_dedup_${nameCounter.incrementAndGet()}"
-    val q = eventStream(spark, dir)
-      .withWatermark("ts", watermark)
-      .dropDuplicates(keyCols :+ "ts")
-      .writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name)
-  }
+      watermark: String = "1 day"): DataFrame =
+    runToParquet { _ =>
+      stagedEventStream(spark, dir)
+        .withWatermark("ts", watermark)
+        .dropDuplicates(keyCols :+ "ts")
+        .writeStream
+    }.filter(col("event_type") =!= SentinelType)
 
-  /** Stateful per-user session counting via mapGroupsWithState: counts
-    * events per user with explicit GroupState — the reference-free
-    * `KeyValueGroupedDataset` custom-state path. */
+  /** Stateful per-user event counting via flatMapGroupsWithState in
+    * Append mode with an EVENT-TIME TIMEOUT: a user's count lives in
+    * state only until the watermark passes their last event, then emits
+    * exactly once and the state is dropped — the bounded-state shape for
+    * custom per-key aggregation at scale (vs mapGroupsWithState + Update,
+    * which cannot feed a file sink and never retires state). */
   def userEventCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val name = s"graft_state_${nameCounter.incrementAndGet()}"
-    val q = eventStream(spark, dir)
-      .selectExpr("user_id", "event_id")
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
-          val n = state.getOption.getOrElse(0L) + rows.size
-          state.update(n)
-          (user, n)
-      }
-      .toDF("user_id", "n_events")
-      .writeStream.outputMode(OutputMode.Update())
-      .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name)
+    val counts = runToParquet { _ =>
+      stagedEventStream(spark, dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long), (Long, Long)](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+              state: GroupState[(Long, Long)]) =>
+            if (state.hasTimedOut) {
+              val (n, _) = state.get
+              state.remove()
+              Iterator.single((user, n))
+            } else {
+              var (n, maxTs) = state.getOption.getOrElse((0L, 0L))
+              rows.foreach { r => n += 1; maxTs = math.max(maxTs, r._2.getTime) }
+              state.update((n, maxTs))
+              // strictly beyond both the group's last event and the current
+              // watermark (setTimeoutTimestamp rejects <= watermark)
+              state.setTimeoutTimestamp(
+                math.max(maxTs, state.getCurrentWatermarkMs()) + 1)
+              Iterator.empty
+            }
+        }
+        .toDF("user_id", "n_events")
+        .writeStream
+    }
+    counts.filter(col("user_id") =!= -1L)
   }
 }
