@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CharNgramHashes, CosineSim, HyperplaneSig, MinHashSig, ShingleHashes, SimHash64, SortedIntersectCount}
+import graft.functions.{CharNgramHashes, CosineSim, HyperplaneSig, MinHashSig, ShingleHashes, SimHash64, SortedIntersectCount, TokenStats, WordListHits}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT simhash64(...)")`
@@ -16,7 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def intLit(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) => v.toInt
+    case Literal(v: Long, LongType) =>
+      // a silent toInt would wrap e.g. 4294967297 to 1 and "succeed"
+      if (v < Int.MinValue || v > Int.MaxValue) throw new IllegalArgumentException(
+        s"$fn: integer argument $v overflows Int")
+      else v.toInt
     case other => throw new IllegalArgumentException(
       s"$fn: expected an integer literal argument, got $other")
   }
@@ -45,6 +49,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("sorted_intersect_count") { args =>
       SortedIntersectCount(args(0), args(1)) }
     register("cosine_sim") { args => CosineSim(args(0), args(1)) }
+    register("token_stats") { args => TokenStats(args.head) }
+    register("word_list_hits") { args =>
+      val words = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _) =>
+          items.map {
+            case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+            case other => throw new IllegalArgumentException(
+              s"word_list_hits: expected string literals, got $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"word_list_hits: expected array(...) of string literals, got $other")
+      }
+      WordListHits(args(0), words)
+    }
     register("hyperplane_sig") { args =>
       HyperplaneSig(args(0), intLit(args(1), "hyperplane_sig"),
         intLit(args(2), "hyperplane_sig"),

@@ -1,19 +1,28 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.functions._
 
-import graft.functions.SimHash64
+import graft.functions.{ShingleHashes, SimHash64, TokenStats, WordListHits}
 
 /** Text-analysis building blocks for large-scale training-data pipelines:
   * tokenization, counting, quality metrics, stopword-based language ID,
-  * and fingerprinting. All pure `Column` expressions (codegen'd, no UDFs)
-  * so they survive 100 TB scans inside WholeStageCodegen.
+  * and fingerprinting. All pure `Column` expressions so they survive
+  * 100 TB scans inside WholeStageCodegen; the per-token hot loops (char/
+  * subword/stopword counting) run as native Catalyst expressions — Spark's
+  * `aggregate`/`filter` HOFs execute interpreted and were 10-50× slower
+  * in the minhash case (round-1 perf playbook).
   *
   * Integer-first metric design: counts, not ratios, wherever a downstream
   * oracle compare needs bit-exactness; ratios derive as one IEEE division.
   */
 object TextFunctions {
+
+  /** struct(n_tokens, n_uniq_tokens, n_token_chars, n_subwords) — one
+    * native pass; identical duplicate stats collapse via subexpression
+    * elimination when several fields of the same text are selected. */
+  def tokenStats(c: Column): Column =
+    GraftBridge.column(TokenStats(GraftBridge.expression(c)))
 
   /** Whitespace tokenization of trimmed text; empty text → empty array. */
   def tokens(c: Column): Column =
@@ -25,19 +34,17 @@ object TextFunctions {
   def uniqTokenCount(c: Column): Column = size(array_distinct(tokens(c)))
 
   /** Total characters across tokens (chars minus whitespace). */
-  def tokenCharCount(c: Column): Column =
-    aggregate(tokens(c), lit(0), (acc, t) => acc + length(t))
+  def tokenCharCount(c: Column): Column = tokenStats(c)("n_token_chars")
 
-  /** Count of tokens that appear in the given word list. */
+  /** Count of tokens that appear in the given word list (native kernel;
+    * the word list ships with the plan). */
   def wordListHits(c: Column, words: Seq[String]): Column =
-    size(filter(tokens(c), t => t.isInCollection(words)))
+    GraftBridge.column(WordListHits(GraftBridge.expression(c), words))
 
-  /** A BPE-ish subword count: whitespace tokens split further at
-    * letter/digit boundaries and every 4 chars — a deterministic,
-    * vocabulary-free approximation of subword token counts. */
-  def subwordCount(c: Column): Column =
-    aggregate(tokens(c), lit(0),
-      (acc, t) => acc + greatest(lit(1), ceil(length(t) / 4.0).cast("int")))
+  /** A BPE-ish subword count: whitespace tokens split further every 4
+    * chars — a deterministic, vocabulary-free approximation of subword
+    * token counts. */
+  def subwordCount(c: Column): Column = tokenStats(c)("n_subwords")
 
   // ---- stopword inventories (small, deterministic; extend freely) --------
   val StopwordsEn = Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for", "with", "that")
@@ -53,9 +60,8 @@ object TextFunctions {
   /** n-gram-free language-ID heuristic: argmax of stopword hits, ties
     * broken by wordlist order, no hits → "und" (undetermined). */
   def langId(c: Column): Column = {
-    val toks = tokens(c)
     val scored = LangWordlists.map { case (lang, words) =>
-      (lang, size(filter(toks, t => t.isInCollection(words))))
+      (lang, wordListHits(c, words))
     }
     val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
       case ((bl, bs), (lang, s)) =>
@@ -86,10 +92,13 @@ object TextFunctions {
     org.apache.spark.sql.GraftBridge.column(
       SimHash64(org.apache.spark.sql.GraftBridge.expression(c)))
 
-  /** Rolling-shingle document fingerprint: min/max/xxhash64 digest of word
-    * 3-shingle hashes — stable under small reorderings at the ends. */
-  def fingerprint(c: Column): Column =
-    xxhash64(array_min(transform(shingles(c, 3), s => xxhash64(s))),
-      array_max(transform(shingles(c, 3), s => xxhash64(s))),
-      length(c))
+  /** Rolling-shingle document fingerprint: xxhash64 digest of the min and
+    * max word-3-shingle hashes plus the length — stable under small
+    * reorderings at the ends. The shingle hashes come from the native
+    * single-pass kernel (no string shingles materialized, no HOFs);
+    * array_min/array_max/xxhash64 are codegen'd builtins. */
+  def fingerprint(c: Column): Column = {
+    def sh = GraftBridge.column(ShingleHashes(GraftBridge.expression(c), 3))
+    xxhash64(array_min(sh), array_max(sh), length(c))
+  }
 }
