@@ -10,21 +10,22 @@ object StreamMediaOps {
 
   val all: Seq[Q] = Seq(
 
-    // ---- multimodal metadata plumbing: binary payload + typed meta --------
+    // ---- multimodal image decode: REAL PNGs through javax.imageio --------
+    // Fixture PNGs are generated per doc_id (dimensions and pixels are
+    // pure functions of the id), then decoded back; the oracle recomputes
+    // the formulas — a hash match proves the encode→decode round-trip
+    // recovered the true geometry and exact pixel values.
     Q("q_multimodal_meta",
       """SELECT doc_id,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-        |  CAST(octet_length(encode(text)) % 32 + 1 AS INT) AS n_frames,
-        |  ascii(substr(text, 1, 1)) AS first_byte
+        |  CAST(8 + doc_id % 24 AS INT) AS width,
+        |  CAST(8 + doc_id % 16 AS INT) AS height,
+        |  (doc_id * 2654435761) % 16777216 AS p00,
+        |  (doc_id * 2654435761 + (8 + doc_id % 24 - 1) * 31
+        |    + (8 + doc_id % 16 - 1) * 17) % 16777216 AS pwh
         |FROM documents""".stripMargin) { (s, d) =>
-      val media = Multimodal.withBinaryPayload(Tables(s, d, "documents"), "text", "text")
-      media.select(
-        col("doc_id"),
-        octet_length(col("payload")).as("n_bytes"),
-        col("meta.width").as("width"),
-        col("meta.n_frames").as("n_frames"),
-        ascii(substring(col("text"), 1, 1)).as("first_byte"))
+      val media = Multimodal.withPngPayload(
+        Tables(s, d, "documents").select("doc_id"), "doc_id")
+      Multimodal.imageProbe(media, "doc_id", "payload")
     },
 
     // ---- batched decode/feature-extract (stub codec; rows-only check) -----

@@ -60,6 +60,16 @@ class StreamMediaSpec extends AnyFunSuite {
     assert(streamed.count() == batch.count())
   }
 
+  test("png payloads decode to their true dimensions via javax.imageio") {
+    val media = Multimodal.withPngPayload(
+      Tables(spark, dir, "documents").select("doc_id").limit(5), "doc_id")
+    media.collect().foreach { row =>
+      val id = row.getLong(0)
+      val (w, h) = Multimodal.decodeImageMeta(row.getAs[Array[Byte]]("payload"))
+      assert(w == 8 + (id % 24).toInt && h == 8 + (id % 16).toInt)
+    }
+  }
+
   test("multimodal payload round-trip: bytes, meta, batched features") {
     val media = Multimodal.withBinaryPayload(
       Tables(spark, dir, "documents"), "text", "image")
