@@ -57,14 +57,21 @@ final class DataSet private (
 
   private def retired: List[BadBatch] = bad.map(_.copy(reapply = None))
   private def next(df: DataFrame): DataSet = new DataSet(ctx, df, retired, opId + 1)
-  /** Rebuild row ids after an order-destroying op (join/agg/set op). */
+  /** Rebuild row ids after an order-destroying op (join/agg/set op); a
+    * stale per-expansion sub-id would misorder, so it goes too. */
   private def reid(df: DataFrame): DataFrame =
-    df.withColumn(RowId, monotonically_increasing_id())
+    df.drop(SubId).withColumn(RowId, monotonically_increasing_id())
+  /** collect/take order: stable row id, then the per-expansion sequence
+    * number when a flatMap emitted one — Spark's sort gives no tie order,
+    * so intra-expansion order needs its own key. */
+  private def orderCols: Seq[Column] =
+    col(RowId) +: (if (good.columns.contains(SubId)) Seq(col(SubId)) else Nil)
 
   // ------------------------------------------- projections (dataset.py §2.2)
 
   def selectColumns(names: Seq[String]): DataSet =
-    next(good.select((names :+ RowId).map(col): _*))
+    next(good.select(
+      (names ++ good.columns.filter(HiddenCols)).map(col): _*))
 
   /** Select by (possibly negative) position, like the reference. */
   def selectColumnsAt(indices: Seq[Int]): DataSet = {
@@ -211,6 +218,7 @@ final class DataSet private (
     val full = StructType(outNullable ++ Seq(
       StructField("_g_in", inSchema, nullable = false),
       StructField(RowId, LongType, nullable = false),
+      StructField(SubId, LongType, nullable = false),
       StructField(ErrCls, StringType, nullable = true),
       StructField(ErrMsg, StringType, nullable = true)))
     val enc = org.apache.spark.sql.Encoders.row(full)
@@ -221,18 +229,21 @@ final class DataSet private (
           val in = r.getStruct(0); val id = r.getLong(1)
           try {
             // materialize inside the try: lazy iterators would throw
-            // outside the per-row exception scope
-            g(in).iterator.toVector.map(o =>
-              Row.fromSeq(o.toSeq ++ Seq(in, id, null, null)))
+            // outside the per-row exception scope. The per-expansion index
+            // becomes the secondary sort key — all expanded rows share the
+            // parent's row id, and Spark's sort gives no tie order.
+            g(in).iterator.toVector.zipWithIndex.map { case (o, sub) =>
+              Row.fromSeq(o.toSeq ++ Seq(in, id, sub.toLong, null, null))
+            }
           } catch {
             case e: Throwable =>
               Seq(Row.fromSeq(Seq.fill[Any](nOut)(null) ++
-                Seq(in, id, e.getClass.getName, String.valueOf(e.getMessage))))
+                Seq(in, id, 0L, e.getClass.getName, String.valueOf(e.getMessage))))
           }
         }
       }(enc)
       val ok = mapped.filter(col(ErrCls).isNull)
-        .select(outSchema.fieldNames.map(col) :+ col(RowId): _*)
+        .select(outSchema.fieldNames.map(col) ++ Seq(col(RowId), col(SubId)): _*)
       val failed = mapped.filter(col(ErrCls).isNotNull)
         .select(col("_g_in.*") +: Seq(col(RowId), col(ErrCls), col(ErrMsg)): _*)
       (ok, failed)
@@ -386,7 +397,7 @@ final class DataSet private (
   // --------------------------- order/limit/set ops (SURVEY §2.5/2.6 superset)
 
   def orderBy(cols: Column*): DataSet = next(reid(toDF.orderBy(cols: _*)))
-  def limit(n: Int): DataSet = next(good.orderBy(RowId).limit(n))
+  def limit(n: Int): DataSet = next(good.orderBy(orderCols: _*).limit(n))
   def union(other: DataSet): DataSet = next(reid(toDF.unionByName(other.toDF)))
   def intersect(other: DataSet): DataSet = next(reid(toDF.intersect(other.toDF)))
   def except(other: DataSet): DataSet = next(reid(toDF.except(other.toDF)))
@@ -400,8 +411,8 @@ final class DataSet private (
   // --------------------------------------------------------------- actions
 
   /** Rows in original order (merge-in-order semantics). */
-  def collect(): Array[Row] = good.orderBy(RowId).drop(HiddenCols.toSeq: _*).collect()
-  def take(n: Int): Array[Row] = good.orderBy(RowId).drop(HiddenCols.toSeq: _*).take(n)
+  def collect(): Array[Row] = good.orderBy(orderCols: _*).drop(HiddenCols.toSeq: _*).collect()
+  def take(n: Int): Array[Row] = good.orderBy(orderCols: _*).drop(HiddenCols.toSeq: _*).take(n)
   /** Row count. When an error channel exists (CSV source / UDF ops), the
     * count materializes every column: a zero-column count over a
     * DROPMALFORMED csv scan would skip cell parsing and count malformed
@@ -458,10 +469,11 @@ final class DataSet private (
 
 object DataSet {
   private[api] val RowId = "_g_rowid"
+  private[api] val SubId = "_g_subid"
   private[api] val ErrCls = "_g_cls"
   private[api] val ErrMsg = "_g_msg"
   private[api] val RawLine = "_g_raw"
-  private[api] val HiddenCols: Set[String] = Set(RowId, ErrCls, ErrMsg, RawLine)
+  private[api] val HiddenCols: Set[String] = Set(RowId, SubId, ErrCls, ErrMsg, RawLine)
 
   private[api] def fromDataFrame(ctx: Context, df: DataFrame): DataSet =
     new DataSet(ctx, df.withColumn(RowId, monotonically_increasing_id()), Nil, 0)

@@ -102,35 +102,45 @@ object MinHashUtil {
 
   /** m-slot MinHash signature from a shingle-hash set: slot s = min over
     * shingles of XXH64(h, seed=s). Empty input → all-sentinel signature
-    * (callers filter empty docs before LSH banding). */
+    * (callers filter empty docs before LSH banding). Null elements —
+    * possible only when called from SQL over null-bearing arrays; graft's
+    * own hash expressions emit containsNull=false — are skipped rather
+    * than silently read as 0. */
   def signature(hashes: ArrayData, m: Int): ArrayData = {
     val sig = new Array[Long](m)
     java.util.Arrays.fill(sig, Long.MaxValue)
     val n = hashes.numElements()
     var i = 0
     while (i < n) {
-      val h = hashes.getLong(i)
-      var s = 0
-      while (s < m) {
-        val v = XXH64.hashLong(h, s)
-        if (v < sig(s)) sig(s) = v
-        s += 1
+      if (!hashes.isNullAt(i)) {
+        val h = hashes.getLong(i)
+        var s = 0
+        while (s < m) {
+          val v = XXH64.hashLong(h, s)
+          if (v < sig(s)) sig(s) = v
+          s += 1
+        }
       }
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
-  /** |a ∩ b| for two sorted long arrays (merge walk, zero allocation). */
+  /** |a ∩ b| for two sorted long arrays (merge walk, zero allocation).
+    * Null elements (SQL-provided arrays only) are skipped, not read as 0. */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < na && j < nb) {
-      val x = a.getLong(i); val y = b.getLong(j)
-      if (x == y) { c += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
     }
     c
   }

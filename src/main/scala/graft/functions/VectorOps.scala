@@ -17,21 +17,27 @@ import org.apache.spark.sql.types._
   */
 object VectorUtil {
 
-  /** Cosine similarity of two float-array vectors. */
+  /** Cosine similarity of two float-array vectors. Null elements (possible
+    * when called from SQL over null-bearing arrays) contribute 0; a
+    * zero-norm vector yields 0.0, NOT NaN — NaN would silently fail
+    * >=-threshold filters (rows vanish) and sort unpredictably against
+    * real scores, so zero vectors are excluded deterministically. */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (a.isNullAt(i)) 0.0 else a.getFloat(i).toDouble
+      val y = if (b.isNullAt(i)) 0.0 else b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Sign-bit signature of `v` against `planes` (row-major nBits × dim). */
+  /** Sign-bit signature of `v` against `planes` (row-major nBits × dim).
+    * Null elements contribute 0 (consistent with [[cosineF]]). */
   def hyperSig(v: ArrayData, planes: Array[Array[Double]]): Long = {
     var sig = 0L
     val dim = v.numElements()
@@ -41,7 +47,10 @@ object VectorUtil {
       val d = math.min(dim, h.length)
       var dot = 0.0
       var i = 0
-      while (i < d) { dot += v.getFloat(i).toDouble * h(i); i += 1 }
+      while (i < d) {
+        if (!v.isNullAt(i)) dot += v.getFloat(i).toDouble * h(i)
+        i += 1
+      }
       if (dot >= 0) sig |= (1L << b)
       b += 1
     }
@@ -60,11 +69,14 @@ object VectorUtil {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < d) {
-        val x = v.getFloat(i).toDouble; val y = h(i)
+        val x = if (v.isNullAt(i)) 0.0 else v.getFloat(i).toDouble
+        val y = h(i)
         dot += x * y; na += x * x; nb += y * y
         i += 1
       }
-      scores(ci) = dot / (math.sqrt(na) * math.sqrt(nb))
+      scores(ci) =
+        if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
       ci += 1
     }
     val order = (0 until m).sortBy(i => (-scores(i), ids(i)))
