@@ -29,6 +29,69 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
 
   def fromDataFrame(df: DataFrame): DataSet = DataSet.fromDataFrame(this, df)
 
+  /** Heterogeneous rows — the reference's mixed-type `parallelize`
+    * (`context.py:251-261`) with type unification (`TypeSystem.h:417`,
+    * `unifyTypes`/`combineToNullableType`): per column, Int/Long widen to
+    * Long, any numeric mix widens to Double (the autoUpcast rule), nulls
+    * make the column nullable (`[1, None, 4]` ⇒ nullable long). A column
+    * mixing incompatible kinds (string + number, bool + number) is
+    * rejected up front — the reference's PYOBJECT fallback is a CPython
+    * escape hatch with no JVM analogue worth faking. */
+  def parallelizeAny(values: Seq[Seq[Any]], columns: Seq[String] = Nil): DataSet = {
+    require(values.nonEmpty, "parallelizeAny needs at least one row")
+    val n = values.head.length
+    require(values.forall(_.length == n), "rows must have equal arity")
+    val names =
+      if (columns.nonEmpty) { require(columns.length == n, "column count"); columns }
+      else (1 to n).map("_" + _)
+    val colTypes = (0 until n).map { i =>
+      val vs = values.map(_(i)).filter(_ != null)
+      val nullable = vs.length != values.length
+      val t = vs.foldLeft(NullType: DataType) { (acc, v) =>
+        val vt: DataType = v match {
+          case _: Int | _: Long => LongType
+          case _: Float | _: Double => DoubleType
+          case _: Boolean => BooleanType
+          case _: String => StringType
+          case other => throw new IllegalArgumentException(
+            s"column ${names(i)}: unsupported value ${other.getClass.getName}")
+        }
+        (acc, vt) match {
+          case (NullType, x) => x
+          case (x, y) if x == y => x
+          case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType // autoUpcast
+          case (x, y) => throw new IllegalArgumentException(
+            s"column ${names(i)}: cannot unify $x with $y")
+        }
+      }
+      StructField(names(i), if (t == NullType) StringType else t, nullable || t == NullType)
+    }
+    val schema = StructType(colTypes)
+    val rows = values.map { vs =>
+      org.apache.spark.sql.Row.fromSeq(vs.zipWithIndex.map {
+        case (null, _) => null
+        case (v: Int, i) if colTypes(i).dataType == LongType => v.toLong
+        case (v: Int, i) if colTypes(i).dataType == DoubleType => v.toDouble
+        case (v: Long, i) if colTypes(i).dataType == DoubleType => v.toDouble
+        case (v: Float, _) => v.toDouble
+        case (v, _) => v
+      })
+    }
+    DataSet.fromDataFrame(this,
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema))
+  }
+
+  /** Dict auto-unpack (`parallelize(..., auto_unpack=True)`,
+    * `context.py:251-261`): maps become columns keyed by first-seen key
+    * order; missing keys are null. Values unify per [[parallelizeAny]]. */
+  def parallelizeMaps(values: Seq[Map[String, Any]]): DataSet = {
+    require(values.nonEmpty, "parallelizeMaps needs at least one row")
+    val keys = values.foldLeft(Vector.empty[String]) { (acc, m) =>
+      acc ++ m.keys.filterNot(acc.contains)
+    }
+    parallelizeAny(values.map(m => keys.map(k => m.getOrElse(k, null))), keys)
+  }
+
   /** CSV source with sample-based inference (`FileInputOperator.cc:47-98`):
     * header + per-column types via Spark's sampler over a bounded line
     * sample (`csv.maxDetectionRows`), delimiter via our own small

@@ -460,11 +460,17 @@ final class DataSet private (
     partNameGenerator.foreach(renameParts(path, _))
   }
 
-  def toorc(path: String, numParts: Int = 0, numRows: Long = 0): Unit =
+  def toorc(path: String, numParts: Int = 0, numRows: Long = 0,
+      partNameGenerator: Option[Int => String] = None): Unit = {
     writer(numParts, numRows).mode("overwrite").orc(path)
+    partNameGenerator.foreach(renameParts(path, _))
+  }
 
-  def toparquet(path: String, numParts: Int = 0, numRows: Long = 0): Unit =
+  def toparquet(path: String, numParts: Int = 0, numRows: Long = 0,
+      partNameGenerator: Option[Int => String] = None): Unit = {
     writer(numParts, numRows).mode("overwrite").parquet(path)
+    partNameGenerator.foreach(renameParts(path, _))
+  }
 }
 
 object DataSet {

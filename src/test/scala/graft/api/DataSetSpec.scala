@@ -214,6 +214,39 @@ class DataSetSpec extends AnyFunSuite {
     assert(f(1).dataType == LongType && f(2).dataType == StringType)
   }
 
+  test("parallelizeAny unifies mixed types; parallelizeMaps auto-unpacks") {
+    // [1, None, 4] ⇒ nullable long (the reference's unifyTypes example)
+    val ds = ctx.parallelizeAny(Seq(Seq(1, null), Seq(null, 2.5), Seq(4, 3)),
+      Seq("a", "b"))
+    val f = ds.schema.fields
+    assert(f(0).dataType == LongType && f(0).nullable)
+    assert(f(1).dataType == DoubleType && f(1).nullable) // int+double → double
+    val rows = ds.collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(0) && rows(1).getDouble(1) == 2.5)
+    assert(rows(2).getLong(0) == 4L && rows(2).getDouble(1) == 3.0)
+    intercept[IllegalArgumentException] {
+      ctx.parallelizeAny(Seq(Seq(1), Seq("x")))
+    }
+    val m = ctx.parallelizeMaps(Seq(
+      Map("x" -> 1, "y" -> "a"), Map("y" -> "b", "z" -> 2)))
+    assert(m.columns == Seq("x", "y", "z"))
+    val mr = m.collect()
+    assert(mr(0).getLong(0) == 1L && mr(0).getString(1) == "a" && mr(0).isNullAt(2))
+    assert(mr(1).isNullAt(0) && mr(1).getString(1) == "b" && mr(1).getLong(2) == 2L)
+  }
+
+  test("toorc part name generator renames parts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_opn").toString
+    ctx.parallelize((1 to 10).map(i => (i, s"r$i")), Seq("num", "name"))
+      .toorc(s"$dir/out", numParts = 2,
+        partNameGenerator = Some(i => f"orcpart_$i%02d.orc"))
+    val names = ctx.ls(s"$dir/out/orcpart_*.orc").map(_.split('/').last).sorted
+    assert(names == Seq("orcpart_00.orc", "orcpart_01.orc"))
+    assert(ctx.orc(s"$dir/out/orcpart_*.orc").count() == 10)
+  }
+
   test("tocsv part name generator renames parts") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pn").toString
