@@ -226,6 +226,26 @@ object PipelineOps {
       Ann.recallAtK(emb, queries, k = 5, approx, minRecall = 0.8)
     },
 
+    // ---- as-of join (SQL:2023; no native Spark operator) ------------------
+    // For every event, the most recent click by the same user at or before
+    // its timestamp. Oracle = DuckDB's native ASOF LEFT JOIN; values pass
+    // through unmodified so the float compare is exact.
+    Q("q_asof_join",
+      """WITH c2 AS (SELECT user_id, ts, event_id, value FROM events
+        |            WHERE event_type = 'click')
+        |SELECT e.event_id, c2.event_id AS prior_click, c2.value AS prior_value
+        |FROM events e ASOF LEFT JOIN c2
+        |  ON e.user_id = c2.user_id AND c2.ts <= e.ts""".stripMargin) { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      AsofJoin.asofJoin(
+          ev.select("event_id", "user_id", "ts"), clicks,
+          key = "user_id", ts = "ts", rightCols = Seq("event_id", "value"))
+        .select(col("event_id"), col("asof_event_id").as("prior_click"),
+          col("asof_value").as("prior_value"))
+    },
+
     // ---- window functions over events (superset; SURVEY §2.5) -------------
     Q("q_window",
       """SELECT event_id, user_id, rn FROM (

@@ -102,6 +102,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == Set((0L, 1L)))
   }
 
+  test("asofJoin: inclusive/strict tie rules and atomic struct carry") {
+    import spark.implicits._
+    import graft.ops.AsofJoin
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag")
+    // right row at t=10 has a NULL v: the carried pair must still come
+    // from one row (m from the same row as the null), not mix rows
+    val right = Seq((1L, 10L, null.asInstanceOf[java.lang.Double], "m10"),
+        (1L, 15L, java.lang.Double.valueOf(1.5), "m15"),
+        (2L, 9L, java.lang.Double.valueOf(9.0), "m9"))
+      .toDF("k", "t", "v", "m")
+    val inc = AsofJoin.asofJoin(left, right, "k", "t", Seq("v", "m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(inc == Set(
+      (1L, 10L, None, Some("m10")),      // t=10 inclusive: sees the null-v row
+      (1L, 20L, Some(1.5), Some("m15")), // latest = t=15, both fields from it
+      (2L, 5L, None, None)))             // no prior right row
+    val strict = AsofJoin.asofJoin(left, right, "k", "t", Seq("v", "m"),
+        strict = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(strict.contains((1L, 10L, None, None))) // t=10 excluded under <
+  }
+
   test("language id picks the wordlist with most hits") {
     import spark.implicits._
     val df = Seq(
