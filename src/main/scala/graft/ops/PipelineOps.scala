@@ -246,6 +246,25 @@ object PipelineOps {
           col("asof_value").as("prior_value"))
     },
 
+    // ---- bucketized range join (interval containment without a BNLJ) ------
+    // Events inside the hour after any signup: the interval side explodes
+    // into 1h buckets, the point side probes its single bucket — a hash
+    // equi-join, where `BETWEEN` alone would plan a nested-loop join.
+    Q("q_range_join",
+      """WITH s AS (SELECT epoch_us(ts) AS s0, epoch_us(ts) + 3600000000 AS s1
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT e.event_id, count(*) AS n_windows
+        |FROM events e JOIN s ON epoch_us(e.ts) BETWEEN s.s0 AND s.s1
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val points = ev.select(col("event_id"), unix_micros(col("ts")).as("t"))
+      val windows = ev.filter(col("event_type") === "signup")
+        .select(unix_micros(col("ts")).as("s0"),
+          (unix_micros(col("ts")) + 3600000000L).as("s1"))
+      Scale.rangeJoin(points, windows, "t", "s0", "s1", width = 3600000000L)
+        .groupBy("event_id").agg(count(lit(1)).as("n_windows"))
+    },
+
     // ---- window functions over events (superset; SURVEY §2.5) -------------
     Q("q_window",
       """SELECT event_id, user_id, rn FROM (

@@ -54,4 +54,29 @@ object Scale {
 
   def readBucketedTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Bucketized interval (range) join: left rows at point `leftTs` against
+    * right rows carrying `[rightStart, rightEnd]` intervals (inclusive,
+    * non-negative numeric, e.g. epoch micros). The naive formulation —
+    * `l.join(r, ts BETWEEN start AND end)` — has no equi-key, so Spark
+    * plans a broadcast-NLJ or cartesian product: quadratic at scale. Here
+    * each interval explodes into the fixed-width time buckets it overlaps
+    * and each point probes its single bucket, so the join is a plain
+    * hash equi-join on the bucket id; exact containment filters after.
+    * Shuffle volume = rows + intervals × (span/width + 1); pick `width`
+    * near the typical interval span so most intervals land in ≤2 buckets.
+    * A point matches an interval in exactly one bucket (its own), so no
+    * dedup is needed. */
+  def rangeJoin(left: DataFrame, right: DataFrame, leftTs: String,
+      rightStart: String, rightEnd: String, width: Long): DataFrame = {
+    require(width > 0, s"bucket width must be > 0, got $width")
+    val b = "_g_bkt"
+    val rb = right.withColumn(b, explode(sequence(
+      floor(col(rightStart) / width).cast("long"),
+      floor(col(rightEnd) / width).cast("long"))))
+    val lb = left.withColumn(b, floor(col(leftTs) / width).cast("long"))
+    lb.join(rb, b)
+      .filter(col(leftTs) >= col(rightStart) && col(leftTs) <= col(rightEnd))
+      .drop(b)
+  }
 }
