@@ -84,7 +84,9 @@ object ZillowOps {
       val priceStr = when(offer === "rent",
           concat(lit("$"), format_number(floor(p / 100).cast("long"), 0), lit("/mo")))
         .otherwise(concat(lit("$"), format_number(p, 0)))
-      Tables(s, d, "orders").select(
+      // write the fixture in multiple parts: small csvs are one split each,
+      // so a single part would serialize the whole downstream scan
+      Tables(s, d, "orders").repartition(16).select(
           concat(lit("https://ex.com/"), k).as("url"),
           (k % 99999).cast("int").as("postal"),
           concat(k, lit(" Main St")).as("address"),
@@ -169,7 +171,7 @@ object ZillowOps {
         .filter(col("price") > 100000 && col("price") <= 20000000)
         .selectColumns(Seq("url", "zipcode", "address", "city", "state",
           "bedrooms", "bathrooms", "sqft", "offer", "type", "price"))
-        .tocsv(out, numParts = 2)
+        .tocsv(out, numParts = 4)
 
       // read the sink back — the oracle hashes the finished artifact
       ctx.csv(s"$out/*.csv", header = Some(true), delimiter = Some(","),

@@ -54,17 +54,28 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Drain `q` into a parquet file sink and read the result back. */
-  private def runToParquet(build: String => org.apache.spark.sql.streaming.DataStreamWriter[_]): DataFrame = {
+  /** Drain `q` into a parquet file sink and read the result back.
+    * `statePartitions` sizes the state store for this query's keyspace —
+    * each state partition costs a store instance + checkpoint files per
+    * batch, so a low-cardinality grouping (e.g. window × event_type)
+    * should not pay for the session-wide shuffle width. The conf is set
+    * only for this query's fresh checkpoint and restored after. */
+  private def runToParquet(statePartitions: Int)(
+      build: String => org.apache.spark.sql.streaming.DataStreamWriter[_]): DataFrame = {
     val root = Files.createTempDirectory("graft_stream_out").toString
-    val q = build(root)
-      .outputMode(OutputMode.Append())
-      .format("parquet").option("path", s"$root/data")
-      .option("checkpointLocation", s"$root/chk")
-      .start()
+    val spark = SparkSession.active
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      build(root)
+        .outputMode(OutputMode.Append())
+        .format("parquet").option("path", s"$root/data")
+        .option("checkpointLocation", s"$root/chk")
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.processAllAvailable()
     q.stop()
-    SparkSession.active.read.parquet(s"$root/data")
+    spark.read.parquet(s"$root/data")
   }
 
   /** Tumbling-window aggregation over the stream: watermark + Append into
@@ -73,7 +84,7 @@ object Streams {
     * `aggs` maps output column name → aggregate over the window group. */
   def runWindowedAgg(spark: SparkSession, dir: String, windowDur: String,
       aggs: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
-    runToParquet { _ =>
+    runToParquet(statePartitions = 4) { _ =>
       stagedEventStream(spark, dir)
         .withWatermark("ts", "0 seconds")
         .groupBy(window(col("ts"), windowDur), col("event_type"))
@@ -92,7 +103,7 @@ object Streams {
     * through at the watermark horizon). */
   def dedupStream(spark: SparkSession, dir: String, keyCols: Seq[String],
       watermark: String = "1 day"): DataFrame =
-    runToParquet { _ =>
+    runToParquet(statePartitions = 16) { _ =>
       stagedEventStream(spark, dir)
         .withWatermark("ts", watermark)
         .dropDuplicates(keyCols :+ "ts")
@@ -107,7 +118,7 @@ object Streams {
     * which cannot feed a file sink and never retires state). */
   def userEventCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val counts = runToParquet { _ =>
+    val counts = runToParquet(statePartitions = 16) { _ =>
       stagedEventStream(spark, dir)
         .withWatermark("ts", "0 seconds")
         .select(col("user_id"), col("ts"))
