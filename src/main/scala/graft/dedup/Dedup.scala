@@ -198,6 +198,23 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Canonical-representative dedup: one row per distinct normalized
+    * text, keeping the BEST row by (longest raw text, then smallest id) —
+    * the "keep the canonical copy" flavor pipelines use when duplicates
+    * differ in trailing whitespace/metadata. A single max(struct(...))
+    * aggregate: deterministic (total order via the id tiebreak), one
+    * shuffle on the content hash, map-side partial max — no window, no
+    * row_number, nothing quadratic. */
+  def keepBest(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(normalizeText(col(textCol)).cast("binary")).as("content_hash"))
+      .agg(max(struct(length(col(textCol)).as("text_len"),
+        (-col(idCol)).as("neg_id"))).as("_best"),
+        count(lit(1)).as("n_copies"))
+      .select(col("content_hash"),
+        (-col("_best.neg_id")).as("keep_id"),
+        col("_best.text_len").as("text_len"),
+        col("n_copies"))
+
   /** Recall gate for [[nearDupEmbeddingLsh]]: found pairs are confirmed by
     * exact cosine (precision 1 by construction), so the only failure mode
     * is missed pairs. Output: one row (n_exact, recall_ok) — n_exact is

@@ -93,6 +93,19 @@ object PipelineOps {
       Dedup.contentHash(Tables(s, d, "documents"), "doc_id", "text")
     },
 
+    // ---- keep-best dedup: canonical representative per content group ------
+    Q("q_dedup_keep_best",
+      """SELECT content_hash, keep_id, text_len, n_copies FROM (
+        |  SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
+        |    doc_id AS keep_id, length(text) AS text_len,
+        |    count(*) OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_copies,
+        |    row_number() OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |      ORDER BY length(text) DESC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn = 1""".stripMargin) { (s, d) =>
+      Dedup.keepBest(Tables(s, d, "documents"), "doc_id", "text")
+    },
+
     // ---- MinHash-LSH near-dup, exact-Jaccard confirmed at 0.8 -------------
     // Oracle = ground-truth all-pairs Jaccard; the LSH path must reach
     // recall ~1 at the threshold (64 hashes × 16 bands of 4).
