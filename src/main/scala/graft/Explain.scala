@@ -9,7 +9,8 @@ object Explain {
   val Headline: Seq[String] = Seq(
     "q1_agg", "q6_filter_agg", "q19_join_filter", "q_join_inner",
     "q_dedup_minhash", "q_dedup_ngram", "q_dedup_embed_lsh",
-    "q_ann_bruteforce", "q_ann_ivf", "q_token_count", "q_window_day")
+    "q_ann_bruteforce", "q_ann_ivf", "q_token_count", "q_window_day",
+    "q_asof_join", "q_range_join", "q_zillow_golden", "q_dedup_keep_best")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -125,11 +125,28 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
     // mirroring `FileInputOperator.cc:47-98`): Spark's inferSchema=true
     // would parse every byte of the input twice — untenable when the glob
     // is 100 TB. `limit` on the line stream stops the sample scan early.
+    // The sample holds DATA lines only (per-file header stripping by byte
+    // offset): letting other files' header lines into the sample would
+    // silently widen every column to string in a multi-file glob. Column
+    // names come from the sniffed header text instead.
     val detectionRows = opt("csv.maxDetectionRows", "10000").toInt
-    val sample = spark.read.textFile(pattern).limit(detectionRows)
-    val inferred = opts(spark.read.option("inferSchema", "true")
-      .option("samplingRatio", opt("csv.samplingRatio", "1.0"))
-      .option("mode", "PERMISSIVE")).csv(sample).schema
+    val sample = dataLines(pattern, hasHeader).limit(detectionRows)
+    val inferred = {
+      val anon = spark.read.option("inferSchema", "true")
+        .option("samplingRatio", opt("csv.samplingRatio", "1.0"))
+        .option("mode", "PERMISSIVE")
+        .option("header", "false").option("sep", delim)
+        .option("quote", quotechar)
+        .option("nullValue", nullValues.headOption.orNull)
+        .csv(sample).schema
+      if (!hasHeader) anon
+      else {
+        val names = CsvSniffer.headerFields(spark, pattern, delim, quotechar)
+        StructType(anon.fields.zipWithIndex.map { case (f, i) =>
+          if (i < names.length) f.copy(name = names(i)) else f
+        })
+      }
+    }
     // `columns` renames FIRST (the reference's order: columns= names are
     // what the user knows), then type hints override the sampled types IN
     // THE PARSE SCHEMA (not as post-read casts): a value that is valid
@@ -171,23 +188,7 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
     val failed = {
       val parseSchema = StructType(hinted.fields :+
         StructField(corruptCol, StringType, nullable = true))
-      // the raw-line scan must mirror the csv scan's line discipline:
-      // skip blank lines, and with a header drop the FIRST LINE OF EVERY
-      // FILE — exactly what the csv reader does. TextInputFormat keys each
-      // line with its byte offset in the file, so "first line" is simply
-      // offset == 0, per file, distributed, with no header-text comparison
-      // (a data line byte-identical to the header stays in the channel,
-      // and multi-file globs with divergent header text are handled).
-      import org.apache.hadoop.io.{LongWritable, Text}
-      import org.apache.hadoop.mapred.TextInputFormat
-      val rawLines = spark.sparkContext
-        .hadoopFile[LongWritable, Text, TextInputFormat](
-          pattern, spark.sparkContext.defaultMinPartitions)
-      val kept = (if (hasHeader) rawLines.filter(_._1.get != 0L) else rawLines)
-        .map(_._2.toString)  // copy out: TextInputFormat reuses Writables
-      val lines = spark.createDataset(kept)(org.apache.spark.sql.Encoders.STRING)
-        .toDF("value").filter(length(col("value")) > 0)
-      lines
+      dataLines(pattern, hasHeader).toDF("value")
         .select(col("value").as(DataSet.RawLine),
           from_csv(col("value"), parseSchema, parseOpts).as("_p"))
         .filter(col(s"_p.$corruptCol").isNotNull)
@@ -200,6 +201,24 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
     for (nv <- nullValues.drop(1); c <- df.columns)
       df = df.withColumn(c, when(col(c) === nv, lit(null)).otherwise(col(c)))
     DataSet.fromDataFrameWithParseErrors(this, df, failed, hinted, parseOpts)
+  }
+
+  /** Non-blank DATA lines of a csv glob: with a header, the first line of
+    * EVERY file is dropped — exactly the csv reader's line discipline.
+    * TextInputFormat keys each line with its byte offset in its file, so
+    * "first line" is simply offset == 0: per file, distributed, and free
+    * of header-text comparison (a data line byte-identical to the header
+    * stays, and multi-file globs with divergent header text are handled). */
+  private def dataLines(pattern: String, hasHeader: Boolean): org.apache.spark.sql.Dataset[String] = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapred.TextInputFormat
+    val raw = spark.sparkContext
+      .hadoopFile[LongWritable, Text, TextInputFormat](
+        pattern, spark.sparkContext.defaultMinPartitions)
+    val kept = (if (hasHeader) raw.filter(_._1.get != 0L) else raw)
+      .map(_._2.toString) // copy out: TextInputFormat reuses Writables
+    spark.createDataset(kept)(org.apache.spark.sql.Encoders.STRING)
+      .filter(length(col("value")) > 0)
   }
 
   /** Text source: one string column per line (`context.py:367-387`). */
@@ -262,6 +281,17 @@ object CsvSniffer {
       src.getLines().take(n).toList
     } finally in.close()
   }
+
+  /** Column names from the first file's header line (driver-side read):
+    * split on the delimiter, surrounding quotes stripped. Empty input or
+    * no header → empty. */
+  def headerFields(spark: SparkSession, pattern: String, delim: String,
+      quote: String): Array[String] =
+    sampleLines(spark, pattern, n = 1).headOption match {
+      case None => Array.empty
+      case Some(h) => h.split(java.util.regex.Pattern.quote(delim), -1)
+        .map(_.trim.stripPrefix(quote).stripSuffix(quote))
+    }
 
   def sniffDelimiter(spark: SparkSession, pattern: String): String = {
     val lines = sampleLines(spark, pattern).filter(_.nonEmpty)

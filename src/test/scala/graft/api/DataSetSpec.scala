@@ -149,7 +149,8 @@ class DataSetSpec extends AnyFunSuite {
     // sample (first 2 data rows) infers int,int; row 4 has a non-int cell
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
       "a,b\n1,2\n3,4\n5,oops\n7,8\n")
-    val ctx2 = new Context(spark, Map("csv.maxDetectionRows" -> "3"))
+    // detection rows count DATA lines (the header is never in the sample)
+    val ctx2 = new Context(spark, Map("csv.maxDetectionRows" -> "2"))
     val ds = ctx2.csv(s"$dir/in.csv")
     assert(ds.schema.fields.map(_.dataType).toSeq == Seq(IntegerType, IntegerType))
     // the corrupt row is diverted, not silently nulled; count agrees
@@ -172,7 +173,7 @@ class DataSetSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_csvres").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
       "a,b\n1,2\n3,4\n5,oops\n7,8\n9,nope\n")
-    val ctx2 = new Context(spark, Map("csv.maxDetectionRows" -> "3"))
+    val ctx2 = new Context(spark, Map("csv.maxDetectionRows" -> "2"))
     // resolver repairs "oops" but rethrows on "nope" → chains to ignore
     val ds = ctx2.csv(s"$dir/in.csv")
       .resolve[Row, Row](classOf[CsvParseError]) { cells =>
@@ -193,14 +194,27 @@ class DataSetSpec extends AnyFunSuite {
       "a,b\n1,2\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/f2.csv"),
       "A,B\n3,4\na,b\n5,6\n")
-    // typed hints: the bounded sample sees f2's header as a data line and
-    // would otherwise widen both columns to string
+    // typed hints force int columns: f2's mid-file "a,b" DATA line (it
+    // genuinely is data — byte-identical to a header) cannot parse
     val ds = new Context(spark).csv(s"$dir/*.csv",
       typeHintsAt = Map(0 -> IntegerType, 1 -> IntegerType))
-    // the mid-file data line "a,b" is a REAL parse error (not a header):
-    // it must surface in the channel, not be silently dropped
+    // it must surface in the channel, not be silently dropped as a header
     assert(ds.exceptionCounts == Map(DataSet.ParseErrorClass -> 1L))
     assert(ds.ignore(classOf[CsvParseError]).collect().length == 3)
+
+    // clean multi-file glob: other files' divergent header lines no longer
+    // pollute the inference sample (types stay int without hints, names
+    // come from the first file's header)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_csvglob2").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir2/g1.csv"),
+      "a,b\n1,2\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir2/g2.csv"),
+      "A,B\n3,4\n")
+    val clean = new Context(spark).csv(s"$dir2/*.csv")
+    assert(clean.columns == Seq("a", "b"))
+    assert(clean.schema.fields.map(_.dataType).toSeq ==
+      Seq(IntegerType, IntegerType))
+    assert(clean.collect().length == 2 && clean.exceptionCounts.isEmpty)
   }
 
   test("csv type hints by name and by (negative) index") {
