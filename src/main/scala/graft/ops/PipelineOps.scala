@@ -18,6 +18,9 @@ object PipelineOps {
   private def inList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
+  private def tokens2chunks(c: org.apache.spark.sql.Column) =
+    chunkText(c, size = 256, overlap = 64)
+
   val all: Seq[Q] = Seq(
 
     // ---- token counting (whitespace + subword approximation) --------------
@@ -91,6 +94,22 @@ object PipelineOps {
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
       Dedup.contentHash(Tables(s, d, "documents"), "doc_id", "text")
+    },
+
+    // ---- document chunking: overlapping context-window slices -------------
+    Q("q_chunk",
+      """WITH n AS (SELECT doc_id, text,
+        |    greatest(CAST(ceil((length(text) - 64) / 192.0) AS INT), 1) AS k
+        |  FROM documents),
+        |u AS (SELECT doc_id, text, unnest(generate_series(0, k - 1)) AS i FROM n)
+        |SELECT doc_id, i AS chunk_idx,
+        |  substr(text, CAST(i*192 + 1 AS INT), 256) AS chunk
+        |FROM u""".stripMargin) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(tokens2chunks(col("text"))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col").as("chunk"))
     },
 
     // ---- keep-best dedup: canonical representative per content group ------

@@ -87,6 +87,22 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
+  /** Overlapping character chunks for long-document splitting (context-
+    * window prep): chunk i covers [i·(size−overlap), …+size). Pure
+    * codegen'd builtins (sequence/substring via posexplode downstream) —
+    * call as `df.select(col("id"), posexplode(chunkText(col("text"), …)))`.
+    * Chunk count = ceil(max(len−overlap,1) / (size−overlap)); empty text
+    * yields one empty chunk (callers filter if unwanted). */
+  def chunkText(c: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    val nChunks = greatest(ceil((length(c) - overlap) / lit(step.toDouble)), lit(1))
+      .cast("int")
+    transform(sequence(lit(0), nChunks - 1),
+      i => substring(c, i * step + 1, lit(size)))
+  }
+
   /** 64-bit SimHash fingerprint of the token array (native expression). */
   def simhash64(c: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
