@@ -90,6 +90,12 @@ object Dedup {
       .filter(size(col("_sh")) > 0)
       .withColumn("_sig", minhashSigOfHashes(col("_sh"), numHashes))
       .persist()
+      // NOTE(measured): a one-permutation (OPH) signature was tried here —
+      // 128x fewer hash evals — but made the char-ngram path ~25% SLOWER
+      // end to end: with ~8 grams per bin the slot estimator's variance
+      // makes moderate-similarity pairs (char-gram base rate j≈0.46)
+      // collide far more often in 8-row bands, and the extra exact
+      // confirms outweigh the cheaper signatures.
 
   private def bandBuckets(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
