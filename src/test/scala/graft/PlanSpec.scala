@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-hygiene guards: the properties that decide 100 TB behavior are
+  * asserted here so a regression fails a test, not a benchmark. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      // static plans: AQE would hide join/scan nodes behind AdaptiveSparkPlan
+      .config("spark.sql.adaptive.enabled", "false")
+      // default 100 truncates PushedFilters lists mid-entry
+      .config("spark.sql.maxMetadataStringLength", "10000")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val qe = SparkEntry.queries(name)(spark, dir).queryExecution
+    qe.executedPlan.toString + "\n" + qe.optimizedPlan.toString
+  }
+
+  test("q6: filters reach the parquet scan; only needed columns read") {
+    val p = planOf("q6_filter_agg")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+      p.contains("GreaterThan(l_shipdate"), "shipdate filter not pushed")
+    // projection pruning: a 16-column lineitem scan must not appear
+    assert(!p.contains("l_comment"), "scan reads unneeded columns")
+  }
+
+  test("q19: join is broadcast, not shuffled-both-sides") {
+    val p = planOf("q19_join_filter")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q1: aggregation runs inside WholeStageCodegen with partial agg") {
+    val p = planOf("q1_agg")
+    assert(p.contains("*(1)"), "no WholeStageCodegen stage markers")
+    assert(p.contains("partial_"), "no map-side partial aggregation")
+  }
+
+  test("fold aggregates stay in the SQL engine (no RDD scan)") {
+    val p = planOf("q_agg_fold_bykey")
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("Scan ExistingRDD"), "fold dropped to the RDD layer")
+  }
+
+  test("range join plans as a hash equi-join, never nested-loop") {
+    val p = planOf("q_range_join")
+    assert(p.contains("HashJoin"), p.take(2000))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("asof join is one partition-local sort window, no join node at all") {
+    val p = planOf("q_asof_join")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("text metrics use native kernels, not interpreted lambdas") {
+    val p = planOf("q_text_quality")
+    assert(p.contains("token_stats") && p.contains("word_list_hits"))
+    assert(!p.contains("lambdafunction"), "interpreted HOF in text hot path")
+  }
+}
