@@ -109,6 +109,47 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL image feature extraction: decode the payload with ImageIO and
+    * emit per-grid-cell mean pixel values — the canonical cheap visual
+    * feature (downsampled intensity map). Output: one row per (id, cell)
+    * with the exact mean of the 24-bit RGB values whose pixel (x, y)
+    * falls in cell (y·grid/h, x·grid/w). Batched like [[extractFeatures]];
+    * sums stay < 2^53 so the double mean is exact and oracle-comparable. */
+  def imageGridFeatures(df: DataFrame, idCol: String, payloadCol: String,
+      grid: Int = 4, batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("cell", IntegerType),
+      StructField("mean_val", DoubleType)))
+    val pre = df.select(col(idCol).cast("long"), col(payloadCol))
+    pre.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val w = img.getWidth
+          val h = img.getHeight
+          val sums = new Array[Long](grid * grid)
+          val counts = new Array[Long](grid * grid)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val c = (y * grid / h) * grid + (x * grid / w)
+              sums(c) += (img.getRGB(x, y) & 0xFFFFFF).toLong
+              counts(c) += 1
+              x += 1
+            }
+            y += 1
+          }
+          (0 until grid * grid).iterator.filter(counts(_) > 0).map(c =>
+            Row(id, c, sums(c).toDouble / counts(c)))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** STUB decoder: deterministic pseudo-features from payload bytes.
     * Replace with a real codec (JPEG/WAV/MP4 demux) in production. */
   private[multimodal] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {

@@ -28,11 +28,27 @@ object StreamMediaOps {
       Multimodal.imageProbe(media, "doc_id", "payload")
     },
 
-    // ---- batched decode/feature-extract (stub codec; rows-only check) -----
-    Q.noOracle("q_multimodal_features") { (s, d) =>
-      val media = Multimodal.withBinaryPayload(Tables(s, d, "documents"), "text", "text")
-      Multimodal.extractFeatures(media, "doc_id", "payload", dim = 16)
-        .select(col("id"), size(col("features")).as("dim"), col("features"))
+    // ---- REAL batched feature extraction over decoded pixels --------------
+    // Grid-cell mean intensity per decoded PNG; the oracle recomputes each
+    // cell mean from the pixel formula, so the hash only matches if the
+    // decode + grid accumulation is pixel-exact.
+    Q("q_multimodal_features",
+      """WITH d AS (SELECT doc_id, doc_id * 2654435761 AS seed,
+        |    CAST(8 + doc_id % 24 AS INT) AS w, CAST(8 + doc_id % 16 AS INT) AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, seed,
+        |    unnest(generate_series(0, w*h - 1)) AS p
+        |  FROM d),
+        |v AS (SELECT doc_id,
+        |    (((p // w) * 4) // h) * 4 + ((p % w) * 4) // w AS cell,
+        |    (seed + 31 * (p % w) + 17 * (p // w)) % 16777216 AS val
+        |  FROM px)
+        |SELECT doc_id, CAST(cell AS INT) AS cell,
+        |  CAST(SUM(val) AS DOUBLE) / count(*) AS mean_val
+        |FROM v GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val media = Multimodal.withPngPayload(
+        Tables(s, d, "documents").select("doc_id"), "doc_id")
+      Multimodal.imageGridFeatures(media, "doc_id", "payload", grid = 4)
     },
 
     // ---- streaming tumbling-window agg == batch q_window_day --------------
