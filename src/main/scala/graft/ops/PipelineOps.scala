@@ -258,6 +258,38 @@ object PipelineOps {
       Ann.recallAtK(emb, queries, k = 5, approx, minRecall = 0.8)
     },
 
+    // ---- gap-based sessionization (1h gap) --------------------------------
+    Q("q_sessionize",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |      OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 3600000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (SELECT user_id, t,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(t) AS session_start, max(t) AS session_end
+        |FROM s GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Sessionize.sessionStats(
+        Tables(s, d, "events").select(col("user_id"), unix_micros(col("ts")).as("t")),
+        "user_id", "t", gap = 3600000000L)
+    },
+
+    // ---- vocabulary building: token document/corpus frequencies -----------
+    Q("q_vocab",
+      s"""SELECT tok, count(DISTINCT doc_id) AS doc_freq, count(*) AS corpus_freq
+         |FROM (SELECT doc_id, unnest($oToks) AS tok FROM documents)
+         |GROUP BY tok""".stripMargin) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok")
+        .agg(countDistinct(col("doc_id")).as("doc_freq"),
+          count(lit(1)).as("corpus_freq"))
+    },
+
     // ---- as-of join (SQL:2023; no native Spark operator) ------------------
     // For every event, the most recent click by the same user at or before
     // its timestamp. Oracle = DuckDB's native ASOF LEFT JOIN; values pass
