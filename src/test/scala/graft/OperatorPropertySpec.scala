@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{AsofJoin, Scale, Sessionize}
+import graft.text.TextFunctions
+
+/** Property-style cross-checks: each structured operator must equal its
+  * naive (obviously-correct, unscalable) formulation on seeded random
+  * data — the same validate-against-brute-force tier the reference's
+  * benchmarks use, but as fast unit properties. */
+class OperatorPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("rangeJoin equals the naive BETWEEN join on random intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val points = Seq.tabulate(300)(i => (i.toLong, rnd.nextLong(10000)))
+      .toDF("pid", "t")
+    val ivals = Seq.tabulate(80) { i =>
+      val s0 = rnd.nextLong(10000); (i.toLong, s0, s0 + rnd.nextLong(700))
+    }.toDF("iid", "s0", "s1")
+    val naive = points.join(ivals, col("t") >= col("s0") && col("t") <= col("s1"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (width <- Seq(100L, 500L, 5000L)) {
+      val got = Scale.rangeJoin(points, ivals, "t", "s0", "s1", width)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"width=$width")
+    }
+  }
+
+  test("asofJoin equals the naive max-prior lookup on random events") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // distinct ts per key to keep the naive argmax unambiguous
+    val lts = rnd.shuffle((0 until 3000).toList).take(250)
+    val rts = rnd.shuffle((0 until 3000).toList).take(120)
+    val left = lts.zipWithIndex.map { case (t, i) => (i.toLong % 5, t.toLong, i.toLong) }
+      .toDF("k", "t", "lid")
+    val right = rts.zipWithIndex.map { case (t, i) => (i.toLong % 5, t.toLong, i.toLong) }
+      .toDF("k", "t", "rid")
+    val rightRows = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val naive = left.collect().map { r =>
+      val (k, t, lid) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val prior = rightRows.filter(x => x._1 == k && x._2 <= t)
+      (lid, if (prior.isEmpty) None else Some(prior.maxBy(_._2)._3))
+    }.toMap
+    val got = AsofJoin.asofJoin(left, right, "k", "t", Seq("rid"))
+      .collect().map(r => (r.getAs[Long]("lid"),
+        Option(r.getAs[Any]("asof_rid")).map(_.asInstanceOf[Long]))).toMap
+    assert(got == naive)
+  }
+
+  test("sessionize: gaps within sessions <= gap, gaps across sessions > gap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val events = Seq.tabulate(400)(i => (i.toLong % 7, rnd.nextLong(100000)))
+      .toDF("k", "t").distinct()
+    val gap = 1500L
+    val ss = Sessionize.sessionize(events, "k", "t", gap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    for ((_, rows) <- ss) {
+      val byTs = rows.sortBy(_._2)
+      byTs.sliding(2).foreach {
+        case Array((_, t1, s1), (_, t2, s2)) =>
+          if (s1 == s2) assert(t2 - t1 <= gap, s"gap inside session: $t1 -> $t2")
+          else {
+            assert(s2 == s1 + 1, "session ids must be consecutive ordinals")
+            assert(t2 - t1 > gap, s"session split without a gap: $t1 -> $t2")
+          }
+        case _ =>
+      }
+      assert(byTs.head._3 == 1L, "first session id must be 1")
+    }
+  }
+
+  test("chunkText covers the text: stripped overlaps reconstruct it") {
+    import spark.implicits._
+    val texts = Seq("", "ab", "a" * 255, "a" * 256, "héllo wörld " * 40,
+      "你好" * 200)
+    val df = texts.toDF("text")
+    val rows = df.select(col("text"),
+        TextFunctions.chunkText(col("text"), size = 64, overlap = 16).as("chunks"))
+      .collect()
+    for (r <- rows) {
+      val text = r.getString(0)
+      val chunks = r.getSeq[String](1)
+      // drop each chunk's first `overlap` chars except the first chunk
+      val rebuilt = chunks.head + chunks.tail.map(c => c.drop(16)).mkString
+      assert(rebuilt == text, s"len=${text.length}")
+      assert(chunks.forall(_.length <= 64))
+    }
+  }
+}
