@@ -131,13 +131,30 @@ object CoverageOps {
           expr("percentile(o_totalprice, 0.9)").as("p90"))
     },
 
-    // ---- sketch aggregates (HLL distinct, approximate percentile) — no
-    //      cross-engine oracle for sketch internals → rows-only ------------
-    Q.noOracle("q_approx_agg") { (s, d) =>
+    // ---- sketch aggregates, error-bound-gated: sketch internals have no
+    //      cross-engine oracle, but their ACCURACY CONTRACT does. The query
+    //      emits the exact values (oracle-recomputable) plus booleans
+    //      asserting the sketch landed inside its bound: HLL (rsd 0.05)
+    //      within 10% of exact distinct, approx_percentile(acc 1000)
+    //      between the exact p45/p55. Deterministic: both sketches are
+    //      deterministic for a given input. ---------------------------------
+    Q("q_approx_agg",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  true AS hll_ok, true AS p50_ok
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
       Tables(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey")).as("_hll"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("_p50"),
+          expr("percentile(l_extendedprice, 0.45)").as("_p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("_p55"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("_hll") - col("exact_orders")) <= col("exact_orders") * 0.10)
+            .as("hll_ok"),
+          (col("_p50") >= col("_p45") && col("_p50") <= col("_p55")).as("p50_ok"))
     },
 
     // ---- string-function family (FunctionRegistry.cc:2582-2723) -----------
@@ -318,13 +335,17 @@ object CoverageOps {
 
     // ---- random.choice equivalent (StandardModules.cc:118-134): seeded
     //      deterministic pick via hash-indexed element_at; true rand() is
-    //      also available. No cross-engine oracle for hash values → rows
-    //      check only ------------------------------------------------------
-    Q.noOracle("q_random_choice") { (s, d) =>
+    //      also available. Hash values have no cross-engine oracle, but the
+    //      MEMBERSHIP contract does: the chosen token must come from the
+    //      row's own token list (null only for empty lists). --------------
+    Q("q_random_choice",
+      "SELECT doc_id, true AS chosen_ok FROM documents") { (s, d) =>
       val toks = graft.text.TextFunctions.tokens(col("text"))
+      val chosen = element_at(toks,
+        (pmod(xxhash64(col("doc_id")), size(toks)) + 1).cast("int"))
       Tables(s, d, "documents").select(col("doc_id"),
-        element_at(toks, (pmod(xxhash64(col("doc_id")), size(toks)) + 1)
-          .cast("int")).as("chosen_tok"))
+        when(size(toks) === 0, chosen.isNull)
+          .otherwise(array_contains(toks, chosen)).as("chosen_ok"))
     }
   )
 }

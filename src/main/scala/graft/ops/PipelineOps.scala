@@ -71,12 +71,20 @@ object PipelineOps {
         col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
     },
 
-    // ---- document fingerprint (xxhash64 digest — no DuckDB equivalent) ----
-    Q.noOracle("q_fingerprint") { (s, d) =>
-      Tables(s, d, "documents").select(
-        col("doc_id"),
-        fingerprint(col("text")).as("fingerprint"),
-        simhash64(tokens(col("text"))).as("simhash"))
+    // ---- document fingerprint: xxhash64 digests have no DuckDB
+    //      equivalent, but their PURITY contract does — every distinct
+    //      text maps to exactly one (fingerprint, simhash) pair ------------
+    Q("q_fingerprint",
+      """SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_texts,
+        |  true AS fp_pure FROM documents""".stripMargin) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("text"),
+          fingerprint(col("text")).as("fp"),
+          simhash64(tokens(col("text"))).as("sh"))
+        .groupBy("text")
+        .agg(countDistinct(col("fp")).as("nf"), countDistinct(col("sh")).as("ns"))
+        .agg(count(lit(1)).as("n_texts"),
+          (max(col("nf")) === 1 && max(col("ns")) === 1).as("fp_pure"))
     },
 
     // ---- exact dedup (normalized text, keep min id) -----------------------
