@@ -14,10 +14,30 @@ import graft.functions.{CharNgramHashes, CosineSim, HyperplaneSig, MinHashSig, S
   * `.withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** Attach graft's SQL functions to an ALREADY-BUILT session (the
+    * `withExtensions` path needs to run before `getOrCreate`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder)
+    }
+
   private def intLit(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case Literal(v: Long, LongType) =>
-      // a silent toInt would wrap e.g. 4294967297 to 1 and "succeed"
       if (v < Int.MinValue || v > Int.MaxValue) throw new IllegalArgumentException(
         s"$fn: integer argument $v overflows Int")
       else v.toInt
@@ -32,12 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn: expected an integer literal argument, got $other")
   }
 
-  override def apply(e: SparkSessionExtensions): Unit = {
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = {
+    val out = Seq.newBuilder[(String, Seq[Expression] => Expression)]
     def register(name: String)(builder: Seq[Expression] => Expression): Unit =
-      e.injectFunction((
-        new FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions", name),
-        builder))
+      out += (name -> builder)
 
     register("simhash64") { args => SimHash64(args.head) }
     register("shingle_hashes") { args =>
@@ -67,5 +85,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HyperplaneSig(args(0), intLit(args(1), "hyperplane_sig"),
         intLit(args(2), "hyperplane_sig"),
         if (args.length > 3) longLit(args(3), "hyperplane_sig") else 42L) }
+
+    out.result()
   }
 }

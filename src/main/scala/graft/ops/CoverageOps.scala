@@ -157,6 +157,30 @@ object CoverageOps {
           (col("_p50") >= col("_p45") && col("_p50") <= col("_p55")).as("p50_ok"))
     },
 
+    // ---- SQL front door: graft's native functions through spark.sql ------
+    // The distinct-shingle count from the native hash kernel must equal
+    // DuckDB's string-built shingle count (64-bit collisions ≈ 0), and
+    // token_stats must agree with the regexp tokenization — verifying the
+    // SparkSessionExtensions registration path end to end.
+    Q("q_sql_surface",
+      """WITH sh AS (
+        |  SELECT doc_id, text, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
+        |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS g
+        |  FROM documents)
+        |SELECT doc_id, len(g) AS n_shingles, 32 AS sig_len,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |FROM sh""".stripMargin) { (s, d) =>
+      graft.GraftExtensions.register(s)
+      Tables(s, d, "documents").createOrReplaceTempView("g_docs")
+      s.sql("""SELECT doc_id,
+        |  sorted_intersect_count(shingle_hashes(text, 3),
+        |                         shingle_hashes(text, 3)) AS n_shingles,
+        |  size(minhash_sig(shingle_hashes(text, 3), 32)) AS sig_len,
+        |  token_stats(text).n_tokens AS n_tokens
+        |FROM g_docs""".stripMargin)
+    },
+
     // ---- string-function family (FunctionRegistry.cc:2582-2723) -----------
     Q("q_string_funcs",
       """SELECT c_custkey,
