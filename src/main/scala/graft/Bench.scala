@@ -30,12 +30,29 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // per-query timeout + job-group cancel: a hanging query must not stall
+    // the whole benchmark (the round is scored on this file existing)
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
+    import scala.concurrent.{Await, Future, TimeoutException}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+      try {
+        val work = Future {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          try SparkEntry.queries(name)(spark, sfDir).count()
+          finally spark.sparkContext.clearJobGroup()
+        }
+        Await.result(work, timeoutSec.seconds)
+      } catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          System.err.println(s"[bench] $name timed out after ${timeoutSec}s")
+          return -1.0
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          return -1.0
       }
       (System.nanoTime() - t0) / 1e9
     }
