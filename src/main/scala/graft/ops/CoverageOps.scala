@@ -285,6 +285,42 @@ object CoverageOps {
         format_string("%s-%03d", col("c_mktsegment"), col("c_custkey") % 1000).as("fmt"))
     },
 
+    // ---- string family III: swapcase/center/rfind/count/is* checks
+    //      (FunctionRegistry.cc:2592-2719) — swapcase via translate (both
+    //      engines), center via repeat-pad arithmetic (python's right-heavy
+    //      split), rfind via reverse+strpos ------------------------------
+    Q("q_string_funcs3", {
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val upper = lower.toUpperCase
+      s"""SELECT c_custkey,
+         |  translate(c_name, '$lower$upper', '$upper$lower') AS swap,
+         |  repeat('.', (16 - length(c_mktsegment)) // 2) || c_mktsegment ||
+         |    repeat('.', 16 - length(c_mktsegment)
+         |      - (16 - length(c_mktsegment)) // 2) AS centered,
+         |  length(c_name) - strpos(reverse(c_name), '0') + 1 AS rfind0,
+         |  length(c_name) - length(replace(c_name, '0', '')) AS count0,
+         |  CAST(regexp_full_match(split_part(c_name, '#', 2), '[0-9]+') AS INT) AS isdig,
+         |  CAST(regexp_full_match(c_mktsegment, '[A-Za-z]+') AS INT) AS isalpha
+         |FROM customer""".stripMargin
+    }) { (s, d) =>
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val upper = lower.toUpperCase
+      Tables(s, d, "customer").select(
+        col("c_custkey"),
+        translate(col("c_name"), lower + upper, upper + lower).as("swap"),
+        expr("""concat(repeat('.', CAST(floor((16 - length(c_mktsegment)) / 2) AS INT)),
+          | c_mktsegment,
+          | repeat('.', CAST(16 - length(c_mktsegment)
+          |   - floor((16 - length(c_mktsegment)) / 2) AS INT)))""".stripMargin)
+          .as("centered"),
+        (length(col("c_name")) - instr(reverse(col("c_name")), "0") + 1).as("rfind0"),
+        (length(col("c_name")) - length(regexp_replace(col("c_name"), "0", "")))
+          .as("count0"),
+        split_part(col("c_name"), lit("#"), lit(2)).rlike("^[0-9]+$")
+          .cast("int").as("isdig"),
+        col("c_mktsegment").rlike("^[A-Za-z]+$").cast("int").as("isalpha"))
+    },
+
     // ---- typed Dataset[T] path: case-class encoder, typed filter/map ------
     Q("q_typed",
       """SELECT o_orderkey AS order_id, o_totalprice / 2 AS half
