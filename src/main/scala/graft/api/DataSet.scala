@@ -312,8 +312,13 @@ final class DataSet private (
   // --------------------------------------------- joins (dataset.py §2.3)
 
   /** Equi-join with Tuplex's name disambiguation: overlapping non-key
-    * columns get the given suffixes (`dataset.py:384-440`). Small right
-    * sides should be marked broadcastable by the caller via
+    * columns get the given suffixes (`dataset.py:384-440`). Key equality
+    * is NULL-SAFE (`<=>`): the reference routes null keys through a
+    * dedicated null bucket so None joins None (Python semantics,
+    * `test/core/JoinTest.cc:21` InnerJoinNullBucket) — unlike SQL's `=`,
+    * which silently drops null-keyed rows. EqualNullSafe is still an
+    * equi-condition, so the plan stays a hash join. Small right sides
+    * should be marked broadcastable by the caller via
     * `broadcast(other.toDF)` upstream; Spark AQE otherwise picks the
     * strategy from runtime stats. */
   def join(other: DataSet, leftOn: String, rightOn: String,
@@ -323,7 +328,7 @@ final class DataSet private (
     val overlap = l.columns.toSet.intersect(r.columns.toSet) - leftOn - rightOn
     val lRen = overlap.foldLeft(l)((d, c) => d.withColumnRenamed(c, c + lsuffix))
     val rRen = overlap.foldLeft(r)((d, c) => d.withColumnRenamed(c, c + rsuffix))
-    val joined = lRen.join(rRen, lRen(leftOn) === rRen(rightOn), how)
+    val joined = lRen.join(rRen, lRen(leftOn) <=> rRen(rightOn), how)
     next(reid(joined.drop(rRen(rightOn))))
   }
 

@@ -103,6 +103,19 @@ class DataSetSpec extends AnyFunSuite {
     assert(lj.count() == 2)
   }
 
+  test("inner join matches null keys (reference null-bucket semantics)") {
+    // mirror of test/core/JoinTest.cc InnerJoinNullBucket: None joins None
+    import spark.implicits._
+    val a = ctx.parallelize(
+      Seq((Option("abc"), 42), (None: Option[String], 84), (Option("xyz"), 100)),
+      Seq("a", "b"))
+    val bSide = ctx.parallelize(
+      Seq((None: Option[String], -1), (None: Option[String], -2)), Seq("x", "y"))
+    val got = a.join(bSide, "a", "x").toDF
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set((84, -1), (84, -2)))
+  }
+
   test("aggregate global fold (treeAggregate semantics)") {
     import spark.implicits._
     val ds = ctx.parallelize(Seq(1, 2, 3, 4), Seq("x"))
