@@ -134,6 +134,15 @@ class DataSetSpec extends AnyFunSuite {
     assert(got == Set(("a", 2L, 4.0), ("b", 1L, 2.0)))
   }
 
+  test("fold aggregates on empty input: global returns zero, grouped is empty") {
+    import spark.implicits._
+    val empty = ctx.parallelize(Seq(1), Seq("x")).filter(col("x") > 99)
+    val agg = empty.aggregate[Long](7L)((b, _) => b + 1, _ + _)
+    assert(agg.collect().head.getLong(0) == 7L)
+    val byKey = empty.aggregateByKey[Long](Seq("x"), 0L)((b, _) => b + 1, _ + _)
+    assert(byKey.count() == 0)
+  }
+
   test("unique / union / intersect / except / orderBy / limit") {
     import spark.implicits._
     val ds = ctx.parallelize(Seq(3, 1, 3, 2), Seq("x"))
