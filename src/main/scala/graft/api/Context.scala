@@ -112,6 +112,12 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
       nullValues: Seq[String] = Seq(""),
       typeHints: Map[String, DataType] = Map.empty,
       typeHintsAt: Map[Int, DataType] = Map.empty): DataSet = {
+    // reference parity: a pattern matching nothing yields an empty dataset
+    // (ErrorDataSet semantics — actions succeed with no rows), not a crash
+    if (ls(pattern).isEmpty) {
+      System.err.println(s"[graft] csv: no input matches $pattern")
+      return DataSet.fromDataFrame(this, spark.emptyDataFrame)
+    }
     val delim = delimiter.getOrElse(CsvSniffer.sniffDelimiter(spark, pattern))
     val hasHeader = header.getOrElse(CsvSniffer.sniffHeader(spark, pattern, delim))
     // dialect only — parse mode is set per read (PERMISSIVE for inference,
@@ -223,6 +229,10 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
 
   /** Text source: one string column per line (`context.py:367-387`). */
   def text(pattern: String, nullValues: Seq[String] = Nil): DataSet = {
+    if (ls(pattern).isEmpty) {
+      System.err.println(s"[graft] text: no input matches $pattern")
+      return DataSet.fromDataFrame(this, spark.emptyDataFrame)
+    }
     var df = spark.read.text(pattern)
     for (nv <- nullValues)
       df = df.withColumn("value", when(col("value") === nv, lit(null)).otherwise(col("value")))

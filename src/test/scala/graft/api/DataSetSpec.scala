@@ -239,6 +239,12 @@ class DataSetSpec extends AnyFunSuite {
     assert(clean.collect().length == 2 && clean.exceptionCounts.isEmpty)
   }
 
+  test("non-existent csv/text inputs yield empty datasets, not crashes") {
+    // reference parity: test_csv.py test_non_existent_file shows nothing
+    assert(ctx.csv("/nonexistent/graft_test.ccc").count() == 0)
+    assert(ctx.text("/nonexistent/graft_test.txt").count() == 0)
+  }
+
   test("csv type hints by name and by (negative) index") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_th").toString
