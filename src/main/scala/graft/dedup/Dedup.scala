@@ -221,6 +221,56 @@ object Dedup {
         col("_best.text_len").as("text_len"),
         col("n_copies"))
 
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation: every vertex starts labeled with itself; each
+    * round, a vertex adopts the minimum label among itself and its
+    * neighbors; fixpoint in O(component diameter) rounds. Near-dup
+    * components are tiny and shallow (dup clusters, not social graphs),
+    * so 3-4 rounds typically converge; each round is one equi-join + one
+    * aggregation, all executor-side, with per-round persists to keep the
+    * lineage flat — the standard scalable CC shape (Hash-Min). Input
+    * `pairs`: (id_a, id_b). Output: (id, component) with component = min
+    * vertex id in the component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(pairs.columns(0)).as("u"), col(pairs.columns(1)).as("v"))
+    val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "u"), "u")
+        .groupBy(col("v").as("id")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), col("nmin")).as("label"))
+        .persist()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** Full near-dup dedup: minhash near-dup pairs → connected components →
+    * one row per document with its cluster id (= min doc id of the
+    * cluster; singletons are their own cluster). Downstream keeps
+    * `id == cluster` rows for a deduplicated corpus. */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val pairs = nearDupMinhash(df, idCol, textCol, threshold, k, numHashes, bands)
+      .select("id_a", "id_b")
+    val comp = connectedComponents(pairs)
+    df.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("component"), col("id")).as("cluster"))
+  }
+
   /** Recall gate for [[nearDupEmbeddingLsh]]: found pairs are confirmed by
     * exact cosine (precision 1 by construction), so the only failure mode
     * is missed pairs. Output: one row (n_exact, recall_ok) — n_exact is

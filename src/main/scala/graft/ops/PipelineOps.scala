@@ -153,6 +153,35 @@ object PipelineOps {
         threshold = 0.8, k = 3, numHashes = 64, bands = 16)
     },
 
+    // ---- near-dup CLUSTERS: pairs → connected components → cluster ids ----
+    // Pair lists alone don't dedup a corpus; Hash-Min label propagation
+    // forms the clusters. Oracle = DuckDB recursive CTE over the same
+    // all-pairs-jaccard ground truth.
+    Q("q_dedup_clusters",
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
+        |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS g
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |reach(id, label) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT e.v, reach.label FROM reach JOIN e ON reach.id = e.u),
+        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+        |SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS cluster
+        |FROM documents d LEFT JOIN comp ON d.doc_id = comp.id""".stripMargin) { (s, d) =>
+      Dedup.dedupClusters(Tables(s, d, "documents"), "doc_id", "text",
+        threshold = 0.8, k = 3, numHashes = 64, bands = 16)
+    },
+
     // ---- SimHash near-dup: banding is provably lossless at Hamming≤3, so
     // the check is set EQUALITY against the all-pairs ground truth --------
     Q("q_dedup_simhash",
