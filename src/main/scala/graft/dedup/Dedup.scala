@@ -231,14 +231,42 @@ object Dedup {
     * lineage flat — the standard scalable CC shape (Hash-Min). Input
     * `pairs`: (id_a, id_b). Output: (id, component) with component = min
     * vertex id in the component. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      smallGraphThreshold: Long = 200000): DataFrame = {
     val fwd = pairs.select(col(pairs.columns(0)).as("u"), col(pairs.columns(1)).as("v"))
+      .persist()
+    // Small-graph fast path: a dup-pair graph under the threshold is a
+    // driver-side union-find (the same bounded "model fit" license as IVF
+    // centroids) — the distributed loop's per-round job overhead dwarfs
+    // the work when the edge list is tiny. Beyond the threshold the exact
+    // Hash-Min loop below takes over.
+    if (fwd.count() <= smallGraphThreshold) {
+      val es = fwd.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = parent.getOrElseUpdate(x, x)
+        if (r != x) { r = find(r); parent(x) = r }
+        r
+      }
+      for ((a, b) <- es) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.map(x => (x, find(x)))
+      fwd.unpersist()
+      import pairs.sparkSession.implicits._
+      return rows.toDF("id", "component")
+    }
     val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
       .distinct().persist()
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id")).persist()
-    var converged = false
+    // convergence via the label-sum invariant: labels only ever decrease,
+    // so an unchanged sum ⟺ a fixpoint — one cheap aggregate per round
+    // instead of a change-detection join
+    var prevSum = BigDecimal(-1) // BigDecimal: id sums can exceed Long at 1e10+ ids
     var iter = 0
+    var converged = false
     while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "u"), "u")
@@ -246,13 +274,15 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), col("nmin")).as("label"))
         .persist()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
+      val s = BigDecimal(next.agg(sum(col("label"))).head.getLong(0))
+      converged = s == prevSum
+      prevSum = s
       labels.unpersist()
       labels = next
       iter += 1
     }
     edges.unpersist()
+    fwd.unpersist()
     labels.withColumnRenamed("label", "component")
   }
 

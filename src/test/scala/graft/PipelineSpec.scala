@@ -107,10 +107,14 @@ class PipelineSpec extends AnyFunSuite {
     // chain 1-2-3-4 (3 hops), star 10-{11,12,13}, pair (20,21)
     val pairs = Seq((1L,2L),(2L,3L),(3L,4L),(10L,11L),(10L,12L),(10L,13L),(21L,20L))
       .toDF("id_a","id_b")
-    val got = Dedup.connectedComponents(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L->1L, 2L->1L, 3L->1L, 4L->1L,
-      10L->10L, 11L->10L, 12L->10L, 13L->10L, 20L->20L, 21L->20L))
+    val want = Map(1L->1L, 2L->1L, 3L->1L, 4L->1L,
+      10L->10L, 11L->10L, 12L->10L, 13L->10L, 20L->20L, 21L->20L)
+    // both paths: driver union-find (small graph) and the Hash-Min loop
+    for (threshold <- Seq(200000L, 0L)) {
+      val got = Dedup.connectedComponents(pairs, smallGraphThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"threshold=$threshold")
+    }
   }
 
   test("asofJoin: inclusive/strict tie rules and atomic struct carry") {
