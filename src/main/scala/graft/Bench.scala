@@ -33,9 +33,14 @@ object Bench {
     // per-query timeout + job-group cancel: a hanging query must not stall
     // the whole benchmark (the round is scored on this file existing)
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
-    import scala.concurrent.{Await, Future, TimeoutException}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
     import scala.concurrent.duration._
+    // cached daemon pool: a timed-out (zombie) query thread must not starve
+    // later queries the way a fixed-size global pool would
+    implicit val queryEc: ExecutionContext = ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r); t.setDaemon(true); t
+      }))
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       try {

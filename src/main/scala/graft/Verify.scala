@@ -56,9 +56,14 @@ object Verify {
     // never stall the rest of the dump (a mid-run kill is how a whole
     // round's correctness signal goes to zero).
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
-    import scala.concurrent.{Await, Future, TimeoutException}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
     import scala.concurrent.duration._
+    // cached daemon pool: a timed-out (zombie) query thread must not starve
+    // later queries the way a fixed-size global pool would
+    implicit val queryEc: ExecutionContext = ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r); t.setDaemon(true); t
+      }))
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // Contract: the result must land at outDir/<name>.parquet. Spark can
       // only write a directory, so write to a scratch dir and move the single
@@ -90,6 +95,9 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           status(name) = s"error: ${e.getMessage}"
       }
+      // release per-query persisted frames (LSH signatures, CC labels, …):
+      // 78 queries of accumulated cache would otherwise squeeze storage
+      spark.sqlContext.clearCache()
       flushStatus()
     }
     val nOk = status.valuesIterator.count(_ == "ok")

@@ -99,10 +99,10 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
     * `typeHints`/`typeHintsAt` overriding inferred column types
     * (`python/tuplex/context.py:321,344-346`), multiple null-value strings.
     * Rows that don't parse against the inferred schema divert to the
-    * dual-mode error channel (`exceptionCounts`/`ignore`). Caveat (Spark
-    * CSV semantics): an action that reads zero columns — a bare count() —
-    * skips cell parsing and therefore counts malformed rows too; any
-    * column-materializing action excludes them. */
+    * dual-mode error channel (`exceptionCounts`/`ignore`/`resolve`), and
+    * repaired rows merge back at their original input positions (both
+    * channels split one scan and share a row-id space). Line-based:
+    * quoted fields with embedded newlines are not supported. */
   def csv(
       pattern: String,
       columns: Seq[String] = Nil,
@@ -120,13 +120,6 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
     }
     val delim = delimiter.getOrElse(CsvSniffer.sniffDelimiter(spark, pattern))
     val hasHeader = header.getOrElse(CsvSniffer.sniffHeader(spark, pattern, delim))
-    // dialect only — parse mode is set per read (PERMISSIVE for inference,
-    // DROPMALFORMED for the main scan)
-    def opts(r: org.apache.spark.sql.DataFrameReader) = r
-      .option("header", hasHeader.toString)
-      .option("sep", delim)
-      .option("quote", quotechar)
-      .option("nullValue", nullValues.headOption.orNull)
     // schema inference from a BOUNDED sample (`csv.maxDetectionRows`,
     // mirroring `FileInputOperator.cc:47-98`): Spark's inferSchema=true
     // would parse every byte of the input twice — untenable when the glob
@@ -184,27 +177,37 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
     // `from_csv` expression (Spark forbids corrupt-record-only scans, and
     // this keeps the extra text read lazy — it only runs if the error
     // channel is actually consumed via ignore/exceptionCounts).
+    // SINGLE-SCAN dual channel: every data line is parsed once under the
+    // hinted schema with a corrupt-record column; the good and error
+    // channels are two filters over the SAME plan, so the row ids assigned
+    // before the split are one consistent space — resolve()'d parse
+    // repairs merge back at their true input positions (two independent
+    // scans would number good and bad rows separately and interleave them
+    // arbitrarily on collect()). Catalyst's OptimizeCsvJsonExprs prunes
+    // the from_csv schema to accessed fields, keeping projection pushdown.
+    // Limitation (line-based): quoted fields with EMBEDDED NEWLINES are
+    // not supported (the reference's parser is line-based too).
     val corruptCol = "_g_corrupt"
     val parseOpts = Map(
       "sep" -> delim, "quote" -> quotechar,
       "nullValue" -> nullValues.headOption.getOrElse(""),
       "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)
-    var df = opts(spark.read.schema(hinted)
-      .option("mode", "DROPMALFORMED")).csv(pattern)
-    val failed = {
-      val parseSchema = StructType(hinted.fields :+
-        StructField(corruptCol, StringType, nullable = true))
-      dataLines(pattern, hasHeader).toDF("value")
-        .select(col("value").as(DataSet.RawLine),
-          from_csv(col("value"), parseSchema, parseOpts).as("_p"))
-        .filter(col(s"_p.$corruptCol").isNotNull)
-        .select(col("_p.*"), col(DataSet.RawLine))
-    }
+    val parseSchema = StructType(hinted.fields :+
+      StructField(corruptCol, StringType, nullable = true))
+    val parsed = dataLines(pattern, hasHeader).toDF("value")
+      .select(col("value").as(DataSet.RawLine),
+        from_csv(col("value"), parseSchema, parseOpts).as("_p"))
+      .withColumn(DataSet.RowId, monotonically_increasing_id())
+    var df = parsed.filter(col(s"_p.$corruptCol").isNull)
+      .select(col("_p.*") +: Seq(col(DataSet.RowId)): _*)
+      .drop(corruptCol)
+    val failed = parsed.filter(col(s"_p.$corruptCol").isNotNull)
+      .select(col("_p.*") +: Seq(col(DataSet.RawLine), col(DataSet.RowId)): _*)
     // extra null-value strings beyond the first (Spark parses only one
     // natively): honored as post-read substitution — full-fidelity for
     // string columns; for typed columns a row whose cell holds a secondary
     // null token cannot parse and diverts to the error channel instead
-    for (nv <- nullValues.drop(1); c <- df.columns)
+    for (nv <- nullValues.drop(1); c <- hinted.fieldNames)
       df = df.withColumn(c, when(col(c) === nv, lit(null)).otherwise(col(c)))
     DataSet.fromDataFrameWithParseErrors(this, df, failed, hinted, parseOpts)
   }
@@ -293,15 +296,36 @@ object CsvSniffer {
   }
 
   /** Column names from the first file's header line (driver-side read):
-    * split on the delimiter, surrounding quotes stripped. Empty input or
-    * no header → empty. */
+    * quote-aware split — a quoted header field may contain the delimiter,
+    * and `""` inside quotes is an escaped quote. Empty input → empty. */
   def headerFields(spark: SparkSession, pattern: String, delim: String,
       quote: String): Array[String] =
     sampleLines(spark, pattern, n = 1).headOption match {
       case None => Array.empty
-      case Some(h) => h.split(java.util.regex.Pattern.quote(delim), -1)
-        .map(_.trim.stripPrefix(quote).stripSuffix(quote))
+      case Some(h) => splitQuoted(h, delim, quote.headOption.getOrElse('"'))
     }
+
+  private[api] def splitQuoted(line: String, delim: String, q: Char): Array[String] = {
+    val out = Array.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQuotes = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuotes) {
+        if (c == q && i + 1 < line.length && line.charAt(i + 1) == q) {
+          cur += q; i += 1 // escaped quote
+        } else if (c == q) inQuotes = false
+        else cur += c
+      } else if (c == q && cur.isEmpty) inQuotes = true
+      else if (line.startsWith(delim, i)) {
+        out += cur.result(); cur.clear(); i += delim.length - 1
+      } else cur += c
+      i += 1
+    }
+    out += cur.result()
+    out.result().map(_.trim)
+  }
 
   def sniffDelimiter(spark: SparkSession, pattern: String): String = {
     val lines = sampleLines(spark, pattern).filter(_.nonEmpty)

@@ -172,28 +172,34 @@ final class DataSet private (
     val full = StructType(outNullable ++ Seq(
       StructField("_g_in", inSchema, nullable = false),
       StructField(RowId, LongType, nullable = false),
+      StructField(SubId, LongType, nullable = false),
       StructField(ErrCls, StringType, nullable = true),
       StructField(ErrMsg, StringType, nullable = true)))
     val enc = org.apache.spark.sql.Encoders.row(full)
     def run(g: Row => Row, src: DataFrame): (DataFrame, DataFrame) = {
-      val pre = src.select(struct(inCols.map(col): _*).as("_g_in"), col(RowId))
+      // carry an upstream flatMap's per-expansion sub-id through (0 when
+      // absent) so a map after a flatMap keeps intra-expansion order
+      val withSub = if (src.columns.contains(SubId)) src
+        else src.withColumn(SubId, lit(0L))
+      val pre = withSub.select(struct(inCols.map(col): _*).as("_g_in"),
+        col(RowId), col(SubId))
       val mapped = pre.mapPartitions { it =>
         it.map { r =>
-          val in = r.getStruct(0); val id = r.getLong(1)
+          val in = r.getStruct(0); val id = r.getLong(1); val sub = r.getLong(2)
           try {
             val o = g(in)
-            Row.fromSeq(o.toSeq ++ Seq(in, id, null, null))
+            Row.fromSeq(o.toSeq ++ Seq(in, id, sub, null, null))
           } catch {
             case e: Throwable =>
               Row.fromSeq(Seq.fill[Any](nOut)(null) ++
-                Seq(in, id, e.getClass.getName, String.valueOf(e.getMessage)))
+                Seq(in, id, sub, e.getClass.getName, String.valueOf(e.getMessage)))
           }
         }
       }(enc)
       val ok = mapped.filter(col(ErrCls).isNull)
-        .select(outSchema.fieldNames.map(col) :+ col(RowId): _*)
+        .select(outSchema.fieldNames.map(col) ++ Seq(col(RowId), col(SubId)): _*)
       val failed = mapped.filter(col(ErrCls).isNotNull)
-        .select(col("_g_in.*") +: Seq(col(RowId), col(ErrCls), col(ErrMsg)): _*)
+        .select(col("_g_in.*") +: Seq(col(RowId), col(SubId), col(ErrCls), col(ErrMsg)): _*)
       (ok, failed)
     }
     val (ok, failed) = run(f, good)
@@ -223,22 +229,29 @@ final class DataSet private (
       StructField(ErrMsg, StringType, nullable = true)))
     val enc = org.apache.spark.sql.Encoders.row(full)
     def run(g: Row => IterableOnce[Row], src: DataFrame): (DataFrame, DataFrame) = {
-      val pre = src.select(struct(inCols.map(col): _*).as("_g_in"), col(RowId))
+      val withSub = if (src.columns.contains(SubId)) src
+        else src.withColumn(SubId, lit(0L))
+      val pre = withSub.select(struct(inCols.map(col): _*).as("_g_in"),
+        col(RowId), col(SubId))
       val mapped = pre.mapPartitions { it =>
         it.flatMap { r =>
-          val in = r.getStruct(0); val id = r.getLong(1)
+          val in = r.getStruct(0); val id = r.getLong(1); val parentSub = r.getLong(2)
           try {
             // materialize inside the try: lazy iterators would throw
             // outside the per-row exception scope. The per-expansion index
             // becomes the secondary sort key — all expanded rows share the
-            // parent's row id, and Spark's sort gives no tie order.
+            // parent's row id, and Spark's sort gives no tie order. A
+            // nested flatMap composes the parent's sub-id lexicographically
+            // (20 bits per level; bounds checked).
             g(in).iterator.toVector.zipWithIndex.map { case (o, sub) =>
-              Row.fromSeq(o.toSeq ++ Seq(in, id, sub.toLong, null, null))
+              require(sub < (1 << 20), s"flatMapRows: > ${1 << 20} expansions per row")
+              require(parentSub < (1L << 42), "flatMapRows: nesting too deep for ordered merge")
+              Row.fromSeq(o.toSeq ++ Seq(in, id, (parentSub << 20) | sub.toLong, null, null))
             }
           } catch {
             case e: Throwable =>
               Seq(Row.fromSeq(Seq.fill[Any](nOut)(null) ++
-                Seq(in, id, 0L, e.getClass.getName, String.valueOf(e.getMessage))))
+                Seq(in, id, parentSub << 20, e.getClass.getName, String.valueOf(e.getMessage))))
           }
         }
       }(enc)
@@ -418,14 +431,10 @@ final class DataSet private (
   /** Rows in original order (merge-in-order semantics). */
   def collect(): Array[Row] = good.orderBy(orderCols: _*).drop(HiddenCols.toSeq: _*).collect()
   def take(n: Int): Array[Row] = good.orderBy(orderCols: _*).drop(HiddenCols.toSeq: _*).take(n)
-  /** Row count. When an error channel exists (CSV source / UDF ops), the
-    * count materializes every column: a zero-column count over a
-    * DROPMALFORMED csv scan would skip cell parsing and count malformed
-    * rows that every other action excludes. */
-  def count(): Long =
-    if (bad.isEmpty) good.count()
-    else toDF.select(count_if(lit(true)).as("n"),
-      first(struct(columns.map(col): _*)).as("_force")).head.getLong(0)
+  /** Row count. The good channel is always a filter over the parsed/
+    * evaluated plan (single-scan csv split, UDF result split), so a plain
+    * count evaluates the parse/UDF and excludes diverted rows. */
+  def count(): Long = good.count()
   def show(n: Int = 20): Unit = toDF.show(n)
 
   // ------------------------------------------------------ sinks (§2.1)
@@ -500,16 +509,19 @@ object DataSet {
   private[api] def fromDataFrameWithParseErrors(
       ctx: Context, df: DataFrame, failed: DataFrame,
       schema: StructType, parseOpts: Map[String, String]): DataSet = {
-    // the corrupt-record column (raw line), when present, becomes the
-    // exception message
+    // both frames arrive CARRYING RowId from one shared id space (two
+    // filters of the same scan) — reassigning here would renumber each
+    // channel independently and break ordered merges. The corrupt-record
+    // column (raw line), when present, becomes the exception message.
+    require(df.columns.contains(RowId) && failed.columns.contains(RowId),
+      "parse-error source frames must share a pre-assigned row id")
     val msg = if (failed.columns.contains("_g_corrupt")) col("_g_corrupt")
       else lit("row did not parse against the inferred schema")
     val failedRows = failed
-      .withColumn(RowId, monotonically_increasing_id())
       .withColumn(ErrCls, lit(ParseErrorClass))
       .withColumn(ErrMsg, msg)
       .drop("_g_corrupt")
-    new DataSet(ctx, df.withColumn(RowId, monotonically_increasing_id()),
+    new DataSet(ctx, df,
       List(BadBatch(0, failedRows, Some(csvParseReapply(schema, parseOpts)))), 0)
   }
 

@@ -243,9 +243,13 @@ object Dedup {
     if (fwd.count() <= smallGraphThreshold) {
       val es = fwd.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = parent.getOrElseUpdate(x, x)
-        if (r != x) { r = find(r); parent(x) = r }
+      // iterative find + path compression: recursion would overflow the
+      // stack on a 200k-long parent chain (adversarial edge order)
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        var x = x0
+        while (parent(x) != r) { val nxt = parent(x); parent(x) = r; x = nxt }
         r
       }
       for ((a, b) <- es) {
@@ -281,6 +285,9 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds - raise " +
+        "maxIter for graphs with component diameter above it")
     edges.unpersist()
     fwd.unpersist()
     labels.withColumnRenamed("label", "component")

@@ -40,7 +40,12 @@ case class FoldAgg[B](
   @transient private lazy val fromCatalyst = enc.resolveAndBind().createDeserializer()
   @transient private lazy val bufferProj = UnsafeProjection.create(enc.schema)
 
-  override def createAggregationBuffer(): B = zero
+  // A fresh buffer per group: handing out the shared `zero` instance would
+  // cross-contaminate groups when the user fold mutates in place (the RDD
+  // formulation this replaced cloned the zero via serialization too).
+  @transient private lazy val zeroBytes: Array[Byte] =
+    bufferProj(toCatalyst(zero)).getBytes
+  override def createAggregationBuffer(): B = deserialize(zeroBytes.clone())
 
   override def update(buffer: B, input: InternalRow): B = {
     val vals = new Array[Any](children.length)

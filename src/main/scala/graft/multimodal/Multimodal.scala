@@ -99,6 +99,8 @@ object Multimodal {
         batch.iterator.map { r =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          // ImageIO signals undecodable bytes with null, not an exception
+          require(img != null, s"payload of id ${r.getLong(0)} is not a decodable image")
           val w = img.getWidth
           val h = img.getHeight
           Row(r.getLong(0), w, h,
@@ -128,6 +130,8 @@ object Multimodal {
           val id = r.getLong(0)
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          // ImageIO signals undecodable bytes with null, not an exception
+          require(img != null, s"payload of id $id is not a decodable image")
           val w = img.getWidth
           val h = img.getHeight
           val sums = new Array[Long](grid * grid)

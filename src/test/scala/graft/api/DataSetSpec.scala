@@ -203,9 +203,11 @@ class DataSetSpec extends AnyFunSuite {
         Row(cells.getString(0).toInt, -1)
       }
     assert(ds.exceptionCounts == Map("java.lang.IllegalArgumentException" -> 1L))
+    // ORDERED merge: the repaired (5,-1) sits at its original position
+    // (both channels share one scan's row-id space)
     val got = ds.ignore(classOf[IllegalArgumentException])
-      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
-    assert(got == Set((1, 2), (3, 4), (5, -1), (7, 8)))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got == Seq((1, 2), (3, 4), (5, -1), (7, 8)))
   }
 
   test("multi-file glob: every file's header line is stripped per file") {
