@@ -30,36 +30,18 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // per-query timeout + job-group cancel: a hanging query must not stall
-    // the whole benchmark (the round is scored on this file existing)
-    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
-    import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
-    import scala.concurrent.duration._
-    // cached daemon pool: a timed-out (zombie) query thread must not starve
-    // later queries the way a fixed-size global pool would
-    implicit val queryEc: ExecutionContext = ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newCachedThreadPool(r => {
-        val t = new Thread(r); t.setDaemon(true); t
-      }))
+    // per-query timeout + job-group cancel (shared harness): a hanging
+    // query must not stall the whole benchmark
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      try {
-        val work = Future {
-          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-          try SparkEntry.queries(name)(spark, sfDir).count()
-          finally spark.sparkContext.clearJobGroup()
-        }
-        Await.result(work, timeoutSec.seconds)
-      } catch {
-        case _: TimeoutException =>
-          spark.sparkContext.cancelJobGroup(name)
-          System.err.println(s"[bench] $name timed out after ${timeoutSec}s")
-          return -1.0
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          return -1.0
+      QueryRunner.timed(spark, name) {
+        SparkEntry.queries(name)(spark, sfDir).count(): Unit
+      } match {
+        case Right(_) => (System.nanoTime() - t0) / 1e9
+        case Left(why) =>
+          System.err.println(s"[bench] $name failed: $why")
+          -1.0
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     names.foreach(once) // warmup pass (discarded)

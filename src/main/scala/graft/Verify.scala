@@ -52,48 +52,26 @@ object Verify {
       Files.writeString(Paths.get(s"$outDir/verify_status.json"), body)
     }
 
-    // Per-query timeout with job-group cancellation: one hanging query must
-    // never stall the rest of the dump (a mid-run kill is how a whole
-    // round's correctness signal goes to zero).
-    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
-    import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
-    import scala.concurrent.duration._
-    // cached daemon pool: a timed-out (zombie) query thread must not starve
-    // later queries the way a fixed-size global pool would
-    implicit val queryEc: ExecutionContext = ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newCachedThreadPool(r => {
-        val t = new Thread(r); t.setDaemon(true); t
-      }))
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // Contract: the result must land at outDir/<name>.parquet. Spark can
       // only write a directory, so write to a scratch dir and move the single
       // coalesced part file to the exact path (readable by any parquet reader,
       // no glob needed).
-      try {
-        val work = Future {
-          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-          try {
-            val tmp = s"$outDir/.tmp_$name"
-            fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
-            val part = new java.io.File(tmp).listFiles()
-              .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-              .getOrElse(sys.error(s"no part file in $tmp"))
-            val dest = Paths.get(s"$outDir/$name.parquet")
-            Files.deleteIfExists(dest)
-            Files.move(part.toPath, dest)
-            new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
-          } finally spark.sparkContext.clearJobGroup()
-        }
-        Await.result(work, timeoutSec.seconds)
-        status(name) = "ok"
-      } catch {
-        case _: TimeoutException =>
-          spark.sparkContext.cancelJobGroup(name)
-          System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
-          status(name) = "timeout"
-        case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          status(name) = s"error: ${e.getMessage}"
+      status(name) = QueryRunner.timed(spark, name) {
+        val tmp = s"$outDir/.tmp_$name"
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file in $tmp"))
+        val dest = Paths.get(s"$outDir/$name.parquet")
+        Files.deleteIfExists(dest)
+        Files.move(part.toPath, dest)
+        new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+      } match {
+        case Right(_) => "ok"
+        case Left(why) =>
+          System.err.println(s"[verify] $name failed: $why")
+          why
       }
       // release per-query persisted frames (LSH signatures, CC labels, …):
       // 78 queries of accumulated cache would otherwise squeeze storage

@@ -183,10 +183,13 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
     // before the split are one consistent space — resolve()'d parse
     // repairs merge back at their true input positions (two independent
     // scans would number good and bad rows separately and interleave them
-    // arbitrarily on collect()). Catalyst's OptimizeCsvJsonExprs prunes
-    // the from_csv schema to accessed fields, keeping projection pushdown.
-    // Limitation (line-based): quoted fields with EMBEDDED NEWLINES are
-    // not supported (the reference's parser is line-based too).
+    // arbitrarily on collect()). Known cost of this ordered-merge design:
+    // from_csv parses EVERY cell of every line (OptimizeCsvJsonExprs only
+    // prunes option-free from_csv calls), where the native csv source
+    // converted only required columns — on very wide CSVs where order and
+    // the error channel don't matter, read through spark.read.csv/parquet
+    // instead. Limitation (line-based): quoted fields with EMBEDDED
+    // NEWLINES are not supported (the reference's parser is line-based too).
     val corruptCol = "_g_corrupt"
     val parseOpts = Map(
       "sep" -> delim, "quote" -> quotechar,
@@ -317,8 +320,10 @@ object CsvSniffer {
           cur += q; i += 1 // escaped quote
         } else if (c == q) inQuotes = false
         else cur += c
-      } else if (c == q && cur.isEmpty) inQuotes = true
-      else if (line.startsWith(delim, i)) {
+      } else if (c == q && cur.toString.trim.isEmpty) {
+        cur.clear() // quote after only leading whitespace opens the field
+        inQuotes = true
+      } else if (line.startsWith(delim, i)) {
         out += cur.result(); cur.clear(); i += delim.length - 1
       } else cur += c
       i += 1

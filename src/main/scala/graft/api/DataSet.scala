@@ -236,29 +236,39 @@ final class DataSet private (
       val mapped = pre.mapPartitions { it =>
         it.flatMap { r =>
           val in = r.getStruct(0); val id = r.getLong(1); val parentSub = r.getLong(2)
-          try {
-            // materialize inside the try: lazy iterators would throw
-            // outside the per-row exception scope. The per-expansion index
-            // becomes the secondary sort key — all expanded rows share the
-            // parent's row id, and Spark's sort gives no tie order. A
-            // nested flatMap composes the parent's sub-id lexicographically
-            // (20 bits per level; bounds checked).
-            g(in).iterator.toVector.zipWithIndex.map { case (o, sub) =>
-              require(sub < (1 << 20), s"flatMapRows: > ${1 << 20} expansions per row")
-              require(parentSub < (1L << 42), "flatMapRows: nesting too deep for ordered merge")
-              Row.fromSeq(o.toSeq ++ Seq(in, id, (parentSub << 20) | sub.toLong, null, null))
-            }
-          } catch {
-            case e: Throwable =>
+          // materialize inside the try: lazy iterators would throw outside
+          // the per-row exception scope. ONLY the user function is tried —
+          // the sort-key bounds checks below must fail loudly, not divert
+          // into the error channel as if the user's UDF threw.
+          val expanded =
+            try Right(g(in).iterator.toVector)
+            catch { case e: Throwable => Left(e) }
+          expanded match {
+            case Right(v) =>
+              // the per-expansion index is the secondary sort key — all
+              // expanded rows share the parent's row id, and Spark's sort
+              // gives no tie order. A nested flatMap composes the parent's
+              // sub-id lexicographically (20 bits per level).
+              require(v.size <= (1 << 20),
+                s"flatMapRows: more than ${1 << 20} expansions for one row")
+              require(parentSub < (1L << 42),
+                "flatMapRows: nesting too deep for ordered merge")
+              v.zipWithIndex.map { case (o, sub) =>
+                Row.fromSeq(o.toSeq ++ Seq(in, id, (parentSub << 20) | sub.toLong, null, null))
+              }
+            case Left(e) =>
+              // failed rows keep the PARENT's sub-id unshifted: on resolve
+              // the reapply uses it as parentSub again, so repaired
+              // expansions slot in exactly where the original would have
               Seq(Row.fromSeq(Seq.fill[Any](nOut)(null) ++
-                Seq(in, id, parentSub << 20, e.getClass.getName, String.valueOf(e.getMessage))))
+                Seq(in, id, parentSub, e.getClass.getName, String.valueOf(e.getMessage))))
           }
         }
       }(enc)
       val ok = mapped.filter(col(ErrCls).isNull)
         .select(outSchema.fieldNames.map(col) ++ Seq(col(RowId), col(SubId)): _*)
       val failed = mapped.filter(col(ErrCls).isNotNull)
-        .select(col("_g_in.*") +: Seq(col(RowId), col(ErrCls), col(ErrMsg)): _*)
+        .select(col("_g_in.*") +: Seq(col(RowId), col(SubId), col(ErrCls), col(ErrMsg)): _*)
       (ok, failed)
     }
     val (ok, failed) = run(f, good)

@@ -271,7 +271,9 @@ object Dedup {
     var prevSum = BigDecimal(-1) // BigDecimal: id sums can exceed Long at 1e10+ ids
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
+    // maxIter + 1: a graph converging exactly at round maxIter still needs
+    // one confirming round for the sum invariant to observe the fixpoint
+    while (!converged && iter < maxIter + 1) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "u"), "u")
         .groupBy(col("v").as("id")).agg(min(col("label")).as("nmin"))
@@ -285,11 +287,14 @@ object Dedup {
       labels = next
       iter += 1
     }
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds - raise " +
-        "maxIter for graphs with component diameter above it")
     edges.unpersist()
     fwd.unpersist()
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds - raise " +
+          "maxIter for graphs with component diameter above it")
+    }
     labels.withColumnRenamed("label", "component")
   }
 

@@ -43,8 +43,11 @@ case class FoldAgg[B](
   // A fresh buffer per group: handing out the shared `zero` instance would
   // cross-contaminate groups when the user fold mutates in place (the RDD
   // formulation this replaced cloned the zero via serialization too).
+  // clone() at init: for all-fixed-width schemas UnsafeRow.getBytes returns
+  // the projection's REUSED backing array, which the next serialize() call
+  // overwrites in place — caching the alias would corrupt the zero.
   @transient private lazy val zeroBytes: Array[Byte] =
-    bufferProj(toCatalyst(zero)).getBytes
+    bufferProj(toCatalyst(zero)).getBytes.clone()
   override def createAggregationBuffer(): B = deserialize(zeroBytes.clone())
 
   override def update(buffer: B, input: InternalRow): B = {
@@ -59,7 +62,7 @@ case class FoldAgg[B](
   override def eval(buffer: B): Any = toCatalyst(buffer).copy()
 
   override def serialize(buffer: B): Array[Byte] =
-    bufferProj(toCatalyst(buffer)).getBytes
+    bufferProj(toCatalyst(buffer)).getBytes.clone() // detach from reused buffer
 
   override def deserialize(bytes: Array[Byte]): B = {
     val row = new UnsafeRow(enc.schema.length)
