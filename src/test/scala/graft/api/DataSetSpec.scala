@@ -302,6 +302,25 @@ class DataSetSpec extends AnyFunSuite {
     assert(ctx.csv(s"$dir/out/chunk_*.csv").count() == 10)
   }
 
+  test("nested flatMapRows keeps lexicographic expansion order; resolve slots in place") {
+    import spark.implicits._
+    val out = StructType(Seq(StructField("y", IntegerType)))
+    // row 10 → (10,20); each → (v, v+1); second level throws on v == 20
+    val ds = ctx.parallelize(Seq(10), Seq("x"))
+      .flatMapRows(out)(r => Seq(Row(r.getInt(0)), Row(r.getInt(0) * 2)))
+      .flatMapRows(out) { r =>
+        val v = r.getInt(0)
+        if (v == 20) throw new IllegalStateException("boom")
+        Seq(Row(v), Row(v + 1))
+      }
+    assert(ds.collect().map(_.getInt(0)).toSeq == Seq(10, 11))
+    // the repaired expansion of the SECOND parent lands after the first's
+    // flatMap resolvers re-expand: Row => IterableOnce[Row]
+    val fixed = ds.resolve[Row, IterableOnce[Row]](classOf[IllegalStateException])(
+      (r: Row) => Seq(Row(-r.getInt(0))))
+    assert(fixed.collect().map(_.getInt(0)).toSeq == Seq(10, 11, -20))
+  }
+
   test("flatMapRows expands rows and captures per-row errors") {
     import spark.implicits._
     val out = StructType(Seq(StructField("y", IntegerType)))
