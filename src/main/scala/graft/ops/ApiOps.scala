@@ -141,6 +141,59 @@ object ApiOps {
         .toDF
     },
 
+    // ---- golden flights-shaped pipeline (FullPipelines.cc:48-110 tier):
+    //      the reference's flight pipeline joins the SAME airport dim for
+    //      origin and destination plus a carrier dim with a left join and
+    //      resolver; here: lineitem → orders → customer → nation (customer
+    //      side) → supplier → nation again (supplier side, LEFT join) →
+    //      UDF revenue with resolver → grouped fold by the two nations —
+    //      the TPC-H Q7 volume-shipping shape through the graft api. ------
+    Q("q_flights_golden",
+      s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+         |  count(*) AS n,
+         |  ${Tables.oSum("CASE WHEN l_orderkey % 5 = 0 THEN 0.0 " +
+              "ELSE l_extendedprice * (1 - l_discount) END")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |LEFT JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val ctx = new Context(s)
+      import s.implicits._
+      ctx.fromDataFrame(Tables(s, d, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"))
+        .join(ctx.fromDataFrame(Tables(s, d, "orders")
+          .select("o_orderkey", "o_custkey")), "l_orderkey", "o_orderkey")
+        .join(ctx.fromDataFrame(Tables(s, d, "customer")
+          .select("c_custkey", "c_nationkey")), "o_custkey", "c_custkey")
+        .join(ctx.fromDataFrame(Tables(s, d, "nation")
+          .select("n_nationkey", "n_name")), "c_nationkey", "n_nationkey")
+        .renameColumn("n_name", "cust_nation")
+        .join(ctx.fromDataFrame(Tables(s, d, "supplier")
+          .select("s_suppkey", "s_nationkey")), "l_suppkey", "s_suppkey")
+        .leftJoin(ctx.fromDataFrame(Tables(s, d, "nation")
+          .select("n_nationkey", "n_name")), "s_nationkey", "n_nationkey")
+        .renameColumn("n_name", "supp_nation")
+        .withColumnUdf2[Double, Double, Double]("revenue",
+          col("l_extendedprice"), col("l_discount"))((p, disc) => p * (1 - disc))
+        .mapColumnUdf[Long, Long]("l_orderkey") { k =>
+          if (k % 5 == 0) throw new ArithmeticException("promo order") else k
+        }
+        .resolve[Long, Long](classOf[ArithmeticException])(identity)
+        .withColumn("revenue",
+          when(col("l_orderkey") % 5 === 0, 0.0).otherwise(col("revenue")))
+        .aggregateByKey[(Long, Long)](Seq("cust_nation", "supp_nation"), (0L, 0L))(
+          (b, r) => (b._1 + 1,
+            b._2 + math.floor(r.getAs[Double]("revenue") * 10000d + 0.5d).toLong),
+          (x, y) => (x._1 + y._1, x._2 + y._2))
+        .withColumn("revenue", col("_2") / 10000.0)
+        .renameColumn("_1", "n")
+        .selectColumns(Seq("cust_nation", "supp_nation", "n", "revenue"))
+        .toDF
+    },
+
     // ---- golden end-to-end pipeline (SURVEY §5 tier "golden pipelines",
     //      test/core/FullPipelines.cc shape): source → filter → join →
     //      UDF column map with thrown exceptions → resolver → second join
