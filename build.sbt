@@ -18,6 +18,12 @@ run / fork := true
 // the tail). StdoutOutput passes the child's stdout/stderr through verbatim.
 outputStrategy := Some(StdoutOutput)
 run / outputStrategy := Some(StdoutOutput)
+// Round-2 lesson: sbt's "[success] Total time…" epilogue printed AFTER the
+// bench/verify JSON meant the JSON was not the last stdout line and the
+// driver recorded parsed=null. Suppress it so the app's final println IS
+// the final stdout line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // lint false-positive for Global scope
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

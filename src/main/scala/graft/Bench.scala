@@ -10,10 +10,15 @@ import java.nio.file.{Files, Paths}
   * GC/JIT jitter on a 32-thread local JVM otherwise dominates sub-second
   * queries).
   *
-  * Output contract: the JSON result is (a) written to bench.json in the
-  * working directory and (b) printed as the FINAL stdout line, bare — no
-  * logger prefix (build.sbt sets StdoutOutput; log4j2.properties keeps
-  * Spark on stderr) — because the driver json-parses captured output. */
+  * Output contract (round-2 lesson: BENCH_r02.json parsed=null because the
+  * stdout line embedding all 79 per-query timings was ~2.1 KB — larger than
+  * the driver's 2000-char stdout tail capture — and sbt printed "[success]
+  * Total time…" after it): the FULL per-query map is written to bench.json
+  * in the working directory; stdout gets ONE COMPACT line (metric/value/
+  * unit/sf + a dozen headline query timings, ~450 chars, well inside the
+  * tail window), bare — no logger prefix (build.sbt sets StdoutOutput and
+  * showSuccess:=false; log4j2.properties keeps Spark on stderr) — because
+  * the driver json-parses the LAST line of captured stdout. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,15 +61,33 @@ object Bench {
       n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
 
+    // locale-proof fixed-point formatting (Double.toString never emits a
+    // comma decimal separator, unlike f"" under non-ROOT default locales)
+    def f3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench.json"), json + "\n")
+    Files.writeString(Paths.get("bench.json"), full + "\n")
+    // Compact stdout line: BASELINE.md's headline workloads only (TPC-H
+    // Q1/Q6/Q19, the three golden pipelines, dedup/ANN/stream/csv). MUST
+    // stay well under the driver's 2000-char tail; the full map is in
+    // bench.json.
+    val headline = Seq(
+      "q1_agg", "q6_filter_agg", "q19_join_filter", "q_pipeline_golden",
+      "q_zillow_golden", "q_flights_golden", "q_dedup_minhash",
+      "q_dedup_ngram", "q_dedup_embed_lsh", "q_ann_bruteforce",
+      "q_stream_window", "q_csv_roundtrip")
+    val rmap = results.toMap
+    val hqs = headline.filter(rmap.contains)
+      .map(k => "\"" + k + "\":" + f3(rmap(k))).mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$hqs,"sf":"$sfDir"}"""
     spark.stop()
-    // Last line of stdout, after spark.stop() so nothing interleaves.
-    println(json)
+    // Last line of stdout, after spark.stop() so nothing interleaves
+    // (build.sbt showSuccess:=false keeps sbt from printing after us).
+    println(line)
     System.out.flush()
   }
 }
