@@ -430,9 +430,24 @@ final class DataSet private (
   def intersect(other: DataSet): DataSet = next(reid(toDF.intersect(other.toDF)))
   def except(other: DataSet): DataSet = next(reid(toDF.except(other.toDF)))
 
-  /** flatMap/explode superset (absent in the reference, SURVEY §2.9). */
-  def explodeColumn(name: String, out: String): DataSet =
-    next(good.withColumn(out, explode(col(name))))
+  /** flatMap/explode superset (absent in the reference, SURVEY §2.9).
+    * posexplode, not explode: all exploded rows share the parent's RowId,
+    * so the element position must fold into the SubId (same 20-bits-per-
+    * level composition as [[flatMapRows]]) or collect()'s ordered merge
+    * would be nondeterministic across one parent's expansions. */
+  def explodeColumn(name: String, out: String): DataSet = {
+    val src = if (good.columns.contains(SubId)) good
+      else good.withColumn(SubId, lit(0L))
+    val pos = "_g_pos"
+    val exploded = src
+      .select(col("*"), posexplode(col(name)).as(Seq(pos, out)))
+      .withColumn(SubId,
+        when(col(pos) < (1 << 20), shiftleft(col(SubId), 20) + col(pos))
+          .otherwise(raise_error(
+            lit(s"explodeColumn: more than ${1 << 20} elements in one row"))))
+      .drop(pos)
+    next(exploded)
+  }
 
   def cache(): DataSet = { good.persist(); this }
 

@@ -268,7 +268,10 @@ object Dedup {
     // convergence via the label-sum invariant: labels only ever decrease,
     // so an unchanged sum ⟺ a fixpoint — one cheap aggregate per round
     // instead of a change-detection join
-    var prevSum = BigDecimal(-1) // BigDecimal: id sums can exceed Long at 1e10+ ids
+    // id sums can exceed Long at 1e10+ ids, so the overflow guard must live
+    // INSIDE the aggregate: sum over decimal(38,0), not a driver-side
+    // BigDecimal wrap of an already-overflowed sum(Long)
+    var prevSum: java.math.BigDecimal = java.math.BigDecimal.valueOf(-1)
     var iter = 0
     var converged = false
     // maxIter + 1: a graph converging exactly at round maxIter still needs
@@ -280,8 +283,9 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), col("nmin")).as("label"))
         .persist()
-      val s = BigDecimal(next.agg(sum(col("label"))).head.getLong(0))
-      converged = s == prevSum
+      val s = next.agg(sum(col("label").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels.unpersist()
       labels = next

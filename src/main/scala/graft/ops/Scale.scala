@@ -71,10 +71,14 @@ object Scale {
       rightStart: String, rightEnd: String, width: Long): DataFrame = {
     require(width > 0, s"bucket width must be > 0, got $width")
     val b = "_g_bkt"
-    val rb = right.withColumn(b, explode(sequence(
-      floor(col(rightStart) / width).cast("long"),
-      floor(col(rightEnd) / width).cast("long"))))
-    val lb = left.withColumn(b, floor(col(leftTs) / width).cast("long"))
+    // Integral `div`, not floor(col/width): `/` promotes to double, and
+    // beyond 2^53 (epoch NANOSECONDS — this repo's events table) the
+    // rounding can bucket a point and its containing interval differently,
+    // silently dropping true matches. Inputs are non-negative (doc'd), so
+    // truncating div == floor div.
+    def bkt(c: String) = expr(s"cast(`$c` as long) div $width")
+    val rb = right.withColumn(b, explode(sequence(bkt(rightStart), bkt(rightEnd))))
+    val lb = left.withColumn(b, bkt(leftTs))
     lb.join(rb, b)
       .filter(col(leftTs) >= col(rightStart) && col(leftTs) <= col(rightEnd))
       .drop(b)

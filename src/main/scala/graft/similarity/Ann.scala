@@ -112,7 +112,14 @@ object Ann {
       .join(c, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_vec"), col("c_vec")).as("cos"))
-    rankTopK(scored, k)
+    // c's persist must not outlive this call (repeated library calls would
+    // accumulate corpus-sized cached partitions): materialize the result —
+    // bounded at k rows per query — then release the corpus. The returned
+    // frame stays persisted; callers may unpersist it when done.
+    val out = rankTopK(scored, k).persist()
+    out.count()
+    c.unpersist()
+    out
   }
 
   /** Recall gate for an approximate top-k result: per query, does `approx`
