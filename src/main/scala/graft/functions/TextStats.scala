@@ -51,6 +51,30 @@ object TextKernel {
     new GenericInternalRow(Array[Any](toks.length, uniq.size, chars, subwords))
   }
 
+  /** Word n-gram repetition profile in one pass: (n_ngrams, n_uniq_ngrams,
+    * top_count) — the Gopher-style duplicate-n-gram quality signals
+    * (Rae et al. 2021 §A1.1: "fraction of duplicate n-grams"). Exact gram
+    * STRINGS in a per-row hash map (bounded by document token count), not
+    * hashes, so the result matches a string-based oracle bit-for-bit. */
+  def ngramRepetition(text: UTF8String, n: Int): InternalRow = {
+    val toks = tokensOf(text)
+    val total = toks.length - n + 1
+    if (total <= 0) return new GenericInternalRow(Array[Any](0, 0, 0))
+    val counts = new java.util.HashMap[String, Integer]()
+    var top = 0
+    var i = 0
+    val sb = new java.lang.StringBuilder()
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](total, counts.size, top))
+  }
+
   /** Number of token occurrences contained in `words` (duplicates count —
     * same as `size(filter(tokens, _ isin words))`). */
   def wordListHits(text: UTF8String, words: java.util.HashSet[String]): Int = {
@@ -88,6 +112,33 @@ case class TokenStats(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.tokenStats($c)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+}
+
+/** `ngram_repetition(text, n)` → struct(n_ngrams, n_uniq_ngrams,
+  * top_count), all int — word n-gram duplication signals for quality
+  * filtering. */
+case class NgramRepetition(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_repetition requires string, got $other")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ngrams", IntegerType, nullable = false),
+    StructField("n_uniq_ngrams", IntegerType, nullable = false),
+    StructField("top_count", IntegerType, nullable = false)))
+  override def prettyName: String = "ngram_repetition"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernel.ngramRepetition(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.ngramRepetition($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramRepetition =
     copy(child = newChild)
 }
 

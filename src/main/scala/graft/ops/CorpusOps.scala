@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Corpus
+import graft.text.Corpus._
+
+/** Corpus-curation registry queries: repetition-based quality signals,
+  * PII redaction, deterministic split/mix, and benchmark decontamination
+  * — each with a DuckDB oracle built from the SAME constants (regexes,
+  * hash-bucket boundaries) as the Spark path. */
+object CorpusOps {
+
+  private val oToks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  // md5-bucket expression, DuckDB side; must mirror Corpus.bucket exactly
+  private def oBucket(id: String, salt: String) =
+    s"substr(md5(CAST($id AS VARCHAR) || '$salt'), 1, 2)"
+
+  /** Train/val/test fractions shared by the Spark query and its oracle. */
+  private val Splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Per-source keep rates for the mixing query: curated sources kept
+    * whole, mid tiers sampled, the crawl tail heavily downsampled. */
+  private val MixRates: Seq[(String, Double)] =
+    (0 until 20).map(i => s"src$i" -> (if (i < 4) 1.0 else if (i < 12) 0.5 else 0.125))
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Gopher-style repetition quality signals --------------------------
+    // Duplicate-bigram and top-bigram fractions derive from these integer
+    // counts; documents dominated by few repeated n-grams are boilerplate.
+    Q("q_quality_repetition",
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |b AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+         |      FROM t WHERE len(toks) >= 2),
+         |g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg FROM b),
+         |c AS (SELECT doc_id, bg, count(*) AS n FROM g GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+         |        CAST(count(*) AS BIGINT) AS n_uniq_bigrams,
+         |        CAST(max(n) AS BIGINT) AS top_count
+         |      FROM c GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(a.n_uniq_bigrams, 0) AS n_uniq_bigrams,
+         |  coalesce(a.top_count, 0) AS top_count
+         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), repetitionStats(col("text"), 2).as("r"))
+        .select(col("doc_id"),
+          col("r.n_ngrams").cast("long").as("n_bigrams"),
+          col("r.n_uniq_ngrams").cast("long").as("n_uniq_bigrams"),
+          col("r.top_count").cast("long").as("top_count"))
+    },
+
+    // ---- PII redaction ----------------------------------------------------
+    // The synthetic corpus carries no PII, so both sides inject a
+    // deterministic email+phone suffix into every third document, then
+    // scrub; counts are over the pre-scrub text.
+    Q("q_pii_scrub",
+      s"""WITH x AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |           '@example.com or 555-867-5309'
+         |      ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g') AS clean,
+         |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones
+         |FROM x""".stripMargin) { (s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("t", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 555-867-5309"))).otherwise(col("text")))
+        .select(col("doc_id"), scrubPii(col("t")).as("p"))
+        .select(col("doc_id"), col("p.clean").as("clean"),
+          col("p.n_emails").cast("long").as("n_emails"),
+          col("p.n_phones").cast("long").as("n_phones"))
+    },
+
+    // ---- deterministic train/val/test assignment --------------------------
+    // Same md5-bucket arithmetic on both sides; the assignment is stable
+    // under corpus growth (a doc's split never changes as others arrive).
+    Q("q_split_assign", {
+      val cases = Corpus.splitBounds(Splits)
+        .map { case (l, hx) => s"WHEN ${oBucket("doc_id", "")} < '$hx' THEN '$l'" }
+        .mkString(" ")
+      s"""SELECT doc_id, source,
+         |  CASE $cases ELSE '${Splits.last._1}' END AS split
+         |FROM documents""".stripMargin
+    }) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          splitAssign(col("doc_id"), Splits).as("split"))
+    },
+
+    // ---- weighted source mixing -------------------------------------------
+    Q("q_mix_sources", {
+      val keep = MixRates.map { case (src, rate) =>
+        if (rate >= 1.0) s"source = '$src'"
+        else s"(source = '$src' AND ${oBucket("doc_id", "mix")} < '${Corpus.hexBound(rate)}')"
+      }.mkString(" OR ")
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+         |FROM documents WHERE $keep GROUP BY source""".stripMargin
+    }) { (s, d) =>
+      Corpus.mixSources(Tables(s, d, "documents"), "source", "doc_id", MixRates)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    },
+
+    // ---- benchmark decontamination ----------------------------------------
+    // Held-out "benchmark" = every 97th document; a corpus doc is
+    // contaminated when it shares any word 5-gram with the benchmark set.
+    // Spark counts distinct 64-bit gram hashes, the oracle distinct gram
+    // strings — equal barring astronomically unlikely collisions.
+    Q("q_decontaminate",
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i, toks
+         |      FROM t),
+         |grams AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram FROM g),
+         |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+         |hits AS (SELECT g2.doc_id, CAST(count(DISTINCT g2.gram) AS BIGINT) AS n_shared
+         |         FROM grams g2 JOIN bench USING (gram) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+         |  h.doc_id IS NOT NULL AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin) { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      Corpus.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5)
+    }
+  )
+}
