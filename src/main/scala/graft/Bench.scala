@@ -76,9 +76,9 @@ object Bench {
     // bench.json.
     val headline = Seq(
       "q1_agg", "q6_filter_agg", "q19_join_filter", "q_pipeline_golden",
-      "q_zillow_golden", "q_flights_golden", "q_dedup_minhash",
-      "q_dedup_ngram", "q_dedup_embed_lsh", "q_ann_bruteforce",
-      "q_stream_window", "q_csv_roundtrip")
+      "q_zillow_golden", "q_flights_golden", "q_corpus_golden",
+      "q_dedup_minhash", "q_dedup_ngram", "q_dedup_embed_lsh",
+      "q_ann_bruteforce", "q_stream_window", "q_csv_roundtrip")
     val rmap = results.toMap
     val hqs = headline.filter(rmap.contains)
       .map(k => "\"" + k + "\":" + f3(rmap(k))).mkString("{", ",", "}")

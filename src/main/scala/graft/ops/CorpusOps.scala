@@ -1,9 +1,11 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.Corpus
 import graft.text.Corpus._
+import graft.text.TextFunctions.{langId, tokenCount, uniqTokenCount, LangWordlists}
 
 /** Corpus-curation registry queries: repetition-based quality signals,
   * PII redaction, deterministic split/mix, and benchmark decontamination
@@ -12,6 +14,9 @@ import graft.text.Corpus._
 object CorpusOps {
 
   private val oToks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  private def inList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
 
   // md5-bucket expression, DuckDB side; must mirror Corpus.bucket exactly
   private def oBucket(id: String, salt: String) =
@@ -127,6 +132,78 @@ object CorpusOps {
       val docs = Tables(s, d, "documents")
       Corpus.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 5)
+    },
+
+    // ---- GOLDEN corpus-curation pipeline ----------------------------------
+    // The full selection cascade a pretraining corpus goes through, as ONE
+    // query: language-ID plausibility → token-count band → lexical-
+    // diversity and repetition (Gopher) filters → exact dedup (keep min
+    // id) → benchmark decontamination → deterministic split assignment →
+    // per-(split, source) corpus stats. All thresholds are integer
+    // cross-multiplications, so the oracle compare is exact.
+    Q("q_corpus_golden", {
+      val hits = LangWordlists.map { case (l, ws) =>
+        s"len(list_filter(toks, t -> t IN ${inList(ws)})) AS hits_$l"
+      }.mkString(", ")
+      val langs = LangWordlists.map(_._1)
+      val m = s"greatest(${langs.map("hits_" + _).mkString(", ")})"
+      val firstMax = langs.map(l => s"WHEN hits_$l = $m THEN '$l'").mkString(" ")
+      val splitCases = Corpus.splitBounds(Splits)
+        .map { case (l, hx) => s"WHEN ${oBucket("doc_id", "")} < '$hx' THEN '$l'" }
+        .mkString(" ")
+      s"""WITH t AS (SELECT doc_id, source, lang, text, $oToks AS toks FROM documents),
+         |lp AS (SELECT doc_id, CASE WHEN $m = 0 THEN 'und' $firstMax END AS lang_pred
+         |       FROM (SELECT doc_id, $hits FROM t)),
+         |b AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+         |      FROM t WHERE len(toks) >= 2),
+         |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g FROM b),
+         |bc AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY 1, 2),
+         |rep AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+         |        CAST(max(n) AS BIGINT) AS top_count FROM bc GROUP BY 1),
+         |q AS (SELECT t.doc_id, t.source, t.text, len(t.toks) AS n_tokens
+         |      FROM t JOIN lp USING (doc_id) LEFT JOIN rep USING (doc_id)
+         |      WHERE lp.lang_pred = t.lang
+         |        AND len(t.toks) BETWEEN 20 AND 1000
+         |        AND len(list_distinct(t.toks)) * 10 >= len(t.toks) * 3
+         |        AND coalesce(rep.top_count, 0) * 5 <= coalesce(rep.n_bigrams, 0)),
+         |dd AS (SELECT *, row_number() OVER (
+         |         PARTITION BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+         |         ORDER BY doc_id) AS rn FROM q),
+         |g5 AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i, toks FROM t),
+         |grams AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram FROM g5),
+         |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+         |contam AS (SELECT DISTINCT g2.doc_id FROM grams g2 JOIN bench USING (gram)),
+         |kept AS (SELECT dd.doc_id, dd.source, dd.n_tokens FROM dd
+         |         WHERE dd.rn = 1 AND dd.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |asn AS (SELECT source, CASE $splitCases ELSE '${Splits.last._1}' END AS split,
+         |        n_tokens FROM kept)
+         |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+         |FROM asn GROUP BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val stats = docs.select(col("doc_id"), col("source"), col("lang"), col("text"),
+        tokenCount(col("text")).as("n_tokens"),
+        uniqTokenCount(col("text")).as("n_uniq"),
+        repetitionStats(col("text"), 2).as("rep"),
+        langId(col("text")).as("lang_pred"))
+      val q = stats.filter(col("lang_pred") === col("lang") &&
+        col("n_tokens").between(20, 1000) &&
+        col("n_uniq") * 10 >= col("n_tokens") * 3 &&
+        col("rep.top_count") * 5 <= col("rep.n_ngrams"))
+      val w = Window
+        .partitionBy(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+        .orderBy("doc_id")
+      val dd = q.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val clean = Corpus.decontaminate(dd.select("doc_id", "text"),
+          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 5)
+        .filter(!col("contaminated")).select("doc_id")
+      dd.join(clean, "doc_id")
+        .select(Corpus.splitAssign(col("doc_id"), Splits).as("split"),
+          col("source"), col("n_tokens"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("n_tokens_total"))
     }
   )
 }
