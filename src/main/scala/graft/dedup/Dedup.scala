@@ -163,6 +163,35 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental near-dup: match a DELTA batch against an existing corpus
+    * without re-pairing the corpus with itself — the shape a production
+    * pipeline runs per ingest. At 100 TB the corpus's banded buckets and
+    * shingle sets are computed ONCE and persisted (bucketed by bucket id),
+    * so a daily delta only shingles itself and probes matching buckets;
+    * this method recomputes the corpus side for self-containment, but the
+    * join shape — delta bands × corpus bands on (band, bucket), then
+    * exact-Jaccard confirm — is identical. No delta-delta or corpus-corpus
+    * pairs are produced. Output: (delta_id, corpus_id, jaccard). */
+  def nearDupDelta(delta: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double, k: Int = 3, numHashes: Int = 32,
+      bands: Int = 16): DataFrame = {
+    val dd = shingledDocs(delta, idCol, textCol, k, numHashes)
+    val cd = shingledDocs(corpus, idCol, textCol, k, numHashes)
+    val db = bandBuckets(dd, numHashes, bands).toDF("delta_id", "_band_a", "_bucket_a")
+    val cb = bandBuckets(cd, numHashes, bands).toDF("corpus_id", "_band_b", "_bucket_b")
+    val cands = db.join(cb,
+        col("_band_a") === col("_band_b") && col("_bucket_a") === col("_bucket_b"))
+      .select("delta_id", "corpus_id").distinct()
+    cands
+      .join(dd.select(col("_id").as("delta_id"), col("_sh").as("_sh_a")), "delta_id")
+      .join(cd.select(col("_id").as("corpus_id"), col("_sh").as("_sh_b")), "corpus_id")
+      .withColumn("_inter", sortedIntersectCount(col("_sh_a"), col("_sh_b")))
+      .withColumn("jaccard", col("_inter").cast("double") /
+        (size(col("_sh_a")) + size(col("_sh_b")) - col("_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("delta_id", "corpus_id", "jaccard")
+  }
+
   /** Embedding-cosine near-dup, exact: all pairs (idA < idB) with
     * cosine ≥ `threshold`. O(n²) pair scoring — the ground-truth variant;
     * use [[nearDupEmbeddingLsh]] as the scale path. Output:

@@ -107,6 +107,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(!by.contains("src2"))                     // unlisted: dropped
   }
 
+  test("nearDupDelta pairs delta docs with corpus near-dups only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "completely different content about spark query engines and formats"),
+      (2L, "another unrelated corpus document with its own words entirely")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 0
+      (101L, "fresh novel text that matches nothing in the standing corpus set"),
+      (102L, "fresh novel text that matches nothing in the standing corpus set")  // dup of 101 — must NOT pair
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.nearDupDelta(delta, corpus, "doc_id", "text",
+        threshold = 0.7, k = 3, numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == Set((100L, 0L)), s"got ${got.toSet}")
+  }
+
   test("decontaminate flags exactly the documents sharing an n-gram with the bench set") {
     import spark.implicits._
     val docs = Seq(
