@@ -72,4 +72,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("token_stats") && p.contains("word_list_hits"))
     assert(!p.contains("lambdafunction"), "interpreted HOF in text hot path")
   }
+
+  test("split/mix assignment is a pure map: no exchange anywhere") {
+    val p = planOf("q_split_assign")
+    assert(!p.contains("Exchange"), "deterministic split must not shuffle")
+    // mix is filter→aggregate: exactly ONE exchange (the groupBy), the
+    // sampling filter itself adds none
+    val p2 = SparkEntry.queries("q_mix_sources")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(p2).size == 1,
+      s"mix should shuffle once (final agg only):\n${p2.take(2000)}")
+  }
+
+  test("decontamination broadcasts the benchmark grams, never shuffles the corpus join") {
+    val p = planOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("shingle_hashes"), "gram hashing not native")
+    assert(!p.contains("lambdafunction"), "interpreted HOF in gram path")
+  }
+
+  test("repetition stats run as one native kernel call") {
+    val p = planOf("q_quality_repetition")
+    assert(p.contains("ngram_repetition"), p.take(2000))
+    assert(!p.contains("lambdafunction"), "interpreted HOF in repetition path")
+    assert(!p.contains("Exchange"), "per-doc stats must not shuffle")
+  }
 }
