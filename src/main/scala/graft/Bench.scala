@@ -34,7 +34,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run — an iteration aid; the
+    // driver never sets it, so official runs always measure everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // per-query timeout + job-group cancel (shared harness): a hanging
     // query must not stall the whole benchmark
     def once(name: String): Double = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.text.Corpus
 import graft.text.Corpus._
-import graft.text.TextFunctions.{langId, tokenCount, uniqTokenCount, LangWordlists}
+import graft.text.TextFunctions.{langId, LangWordlists}
 
 /** Corpus-curation registry queries: repetition-based quality signals,
   * PII redaction, deterministic split/mix, and benchmark decontamination
@@ -205,12 +205,18 @@ object CorpusOps {
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
          |FROM asn GROUP BY 1, 2""".stripMargin
     }) { (s, d) =>
-      val docs = Tables(s, d, "documents")
+      // documents.parquet at test SFs is ONE file → one scan partition;
+      // the tokenize/langID/repetition cascade is CPU-bound per row, so
+      // under-splitting serializes it on a single core (no-op at scale)
+      val docs = Par.ensureMin(Tables(s, d, "documents"))
+      // token count + distinct count from ONE native pass (TokenStats)
+      // instead of two split()+array_distinct() evaluations per row
       val stats = docs.select(col("doc_id"), col("source"), col("lang"), col("text"),
-        tokenCount(col("text")).as("n_tokens"),
-        uniqTokenCount(col("text")).as("n_uniq"),
+        graft.text.TextFunctions.tokenStats(col("text")).as("ts"),
         repetitionStats(col("text"), 2).as("rep"),
         langId(col("text")).as("lang_pred"))
+        .withColumn("n_tokens", col("ts.n_tokens"))
+        .withColumn("n_uniq", col("ts.n_uniq_tokens"))
       val q = stats.filter(col("lang_pred") === col("lang") &&
         col("n_tokens").between(20, 1000) &&
         col("n_uniq") * 10 >= col("n_tokens") * 3 &&
