@@ -73,7 +73,9 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench.json"), full + "\n")
+    // filtered iteration runs must not clobber the official artifact
+    val benchFile = if (only.isDefined) "bench_partial.json" else "bench.json"
+    Files.writeString(Paths.get(benchFile), full + "\n")
     // Compact stdout line: BASELINE.md's headline workloads only (TPC-H
     // Q1/Q6/Q19, the three golden pipelines, dedup/ANN/stream/csv). MUST
     // stay well under the driver's 2000-char tail; the full map is in

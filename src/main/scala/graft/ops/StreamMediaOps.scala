@@ -61,6 +61,27 @@ object StreamMediaOps {
           "total" -> Tables.dsum(col("value"))))
         .select(to_date(col("window.start")).as("day"), col("event_type"),
           col("n"), col("total"))
+    },
+
+    // ---- streaming dedup under at-least-once redelivery -------------------
+    // The source replays the whole events file twice (the redelivery
+    // case); watermarked dropDuplicates on (event_id, ts) must collapse
+    // the replay exactly back to the batch table.
+    Q("q_stream_dedup",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      Streams.dedupStream(s, d, keyCols = Seq("event_id"), replays = 2)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+    },
+
+    // ---- stateful per-user counts (flatMapGroupsWithState, Append) --------
+    // Custom bounded state: each user's count emits exactly once when the
+    // watermark passes their last event, then the state drops. Must equal
+    // the batch group-by.
+    Q("q_stream_user_counts",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+      Streams.userEventCounts(s, d)
     }
   )
 }

@@ -40,11 +40,15 @@ object Streams {
 
   /** Stage the events file plus the sentinel row into a fresh watch
     * directory and return the bounded file-source stream over it, with
-    * `ts` rebuilt as a proper timestamp. */
-  private def stagedEventStream(spark: SparkSession, dir: String): DataFrame = {
+    * `ts` rebuilt as a proper timestamp. `replays` > 1 stages the file
+    * that many times — the at-least-once redelivery simulation the
+    * streaming dedup query de-duplicates. */
+  private def stagedEventStream(spark: SparkSession, dir: String,
+      replays: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val watch = Files.createTempDirectory("graft_stream_in")
-    Files.copy(Paths.get(s"$dir/events.parquet"), watch.resolve("events.parquet"))
+    (1 to replays).foreach(r =>
+      Files.copy(Paths.get(s"$dir/events.parquet"), watch.resolve(s"events_$r.parquet")))
     import spark.implicits._
     Seq((-1L, SentinelNs, -1L, SentinelType, 0.0, null: String))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -102,9 +106,9 @@ object Streams {
     * `dropDuplicatesWithinWatermark` (unbounded-lateness dups then slip
     * through at the watermark horizon). */
   def dedupStream(spark: SparkSession, dir: String, keyCols: Seq[String],
-      watermark: String = "1 day"): DataFrame =
+      watermark: String = "1 day", replays: Int = 1): DataFrame =
     runToParquet(statePartitions = 16) { _ =>
-      stagedEventStream(spark, dir)
+      stagedEventStream(spark, dir, replays)
         .withWatermark("ts", watermark)
         .dropDuplicates(keyCols :+ "ts")
         .writeStream
