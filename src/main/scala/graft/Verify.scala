@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{Executors, TimeUnit}
 import scala.collection.mutable
 
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
@@ -9,10 +10,30 @@ import scala.collection.mutable
   * Robustness contract (round-1 lesson: CORRECTNESS_r01.json came back
   * empty despite a local 59/59 pass): oracle_sql.json is written FIRST so
   * a timeout-kill mid-run still leaves the oracle inputs; per-query status
-  * is appended to verify_status.json after EVERY query; the final stdout
+  * is flushed to verify_status.json after EVERY query; the final stdout
   * line is a bare JSON summary (StdoutOutput + stderr-only log4j keep it
-  * clean for the driver's parser). */
+  * clean for the driver's parser).
+  *
+  * Round-4 lesson: CORRECTNESS_r01..03 were all `{}` while BENCH_r03
+  * parsed, pointing at the verify leg's WALL CLOCK (88 sequential queries
+  * ≈ 8 min incl. compile). Queries now run CONCURRENTLY through a fixed
+  * pool (default 8, `SPARK_GRAFT_VERIFY_PAR` overrides): Spark's scheduler
+  * interleaves independent jobs on one local[N] context, every query
+  * writes its own output dir, and the known-slow tier is submitted first
+  * to minimize makespan. Per-query isolation is unchanged — each runs
+  * under QueryRunner's job-group + timeout, so one hang costs its slot,
+  * not the run. */
 object Verify {
+
+  /** Slow tier from bench history, submitted first so the pool's tail is
+    * short queries instead of a 4 s golden starting at minute N. */
+  private val slowFirst = Seq(
+    "q_corpus_golden", "q_dedup_ngram", "q_zillow_golden",
+    "q_flights_golden", "q_dedup_embed_lsh", "q_stream_dedup",
+    "q_stream_user_counts", "q_stream_window", "q_csv_roundtrip",
+    "q_ann_lsh", "q_dedup_embed_groundtruth", "q_dedup_minhash",
+    "q_dedup_clusters", "q_pipeline_golden", "q_dedup_delta")
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -45,39 +66,59 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
 
+    val all = SparkEntry.queries
+    val order = slowFirst.filter(all.contains) ++
+      all.keys.toSeq.filterNot(slowFirst.contains).sorted
+
     val status = mutable.LinkedHashMap.empty[String, String]
-    def flushStatus(): Unit = {
+    order.foreach(status(_) = "pending")
+    val lock = new Object
+    def record(name: String, st: String): Unit = lock.synchronized {
+      status(name) = st
       val body = status.map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/verify_status.json"), body)
     }
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      // Contract: the result must land at outDir/<name>.parquet. Spark can
-      // only write a directory, so write to a scratch dir and move the single
-      // coalesced part file to the exact path (readable by any parquet reader,
-      // no glob needed).
-      status(name) = QueryRunner.timed(spark, name) {
-        val tmp = s"$outDir/.tmp_$name"
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file in $tmp"))
-        val dest = Paths.get(s"$outDir/$name.parquet")
-        Files.deleteIfExists(dest)
-        Files.move(part.toPath, dest)
-        new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
-      } match {
-        case Right(_) => "ok"
-        case Left(why) =>
-          System.err.println(s"[verify] $name failed: $why")
-          why
-      }
-      // release per-query persisted frames (LSH signatures, CC labels, …):
-      // 78 queries of accumulated cache would otherwise squeeze storage
-      spark.sqlContext.clearCache()
-      flushStatus()
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt
+    val pool = Executors.newFixedThreadPool(par, (r: Runnable) => {
+      val t = new Thread(r, "graft-verify"); t.setDaemon(true); t
+    })
+    order.foreach { name =>
+      val fn = all(name)
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val st = QueryRunner.timed(spark, name) {
+            // Contract: the result must land at outDir/<name>.parquet. Spark
+            // can only write a directory, so write to a scratch dir and move
+            // the single coalesced part file to the exact path (readable by
+            // any parquet reader, no glob needed).
+            val tmp = s"$outDir/.tmp_$name"
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = new java.io.File(tmp).listFiles()
+              .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+              .getOrElse(sys.error(s"no part file in $tmp"))
+            val dest = Paths.get(s"$outDir/$name.parquet")
+            Files.deleteIfExists(dest)
+            Files.move(part.toPath, dest)
+            new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+          } match {
+            case Right(_) => "ok"
+            case Left(why) =>
+              System.err.println(s"[verify] $name failed: $why")
+              why
+          }
+          record(name, st)
+        }
+      })
     }
+    pool.shutdown()
+    pool.awaitTermination(60, TimeUnit.MINUTES)
+    // Per-query persisted frames (LSH signatures, CC labels, …) are NOT
+    // dropped mid-run anymore — a global clearCache would evict a
+    // concurrent query's working set. At verify SF the accumulated
+    // storage is tiny and MEMORY_AND_DISK spills anyway.
+    spark.sqlContext.clearCache()
     val nOk = status.valuesIterator.count(_ == "ok")
     spark.stop()
     println(s"""{"verify_ok":$nOk,"verify_total":${status.size},"out":"$outDir"}""")

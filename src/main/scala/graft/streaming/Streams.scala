@@ -62,24 +62,23 @@ object Streams {
     * `statePartitions` sizes the state store for this query's keyspace —
     * each state partition costs a store instance + checkpoint files per
     * batch, so a low-cardinality grouping (e.g. window × event_type)
-    * should not pay for the session-wide shuffle width. The conf is set
-    * only for this query's fresh checkpoint and restored after. */
-  private def runToParquet(statePartitions: Int)(
-      build: String => org.apache.spark.sql.streaming.DataStreamWriter[_]): DataFrame = {
+    * should not pay for the session-wide shuffle width. The override lives
+    * on a CLONED session (`newSession()` shares the SparkContext but owns
+    * its SQLConf), so concurrent streaming queries — Verify runs the
+    * registry in parallel — never race on a session-global mutate. */
+  private def runToParquet(spark0: SparkSession, statePartitions: Int)(
+      build: (SparkSession, String) => org.apache.spark.sql.streaming.DataStreamWriter[_]): DataFrame = {
     val root = Files.createTempDirectory("graft_stream_out").toString
-    val spark = SparkSession.active
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-      build(root)
-        .outputMode(OutputMode.Append())
-        .format("parquet").option("path", s"$root/data")
-        .option("checkpointLocation", s"$root/chk")
-        .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q = build(spark, root)
+      .outputMode(OutputMode.Append())
+      .format("parquet").option("path", s"$root/data")
+      .option("checkpointLocation", s"$root/chk")
+      .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(s"$root/data")
+    spark0.read.parquet(s"$root/data")
   }
 
   /** Tumbling-window aggregation over the stream: watermark + Append into
@@ -88,8 +87,8 @@ object Streams {
     * `aggs` maps output column name → aggregate over the window group. */
   def runWindowedAgg(spark: SparkSession, dir: String, windowDur: String,
       aggs: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
-    runToParquet(statePartitions = 4) { _ =>
-      stagedEventStream(spark, dir)
+    runToParquet(spark, statePartitions = 4) { (s, _) =>
+      stagedEventStream(s, dir)
         .withWatermark("ts", "0 seconds")
         .groupBy(window(col("ts"), windowDur), col("event_type"))
         .agg(aggs.head._2.as(aggs.head._1),
@@ -107,8 +106,8 @@ object Streams {
     * through at the watermark horizon). */
   def dedupStream(spark: SparkSession, dir: String, keyCols: Seq[String],
       watermark: String = "1 day", replays: Int = 1): DataFrame =
-    runToParquet(statePartitions = 16) { _ =>
-      stagedEventStream(spark, dir, replays)
+    runToParquet(spark, statePartitions = 16) { (s, _) =>
+      stagedEventStream(s, dir, replays)
         .withWatermark("ts", watermark)
         .dropDuplicates(keyCols :+ "ts")
         .writeStream
@@ -121,9 +120,9 @@ object Streams {
     * custom per-key aggregation at scale (vs mapGroupsWithState + Update,
     * which cannot feed a file sink and never retires state). */
   def userEventCounts(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val counts = runToParquet(statePartitions = 16) { _ =>
-      stagedEventStream(spark, dir)
+    val counts = runToParquet(spark, statePartitions = 16) { (s, _) =>
+      import s.implicits._
+      stagedEventStream(s, dir)
         .withWatermark("ts", "0 seconds")
         .select(col("user_id"), col("ts"))
         .as[(Long, java.sql.Timestamp)]
