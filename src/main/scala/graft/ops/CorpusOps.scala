@@ -221,16 +221,24 @@ object CorpusOps {
         col("n_tokens").between(20, 1000) &&
         col("n_uniq") * 10 >= col("n_tokens") * 3 &&
         col("rep.top_count") * 5 <= col("rep.n_ngrams"))
-      val w = Window
-        .partitionBy(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
-        .orderBy("doc_id")
+      // Exact dedup keyed on md5(norm_text) — NOT the normalized text
+      // itself: the shuffle key is 16 bytes instead of the whole document
+      // (same license as Dedup.contentHash/keepBest; md5 collisions are
+      // negligible). min(struct(doc_id, ...)) replaces the row_number
+      // window: map-side partial min, one row per group per partition
+      // pre-shuffle, keeps the smallest doc_id deterministically.
       // persist the surviving slice: both the decontamination gram scan
       // and the final join-back reference it — without this the whole
       // tokenize/langID/repetition cascade re-evaluates per reference.
-      // Modest at sf0.1 (3.8s → 3.4s; the query is stage-latency-bound
-      // there) but the saved work is ~2 full corpus scans at 100 TB.
-      val dd = q.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select("doc_id", "source", "n_tokens", "text").persist()
+      // MEMORY_AND_DISK; released by the harness's clearCache (a builder
+      // cannot unpersist before its lazy result is materialized).
+      val dd = q.groupBy(
+          md5(graft.dedup.Dedup.normalizeText(col("text")).cast("binary")).as("_h"))
+        .agg(min(struct(col("doc_id"), col("source"), col("n_tokens"),
+          col("text"))).as("_keep"))
+        .select(col("_keep.doc_id").as("doc_id"), col("_keep.source").as("source"),
+          col("_keep.n_tokens").as("n_tokens"), col("_keep.text").as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val clean = Corpus.decontaminate(dd.select("doc_id", "text"),
           docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 5)
         .filter(!col("contaminated")).select("doc_id")

@@ -91,6 +91,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("lambdafunction"), "interpreted HOF in gram path")
   }
 
+  test("corpus golden: no shuffle keys on raw/normalized document text") {
+    // Exact-dedup must shuffle the 16-byte md5, never the document: a
+    // partitioning expression containing the text normalization means the
+    // full text became the exchange key (≈2× shuffle bytes at 100 TB).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // the dedup sits under a persist() → descend into cached subplans too
+    def allPlans(p: SparkPlan): Seq[SparkPlan] =
+      p +: p.collect { case s: InMemoryTableScanExec => s.relation.cachedPlan }
+        .flatMap(allPlans)
+    val root = SparkEntry.queries("q_corpus_golden")(spark, dir)
+      .queryExecution.executedPlan
+    try {
+      val plans = allPlans(root)
+      val exchanges = plans.flatMap(_.collect { case e: ShuffleExchangeLike => e })
+      assert(exchanges.nonEmpty, "expected at least the dedup + final agg exchanges")
+      exchanges.foreach { e =>
+        val part = e.outputPartitioning.toString
+        assert(!part.contains("regexp_replace") && !part.contains("text#"),
+          s"exchange keyed on document text: $part")
+      }
+      // and the dedup agg is partial (map-side min) on the hash
+      assert(plans.exists(_.toString.contains("partial_min")),
+        "dedup lost map-side partial aggregation")
+    } finally spark.sqlContext.clearCache()
+  }
+
   test("repetition stats run as one native kernel call") {
     val p = planOf("q_quality_repetition")
     assert(p.contains("ngram_repetition"), p.take(2000))
