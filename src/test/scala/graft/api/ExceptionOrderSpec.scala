@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -108,5 +108,144 @@ class ExceptionOrderSpec extends AnyFunSuite {
     assert(ds.exceptionCounts == Map("java.lang.ArithmeticException" -> 3L))
     val after = ds.resolve(classOf[ArithmeticException])(resolve1 _)
     assert(after.exceptionCounts == Map("java.lang.IllegalStateException" -> 2L))
+  }
+
+  // -------- reference matrix shapes (test_exceptions.py:123-268) --------
+
+  test("resolver rethrowing the same class leaves those rows unresolved") {
+    // test_merge_some_fail: map throws for every negative marker; the
+    // resolver repairs -1/-3 in place but rethrows for -2 — the -2 rows
+    // must drop out of collect() while everything else keeps its slot.
+    import spark.implicits._
+    val input = Seq(1, 2, -1, 5, 6, 7, -2, 10, 11, 12, -3, 15)
+    val got = ctx.parallelize(input, Seq("x"))
+      .mapColumnUdf[Int, Int]("x")(x =>
+        if (x < 0) throw new ArithmeticException("neg") else x * 2)
+      .resolve[Int, Int](classOf[ArithmeticException])(x =>
+        if (x == -2) throw new ArithmeticException("still") else x)
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(2, 4, -1, 10, 12, 14, 20, 22, 24, -3, 30))
+  }
+
+  test("all rows fail and resolve (n=500)") {
+    import spark.implicits._
+    val got = ctx.parallelize(1 to 500, Seq("x"))
+      .mapColumnUdf[Int, Int]("x")(_ => throw new ArithmeticException("all"))
+      .resolve[Int, Int](classOf[ArithmeticException])(x => -x)
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == (1 to 500).map(-_))
+  }
+
+  test("sparse failures (every 100th of n=2000) merge in order") {
+    import spark.implicits._
+    val got = ctx.parallelize(1 to 2000, Seq("x"))
+      .mapColumnUdf[Int, Int]("x")(x =>
+        if (x % 100 == 0) throw new ArithmeticException("p") else x * 2)
+      .resolve[Int, Int](classOf[ArithmeticException])(identity)
+      .collect().map(_.getInt(0)).toSeq
+    val want = (1 to 2000).map(x => if (x % 100 == 0) x else x * 2)
+    assert(got == want)
+  }
+
+  test("no normal rows in the result (all rows via the error channel)") {
+    import spark.implicits._
+    val got = ctx.parallelize(Seq(-2, -2, -3, -2), Seq("x"))
+      .mapColumnUdf[Int, Int]("x")(mapUdf)
+      .resolve(classOf[ArithmeticException])(resolve1 _)
+      .resolve(classOf[IllegalStateException])((_: Int) => 200)
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(100, 100, 200, 100))
+  }
+
+  test("empty result after filter plus error channel") {
+    import spark.implicits._
+    val got = ctx.parallelize(Seq(1, -2, 3), Seq("x"))
+      .mapColumnUdf[Int, Int]("x")(mapUdf)
+      .resolve(classOf[ArithmeticException])(resolve1 _)
+      .filter(col("x") > 10000)
+      .collect()
+    assert(got.isEmpty)
+  }
+
+  test("filter-UDF exceptions divert and resolve in order") {
+    // test_merge_with_filter: the PREDICATE itself throws; resolved rows
+    // re-apply the resolver as the predicate and keep/drop accordingly.
+    import spark.implicits._
+    val input = Seq(3, 0, 7, 0, 12, 15, 0)
+    val got = ctx.parallelize(input, Seq("x"))
+      .filterUdf[Int](col("x"))(x =>
+        if (x == 0) throw new ArithmeticException("zero") else x > 5)
+      .resolve[Int, Boolean](classOf[ArithmeticException])(_ => true)
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 7, 0, 12, 15, 0)) // 3 dropped by predicate, 0s kept by resolver
+  }
+
+  // ------------- csv input (parse) errors × position matrix -------------
+
+  /** One single-part csv file of `lines`; parse errors are "USD"-prefixed
+    * amounts (string where the hinted schema wants a long). */
+  private def csvChain(lines: Seq[String]): DataSet = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_exc_csv")
+    val f = dir.resolve("in.csv")
+    java.nio.file.Files.writeString(f,
+      lines.mkString("", "\n", "\n"))
+    ctx.csv(f.toString, columns = Seq("k", "amt"), header = Some(false),
+      delimiter = Some(","),
+      typeHintsAt = Map(0 -> org.apache.spark.sql.types.LongType,
+        1 -> org.apache.spark.sql.types.LongType))
+  }
+
+  private def csvLines(markers: Seq[Boolean]): Seq[String] =
+    markers.zipWithIndex.map { case (bad, i) =>
+      if (bad) s"$i,USD${i * 10}" else s"$i,${i * 10}"
+    }
+
+  test("csv parse errors at every position pattern resolve and merge in file order") {
+    val shapes = Seq(
+      Seq(true, true, false, false, false),  // head run
+      Seq(false, false, true, true, false),  // middle run
+      Seq(false, false, false, true, true),  // tail run
+      Seq(true, false, true, false, true),   // alternating
+      Seq(true, true, true, true, true),     // all bad
+      Seq(false, false, false, false, false) // none bad
+    )
+    for (shape <- shapes) {
+      val got = csvChain(csvLines(shape))
+        .resolve[Row, Row](classOf[CsvParseError]) { cells =>
+          Row(cells.getString(0).toLong,
+            cells.getString(1).stripPrefix("USD").toLong)
+        }
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = shape.indices.map(i => (i.toLong, i * 10L))
+      assert(got == want, s"shape=$shape")
+    }
+  }
+
+  test("csv parse errors ignored drop in place, order preserved") {
+    val shape = Seq(false, true, false, true, false, false, true)
+    val got = csvChain(csvLines(shape))
+      .ignore(classOf[CsvParseError])
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == shape.zipWithIndex.filterNot(_._1).map(_._2.toLong))
+  }
+
+  test("csv parse errors then a throwing map UDF: both channels merge in order") {
+    // input errors and runtime errors coexist (test_merge_both): parse
+    // repairs re-enter first, then the map's own exceptions resolve.
+    val shape = Seq(false, true, false, false, true, false)
+    val got = csvChain(csvLines(shape))
+      .resolve[Row, Row](classOf[CsvParseError]) { cells =>
+        Row(cells.getString(0).toLong,
+          cells.getString(1).stripPrefix("USD").toLong)
+      }
+      .mapColumnUdf[Long, Long]("amt")(a =>
+        if (a % 20 == 0) throw new ArithmeticException("even ten") else a + 1)
+      .resolve[Long, Long](classOf[ArithmeticException])(a => a)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = shape.indices.map { i =>
+      val amt = i * 10L
+      (i.toLong, if (amt % 20 == 0) amt else amt + 1)
+    }
+    assert(got == want, s"shape=$shape")
   }
 }
