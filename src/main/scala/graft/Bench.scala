@@ -43,7 +43,7 @@ object Bench {
     // query must not stall the whole benchmark
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      QueryRunner.timed(spark, name) {
+      val r = QueryRunner.timed(spark, name) {
         SparkEntry.queries(name)(spark, sfDir).count(): Unit
       } match {
         case Right(_) => (System.nanoTime() - t0) / 1e9
@@ -51,6 +51,14 @@ object Bench {
           System.err.println(s"[bench] $name failed: $why")
           -1.0
       }
+      // Per-query isolation, OUTSIDE the timed region: queries that build
+      // persisted intermediates (gram sets, LSH signatures, survivor
+      // slices) must not leave them resident to pressure every later
+      // query's storage memory — with 88 sequential queries per pass the
+      // leak compounds and timings drift with registry SIZE, not query
+      // cost (the round-3 q_dedup_ngram "regression" shape).
+      spark.sqlContext.clearCache()
+      r
     }
 
     names.foreach(once) // warmup pass (discarded)

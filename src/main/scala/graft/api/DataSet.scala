@@ -19,7 +19,8 @@ import org.apache.spark.sql.types._
 private[api] final case class BadBatch(
     opId: Int,
     rows: DataFrame,
-    reapply: Option[(AnyRef, DataFrame) => (DataFrame, DataFrame)])
+    reapply: Option[(AnyRef, DataFrame) => (DataFrame, DataFrame)],
+    fuse: Option[(String, AnyRef) => (DataFrame, DataFrame)] = None)
 
 /** Immutable, lazily-evaluated pipeline node with Tuplex's operator
   * surface (SURVEY.md §2) re-expressed on Spark DataFrames.
@@ -55,7 +56,7 @@ final class DataSet private (
   /** The public DataFrame view (no bookkeeping columns). */
   def toDF: DataFrame = good.drop(HiddenCols.toSeq: _*)
 
-  private def retired: List[BadBatch] = bad.map(_.copy(reapply = None))
+  private def retired: List[BadBatch] = bad.map(_.copy(reapply = None, fuse = None))
   private def next(df: DataFrame): DataSet = new DataSet(ctx, df, retired, opId + 1)
   /** Rebuild row ids after an order-destroying op (join/agg/set op); a
     * stale per-expansion sub-id would misorder, so it goes too. */
@@ -94,10 +95,22 @@ final class DataSet private (
 
   // ------------------------------------- failable UDF ops (error channel)
 
+  /** Try-wrapped UDF returning `(value, errClass, errMsg)`. Marked
+    * NONDETERMINISTIC on purpose (the function itself is pure): Catalyst
+    * freely duplicates deterministic expressions — predicate pushdown
+    * substitutes the UDF into every filter that references `_g_res`, and
+    * project collapsing inlines it per extracted field, so a throwing UDF
+    * was re-executed (with exception construction) up to 5× per row.
+    * The nondeterministic mark pins ONE evaluation per row in its own
+    * projection; filters above it reference the materialized attribute.
+    * Cost: predicates no longer migrate below the UDF projection — which
+    * also matches the reference's semantics, where the exception set is
+    * fixed by pipeline position, not plan-dependent. */
   private def tryUdf[A: TypeTag, B: TypeTag](f: A => B) =
     udf((a: A) =>
       try (Option(f(a)), null: String, null: String)
       catch { case e: Throwable => (None: Option[B], e.getClass.getName, String.valueOf(e.getMessage)) })
+      .asNondeterministic()
 
   /** Split a frame that has a `_g_res = (value, cls, msg)` struct into
     * (ok-with-column-set, bad-with-original-input) halves. */
@@ -114,13 +127,55 @@ final class DataSet private (
   private def failableColumnOp[A: TypeTag, B: TypeTag](
       name: String, in: Column, f: A => B): DataSet = {
     val u = tryUdf(f)
-    val (ok, failed) = split(good.withColumn("_g_res", u(in)), name)
+    val tmp = good.withColumn("_g_res", u(in))
+    val (ok, failed) = split(tmp, name)
     val reapply = (fn: AnyRef, rows: DataFrame) => {
       val ug = tryUdf(fn.asInstanceOf[A => B])
       split(rows.drop(ErrCls, ErrMsg).withColumn("_g_res", ug(in)), name)
     }
+    val fuse = (cls: String, fn: AnyRef) =>
+      fusedResolve(tmp, cls, tryUdf(fn.asInstanceOf[A => B]).apply(in)) { tmp2 =>
+        tmp2.filter(resolvedKeep(cls))
+          .withColumn(name, when(col("_g_res")("_2").isNull,
+            col("_g_res")("_1")).otherwise(col("_g_res2")("_1")))
+          .drop("_g_res", "_g_res2")
+      }
     new DataSet(ctx, ok,
-      BadBatch(opId + 1, failed, Some(reapply)) :: retired, opId + 1)
+      BadBatch(opId + 1, failed, Some(reapply), Some(fuse)) :: retired, opId + 1)
+  }
+
+  /** Row-keep predicate over a fused frame (`_g_res` + conditional
+    * `_g_res2`): the first try succeeded, or it failed with the resolved
+    * class and the resolver succeeded. */
+  private def resolvedKeep(cls: String): Column =
+    col("_g_res")("_2").isNull ||
+      (col("_g_res")("_2") === cls && col("_g_res2")("_2").isNull)
+
+  /** Single-scan resolve (see [[resolve]]): given a UDF op's pre-split
+    * frame `tmp` (carrying `_g_res = (value, cls, msg)`), the error class
+    * being resolved, and the try-wrapped resolver expression, build
+    * (mergedGood, stillBad) as two filters over ONE plan — the resolver
+    * runs conditionally (CaseWhen short-circuit) on exactly the rows whose
+    * first attempt failed with `cls`, so resolution costs zero extra
+    * passes over the input instead of re-executing the whole upstream
+    * subtree to union the repaired rows back in (the union formulation's
+    * cost — at 100 TB that second subtree is a second full scan-join
+    * cascade). `finishMerged` applies the op-specific keep-filter and
+    * output-column transform over the conditional frame. */
+  private def fusedResolve(tmp: DataFrame, cls: String, resolverRes: Column)(
+      finishMerged: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val res = col("_g_res")
+    val tmp2 = tmp.withColumn("_g_res2", when(res("_2") === cls, resolverRes))
+    val merged = finishMerged(tmp2)
+    val newBad = tmp2
+      .filter(res("_2").isNotNull &&
+        !(res("_2") === cls && col("_g_res2")("_2").isNull))
+      .withColumn(ErrCls,
+        when(res("_2") === cls, col("_g_res2")("_2")).otherwise(res("_2")))
+      .withColumn(ErrMsg,
+        when(res("_2") === cls, col("_g_res2")("_3")).otherwise(res("_3")))
+      .drop("_g_res", "_g_res2")
+    (merged, newBad)
   }
 
   /** `withColumn(column, ftor)` with per-row exception capture
@@ -139,19 +194,26 @@ final class DataSet private (
     * arities are the type-safe route). */
   def withColumnUdf2[A1: TypeTag, A2: TypeTag, B: TypeTag](
       name: String, in1: Column, in2: Column)(f: (A1, A2) => B): DataSet = {
-    val u = udf((a1: A1, a2: A2) =>
-      try (Option(f(a1, a2)), null: String, null: String)
+    def tryUdf2(g: (A1, A2) => B) = udf((a1: A1, a2: A2) =>
+      try (Option(g(a1, a2)), null: String, null: String)
       catch { case e: Throwable => (None: Option[B], e.getClass.getName, String.valueOf(e.getMessage)) })
-    val (ok, failed) = split(good.withColumn("_g_res", u(in1, in2)), name)
+      .asNondeterministic() // see tryUdf: pin one evaluation per row
+    val tmp = good.withColumn("_g_res", tryUdf2(f)(in1, in2))
+    val (ok, failed) = split(tmp, name)
     val reapply = (fn: AnyRef, rows: DataFrame) => {
-      val g = fn.asInstanceOf[(A1, A2) => B]
-      val ug = udf((a1: A1, a2: A2) =>
-        try (Option(g(a1, a2)), null: String, null: String)
-        catch { case e: Throwable => (None: Option[B], e.getClass.getName, String.valueOf(e.getMessage)) })
+      val ug = tryUdf2(fn.asInstanceOf[(A1, A2) => B])
       split(rows.drop(ErrCls, ErrMsg).withColumn("_g_res", ug(in1, in2)), name)
     }
+    val fuse = (cls: String, fn: AnyRef) =>
+      fusedResolve(tmp, cls,
+        tryUdf2(fn.asInstanceOf[(A1, A2) => B])(in1, in2)) { tmp2 =>
+        tmp2.filter(resolvedKeep(cls))
+          .withColumn(name, when(col("_g_res")("_2").isNull,
+            col("_g_res")("_1")).otherwise(col("_g_res2")("_1")))
+          .drop("_g_res", "_g_res2")
+      }
     new DataSet(ctx, ok,
-      BadBatch(opId + 1, failed, Some(reapply)) :: retired, opId + 1)
+      BadBatch(opId + 1, failed, Some(reapply), Some(fuse)) :: retired, opId + 1)
   }
 
   /** Full-row `map(ftor)` (`dataset.py:49-81`): arbitrary Row → Row
@@ -282,15 +344,24 @@ final class DataSet private (
     * where the predicate throws divert to the error channel. */
   def filterUdf[A: TypeTag](in: Column)(f: A => Boolean): DataSet = {
     val u = tryUdf(f)
-    val (ok0, failed) = split(good.withColumn("_g_res", u(in)), "_g_keep")
+    val tmp = good.withColumn("_g_res", u(in))
+    val (ok0, failed) = split(tmp, "_g_keep")
     val ok = ok0.filter(col("_g_keep")).drop("_g_keep")
     val reapply = (fn: AnyRef, rows: DataFrame) => {
       val ug = tryUdf(fn.asInstanceOf[A => Boolean])
       val (rok, rbad) = split(rows.drop(ErrCls, ErrMsg).withColumn("_g_res", ug(in)), "_g_keep")
       (rok.filter(col("_g_keep")).drop("_g_keep"), rbad.drop("_g_keep"))
     }
+    val fuse = (cls: String, fn: AnyRef) =>
+      fusedResolve(tmp, cls, tryUdf(fn.asInstanceOf[A => Boolean]).apply(in)) { tmp2 =>
+        // keep: first-try predicate true, or resolver predicate true
+        tmp2.filter(resolvedKeep(cls) &&
+            when(col("_g_res")("_2").isNull, col("_g_res")("_1") === true)
+              .otherwise(col("_g_res2")("_1") === true))
+          .drop("_g_res", "_g_res2")
+      }
     new DataSet(ctx, ok,
-      BadBatch(opId + 1, failed, Some(reapply)) :: retired, opId + 1)
+      BadBatch(opId + 1, failed, Some(reapply), Some(fuse)) :: retired, opId + 1)
   }
 
   // ------------------------------------- resolve / ignore (dataset.py §2.7)
@@ -300,13 +371,24 @@ final class DataSet private (
     * failing UDF got; it may itself throw (chaining into further
     * resolvers). Matching is by exact exception class name. */
   def resolve[A, B](errClass: Class[_ <: Throwable])(f: A => B): DataSet = bad match {
+    // Pristine batch (first resolve after the failing op): SINGLE-SCAN
+    // merge — the resolver evaluates conditionally inside the op's own
+    // projection, so the merged good frame is one plan over one pass of
+    // the input instead of `good ∪ re-executed(bad)`, which duplicates the
+    // whole upstream subtree (scans, joins) per resolver. Chained
+    // resolves/ignores mutate the batch and fall back to the union path
+    // below (fuse is only valid against the untouched split).
+    case head :: rest if head.fuse.isDefined =>
+      val (merged, newBad) = head.fuse.get(errClass.getName, f)
+      new DataSet(ctx, merged,
+        head.copy(rows = newBad, fuse = None) :: rest, opId)
     case head :: rest if head.reapply.isDefined =>
       val matching = head.rows.filter(col(ErrCls) === errClass.getName)
       val nonMatching = head.rows.filter(col(ErrCls) =!= errClass.getName)
       val (ok, stillBad) = head.reapply.get(f, matching)
       val merged = good.unionByName(ok.select(good.columns.map(col): _*))
       new DataSet(ctx, merged,
-        head.copy(rows = nonMatching.unionByName(stillBad)) :: rest, opId)
+        head.copy(rows = nonMatching.unionByName(stillBad), fuse = None) :: rest, opId)
     case _ =>
       throw new IllegalStateException(
         "resolve() must directly follow a UDF operator (or another resolve/ignore)")
@@ -318,8 +400,12 @@ final class DataSet private (
     // head.opId == opId ⇒ the batch belongs to the immediately preceding
     // operator (incl. input parse errors, which carry no resolver reapply)
     case head :: rest if head.opId == opId =>
+      // the batch's row set changes ⇒ a later fuse against the pristine
+      // split would resurrect the ignored rows; drop it (reapply stays
+      // valid — it operates on the filtered rows themselves)
       new DataSet(ctx, good,
-        head.copy(rows = head.rows.filter(col(ErrCls) =!= errClass.getName)) :: rest, opId)
+        head.copy(rows = head.rows.filter(col(ErrCls) =!= errClass.getName),
+          fuse = None) :: rest, opId)
     case _ =>
       throw new IllegalStateException(
         "ignore() must directly follow a UDF operator (or another resolve/ignore)")
