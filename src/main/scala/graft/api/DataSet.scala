@@ -528,7 +528,9 @@ final class DataSet private (
     val exploded = src
       .select(col("*"), posexplode(col(name)).as(Seq(pos, out)))
       .withColumn(SubId,
-        when(col(pos) < (1 << 20), shiftleft(col(SubId), 20) + col(pos))
+        when(col(SubId) >= (1L << 42), raise_error(
+            lit("explodeColumn: nesting too deep for ordered merge")))
+          .when(col(pos) < (1 << 20), shiftleft(col(SubId), 20) + col(pos))
           .otherwise(raise_error(
             lit(s"explodeColumn: more than ${1 << 20} elements in one row"))))
       .drop(pos)

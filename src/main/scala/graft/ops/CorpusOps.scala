@@ -152,10 +152,14 @@ object CorpusOps {
         |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
         |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8""".stripMargin) { (s, d) =>
       val docs = Tables(s, d, "documents")
+      // 2-row bands (64/32): P(a true j>=0.8 pair misses every band) =
+      // (1-0.8^2)^32 ~ 5e-15, so the exact all-pairs oracle match is
+      // guaranteed by construction (not fixture luck); precision is exact
+      // via the Jaccard confirm, so wider candidate sets only cost compute.
       graft.dedup.Dedup.nearDupDelta(
         docs.filter(col("doc_id") % 10 === 0),
         docs.filter(col("doc_id") % 10 =!= 0),
-        "doc_id", "text", threshold = 0.8, k = 3, numHashes = 64, bands = 16)
+        "doc_id", "text", threshold = 0.8, k = 3, numHashes = 64, bands = 32)
     },
 
     // ---- GOLDEN corpus-curation pipeline ----------------------------------

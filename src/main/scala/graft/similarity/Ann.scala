@@ -48,23 +48,93 @@ object Ann {
   def lshSignature(vec: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column =
     GraftBridge.column(HyperplaneSig(GraftBridge.expression(vec), dim, nBits, seed))
 
-  /** IVF-style approximate top-k: coarse-quantize the corpus against
-    * `nCells` centroids (deterministically sampled from the corpus itself —
-    * a k-means-- that needs no iterative training), then each query probes
-    * only its `nProbe` nearest cells. The centroids are the quantizer
-    * "model": collected once on the driver (like k-means centers) and
-    * shipped with the plan, so cell assignment is a shuffle-free native
-    * map over the corpus scan — no crossJoin, no window. At 100 TB the
-    * assignment is computed once and persisted/bucketed by cell so queries
-    * touch ~nProbe/nCells of the data. */
+  /** Spherical k-means quantizer trained on a bounded, deterministic
+    * sample of the corpus — the IVF "model fit". Sample = the first
+    * min(max(32·k, 256), 4096) vectors in xxhash64(id, seed) order (a
+    * seeded pseudo-random draw that needs no sort of the full corpus at
+    * scale: at 100 TB this becomes a TABLESAMPLE + top-N). Init is
+    * seeded k-means++ and assignment is by cosine (matching
+    * [[NearestCells]]); centroids are renormalized means; an emptied
+    * cell deterministically reseeds from the worst-assigned point. All
+    * driver-side arithmetic is sequential, so the model — and every
+    * query built on it — is bit-deterministic for a given (corpus, seed). */
+  private def trainCentroids(c: DataFrame, nCells: Int, seed: Long,
+      iters: Int = 10): Array[Array[Double]] = {
+    def unit(v: Array[Double]): Array[Double] = {
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i) * v(i); i += 1 }
+      if (n == 0.0) v else { val s = 1.0 / math.sqrt(n); v.map(_ * s) }
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      val d = math.min(a.length, b.length)
+      var s = 0.0; var i = 0
+      while (i < d) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val sampleN = math.min(math.max(nCells * 32, 256), 4096)
+    val pts = c.orderBy(xxhash64(col("neighbor_id"), lit(seed)).asc,
+        col("neighbor_id").asc).limit(sampleN).collect()
+      .map(r => unit(r.getSeq[Float](1).map(_.toDouble).toArray))
+    val kk = math.min(nCells, pts.length)
+    val rnd = new scala.util.Random(seed)
+    // k-means++ (cosine distance = 1 - dot on unit vectors)
+    val centers = scala.collection.mutable.ArrayBuffer(pts(rnd.nextInt(pts.length)))
+    while (centers.length < kk) {
+      val d2 = pts.map(p => {
+        val best = centers.map(dot(p, _)).max
+        val dd = math.max(0.0, 1.0 - best); dd * dd
+      })
+      val total = d2.sum
+      if (total == 0.0) centers += pts(rnd.nextInt(pts.length))
+      else {
+        var r = rnd.nextDouble() * total; var i = 0
+        while (i < d2.length - 1 && r >= d2(i)) { r -= d2(i); i += 1 }
+        centers += pts(i)
+      }
+    }
+    var cents = centers.toArray
+    var it = 0
+    while (it < iters) {
+      val assign = pts.map(p => {
+        var best = 0; var bs = Double.MinValue; var ci = 0
+        while (ci < cents.length) {
+          val s = dot(p, cents(ci)); if (s > bs) { bs = s; best = ci }; ci += 1
+        }
+        best
+      })
+      cents = Array.tabulate(cents.length) { ci =>
+        val members = pts.indices.filter(assign(_) == ci)
+        if (members.isEmpty) {
+          // reseed from the globally worst-assigned point (deterministic)
+          val worst = pts.indices.minBy(i => dot(pts(i), cents(assign(i))))
+          pts(worst)
+        } else {
+          val m = new Array[Double](pts(members.head).length)
+          members.foreach { i =>
+            val p = pts(i); var j = 0
+            while (j < m.length && j < p.length) { m(j) += p(j); j += 1 }
+          }
+          unit(m)
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF approximate top-k: coarse-quantize the corpus against `nCells`
+    * TRAINED centroids (spherical k-means on a bounded deterministic
+    * sample — see [[trainCentroids]]), then each query probes only its
+    * `nProbe` nearest cells. The centroids are the quantizer "model":
+    * fit once on the driver (like k-means centers) and shipped with the
+    * plan, so cell assignment is a shuffle-free native map over the
+    * corpus scan — no crossJoin, no window. At 100 TB the assignment is
+    * computed once and persisted/bucketed by cell so queries touch
+    * ~nProbe/nCells of the data. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
     val c = Par.ensureMin(asFloatVec(corpus.toDF("neighbor_id", "c_vec"), "c_vec"))
-    // deterministic centroids: the nCells corpus vectors with smallest ids;
-    // cells are numbered by POSITION 0..nCells-1, independent of the id
-    // column's type (any orderable id works)
-    val cents = c.orderBy(col("neighbor_id")).limit(nCells).collect()
-      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    val cents = trainCentroids(c, nCells, seed)
     val cellIds = Array.tabulate(cents.length)(_.toLong)
     def nearest(vec: Column, n: Int) = GraftBridge.column(
       NearestCells(GraftBridge.expression(vec), cellIds, cents, n))
@@ -90,7 +160,15 @@ object Ann {
     * candidate join touches only matching buckets, never the cross
     * product; vectors are joined back ONLY for the candidate rerank.
     * (The previous single-table multi-probe variant measured recall ≈ 0
-    * on the sf0.01 corpus — 1-bit probes cannot rescue a 12-bit AND.) */
+    * on the sf0.01 corpus — 1-bit probes cannot rescue a 12-bit AND.)
+    *
+    * NOTE — this call is EAGER and the result is persisted: the banded
+    * corpus must be persisted while the candidate join runs and must not
+    * outlive the call (repeated calls would accumulate corpus-sized
+    * caches), so the result — bounded at k rows per query — is
+    * materialized before the corpus cache is released. Callers running
+    * many `lshTopK` calls in one session should `.unpersist()` each
+    * returned frame once consumed. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       bits: Int = 4, tables: Int = 24, seed: Long = 42L): DataFrame = {
     val c = Par.ensureMin(asFloatVec(corpus.toDF("neighbor_id", "c_vec"), "c_vec"))

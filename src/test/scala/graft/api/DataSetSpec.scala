@@ -342,6 +342,23 @@ class DataSetSpec extends AnyFunSuite {
     assert(resolved.collect().map(_.getInt(0)).toSeq == Seq(1, 2, -1))
   }
 
+  test("explodeColumn rejects nesting too deep for ordered merge") {
+    import spark.implicits._
+    // 4 chained explodes; the first level's position 4 composes a sub-id of
+    // 4<<40 = 2^42 by the fourth explode, which must fail loudly (the shift
+    // would silently drop the high bits and corrupt collect()'s merge order)
+    val nested: Seq[Seq[Seq[Seq[Int]]]] = Seq.fill(5)(Seq(Seq(Seq(1))))
+    val ds = ctx.parallelize(Seq(nested), Seq("a"))
+      .explodeColumn("a", "b").selectColumns(Seq("b"))
+      .explodeColumn("b", "c").selectColumns(Seq("c"))
+      .explodeColumn("c", "d").selectColumns(Seq("d"))
+      .explodeColumn("d", "e").selectColumns(Seq("e"))
+    val e = intercept[Exception](ds.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("nesting too deep")))
+  }
+
   test("orc round-trip") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
