@@ -259,6 +259,19 @@ final class Context(val spark: SparkSession, val options: Map[String, String] = 
     DataSet.fromDataFrame(this, df)
   }
 
+  /** JSON-lines source — capability superset (the reference compiles no
+    * JSON at all, SURVEY §2.8 "JSON functions: none"). Schema is inferred
+    * from the data unless given; pass `schema` in production so the scan
+    * skips the inference pass over the input. */
+  def json(pattern: String, columns: Seq[String] = Nil,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataSet = {
+    val reader = spark.read
+    schema.foreach(reader.schema)
+    var df = reader.json(pattern)
+    if (columns.nonEmpty) df = df.select(columns.map(col): _*)
+    DataSet.fromDataFrame(this, df)
+  }
+
   // ---- VFS utilities (context.py:437-477) — Hadoop FS covers file://, s3a://, hdfs:// .
 
   private def fs(p: Path): FileSystem = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

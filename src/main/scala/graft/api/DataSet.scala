@@ -598,6 +598,13 @@ final class DataSet private (
     writer(numParts, numRows).mode("overwrite").parquet(path)
     partNameGenerator.foreach(renameParts(path, _))
   }
+
+  /** JSON-lines sink — superset counterpart of [[graft.api.Context.json]]. */
+  def tojson(path: String, numParts: Int = 0, numRows: Long = 0,
+      partNameGenerator: Option[Int => String] = None): Unit = {
+    writer(numParts, numRows).mode("overwrite").json(path)
+    partNameGenerator.foreach(renameParts(path, _))
+  }
 }
 
 object DataSet {

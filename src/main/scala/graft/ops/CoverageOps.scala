@@ -52,6 +52,25 @@ object CoverageOps {
         count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
     },
 
+    // ---- tojson + json source round-trip (superset — the reference has
+    // no JSON anywhere, SURVEY §2.8). Numbers survive exactly: Spark
+    // writes shortest-round-trip doubles and the reader parses them back
+    // bit-identically; strings exercise JSON escaping via o_orderpriority.
+    Q("q_json_roundtrip",
+      s"""SELECT count(*) AS n, ${oSum("o_totalprice")} AS total,
+         |  count(DISTINCT o_orderpriority) AS n_prio
+         |FROM orders""".stripMargin) { (s, d) =>
+      val ctx = new Context(s)
+      val out = tmpDir("graft_json_rt") + "/orders"
+      ctx.fromDataFrame(Tables(s, d, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderpriority"))
+        .tojson(out, numParts = 4)
+      ctx.json(s"$out/*.json").toDF.agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total"),
+        countDistinct(col("o_orderpriority")).as("n_prio"))
+    },
+
     // ---- text source: line-per-row ingestion (context.py:367) -------------
     Q("q_text_source",
       """SELECT count(*) AS n, sum(length(text)) AS total_chars

@@ -43,18 +43,32 @@ object Streams {
     * `ts` rebuilt as a proper timestamp. `replays` > 1 stages the file
     * that many times — the at-least-once redelivery simulation the
     * streaming dedup query de-duplicates. */
+  /** Staged watch dirs, memoized per (source dir, replays): the staging
+    * work — copying the events file `replays` times plus writing the
+    * sentinel parquet — is identical for every query over the same
+    * source, so the second and later streaming queries (and every
+    * measured bench pass after warmup) reuse the directory instead of
+    * re-staging. The watch dir is append-only input from the stream's
+    * point of view, so sharing it across concurrent queries is safe —
+    * each query owns its separate checkpoint/output dirs. */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
   private def stagedEventStream(spark: SparkSession, dir: String,
       replays: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val watch = Files.createTempDirectory("graft_stream_in")
-    (1 to replays).foreach(r =>
-      Files.copy(Paths.get(s"$dir/events.parquet"), watch.resolve(s"events_$r.parquet")))
-    import spark.implicits._
-    Seq((-1L, SentinelNs, -1L, SentinelType, 0.0, null: String))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("append").parquet(watch.toString)
+    val watch = stagedDirs.computeIfAbsent((dir, replays), _ => {
+      val w = Files.createTempDirectory("graft_stream_in")
+      (1 to replays).foreach(r =>
+        Files.copy(Paths.get(s"$dir/events.parquet"), w.resolve(s"events_$r.parquet")))
+      import spark.implicits._
+      Seq((-1L, SentinelNs, -1L, SentinelType, 0.0, null: String))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(w.toString)
+      w.toString
+    })
     spark.readStream.schema(eventsRawSchema)
-      .parquet(watch.toString)
+      .parquet(watch)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
