@@ -38,11 +38,6 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Stage the events file plus the sentinel row into a fresh watch
-    * directory and return the bounded file-source stream over it, with
-    * `ts` rebuilt as a proper timestamp. `replays` > 1 stages the file
-    * that many times — the at-least-once redelivery simulation the
-    * streaming dedup query de-duplicates. */
   /** Staged watch dirs, memoized per (source dir, replays): the staging
     * work — copying the events file `replays` times plus writing the
     * sentinel parquet — is identical for every query over the same
@@ -54,6 +49,11 @@ object Streams {
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 
+  /** Stage the events file plus the sentinel row into a (memoized) watch
+    * directory and return the bounded file-source stream over it, with
+    * `ts` rebuilt as a proper timestamp. `replays` > 1 stages the file
+    * that many times — the at-least-once redelivery simulation the
+    * streaming dedup query de-duplicates. */
   private def stagedEventStream(spark: SparkSession, dir: String,
       replays: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -120,7 +120,7 @@ object Streams {
     * through at the watermark horizon). */
   def dedupStream(spark: SparkSession, dir: String, keyCols: Seq[String],
       watermark: String = "1 day", replays: Int = 1): DataFrame =
-    runToParquet(spark, statePartitions = 16) { (s, _) =>
+    runToParquet(spark, statePartitions = 8) { (s, _) =>
       stagedEventStream(s, dir, replays)
         .withWatermark("ts", watermark)
         .dropDuplicates(keyCols :+ "ts")
@@ -134,7 +134,7 @@ object Streams {
     * custom per-key aggregation at scale (vs mapGroupsWithState + Update,
     * which cannot feed a file sink and never retires state). */
   def userEventCounts(spark: SparkSession, dir: String): DataFrame = {
-    val counts = runToParquet(spark, statePartitions = 16) { (s, _) =>
+    val counts = runToParquet(spark, statePartitions = 8) { (s, _) =>
       import s.implicits._
       stagedEventStream(s, dir)
         .withWatermark("ts", "0 seconds")
