@@ -177,19 +177,60 @@ object Dedup {
       bands: Int = 16): DataFrame = {
     val dd = shingledDocs(delta, idCol, textCol, k, numHashes)
     val cd = shingledDocs(corpus, idCol, textCol, k, numHashes)
+    deltaProbe(dd, cd.select("_id", "_sh"), bandBuckets(cd, numHashes, bands),
+      threshold, numHashes, bands)
+  }
+
+  /** Probe join shared by the self-contained and indexed delta paths:
+    * delta bands × corpus bands on (band, bucket) → candidate (delta,
+    * corpus) pairs → exact-Jaccard confirm over the gram-hash sets. */
+  private def deltaProbe(dd: DataFrame, cdocs: DataFrame, cbands: DataFrame,
+      threshold: Double, numHashes: Int, bands: Int): DataFrame = {
     val db = bandBuckets(dd, numHashes, bands).toDF("delta_id", "_band_a", "_bucket_a")
-    val cb = bandBuckets(cd, numHashes, bands).toDF("corpus_id", "_band_b", "_bucket_b")
+    val cb = cbands.toDF("corpus_id", "_band_b", "_bucket_b")
     val cands = db.join(cb,
         col("_band_a") === col("_band_b") && col("_bucket_a") === col("_bucket_b"))
       .select("delta_id", "corpus_id").distinct()
     cands
       .join(dd.select(col("_id").as("delta_id"), col("_sh").as("_sh_a")), "delta_id")
-      .join(cd.select(col("_id").as("corpus_id"), col("_sh").as("_sh_b")), "corpus_id")
+      .join(cdocs.select(col("_id").as("corpus_id"), col("_sh").as("_sh_b")), "corpus_id")
       .withColumn("_inter", sortedIntersectCount(col("_sh_a"), col("_sh_b")))
       .withColumn("jaccard", col("_inter").cast("double") /
         (size(col("_sh_a")) + size(col("_sh_b")) - col("_inter")))
       .filter(col("jaccard") >= threshold)
       .select("delta_id", "corpus_id", "jaccard")
+  }
+
+  /** Materialize the corpus side of the incremental near-dup as a
+    * persisted LSH index at `path`: `docs/` = (_id, _sh) gram-hash sets,
+    * `bands/` = (_id, _band, _bucket) band buckets, repartitioned by
+    * bucket so each probe join reads bucket-clustered files. This is the
+    * amortization the per-ingest pipeline needs at 100 TB: the corpus is
+    * shingled, signed, and banded ONCE; every daily delta then pays only
+    * its own (small) gram/signature compute plus the bucket-probe join —
+    * never a corpus rescan. Rebuild (or append-merge) the index when the
+    * corpus itself grows. Parameters must match the later probes. */
+  def buildCorpusIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 3, numHashes: Int = 32, bands: Int = 16): Unit = {
+    val cd = shingledDocs(corpus, idCol, textCol, k, numHashes)
+    cd.select("_id", "_sh").write.mode("overwrite").parquet(s"$path/docs")
+    bandBuckets(cd, numHashes, bands)
+      .repartition(col("_bucket"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    cd.unpersist()
+  }
+
+  /** Incremental near-dup against a [[buildCorpusIndex]] output: same
+    * semantics and join shape as [[nearDupDelta]], but the corpus side is
+    * read from the persisted index instead of recomputed — the production
+    * per-ingest path. `k`/`numHashes`/`bands` must match the index build. */
+  def nearDupDeltaIndexed(delta: DataFrame, indexPath: String, idCol: String,
+      textCol: String, threshold: Double, k: Int = 3, numHashes: Int = 32,
+      bands: Int = 16): DataFrame = {
+    val spark = delta.sparkSession
+    val dd = shingledDocs(delta, idCol, textCol, k, numHashes)
+    deltaProbe(dd, spark.read.parquet(s"$indexPath/docs"),
+      spark.read.parquet(s"$indexPath/bands"), threshold, numHashes, bands)
   }
 
   /** Embedding-cosine near-dup, exact: all pairs (idA < idB) with

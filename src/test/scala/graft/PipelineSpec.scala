@@ -61,6 +61,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(nd.contains((0L, 3L)))
   }
 
+  test("indexed delta near-dup equals the self-contained path") {
+    import spark.implicits._
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"), // dup of 0
+      (11L, "a wholly unrelated delta document about streaming state stores")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    Dedup.buildCorpusIndex(docs, "doc_id", "text", dir,
+      k = 3, numHashes = 64, bands = 32)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = asSet(Dedup.nearDupDelta(delta, docs, "doc_id", "text",
+      threshold = 0.8, k = 3, numHashes = 64, bands = 32))
+    val indexed = asSet(Dedup.nearDupDeltaIndexed(delta, dir, "doc_id", "text",
+      threshold = 0.8, k = 3, numHashes = 64, bands = 32))
+    assert(indexed == direct)
+    assert(indexed.exists { case (d, c, j) => d == 10L && c == 0L && j == 1.0 })
+    assert(!indexed.exists(_._1 == 11L))
+  }
+
   test("char n-gram jaccard") {
     import spark.implicits._
     val df = Seq(("abcdef", "abcdeg")).toDF("a", "b")
@@ -196,6 +216,24 @@ class PipelineSpec extends AnyFunSuite {
       .collect()
     // vec 200 ≈ vec 0 lands in the same cell, so it must be recalled first
     assert(ivf.head.getAs[Long]("neighbor_id") == 200L)
+  }
+
+  test("IVF quantizer is deterministic; probing all cells equals brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val corpus = spark.createDataset((0L until 80L).map(i => (i, vec()))).toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 3L)
+    def run() = Ann.ivfTopK(corpus, queries, k = 4, nCells = 8, nProbe = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    // same (corpus, seed) → bit-identical model → identical results
+    assert(run() == run())
+    // nProbe == nCells degrades gracefully to the exact answer
+    val bf = Ann.bruteForceTopK(corpus, queries, k = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(run() == bf)
   }
 
   test("top_k_by_score agg equals sort-take oracle, incl. score ties") {
