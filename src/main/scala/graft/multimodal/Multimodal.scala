@@ -154,6 +154,51 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL image resize: decode the payload with ImageIO, nearest-neighbor
+    * resample to `w`×`h`, re-encode as PNG — the full
+    * decode→transform→encode loop a thumbnailing / vision-preproc stage
+    * runs, batched like [[extractFeatures]]. Nearest-neighbor (source
+    * pixel at (x·srcW/w, y·srcH/h), integer floor division) is used
+    * instead of Graphics2D scaling because its output is exactly
+    * specified, so an oracle can recompute every output pixel from the
+    * source formula and verify the loop bit-exactly; swap the kernel for
+    * area/bilinear in production where exactness isn't contractual.
+    * Output: (idCol, payload) with the resized PNG. */
+  def imageResize(df: DataFrame, idCol: String, payloadCol: String,
+      w: Int, h: Int, batchSize: Int = 256): DataFrame = {
+    require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val pre = df.select(col(idCol).cast("long"), col(payloadCol))
+    pre.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(img != null, s"payload of id $id is not a decodable image")
+          val sw = img.getWidth
+          val sh = img.getHeight
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              out.setRGB(x, y, img.getRGB(x * sw / w, y * sh / h) & 0xFFFFFF)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Row(id, bos.toByteArray)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** STUB decoder: deterministic pseudo-features from payload bytes.
     * Replace with a real codec (JPEG/WAV/MP4 demux) in production. */
   private[multimodal] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {

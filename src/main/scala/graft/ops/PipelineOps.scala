@@ -412,6 +412,74 @@ object PipelineOps {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy("event_type")
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+    },
+
+    // ---- bloom-pre-filtered delta-vs-corpus exact dedup -------------------
+    // Re-ingest scenario: corpus = docs with id%3!=0, delta = every doc.
+    // The corpus's content-hash bloom prunes the delta map-side (no false
+    // negatives), the exact-confirm join removes the fpp — so the result
+    // equals the plain semi-join the oracle states, by construction.
+    Q("q_dedup_bloom",
+      """SELECT d.doc_id,
+        |  md5(lower(regexp_replace(trim(d.text), '\s+', ' ', 'g'))) AS content_hash
+        |FROM documents d
+        |WHERE EXISTS (SELECT 1 FROM documents c WHERE c.doc_id % 3 <> 0
+        |  AND lower(regexp_replace(trim(c.text), '\s+', ' ', 'g'))
+        |    = lower(regexp_replace(trim(d.text), '\s+', ' ', 'g')))""".stripMargin) { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      Dedup.exactDeltaBloom(docs, docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text")
+    },
+
+    // ---- inverted index (token -> sorted posting list) --------------------
+    // Postings serialize as a comma-joined string so the compare harness
+    // sorts rows on scalar columns; the library shape is the sorted array.
+    Q("q_inverted_index",
+      s"""SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+         |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+         |FROM (SELECT doc_id, unnest($oToks) AS tok FROM documents)
+         |GROUP BY tok HAVING count(DISTINCT doc_id) <= 100""".stripMargin) { (s, d) =>
+      invertedIndex(Tables(s, d, "documents"), "doc_id", "text", maxDf = 100)
+        .select(col("tok"), col("doc_freq"),
+          array_join(col("postings"), ",").as("postings"))
+    },
+
+    // ---- skew-salted join == plain join (Scale.saltedJoin) ----------------
+    // The orders side of lineitem x orders is replicated across 16 salt
+    // sub-keys; the result must equal the unsalted join exactly.
+    Q("q_salted_join",
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         |  ${Tables.oSum("l_extendedprice")} AS total
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      Scale.saltedJoin(
+          Tables(s, d, "lineitem").select("l_orderkey", "l_extendedprice"),
+          Tables(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+          "l_orderkey", "o_orderkey", salts = 16)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("l_extendedprice")).as("total"))
+    },
+
+    // ---- bucketed co-located join (shuffle paid at write, not per query) --
+    // Both sides persist hash-bucketed on the key; the join then plans
+    // with NO exchange on either side (ScaleSpec asserts the plan; this
+    // entry verifies the answers survive the bucketed round-trip).
+    Q("q_bucketed_join",
+      s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+         |  ${Tables.oSum("l_quantity")} AS qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      Scale.writeBucketed(Tables(s, d, "lineitem").select("l_orderkey", "l_quantity"),
+        "graft_tmp.q_li_bkt", s"$root/li", "l_orderkey", 8)
+      Scale.writeBucketed(Tables(s, d, "orders").select("o_orderkey", "o_orderstatus"),
+        "graft_tmp.q_ord_bkt", s"$root/ord", "o_orderkey", 8)
+      Scale.readBucketedTable(s, "graft_tmp.q_li_bkt")
+        .join(Scale.readBucketedTable(s, "graft_tmp.q_ord_bkt"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("l_quantity")).as("qty"))
     }
   )
 }

@@ -82,6 +82,58 @@ object StreamMediaOps {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
       Streams.userEventCounts(s, d)
+    },
+
+    // ---- stream-static join + windowed agg --------------------------------
+    // The event stream enriches against the (broadcast) customer->nation
+    // dim, then a watermarked daily window finalizes per nation — must
+    // equal the batch 3-table join.
+    Q("q_stream_join",
+      """SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day, n.n_name AS nation,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val dim = Tables(s, d, "customer").select("c_custkey", "c_nationkey")
+        .join(Tables(s, d, "nation").select("n_nationkey", "n_name"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("nation"))
+      Streams.streamStaticWindowedAgg(s, d, dim, "user_id", "c_custkey",
+          "nation", "1 day", Seq("n" -> count(lit(1))))
+        .select(to_date(col("window.start")).as("day"), col("nation"), col("n"))
+    },
+
+    // ---- stream-stream inner join (watermarked, event-time banded) --------
+    // Two replays of the event stream join on event_id within a ±1 minute
+    // event-time band; event ids are unique, so every event pairs exactly
+    // with its twin — the result must equal the batch self-join.
+    Q("q_stream_stream_join",
+      """SELECT e1.event_id, e1.event_type, e2.value
+        |FROM events e1 JOIN events e2 ON e1.event_id = e2.event_id
+        |  AND e2.ts >= e1.ts - INTERVAL 1 MINUTE
+        |  AND e2.ts <= e1.ts + INTERVAL 1 MINUTE""".stripMargin) { (s, d) =>
+      Streams.streamStreamJoin(s, d)
+    },
+
+    // ---- REAL image resize: decode -> resample -> re-encode -> decode -----
+    // Each fixture PNG is nearest-neighbor resized to 12x10 and re-encoded;
+    // the probe then re-decodes and reads corner pixels. The oracle
+    // recomputes the resample from the source-pixel formula, so a match
+    // proves the whole decode->transform->encode->decode loop pixel-exact.
+    Q("q_multimodal_resize",
+      """WITH d AS (SELECT doc_id, doc_id * 2654435761 AS seed,
+        |    8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(12 AS INT) AS width, CAST(10 AS INT) AS height,
+        |  seed % 16777216 AS p00,
+        |  (seed + 31 * ((11 * w) // 12) + 17 * ((9 * h) // 10)) % 16777216 AS pwh
+        |FROM d""".stripMargin) { (s, d) =>
+      val media = Multimodal.withPngPayload(
+        Tables(s, d, "documents").select("doc_id"), "doc_id")
+      Multimodal.imageProbe(
+        Multimodal.imageResize(media, "doc_id", "payload", w = 12, h = 10),
+        "doc_id", "payload")
     }
   )
 }

@@ -127,6 +127,54 @@ object Streams {
         .writeStream
     }.filter(col("event_type") =!= SentinelType)
 
+  /** Stream-static join + windowed aggregate: the event stream enriches
+    * against a STATIC dimension (re-planned per micro-batch, broadcast
+    * when small — exactly the batch join rules), then a watermarked
+    * tumbling-window aggregate finalizes per (window, dimCol) group. The
+    * static side never enters the state store, so state size is bounded
+    * by the window keyspace alone — the scale shape for "join the stream
+    * to reference data". The watermark is declared BEFORE the join so the
+    * sentinel advances it even though the join (inner, key -1 matches
+    * nothing) then drops the sentinel row. */
+  def streamStaticWindowedAgg(spark: SparkSession, dir: String,
+      dim: DataFrame, streamKey: String, dimKey: String, dimCol: String,
+      windowDur: String, aggs: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    runToParquet(spark, statePartitions = 8) { (s, _) =>
+      stagedEventStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .join(broadcast(dim), col(streamKey) === col(dimKey), "inner")
+        .groupBy(window(col("ts"), windowDur), col(dimCol))
+        .agg(aggs.head._2.as(aggs.head._1),
+          aggs.tail.map { case (n, c) => c.as(n) }: _*)
+        .writeStream
+    }
+
+  /** Stream-stream inner join: two event streams join on `event_id`
+    * within a ±`band` EVENT-TIME range; both sides carry watermarks and
+    * the range condition bounds how long either side's rows wait in the
+    * join state, so state retires as the watermark advances — the only
+    * shape at which a stream×stream join survives unbounded input. The
+    * sentinel pair joins itself (same id, same ts) and is filtered by id
+    * after the drain. Output: (event_id, event_type, value). */
+  def streamStreamJoin(spark: SparkSession, dir: String,
+      band: String = "1 minute"): DataFrame =
+    runToParquet(spark, statePartitions = 8) { (s, _) =>
+      val l = stagedEventStream(s, dir)
+        .select(col("event_id").as("l_id"), col("ts").as("l_ts"),
+          col("event_type"))
+        .withWatermark("l_ts", "0 seconds")
+      val r = stagedEventStream(s, dir)
+        .select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+          col("value"))
+        .withWatermark("r_ts", "0 seconds")
+      l.join(r, expr(
+          s"""l_id = r_id AND
+             |r_ts >= l_ts - interval $band AND
+             |r_ts <= l_ts + interval $band""".stripMargin))
+        .select(col("l_id").as("event_id"), col("event_type"), col("value"))
+        .writeStream
+    }.filter(col("event_id") =!= -1L)
+
   /** Stateful per-user event counting via flatMapGroupsWithState in
     * Append mode with an EVENT-TIME TIMEOUT: a user's count lives in
     * state only until the watermark passes their last event, then emits

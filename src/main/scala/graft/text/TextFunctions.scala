@@ -36,6 +36,21 @@ object TextFunctions {
   /** Total characters across tokens (chars minus whitespace). */
   def tokenCharCount(c: Column): Column = tokenStats(c)("n_token_chars")
 
+  /** Inverted index: token → sorted posting list of document ids, plus
+    * document frequency. One explode + one shuffle keyed on the token —
+    * the standard build for retrieval-style decontamination lookups and
+    * corpus search. At 100 TB, cap or drop stop-token postings (df above
+    * `maxDf`) so no single reducer key accumulates the whole corpus: the
+    * head of the Zipf curve is exactly the part retrieval never needs.
+    * Output: (tok, doc_freq, postings sorted array). */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Long = Long.MaxValue): DataFrame =
+    df.select(col(idCol).as("_doc"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok")
+      .agg(countDistinct(col("_doc")).as("doc_freq"),
+        sort_array(collect_set(col("_doc"))).as("postings"))
+      .filter(col("doc_freq") <= maxDf)
+
   /** Count of tokens that appear in the given word list (native kernel;
     * the word list ships with the plan). */
   def wordListHits(c: Column, words: Seq[String]): Column =

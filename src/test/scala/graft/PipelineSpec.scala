@@ -261,6 +261,32 @@ class PipelineSpec extends AnyFunSuite {
       .select(TextFunctions.shingles(col("t"), 3).as("s")).head()
     assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
   }
+
+  test("bloom delta dedup finds exactly the verbatim re-ingests") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma  delta"), (3L, "epsilon"))
+      .toDF("doc_id", "text")
+    // 11 dups whitespace/case-normalize onto corpus docs; 12 is new
+    val delta = Seq((11L, "  ALPHA   beta "), (12L, "zeta"), (13L, "Gamma delta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactDeltaBloom(delta, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(11L, 13L))
+  }
+
+  test("inverted index postings are sorted, distinct, df-capped") {
+    import spark.implicits._
+    val docs = Seq((3L, "b a b"), (1L, "a c"), (2L, "a"))
+      .toDF("doc_id", "text")
+    val idx = TextFunctions.invertedIndex(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(idx("a") == ((3L, Seq(1L, 2L, 3L))))
+    assert(idx("b") == ((1L, Seq(3L)))) // duplicate token, one posting
+    assert(idx("c") == ((1L, Seq(1L))))
+    val capped = TextFunctions.invertedIndex(docs, "doc_id", "text", maxDf = 2)
+    assert(!capped.collect().map(_.getString(0)).contains("a"))
+  }
 }
 
 object SimHashTestHelper {

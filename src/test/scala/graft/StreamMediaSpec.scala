@@ -93,4 +93,41 @@ class StreamMediaSpec extends AnyFunSuite {
     val r = Multimodal.frameSample(media, "payload", 4).select("frames").head()
     assert(r.getSeq[Array[Byte]](0).size == 4)
   }
+
+  test("stream-static join + windowed agg equals the batch join") {
+    val dim = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val streamed = Streams.streamStaticWindowedAgg(spark, dir, dim,
+        "user_id", "c_custkey", "c_nationkey", "1 day",
+        Seq("n" -> count(lit(1))))
+      .select(to_date(col("window.start")).as("day"), col("c_nationkey"), col("n"))
+    val batch = Tables(spark, dir, "events")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(to_date(col("ts")).as("day"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stream-stream banded join pairs every event exactly once") {
+    val joined = Streams.streamStreamJoin(spark, dir)
+    val batch = Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    assert(joined.exceptAll(batch).isEmpty && batch.exceptAll(joined).isEmpty)
+  }
+
+  test("nearest-neighbor resize is pixel-exact through the PNG round-trip") {
+    val media = Multimodal.withPngPayload(
+      Tables(spark, dir, "documents").select("doc_id").limit(8), "doc_id")
+    val probed = Multimodal.imageProbe(
+      Multimodal.imageResize(media, "doc_id", "payload", w = 12, h = 10),
+      "doc_id", "payload").collect()
+    probed.foreach { r =>
+      val id = r.getLong(0)
+      val (sw, sh) = (8 + (id % 24).toInt, 8 + (id % 16).toInt)
+      val seed = id * 2654435761L
+      def px(x: Int, y: Int) = (seed + 31L * x + 17L * y) & 0xFFFFFF
+      assert(r.getInt(1) == 12 && r.getInt(2) == 10)
+      assert(r.getLong(3) == px(0, 0))
+      assert(r.getLong(4) == px(11 * sw / 12, 9 * sh / 10))
+    }
+  }
 }
