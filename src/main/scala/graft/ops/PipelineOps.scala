@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.similarity.Ann
+import graft.text.Bpe
 import graft.text.TextFunctions._
 
 /** Training-data pipeline operators (driver north star): text analysis,
@@ -442,6 +443,38 @@ object PipelineOps {
       invertedIndex(Tables(s, d, "documents"), "doc_id", "text", maxDf = 100)
         .select(col("tok"), col("doc_freq"),
           array_join(col("postings"), ",").as("postings"))
+    },
+
+    // ---- BPE subword tokenizer: train on the corpus, encode, round-trip ---
+    // Training fits 16 merges on the distinct-word table (deterministic
+    // count-then-lexicographic tie-break); encoding is a pure map. The
+    // oracle checks the verifiable contract: word counts are exact SQL,
+    // and the round-trip/bounds booleans must be uniformly true — BPE
+    // tokens partition each word's characters, so re-concatenation MUST
+    // recover the text (a lost or reordered symbol flips the gate).
+    Q("q_bpe_tokenize",
+      s"""SELECT doc_id, CAST(len($oToks) AS BIGINT) AS n_words,
+         |  true AS roundtrip_ok, true AS bounds_ok
+         |FROM documents""".stripMargin) { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val merges = Bpe.trainMerges(docs, "text", numMerges = 16)
+      Bpe.encodeStats(docs, "doc_id", "text", merges)
+        .select("doc_id", "n_words", "roundtrip_ok", "bounds_ok")
+    },
+
+    // ---- compression-ratio quality signal (deflate entropy proxy) ---------
+    // n_bytes is exact SQL; the deflate output itself is gated by the
+    // inflate round-trip plus size bounds (1 <= n_deflate <= n_bytes+64).
+    Q("q_compress_quality",
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  true AS roundtrip_ok, true AS bounds_ok
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_bytes"),
+          deflateStats(col("text")).as("_z"))
+        .select(col("doc_id"), col("n_bytes"), col("_z.roundtrip_ok"),
+          (col("_z.n_deflate") >= 1 &&
+            col("_z.n_deflate") <= col("n_bytes") + 64).as("bounds_ok"))
     },
 
     // ---- skew-salted join == plain join (Scale.saltedJoin) ----------------

@@ -51,6 +51,36 @@ object TextFunctions {
         sort_array(collect_set(col("_doc"))).as("postings"))
       .filter(col("doc_freq") <= maxDf)
 
+  /** struct(n_deflate, roundtrip_ok): DEFLATE-compressed size of the
+    * UTF-8 text at a fixed level (deterministic — no dictionary, no
+    * timestamps) plus an inflate-back equality check. The compression
+    * ratio n_deflate / n_bytes is the classic cheap entropy proxy for
+    * document quality: boilerplate and template spam compress far better
+    * than natural prose (used e.g. as a CCNet/RefinedWeb-style filter
+    * signal). Pure per-row map — no shuffle, scan-speed at 100 TB; zlib
+    * runs native under the JDK Deflater. */
+  def deflateStats(c: Column): Column = {
+    val f = udf { s: String =>
+      val in = s.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6, false)
+      d.setInput(in); d.finish()
+      val buf = new Array[Byte](math.max(64, in.length + (in.length >> 1) + 64))
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+      d.end()
+      val inf = new java.util.zip.Inflater(false)
+      inf.setInput(buf, 0, n)
+      val back = new Array[Byte](in.length + 1)
+      var m = 0
+      while (!inf.finished() && m <= in.length)
+        m += inf.inflate(back, m, back.length - m)
+      inf.end()
+      (n.toLong, m == in.length && java.util.Arrays.equals(
+        java.util.Arrays.copyOf(back, m), in))
+    }
+    f(c).cast("struct<n_deflate: bigint, roundtrip_ok: boolean>")
+  }
+
   /** Count of tokens that appear in the given word list (native kernel;
     * the word list ships with the plan). */
   def wordListHits(c: Column, words: Seq[String]): Column =

@@ -274,6 +274,71 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(11L, 13L))
   }
 
+  test("BPE training matches an exact reference implementation") {
+    import spark.implicits._
+    val text = "low low low low low lower lower newest newest newest " +
+      "newest newest newest widest widest widest"
+    val df = Seq(text).toDF("text")
+    val got = graft.text.Bpe.trainMerges(df, "text", numMerges = 6).pairs
+
+    // independent naive BPE over the word-frequency map, same tie-break
+    // (count desc, then (l, r) lexicographic asc)
+    var words: Map[Vector[String], Long] = text.split(" ")
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.length.toLong }
+    val want = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 0 until 6) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val (l, r) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+      want += ((l, r))
+      words = words.map { case (syms, f) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toVector -> f
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    }
+    assert(got == want.toSeq)
+  }
+
+  test("BPE encode round-trips and handles unseen words") {
+    import spark.implicits._
+    val train = Seq("aa ab aa ab aa").toDF("text")
+    val merges = graft.text.Bpe.trainMerges(train, "text", numMerges = 2)
+    val docs = Seq((1L, "aa ab"), (2L, "zzz qq aa")).toDF("doc_id", "text")
+    val stats = graft.text.Bpe.encodeStats(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(stats(1L)._3 && stats(1L)._4)
+    assert(stats(2L)._3 && stats(2L)._4)
+    assert(stats(1L)._1 == 2L)            // two words
+    assert(stats(1L)._2 == 2L)            // 'aa' and 'ab' each one merged token
+    assert(stats(2L)._2 >= stats(2L)._1)  // unseen words split to >= 1 token
+  }
+
+  test("deflate stats: round-trip, determinism, boilerplate compresses better") {
+    import spark.implicits._
+    val prose = "the quick brown fox jumps over seventeen lazy dogs near a riverbank"
+    val boiler = "spam spam spam spam spam spam spam spam spam spam spam spam"
+    val df = Seq((1L, prose), (2L, boiler)).toDF("id", "text")
+      .select(col("id"), octet_length(col("text")).as("nb"),
+        TextFunctions.deflateStats(col("text")).as("z"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getStruct(2).getLong(0), r.getStruct(2).getBoolean(1))).toMap
+    assert(rows.values.forall(_._3))                    // inflate == original
+    assert(rows(1L)._2.toDouble / rows(1L)._1 >
+      rows(2L)._2.toDouble / rows(2L)._1)               // prose ratio higher
+    val again = Seq((1L, prose)).toDF("id", "text")
+      .select(TextFunctions.deflateStats(col("text"))("n_deflate")).head().getLong(0)
+    assert(again == rows(1L)._2)                        // deterministic
+  }
+
   test("inverted index postings are sorted, distinct, df-capped") {
     import spark.implicits._
     val docs = Seq((3L, "b a b"), (1L, "a c"), (2L, "a"))
