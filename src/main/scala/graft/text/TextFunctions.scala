@@ -37,19 +37,30 @@ object TextFunctions {
   def tokenCharCount(c: Column): Column = tokenStats(c)("n_token_chars")
 
   /** Inverted index: token → sorted posting list of document ids, plus
-    * document frequency. One explode + one shuffle keyed on the token —
-    * the standard build for retrieval-style decontamination lookups and
-    * corpus search. At 100 TB, cap or drop stop-token postings (df above
-    * `maxDf`) so no single reducer key accumulates the whole corpus: the
-    * head of the Zipf curve is exactly the part retrieval never needs.
+    * document frequency — the standard build for retrieval-style
+    * decontamination lookups and corpus search. With a finite `maxDf`,
+    * Zipf-head stop tokens are pruned BEFORE any posting list
+    * materializes: a first counts-only aggregation finds the under-cap
+    * tokens (agg buffers hold one long per token, never a list), and only
+    * their occurrences reach the `collect_set`. Without the pre-pass a
+    * stop token's posting list accumulates the whole corpus in a single
+    * reducer buffer — the 100 TB OOM. The head of the Zipf curve is
+    * exactly the part retrieval never needs, so cap it.
     * Output: (tok, doc_freq, postings sorted array). */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
-      maxDf: Long = Long.MaxValue): DataFrame =
-    df.select(col(idCol).as("_doc"), explode(tokens(col(textCol))).as("tok"))
-      .groupBy("tok")
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val occ = df.select(col(idCol).as("_doc"),
+      explode(tokens(col(textCol))).as("tok"))
+    val kept =
+      if (maxDf == Long.MaxValue) occ
+      else occ.join(
+        occ.groupBy("tok").agg(countDistinct(col("_doc")).as("_df"))
+          .filter(col("_df") <= maxDf).select("tok"),
+        Seq("tok"), "left_semi")
+    kept.groupBy("tok")
       .agg(countDistinct(col("_doc")).as("doc_freq"),
         sort_array(collect_set(col("_doc"))).as("postings"))
-      .filter(col("doc_freq") <= maxDf)
+  }
 
   /** struct(n_deflate, roundtrip_ok): DEFLATE-compressed size of the
     * UTF-8 text at a fixed level (deterministic — no dictionary, no
