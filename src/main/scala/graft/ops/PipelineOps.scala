@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -478,19 +479,40 @@ object PipelineOps {
     },
 
     // ---- skew-salted join == plain join (Scale.saltedJoin) ----------------
-    // The orders side of lineitem x orders is replicated across 16 salt
-    // sub-keys; the result must equal the unsalted join exactly.
+    // The production salting shape: the (potentially hot-keyed) fact side
+    // is salted into 16 sub-keys and only the DIMENSION side replicates —
+    // never a fact-sized table. Result must equal the unsalted join.
     Q("q_salted_join",
-      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-         |  ${Tables.oSum("l_extendedprice")} AS total
-         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         |  ${Tables.oSum("o_totalprice")} AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY 1""".stripMargin) { (s, d) =>
       Scale.saltedJoin(
-          Tables(s, d, "lineitem").select("l_orderkey", "l_extendedprice"),
-          Tables(s, d, "orders").select("o_orderkey", "o_orderpriority"),
-          "l_orderkey", "o_orderkey", salts = 16)
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"), Tables.dsum(col("l_extendedprice")).as("total"))
+          Tables(s, d, "orders").select("o_custkey", "o_totalprice"),
+          Tables(s, d, "customer").select("c_custkey", "c_mktsegment"),
+          "o_custkey", "c_custkey", salts = 16)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("total"))
+    },
+
+    // ---- grouped top-k via the bounded partial aggregate ------------------
+    // Top-3 documents per source by length: the native TopKByScore
+    // TypedImperativeAggregate reduces every partition to <=k entries per
+    // group BEFORE the shuffle, where the window-function formulation the
+    // oracle uses would shuffle every scored row — same answers, scale-safe
+    // plan (tie-break (score desc, id asc) matches the window's ORDER BY).
+    Q("q_topk_per_group",
+      """SELECT source, doc_id, rn FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents) WHERE rn <= 3""".stripMargin) { (s, d) =>
+      val agg = GraftBridge.column(graft.functions.TopKByScore(
+        GraftBridge.expression(col("n_chars").cast("double")),
+        GraftBridge.expression(col("doc_id")), 3).toAggregateExpression())
+      Tables(s, d, "documents").groupBy("source").agg(agg.as("_nn"))
+        .select(col("source"), posexplode(col("_nn")))
+        .select(col("source"), col("col.id").as("doc_id"),
+          (col("pos") + 1).cast("int").as("rn"))
     },
 
     // ---- bucketed co-located join (shuffle paid at write, not per query) --
