@@ -14,26 +14,36 @@ import graft.functions.{CharNgramHashes, CosineSim, HyperplaneSig, MinHashSig, S
   * `.withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       e.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    // opt-in optimizer rule (spark.graft.rangeJoin.bucketWidth > 0):
+    // pure range-condition inner joins become bucketized equi-joins
+    // instead of nested-loop joins
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinBucketRule)
+  }
 }
 
 object GraftExtensions {
 
-  /** Attach graft's SQL functions to an ALREADY-BUILT session (the
-    * `withExtensions` path needs to run before `getOrCreate`). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Attach graft's SQL functions + optimizer rule to an ALREADY-BUILT
+    * session (the `withExtensions` path needs to run before
+    * `getOrCreate`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         new FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinBucketRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinBucketRule
+  }
 
   private def intLit(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

@@ -62,13 +62,19 @@ object Verify {
       case c => c.toString
     } + "\""
 
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run — an iteration aid like
+    // Bench's; the driver never sets it, so official runs dump everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+
     // Oracle SQL first: it is pure metadata, and the driver needs it even
     // if a later query hangs and the process is killed.
     val oracleJson = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
 
     val all = SparkEntry.queries
+      .filter { case (k, _) => only.forall(_.contains(k)) }
     val order = slowFirst.filter(all.contains) ++
       all.keys.toSeq.filterNot(slowFirst.contains).sorted
 
