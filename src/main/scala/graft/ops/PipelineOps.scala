@@ -381,6 +381,29 @@ object PipelineOps {
         .groupBy("event_id").agg(count(lit(1)).as("n_windows"))
     },
 
+    // ---- the SAME range join written naively, fixed by the injected rule --
+    // The BETWEEN predicate alone would plan a BroadcastNestedLoopJoin;
+    // with RangeJoinBucketRule active (session-local conf on a cloned
+    // session) the optimizer rewrites it to the bucketized hash equi-join
+    // automatically — same oracle as q_range_join, zero manual bucketing.
+    Q("q_range_join_auto",
+      """WITH s AS (SELECT epoch_us(ts) AS s0, epoch_us(ts) + 3600000000 AS s1
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT e.event_id, count(*) AS n_windows
+        |FROM events e JOIN s ON epoch_us(e.ts) BETWEEN s.s0 AND s.s1
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val s2 = s.newSession() // conf isolation: rule on, width set
+      graft.GraftExtensions.register(s2)
+      s2.conf.set(graft.plans.RangeJoinBucketRule.WidthConf, "3600000000")
+      val ev = Tables(s2, d, "events")
+      val points = ev.select(col("event_id"), unix_micros(col("ts")).as("t"))
+      val windows = ev.filter(col("event_type") === "signup")
+        .select(unix_micros(col("ts")).as("s0"),
+          (unix_micros(col("ts")) + 3600000000L).as("s1"))
+      points.join(windows, col("t") >= col("s0") && col("t") <= col("s1"))
+        .groupBy("event_id").agg(count(lit(1)).as("n_windows"))
+    },
+
     // ---- window functions over events (superset; SURVEY §2.5) -------------
     Q("q_window",
       """SELECT event_id, user_id, rn FROM (
