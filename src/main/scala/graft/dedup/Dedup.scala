@@ -247,21 +247,36 @@ object Dedup {
     * beyond that. `expectedItems` sizes the filter (pass the corpus's
     * approximate cardinality at scale rather than counting exactly).
     * Output: (idCol, content_hash) of delta rows whose normalized text
-    * exists verbatim in the corpus. */
+    * exists verbatim in the corpus. NULL-text rows on either side are
+    * never duplicates (matching the EXISTS-on-normalized-text contract)
+    * and are dropped up front.
+    *
+    * NOTE — this call is EAGER and the result is persisted (the lshTopK
+    * pattern): the distinct corpus hash set must be computed ONCE and
+    * reused by both the bloom build and the exact-confirm join — without
+    * the persist the corpus would scan three times (count + bloom +
+    * join). The corpus-sized cache is dropped before returning; callers
+    * running many deltas in one session may `.unpersist()` each result
+    * when done with it. */
   def exactDeltaBloom(delta: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
     val spark = delta.sparkSession
     def hashed(df: DataFrame, cols: Column*) = df.select(
       (md5(normalizeText(col(textCol)).cast("binary")).as("content_hash") +: cols): _*)
-    val corpusHashes = hashed(corpus).distinct()
+      .filter(col("content_hash").isNotNull)
+    val corpusHashes = hashed(corpus).distinct().persist()
     val n = if (expectedItems > 0) expectedItems else corpusHashes.count()
     val bloom = corpusHashes.stat.bloomFilter("content_hash", math.max(n, 1L), fpp)
     val bc = spark.sparkContext.broadcast(bloom)
-    val maybe = udf((h: String) => bc.value.mightContain(h))
-    hashed(delta, col(idCol))
+    val maybe = udf((h: String) => h != null && bc.value.mightContain(h))
+    val out = hashed(delta, col(idCol))
       .filter(maybe(col("content_hash")))
       .join(corpusHashes, "content_hash") // exact confirm: removes the fpp
       .select(col(idCol), col("content_hash"))
+      .persist()
+    out.count()
+    corpusHashes.unpersist()
+    out
   }
 
   /** Embedding-cosine near-dup, exact: all pairs (idA < idB) with

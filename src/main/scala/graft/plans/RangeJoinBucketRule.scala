@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, LongType, ShortType}
 
 /** Optimizer rule: rewrite a pure range-condition inner join —
   * `point BETWEEN lo AND hi` with no equi conjunct — into the bucketized
@@ -39,7 +39,12 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * (idempotent under the optimizer's fixed point).
   *
   * Pick the width near the typical interval span: shuffle volume is
-  * points + intervals × (span/width + 1).
+  * points + intervals × (span/width + 1). Inverted (lo > hi) and
+  * NULL-bounded intervals — which match nothing — generate zero buckets
+  * rather than a runaway sequence. Open-ended sentinel encodings
+  * (hi = Long.MaxValue for "no expiry") would still explode into
+  * span/width buckets: clamp such sentinels to the data's real horizon
+  * before joining, exactly as you would before any bucketized index.
   */
 object RangeJoinBucketRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -104,9 +109,19 @@ object RangeJoinBucketRule extends Rule[LogicalPlan] with PredicateHelper {
             val pAlias = Alias(bkt(ts, width), "_g_pbkt")()
             val newPoint = Project(pointPlan.output :+ pAlias, pointPlan)
             val iBkt = AttributeReference("_g_ibkt", LongType, nullable = false)()
-            val gen = Generate(
-              Explode(Sequence(bkt(lo, width), bkt(hi, width), None,
-                Some(conf.sessionLocalTimeZone))),
+            // guard: an inverted interval (lo > hi) satisfies the original
+            // predicate for no point, but Sequence would auto-step -1 and
+            // materialize the DESCENDING bucket range — for a sentinel like
+            // (10^12, 0) that's a runtime array-size blowup where the
+            // original plan just returned nothing. Emit an empty bucket
+            // array instead (also taken when either bound is NULL, which
+            // the original NULL-comparison likewise never matched).
+            val loB = bkt(lo, width)
+            val hiB = bkt(hi, width)
+            val buckets = If(LessThanOrEqual(loB, hiB),
+              Sequence(loB, hiB, None, Some(conf.sessionLocalTimeZone)),
+              Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
+            val gen = Generate(Explode(buckets),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(iBkt), child = intervalPlan)
             val eq = EqualTo(pAlias.toAttribute, iBkt)

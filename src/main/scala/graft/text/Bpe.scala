@@ -46,7 +46,11 @@ object Bpe {
     * over word counts for exactly this reason.)
     *
     * `sampleFrac` < 1 additionally hash-samples the distinct words (by
-    * word, so a word's inclusion is stable under corpus growth). */
+    * word, so a word's inclusion is stable under corpus growth).
+    *
+    * Training stops early once no pair occurs at least twice: merging a
+    * count-1 pair can never improve compression and would burn vocab
+    * slots on noise (the same stop condition reference trainers use). */
   def trainMerges(df: DataFrame, textCol: String, numMerges: Int,
       sampleFrac: Double = 1.0, maxWords: Int = 1 << 20): Merges = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
@@ -109,7 +113,10 @@ object Bpe {
   def encodeTokens(textCol: Column, merges: Merges): Column = {
     val rank = merges.rank
     val enc = udf { toks: Seq[String] =>
-      toks.flatMap { w =>
+      // NULL text → NULL token array (tokens() is null-preserving and
+      // Spark hands reference-typed UDF params through un-guarded)
+      if (toks == null) null
+      else toks.flatMap { w =>
         var syms = w.map(_.toString)
         var done = syms.lengthCompare(2) < 0
         while (!done) {
@@ -142,13 +149,16 @@ object Bpe {
   def encodeStats(df: DataFrame, idCol: String, textCol: String,
       merges: Merges): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
+    // NULL text → all-NULL stats (concat_ws would otherwise turn a null
+    // token array into "" and report a vacuous round-trip success)
+    def nn(c: Column) = when(col("_w").isNull, lit(null)).otherwise(c)
     df.select(col(idCol), toks.as("_w"),
         encodeTokens(col(textCol), merges).as("_t"))
       .select(col(idCol),
-        size(col("_w")).cast("long").as("n_words"),
-        size(col("_t")).cast("long").as("n_bpe_tokens"),
-        (concat_ws("", col("_t")) === concat_ws("", col("_w"))).as("roundtrip_ok"),
-        (size(col("_t")) >= size(col("_w")) &&
+        nn(size(col("_w")).cast("long")).as("n_words"),
+        nn(size(col("_t")).cast("long")).as("n_bpe_tokens"),
+        nn(concat_ws("", col("_t")) === concat_ws("", col("_w"))).as("roundtrip_ok"),
+        nn(size(col("_t")) >= size(col("_w")) &&
           length(concat_ws("", col("_t"))) === length(concat_ws("", col("_w"))))
           .as("bounds_ok"))
   }

@@ -69,9 +69,16 @@ object TextFunctions {
     * document quality: boilerplate and template spam compress far better
     * than natural prose (used e.g. as a CCNet/RefinedWeb-style filter
     * signal). Pure per-row map — no shuffle, scan-speed at 100 TB; zlib
-    * runs native under the JDK Deflater. */
+    * runs native under the JDK Deflater. NULL text → NULL struct, like
+    * the module's other text metrics. */
   def deflateStats(c: Column): Column = {
     val f = udf { s: String =>
+      if (s == null) None else Some(deflateOnce(s))
+    }
+    f(c).cast("struct<n_deflate: bigint, roundtrip_ok: boolean>")
+  }
+
+  private def deflateOnce(s: String): (Long, Boolean) = {
       val in = s.getBytes("UTF-8")
       val d = new java.util.zip.Deflater(6, false)
       d.setInput(in); d.finish()
@@ -88,8 +95,6 @@ object TextFunctions {
       inf.end()
       (n.toLong, m == in.length && java.util.Arrays.equals(
         java.util.Arrays.copyOf(back, m), in))
-    }
-    f(c).cast("struct<n_deflate: bigint, roundtrip_ok: boolean>")
   }
 
   /** Count of tokens that appear in the given word list (native kernel;

@@ -264,14 +264,27 @@ class PipelineSpec extends AnyFunSuite {
 
   test("bloom delta dedup finds exactly the verbatim re-ingests") {
     import spark.implicits._
-    val corpus = Seq((1L, "alpha beta"), (2L, "gamma  delta"), (3L, "epsilon"))
-      .toDF("doc_id", "text")
-    // 11 dups whitespace/case-normalize onto corpus docs; 12 is new
-    val delta = Seq((11L, "  ALPHA   beta "), (12L, "zeta"), (13L, "Gamma delta"))
-      .toDF("doc_id", "text")
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma  delta"), (3L, "epsilon"),
+      (4L, null)).toDF("doc_id", "text")
+    // 11 dups whitespace/case-normalize onto corpus docs; 12 is new;
+    // null text is never a duplicate (and must not NPE the bloom probe)
+    val delta = Seq((11L, "  ALPHA   beta "), (12L, "zeta"), (13L, "Gamma delta"),
+      (14L, null)).toDF("doc_id", "text")
     val got = Dedup.exactDeltaBloom(delta, corpus, "doc_id", "text")
       .select("doc_id").as[Long].collect().sorted
     assert(got.toSeq == Seq(11L, 13L))
+  }
+
+  test("null text: deflate and BPE stats go null, not NPE") {
+    import spark.implicits._
+    val df = Seq((1L, "some text"), (2L, null)).toDF("doc_id", "text")
+    val z = df.select(col("doc_id"), TextFunctions.deflateStats(col("text")).as("z"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!z(1L) && z(2L))
+    val merges = graft.text.Bpe.trainMerges(df, "text", numMerges = 2)
+    val st = graft.text.Bpe.encodeStats(df, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(!st(1L) && st(2L)) // roundtrip_ok null for the null doc
   }
 
   test("BPE training matches an exact reference implementation") {
@@ -282,7 +295,8 @@ class PipelineSpec extends AnyFunSuite {
     val got = graft.text.Bpe.trainMerges(df, "text", numMerges = 6).pairs
 
     // independent naive BPE over the word-frequency map, same tie-break
-    // (count desc, then (l, r) lexicographic asc)
+    // (count desc, then (l, r) lexicographic asc) and the same stop rule
+    // (no pair with count >= 2 left -> done)
     var words: Map[Vector[String], Long] = text.split(" ")
       .groupBy(identity).map { case (w, ws) =>
         w.map(_.toString).toVector -> ws.length.toLong }
@@ -291,7 +305,10 @@ class PipelineSpec extends AnyFunSuite {
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       for ((syms, f) <- words; i <- 0 until syms.length - 1)
         counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
-      val (l, r) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+      val repeating = counts.filter(_._2 >= 2)
+      if (repeating.isEmpty) throw new AssertionError(
+        "fixture exhausted before 6 merges — extend the fixture")
+      val (l, r) = repeating.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
       want += ((l, r))
       words = words.map { case (syms, f) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
