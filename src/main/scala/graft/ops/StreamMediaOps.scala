@@ -104,6 +104,20 @@ object StreamMediaOps {
         .select(to_date(col("window.start")).as("day"), col("nation"), col("n"))
     },
 
+    // ---- streaming upsert via foreachBatch (merge-into-table pattern) -----
+    // Two replays of the stream merge batch-by-batch (one file per
+    // micro-batch) into a keyed table, existing rows winning on conflict;
+    // the final table must equal the batch table exactly despite the
+    // at-least-once redelivery.
+    Q("q_stream_upsert",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      Streams.upsertStream(s, d, keyCols = Seq("event_id"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_distinct"))
+    },
+
     // ---- stream-stream inner join (watermarked, event-time banded) --------
     // Two replays of the event stream join on event_id within a ±1 minute
     // event-time band; event ids are unique, so every event pairs exactly

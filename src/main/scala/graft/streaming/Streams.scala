@@ -55,7 +55,7 @@ object Streams {
     * that many times — the at-least-once redelivery simulation the
     * streaming dedup query de-duplicates. */
   private def stagedEventStream(spark: SparkSession, dir: String,
-      replays: Int = 1): DataFrame = {
+      replays: Int = 1, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val watch = stagedDirs.computeIfAbsent((dir, replays), _ => {
       val w = Files.createTempDirectory("graft_stream_in")
@@ -67,8 +67,9 @@ object Streams {
         .coalesce(1).write.mode("append").parquet(w.toString)
       w.toString
     })
-    spark.readStream.schema(eventsRawSchema)
-      .parquet(watch)
+    val reader = spark.readStream.schema(eventsRawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(watch)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -174,6 +175,53 @@ object Streams {
         .select(col("l_id").as("event_id"), col("event_type"), col("value"))
         .writeStream
     }.filter(col("event_id") =!= -1L)
+
+  /** Streaming UPSERT via foreachBatch — the production pattern for
+    * "merge this stream into a table": each micro-batch deduplicates
+    * itself on `keyCols`, then merges into the target table keeping
+    * existing rows on key conflict (idempotent under at-least-once
+    * redelivery, which `replays = 2` simulates; `maxFilesPerTrigger = 1`
+    * forces real multi-batch execution so the merge actually exercises
+    * the conflict path). The merge here is read-union-dedup-rewrite over
+    * a parquet dir with an atomic directory swap — the honest plain-file
+    * emulation; at scale the foreachBatch body is the SAME and only the
+    * final write becomes a transactional MERGE / partition overwrite on a
+    * table format (Delta/Iceberg). State lives in the TABLE, not the
+    * stream: no watermark, no state store, restart-safe via the
+    * checkpoint's batch ids. */
+  def upsertStream(spark: SparkSession, dir: String, keyCols: Seq[String],
+      replays: Int = 2): DataFrame = {
+    val root = Files.createTempDirectory("graft_stream_upsert").toString
+    val tbl = s"$root/table"
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val src = stagedEventStream(s, dir, replays, maxFilesPerTrigger = Some(1))
+    val q = src.writeStream
+      .option("checkpointLocation", s"$root/chk")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val fresh = batch.dropDuplicates(keyCols)
+        val tblDir = new java.io.File(tbl)
+        val merged = if (tblDir.exists()) {
+          val cur = s.read.parquet(tbl)
+          // keep-existing merge: current rows win on key conflict
+          cur.unionByName(
+            fresh.join(cur.select(keyCols.map(col): _*), keyCols, "left_anti"))
+        } else fresh
+        val tmp = s"$root/swap"
+        merged.coalesce(4).write.mode("overwrite").parquet(tmp)
+        // atomic-enough swap for a local dir; a table format's MERGE
+        // replaces this block wholesale in production
+        val old = new java.io.File(s"$root/old")
+        if (tblDir.exists()) { tblDir.renameTo(old) }
+        new java.io.File(tmp).renameTo(tblDir)
+        if (old.exists()) new scala.reflect.io.Directory(old).deleteRecursively()
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(tbl).filter(col("event_type") =!= SentinelType)
+  }
 
   /** Stateful per-user event counting via flatMapGroupsWithState in
     * Append mode with an EVENT-TIME TIMEOUT: a user's count lives in

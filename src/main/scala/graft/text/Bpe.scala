@@ -94,6 +94,27 @@ object Bpe {
     Merges(merges.toSeq)
   }
 
+  /** Persist a merge table as a parquet model artifact: (rank, left,
+    * right). The trained tokenizer is corpus-derived state a pipeline
+    * must version alongside the data it tokenized — save once at
+    * training, load in every downstream encode job. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession, merges: Merges,
+      path: String): Unit = {
+    import spark.implicits._
+    merges.pairs.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveMerges]] artifact, restoring merge priority order. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String): Merges = {
+    import spark.implicits._
+    Merges(spark.read.parquet(path)
+      .select("rank", "left", "right").as[(Int, String, String)]
+      .collect().sortBy(_._1).map(t => (t._2, t._3)).toSeq)
+  }
+
   /** Apply one merge (l, r) -> l+r left-to-right over a symbol vector. */
   private def mergePair(syms: Vector[String], l: String, r: String): Vector[String] = {
     val out = Vector.newBuilder[String]

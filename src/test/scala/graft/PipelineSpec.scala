@@ -275,6 +275,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(11L, 13L))
   }
 
+  test("BPE merges survive the save/load model round-trip") {
+    import spark.implicits._
+    val df = Seq("aa ab aa ab aa ac ac").toDF("text")
+    val trained = graft.text.Bpe.trainMerges(df, "text", numMerges = 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    graft.text.Bpe.saveMerges(spark, trained, path)
+    val loaded = graft.text.Bpe.loadMerges(spark, path)
+    assert(loaded.pairs == trained.pairs) // order = priority, must be exact
+    val docs = Seq((1L, "aa ab ac zz")).toDF("doc_id", "text")
+    val a = graft.text.Bpe.encodeStats(docs, "doc_id", "text", trained).collect()
+    val b = graft.text.Bpe.encodeStats(docs, "doc_id", "text", loaded).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
   test("null text: deflate and BPE stats go null, not NPE") {
     import spark.implicits._
     val df = Seq((1L, "some text"), (2L, null)).toDF("doc_id", "text")

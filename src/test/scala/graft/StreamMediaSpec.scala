@@ -94,6 +94,15 @@ class StreamMediaSpec extends AnyFunSuite {
     assert(r.getSeq[Array[Byte]](0).size == 4)
   }
 
+  test("foreachBatch upsert collapses a replayed stream to the batch table") {
+    val table = Streams.upsertStream(spark, dir, Seq("event_id"))
+    val batch = Tables(spark, dir, "events")
+    assert(table.count() == batch.count()) // replay fully deduplicated
+    val t = table.select("event_id", "event_type", "user_id")
+    val b = batch.select("event_id", "event_type", "user_id")
+    assert(t.exceptAll(b).isEmpty && b.exceptAll(t).isEmpty)
+  }
+
   test("stream-static join + windowed agg equals the batch join") {
     val dim = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
     val streamed = Streams.streamStaticWindowedAgg(spark, dir, dim,
