@@ -218,6 +218,20 @@ object Dedup {
       .repartition(col("_bucket"))
       .write.mode("overwrite").parquet(s"$path/bands")
     cd.unpersist()
+    // exact-dedup leg of the index: the distinct content-hash set plus
+    // its Bloom filter, so a delta ingest needs ZERO corpus scans — the
+    // bloom prunes map-side, the hash parquet confirms exactly.
+    val hashes = corpus
+      .select(md5(normalizeText(col(textCol)).cast("binary")).as("content_hash"))
+      .filter(col("content_hash").isNotNull).distinct().persist()
+    val bloom = hashes.stat.bloomFilter("content_hash",
+      math.max(hashes.count(), 1L), 0.01)
+    hashes.write.mode("overwrite").parquet(s"$path/hashes")
+    hashes.unpersist()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/bloom.bin"), true)
+    try bloom.writeTo(out) finally out.close()
   }
 
   /** Incremental near-dup against a [[buildCorpusIndex]] output: same
@@ -231,6 +245,29 @@ object Dedup {
     val dd = shingledDocs(delta, idCol, textCol, k, numHashes)
     deltaProbe(dd, spark.read.parquet(s"$indexPath/docs"),
       spark.read.parquet(s"$indexPath/bands"), threshold, numHashes, bands)
+  }
+
+  /** Exact (verbatim) delta dedup against a [[buildCorpusIndex]] output —
+    * same semantics as [[exactDeltaBloom]], but the bloom and the distinct
+    * hash set come from the persisted index: the corpus is NEVER scanned
+    * at ingest time. This plus [[nearDupDeltaIndexed]] is the complete
+    * per-ingest path: one index build amortizes over every delta. */
+  def exactDeltaIndexed(delta: DataFrame, indexPath: String, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = delta.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$indexPath/bloom.bin"))
+    val bloom = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    val bc = spark.sparkContext.broadcast(bloom)
+    val maybe = udf((h: String) => h != null && bc.value.mightContain(h))
+    delta
+      .select(md5(normalizeText(col(textCol)).cast("binary")).as("content_hash"),
+        col(idCol))
+      .filter(col("content_hash").isNotNull && maybe(col("content_hash")))
+      .join(spark.read.parquet(s"$indexPath/hashes"), "content_hash")
+      .select(col(idCol), col("content_hash"))
   }
 
   /** Bloom-filter pre-filtered delta-vs-corpus EXACT dedup — the re-ingest

@@ -79,6 +79,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(indexed == direct)
     assert(indexed.exists { case (d, c, j) => d == 10L && c == 0L && j == 1.0 })
     assert(!indexed.exists(_._1 == 11L))
+
+    // exact-dedup leg of the same index: verbatim re-ingest found with
+    // zero corpus scans, same answers as the self-contained bloom path
+    val exDelta = Seq(
+      (20L, docs.select("text").head().getString(0)), // verbatim dup of 0
+      (21L, "never seen before")).toDF("doc_id", "text")
+    val viaIndex = Dedup.exactDeltaIndexed(exDelta, dir, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val viaBloom = Dedup.exactDeltaBloom(exDelta, docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaIndex == viaBloom && viaIndex == Set(20L))
   }
 
   test("char n-gram jaccard") {
