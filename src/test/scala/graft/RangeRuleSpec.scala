@@ -91,6 +91,32 @@ class RangeRuleSpec extends AnyFunSuite {
     } finally spark.conf.set(graft.plans.RangeJoinBucketRule.WidthConf, "0")
   }
 
+  test("property: rewrite equals the naive join on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def maybeNull(v: Long): Option[Long] = if (rnd.nextInt(20) == 0) None else Some(v)
+    val pts = (1L to 300L).map(i =>
+      (maybeNull(rnd.nextLong(1001) - 500), i)).toDF("t", "pid")
+    val ivs = (1000L to 1100L).map { i =>
+      val lo = rnd.nextLong(1001) - 500
+      val span = rnd.nextLong(120) - 20 // ~1/6 inverted intervals
+      (maybeNull(lo), maybeNull(lo + span), i)
+    }.toDF("lo", "hi", "iid")
+    def run(): Seq[(Long, Long)] =
+      pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi"))
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    spark.conf.set(graft.plans.RangeJoinBucketRule.WidthConf, "0")
+    val want = run()
+    assert(want.nonEmpty)
+    try {
+      for (w <- Seq("1", "7", "100", "100000")) {
+        spark.conf.set(graft.plans.RangeJoinBucketRule.WidthConf, w)
+        assert(run() == want, s"mismatch at width $w")
+      }
+    } finally spark.conf.set(graft.plans.RangeJoinBucketRule.WidthConf, "0")
+  }
+
   test("disabled by default; equi-keyed and extra-conjunct joins untouched") {
     // width unset -> the BNLJ plan (and correct answers) remain
     spark.conf.unset(graft.plans.RangeJoinBucketRule.WidthConf)
