@@ -286,6 +286,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(11L, 13L))
   }
 
+  test("property: BPE round-trips any seeded random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcxyz 爱ß-"
+    val docs = (1L to 60L).map { i =>
+      val n = rnd.nextInt(40)
+      (i, (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text")
+    val merges = graft.text.Bpe.trainMerges(docs, "text", numMerges = 12)
+    val bad = graft.text.Bpe.encodeStats(docs, "doc_id", "text", merges)
+      .filter(!col("roundtrip_ok") || !col("bounds_ok"))
+    assert(bad.isEmpty, s"round-trip violated: ${bad.collect().mkString(",")}")
+  }
+
   test("BPE merges survive the save/load model round-trip") {
     import spark.implicits._
     val df = Seq("aa ab aa ab aa ac ac").toDF("text")
