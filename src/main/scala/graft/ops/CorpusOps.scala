@@ -252,6 +252,67 @@ object CorpusOps {
         .groupBy("split", "source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens").cast("long")).as("n_tokens_total"))
+    },
+
+    // ---- corpus-frequency boilerplate line removal ------------------------
+    // The synthetic corpus is single-line, so both sides append the same
+    // deterministic footer lines first (two site-wide footers in 1/2 and
+    // 1/3 of docs, a 10-doc "editor note" family in 1/5): lines shared by
+    // ≥20 distinct docs are cut, the rarer notes and the body survive.
+    Q("q_boilerplate",
+      """WITH x AS (SELECT doc_id, concat(text,
+        |    CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Read more at our site' ELSE '' END,
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'All rights reserved 2024' ELSE '' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'Editor note ' || CAST(doc_id % 50 AS VARCHAR) ELSE '' END) AS t
+        |  FROM documents),
+        |s AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM x),
+        |l AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM s),
+        |ln AS (SELECT doc_id, i, ls[i] AS line FROM l),
+        |f AS (SELECT line FROM ln GROUP BY line HAVING count(DISTINCT doc_id) >= 20),
+        |m AS (SELECT ln.doc_id, ln.i, ln.line, f.line IS NOT NULL AS boiler
+        |      FROM ln LEFT JOIN f ON ln.line = f.line)
+        |SELECT doc_id,
+        |  string_agg(line, chr(10) ORDER BY i) FILTER (WHERE NOT boiler) AS clean,
+        |  count(*) FILTER (WHERE boiler) AS n_removed
+        |FROM m GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val injected = Tables(s, d, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 2 === 0, lit("\nRead more at our site")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit("\nAll rights reserved 2024")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("\nEditor note "), (col("doc_id") % 50).cast("string")))
+          .otherwise(lit(""))).as("t"))
+      Corpus.removeBoilerplate(injected, "doc_id", "t", minDocs = 20)
+    },
+
+    // ---- keyword extraction: tf-idf-style ranking, engine-exact -----------
+    // Top-3 tokens per document ranked by (tf DESC, df ASC, token ASC) —
+    // the tf-idf ordering restated over integer sort keys only, so the
+    // ranking is bit-exact across engines (no float log in the compare).
+    Q("q_keywords",
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |w AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+         |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+         |SELECT doc_id, token, tf, df, rank FROM (
+         |  SELECT doc_id, token, tf, df,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tf DESC, df ASC, token ASC) AS rank
+         |  FROM tf JOIN df USING (token))
+         |WHERE rank <= 3""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      // document frequency over the tf frame (already distinct per doc);
+      // token-keyed shuffle join — vocabulary-sized, not corpus-sized
+      val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+      tf.join(dfq, "token")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "token", "tf", "df", "rank")
     }
   )
 }

@@ -269,6 +269,39 @@ object Relational {
         |SELECT o_custkey AS c_custkey FROM orders""".stripMargin) { (s, d) =>
       customer(s, d).select("c_custkey")
         .except(orders(s, d).select(col("o_custkey").as("c_custkey")))
+    },
+
+    // ---- pivot (wide aggregation; superset SURVEY §2.4) -------------------
+    // The pivot values are listed EXPLICITLY: without the list Spark first
+    // runs a distinct scan over the whole input to discover them — a full
+    // extra pass at 100 TB. With it, the plan is a single hash aggregate.
+    Q("q_pivot",
+      s"""SELECT user_id % 10 AS user_bucket,
+         |  ${oSum("CASE WHEN event_type = 'click' THEN value END")} AS click,
+         |  ${oSum("CASE WHEN event_type = 'error' THEN value END")} AS error,
+         |  ${oSum("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase,
+         |  ${oSum("CASE WHEN event_type = 'signup' THEN value END")} AS signup,
+         |  ${oSum("CASE WHEN event_type = 'view' THEN value END")} AS view
+         |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(dsum(col("value")))
+    },
+
+    // ---- unpivot / melt (long-form; superset SURVEY §2.2) -----------------
+    // Pure per-row reshaping: values pass through bit-identically, no agg.
+    Q("q_unpivot",
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount' AS metric, l_discount AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax' AS metric, l_tax AS val FROM lineitem""".stripMargin) { (s, d) =>
+      lineitem(s, d).unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        variableColumnName = "metric",
+        valueColumnName = "val")
     }
   )
 }

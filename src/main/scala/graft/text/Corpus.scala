@@ -25,6 +25,10 @@ import graft.functions.{NgramRepetition, ShingleHashes}
   *  - [[decontaminate]] — benchmark decontamination: flag corpus documents
   *    sharing any word n-gram with a held-out evaluation set (the
   *    GPT-3/PaLM 13-gram-overlap protocol, here with configurable n).
+  *  - [[removeBoilerplate]] — corpus-frequency line removal (the CCNet /
+  *    RefinedWeb "drop lines shared by many pages" cleanup): any line
+  *    appearing in ≥ minDocs distinct documents is cut from every
+  *    document, preserving the order of the surviving lines.
   *
   * Scale design: everything except decontaminate is a pure per-row Column
   * expression (no shuffle, survives WholeStageCodegen); decontaminate
@@ -148,5 +152,36 @@ object Corpus {
     docs.select(col(idCol)).join(hits, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         col("n_shared").isNotNull.as("contaminated"))
+  }
+
+  /** Corpus-frequency boilerplate removal: drop every line (newline-
+    * separated) that appears in ≥ `minDocs` DISTINCT documents, rejoin the
+    * survivors in original order. Output: (idCol, clean, n_removed).
+    *
+    * Scale shape: line frequencies aggregate on 64-bit xxhash64 keys —
+    * never the line text — with map-side partial counts; the frequent set
+    * is bounded by totalLines/minDocs entries, so it broadcasts back and
+    * the membership test is map-side. The only document-keyed shuffle is
+    * the final reassembly. 64-bit hash collisions can in principle conflate
+    * two distinct lines (same accepted license as [[decontaminate]]'s
+    * hashed grams). */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("_pos", "_line")))
+      .withColumn("_h", xxhash64(col("_line")))
+    val frequent = lines.groupBy("_h")
+      .agg(countDistinct(col(idCol)).as("_n"))
+      .filter(col("_n") >= minDocs)
+      .select(col("_h"), lit(true).as("_boiler"))
+    lines.join(broadcast(frequent), Seq("_h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("_boiler").isNull, struct(col("_pos"), col("_line"))))),
+          x => x("_line")), "\n").as("clean"),
+        count(col("_boiler")).as("n_removed"))
   }
 }
