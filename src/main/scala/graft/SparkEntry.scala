@@ -11,7 +11,8 @@ object SparkEntry {
   /** Full verifiable-query registry (one per operator, SURVEY.md §2). */
   def registry: Seq[Q] =
     Relational.all ++ ApiOps.all ++ PipelineOps.all ++ StreamMediaOps.all ++
-      CoverageOps.all ++ ZillowOps.all ++ CorpusOps.all ++ LogsOps.all
+      CoverageOps.all ++ ZillowOps.all ++ CorpusOps.all ++ LogsOps.all ++
+      ClusterOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

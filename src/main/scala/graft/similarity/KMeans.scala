@@ -1,0 +1,103 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means over an embedding column plus the SemDeDup
+  * (Abbas et al. 2023, arXiv:2303.09540) within-cluster semantic dedup
+  * built on it — the clustering layer of a training-data pipeline.
+  *
+  * Built for engine-exact verification: deterministic seed centroids (the
+  * k smallest ids), ONE Lloyd update whose component means use the exact
+  * fixed-point scheme of [[graft.ops.Tables.dsum]] (quantize ×10⁴ → exact
+  * long sums → one double division), and cosine folded left-to-right in
+  * double ([[cosD]]) so every comparison is bit-identical to the DuckDB
+  * oracle's `list_sum(list_transform(...))`.
+  *
+  * Scale shape: assignment is a pure per-row expression over broadcast
+  * centroid literals — no join, no shuffle, survives codegen. The update
+  * step shuffles only (cluster, dim) partial sums: k×dim groups,
+  * map-side combined. Driver-side state is the centroid set alone (k
+  * rows + k×dim component means — the same bounded model-fit license as
+  * [[Ann.ivfTopK]]'s trained quantizer). Reference analogue: the
+  * reference has no clustering operator; this is part of the
+  * LLM-pipeline capability superset (SURVEY.md §6).
+  */
+object KMeans {
+
+  /** Cosine of two `array<double>` columns via builtin HOFs: sequential
+    * left-to-right accumulation in double, matching the oracle's
+    * `list_sum` fold order term for term (sqrt/division are IEEE
+    * correctly-rounded, so the whole expression is bit-exact across
+    * engines). */
+  def cosD(a: Column, b: Column): Column = {
+    def s(c: Column) = aggregate(c, lit(0.0), (acc, x) => acc + x)
+    s(zip_with(a, b, (x, y) => x * y)) /
+      (sqrt(s(transform(a, x => x * x))) * sqrt(s(transform(b, x => x * x))))
+  }
+
+  /** Argmax-cosine cluster id over centroid literals, ties to the SMALLER
+    * centroid id (struct-max over (cos, -cid) — mirrors the oracle's
+    * `ORDER BY cos DESC, cid ASC`). */
+  private def argmaxCos(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    val scored = cents.map { case (cid, cv) =>
+      struct(cosD(vec, typedLit(cv)).as("cos"), lit(-cid).as("ncid"))
+    }
+    (array_max(array(scored: _*)).getField("ncid") * -1).cast("long")
+  }
+
+  private def asDouble(emb: DataFrame, idCol: String, vecCol: String) =
+    emb.select(col(idCol).cast("long").as(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("_v"))
+
+  /** Cluster every vector: seeds = ids < k, one exact Lloyd update, final
+    * assignment. Output: (idCol, cluster). Empty clusters keep their seed
+    * centroid. */
+  def assignClusters(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val e = asDouble(emb, idCol, vecCol)
+    val seeds: Seq[(Long, Seq[Double])] =
+      e.filter(col(idCol) < k).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+    val a1 = e.withColumn("_c", argmaxCos(col("_v"), seeds))
+    // exact fixed-point component means; k×dim groups, map-side combined
+    val comp = a1
+      .select(col("_c"), posexplode(col("_v")).as(Seq("_dim", "_x")))
+      .groupBy("_c", "_dim")
+      .agg(sum(floor(col("_x") * 10000d + 0.5d).cast("long")).as("_s"),
+        count(lit(1)).as("_n"))
+      .select(col("_c"), col("_dim"),
+        ((col("_s") / 10000.0).cast("double") / col("_n")).as("_m"))
+      .collect()
+    val means: Map[Long, Seq[Double]] = comp.groupBy(_.getLong(0)).map {
+      case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+    }
+    val updated = seeds.map { case (cid, cv) => cid -> means.getOrElse(cid, cv) }
+    e.withColumn("cluster", argmaxCos(col("_v"), updated))
+      .select(col(idCol), col("cluster"))
+  }
+
+  /** SemDeDup: within each k-means cluster, drop every vector whose
+    * cosine to a LOWER-id cluster-mate reaches `threshold`. Pairs are
+    * scored inside clusters only — O(n²/k) instead of O(n²), which is
+    * the operator's entire point at scale (production runs pick
+    * k ≈ √n so cluster sizes stay bounded). Output:
+    * (idCol, cluster, kept). */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      threshold: Double): DataFrame = {
+    val e = asDouble(emb, idCol, vecCol)
+    val a = assignClusters(emb, idCol, vecCol, k)
+    val x = a.join(e, idCol)
+    val left = x.select(col(idCol).as("id_a"), col("cluster"), col("_v").as("_va"))
+    val right = x.select(col(idCol).as("id_b"), col("cluster"), col("_v").as("_vb"))
+    val drops = left.join(right, "cluster")
+      .filter(col("id_a") < col("id_b") &&
+        cosD(col("_va"), col("_vb")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("_dropped", lit(true))
+    a.join(drops, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("_dropped").isNull.as("kept"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.KMeans
+
+/** k-means / SemDeDup invariants + the plan properties that carry to
+  * scale (assignment must be a pure map-side expression). */
+class ClusterSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("k-means final assignment is map-side: no join/exchange in the plan") {
+    val df = SparkEntry.queries("q_kmeans_embed")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("k-means: every vector assigned, cluster ids within [0, k)") {
+    val a = SparkEntry.queries("q_kmeans_embed")(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    assert(a.count() == emb.count())
+    val ids = a.select("cluster").distinct().collect().map(_.getLong(0))
+    assert(ids.forall(c => c >= 0 && c < 8), ids.mkString(","))
+  }
+
+  test("semdedup: no kept pair within a cluster reaches the threshold, " +
+    "and every drop is justified by a lower-id cluster-mate") {
+    val t = 0.42
+    val out = SparkEntry.queries("q_semdedup")(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val x = out.join(emb, "vec_id")
+    val pairs = x.select(col("vec_id").as("ida"), col("cluster"),
+        col("kept").as("ka"), col("v").as("va"))
+      .join(x.select(col("vec_id").as("idb"), col("cluster"),
+        col("kept").as("kb"), col("v").as("vb")), "cluster")
+      .filter(col("ida") < col("idb"))
+      .withColumn("cos", KMeans.cosD(col("va"), col("vb")))
+    // kept ∧ kept ∧ cos ≥ t is a contradiction: the higher id would drop
+    assert(pairs.filter(col("ka") && col("kb") && col("cos") >= t).count() == 0)
+    // every dropped id has at least one lower-id cluster-mate within t
+    val justified = pairs.filter(col("cos") >= t)
+      .select(col("idb").as("vec_id")).distinct()
+    val dropped = out.filter(!col("kept")).select("vec_id")
+    assert(dropped.exceptAll(justified).count() == 0)
+  }
+}

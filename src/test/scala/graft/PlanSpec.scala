@@ -125,4 +125,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("lambdafunction"), "interpreted HOF in repetition path")
     assert(!p.contains("Exchange"), "per-doc stats must not shuffle")
   }
+
+  test("boilerplate removal: frequent-set membership joins by broadcast " +
+    "and line frequencies key on the 64-bit hash, not the line text") {
+    val p = planOf("q_boilerplate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("xxhash64"), "line key is not hashed")
+    assert(!p.contains("hashpartitioning(_line"),
+      "line-frequency exchange keyed on raw line text")
+  }
 }
