@@ -22,6 +22,7 @@ object Relational {
   private def nation(s: SparkSession, d: String)   = Tables(s, d, "nation")
   private def region(s: SparkSession, d: String)   = Tables(s, d, "region")
   private def part(s: SparkSession, d: String)     = Tables(s, d, "part")
+  private def supplier(s: SparkSession, d: String) = Tables(s, d, "supplier")
   private def events(s: SparkSession, d: String)   = Tables(s, d, "events")
 
   val all: Seq[Q] = Seq(
@@ -269,6 +270,113 @@ object Relational {
         |SELECT o_custkey AS c_custkey FROM orders""".stripMargin) { (s, d) =>
       customer(s, d).select("c_custkey")
         .except(orders(s, d).select(col("o_custkey").as("c_custkey")))
+    },
+
+    // ---- TPC-H Q3 shape: selective dim filter → 3-way join → top-k --------
+    // The mktsegment filter cuts customer ~5× BEFORE the join (broadcast
+    // side stays small); revenue is the exact fixed-point sum so the
+    // cross-engine ORDER BY is deterministic (ties break on l_orderkey).
+    Q("q3_topk_agg",
+      s"""SELECT l_orderkey, o_orderdate,
+         |  ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1997-03-15'
+         |  AND l_shipdate > TIMESTAMP '1997-03-15'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(orders(s, d).filter(col("o_orderdate") < lit("1997-03-15").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d).filter(col("l_shipdate") > lit("1997-03-15").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "o_orderdate", "revenue")
+    },
+
+    // ---- TPC-H Q5 shape: 6-table snowflake with a cross-dim condition -----
+    // nation/region broadcast; the c_nationkey = s_nationkey cross-fact
+    // condition rides the supplier join (not a post-filter cartesian).
+    Q("q5_multi_join",
+      s"""SELECT n_name, ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    },
+
+    // ---- TPC-H Q10 shape: returned-item revenue per customer, top 20 ------
+    Q("q10_group_topk",
+      s"""SELECT c_custkey, c_name,
+         |  ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  c_acctbal, n_name
+         |FROM customer
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-04-01'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d)
+            .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-04-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    },
+
+    // ---- rolling frame aggregates (ROWS BETWEEN; superset SURVEY §2.4) ----
+    // Rolling sum uses the dsum fixed-point scheme inside the frame so the
+    // double is identical across engines at every row; max is order-free.
+    Q("q_rolling_window",
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER w / 10000.0 AS DOUBLE) AS roll_sum,
+        |  count(*) OVER w AS roll_n,
+        |  max(value) OVER w AS roll_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 0)
+      events(s, d).select(
+        col("event_id"), col("user_id"),
+        (sum(floor(col("value") * 10000d + 0.5d).cast("long")).over(w) / 10000.0)
+          .cast("double").as("roll_sum"),
+        count(lit(1)).over(w).as("roll_n"),
+        max(col("value")).over(w).as("roll_max"))
     },
 
     // ---- pivot (wide aggregation; superset SURVEY §2.4) -------------------
