@@ -533,6 +533,36 @@ object PipelineOps {
         .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("total"))
     },
 
+    // ---- heavy-hitter detection (the input to salting decisions) ----------
+    // Exact top-10 keys by frequency: one map-side-combined count shuffle
+    // of (key, count) pairs + a bounded global top-k — the primitive that
+    // tells a pipeline WHICH keys need Scale.saltedJoin treatment.
+    Q("q_heavy_hitters",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
+        |GROUP BY 1 ORDER BY n DESC, user_id LIMIT 10""".stripMargin) { (s, d) =>
+      Tables(s, d, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(10)
+    },
+
+    // ---- z-order (Morton) clustering key ----------------------------------
+    // The 2-D data-layout primitive behind Scale.writeZordered: files
+    // written range-partitioned + sorted on this key cover compact (x, y)
+    // boxes, so parquet footer stats prune 2-D box predicates (ScaleSpec
+    // asserts real file-level skipping). The oracle replays the identical
+    // bit interleave.
+    Q("q_zorder", {
+      val zexpr = (0 until 8).flatMap(i => Seq(
+        s"((((l_partkey % 256) >> $i) & 1) << ${2 * i})",
+        s"((((l_suppkey % 256) >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""SELECT l_orderkey, l_linenumber, $zexpr AS zkey
+         |FROM lineitem""".stripMargin
+    }) { (s, d) =>
+      Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        Scale.zorderKey(col("l_partkey"), col("l_suppkey"), 8).as("zkey"))
+    },
+
     // ---- grouped top-k via the bounded partial aggregate ------------------
     // Top-3 documents per source by length: the native TopKByScore
     // TypedImperativeAggregate reduces every partition to <=k entries per

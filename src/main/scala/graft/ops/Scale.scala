@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-out helpers: the shuffle-shaping tools a 100 TB deployment needs
@@ -67,6 +67,38 @@ object Scale {
     * near the typical interval span so most intervals land in ≤2 buckets.
     * A point matches an interval in exactly one bucket (its own), so no
     * dedup is needed. */
+  /** 2-D Morton (z-order) key: interleaves the low `bits` bits of two
+    * non-negative integral columns. Z-order is locality-preserving, so
+    * range-partitioning + sorting by the key clusters rows close in BOTH
+    * dimensions into the same files; parquet min/max footer stats then
+    * prune files for 2-D box predicates that a single-column sort could
+    * only prune in one dimension. Pure bit arithmetic — codegen'd, no
+    * UDF. */
+  def zorderKey(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val xs = pmod(x.cast("long"), lit(1L << bits))
+    val ys = pmod(y.cast("long"), lit(1L << bits))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xs, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(ys, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` z-clustered on (x, y): range-partition into `numFiles`
+    * by the z key, sort within partitions, drop the key. Each output file
+    * then covers one compact z-range — i.e. a small (x, y) box —
+    * which is what makes 2-D predicate file-skipping work (asserted by
+    * ScaleSpec on real footer-level min/max). */
+  def writeZordered(df: DataFrame, x: String, y: String, bits: Int,
+      numFiles: Int, path: String): Unit = {
+    val z = "_g_z"
+    df.withColumn(z, zorderKey(col(x), col(y), bits))
+      .repartitionByRange(numFiles, col(z))
+      .sortWithinPartitions(z)
+      .drop(z)
+      .write.mode("overwrite").parquet(path)
+  }
+
   def rangeJoin(left: DataFrame, right: DataFrame, leftTs: String,
       rightStart: String, rightEnd: String, width: Long): DataFrame = {
     require(width > 0, s"bucket width must be > 0, got $width")

@@ -67,4 +67,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(exchanges.isEmpty,
       s"expected no shuffle exchange, got:\n${plan.treeString}")
   }
+
+  test("z-ordered layout: a 2-D box predicate touches few files") {
+    // both dimensions need full 8-bit domains for the quadrant math
+    // (l_suppkey only spans [0,99] at this SF — too narrow for y)
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select(pmod(col("l_partkey"), lit(256)).as("x"),
+        pmod(col("l_orderkey"), lit(256)).as("y"))
+    val out = Files.createTempDirectory("graft_zorder").toString
+    Scale.writeZordered(li, "x", "y", bits = 8, numFiles = 8, out)
+    // per-file bounding boxes, exactly what parquet footer min/max gives
+    val boxes = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"))
+      .collect()
+    assert(boxes.length == 8, s"expected 8 files, got ${boxes.length}")
+    // box predicate x<64 AND y<64 = the lowest z quadrant: z-clustering
+    // must confine it to a fraction of files (an unsorted layout would
+    // intersect every file; a single-column sort every y)
+    val touched = boxes.count(b =>
+      b.getAs[Long]("x0") < 64 && b.getAs[Long]("y0") < 64)
+    assert(touched <= 2,
+      s"2-D box intersects $touched of 8 files; layout not z-clustered")
+  }
 }
