@@ -22,6 +22,10 @@ object CoverageOps {
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Schema-evolution fixture dirs, staged once per source dir. */
+  private val schemaEvoDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val all: Seq[Q] = Seq(
 
     // ---- tocsv + csv source round-trip (dataset.py:500; context.py:288) ---
@@ -126,6 +130,39 @@ object CoverageOps {
       Tables(s, d, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    },
+
+    // ---- explicit GROUPING SETS (the general form under rollup/cube) ------
+    Q("q_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin) { (s, d) =>
+      Tables(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- schema evolution: mergeSchema across heterogeneous batches -------
+    // Early-ingest files lack the `lang` column; later files carry it —
+    // the standard evolving-lake layout. mergeSchema unions the footers
+    // and back-fills missing columns with NULL (no rewrite of old files).
+    Q("q_schema_evolution",
+      """SELECT doc_id, text,
+        |  CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
+        |FROM documents""".stripMargin) { (s, d) =>
+      val dir = schemaEvoDirs.computeIfAbsent(d, _ => {
+        val w = java.nio.file.Files.createTempDirectory("graft_evo").toString
+        val docs = Tables(s, d, "documents")
+        docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+          .write.mode("overwrite").parquet(s"$w/b0")
+        docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "lang")
+          .write.mode("overwrite").parquet(s"$w/b1")
+        w
+      })
+      s.read.option("mergeSchema", "true").parquet(s"$dir/b0", s"$dir/b1")
+        .select("doc_id", "text", "lang")
     },
 
     // ---- cube grouping sets (superset sibling of rollup) ------------------
