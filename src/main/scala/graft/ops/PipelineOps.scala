@@ -23,6 +23,29 @@ object PipelineOps {
   private def tokens2chunks(c: org.apache.spark.sql.Column) =
     chunkText(c, size = 256, overlap = 64)
 
+  /** Deterministic CLUSTERED embedding fixture for the IVF recall gates:
+    * the raw sf fixtures are UNclustered random vectors (no coarse
+    * quantizer can probe few cells there), so each vector is mixed with
+    * its (vec_id % 8) anchor — 8 real clusters (in-cluster cos ≈ 0.9,
+    * cross ≈ 0) derived from the same table; recallAtK recomputes ground
+    * truth on the SAME transformed vectors in-Spark, so the oracle
+    * booleans stay exact. */
+  private def clusteredEmb(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val emb0 = Tables(s, d, "embeddings").select("vec_id", "embedding")
+    val anchors = emb0.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("_g"), col("embedding").as("_anchor"))
+    emb0.withColumn("_g", col("vec_id") % 8)
+      .join(broadcast(anchors), "_g")
+      .select(col("vec_id"),
+        zip_with(col("_anchor"), col("embedding"),
+          (a, e) => a * lit(1.0) + e * lit(0.35)).as("embedding"))
+  }
+
+  /** Persisted IVF index dirs, built once per source dir. */
+  private val ivfIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Bucketed lineitem/orders staged once per source dir: production
     * bucketed tables are written once and joined many times, so only the
     * first run of q_bucketed_join in a session pays the bucketed write. */
@@ -312,16 +335,28 @@ object PipelineOps {
     // probe ratio for clustered embeddings.
     Q("q_ann_ivf",
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 8") { (s, d) =>
-      val emb0 = Tables(s, d, "embeddings").select("vec_id", "embedding")
-      val anchors = emb0.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("_g"), col("embedding").as("_anchor"))
-      val emb = emb0.withColumn("_g", col("vec_id") % 8)
-        .join(broadcast(anchors), "_g")
-        .select(col("vec_id"),
-          zip_with(col("_anchor"), col("embedding"),
-            (a, e) => a * lit(1.0) + e * lit(0.35)).as("embedding"))
+      val emb = clusteredEmb(s, d)
       val queries = emb.filter(col("vec_id") < 8)
       val approx = Ann.ivfTopK(emb, queries, k = 5, nCells = 16, nProbe = 4)
+      Ann.recallAtK(emb, queries, k = 5, approx, minRecall = 0.8)
+    },
+
+    // ---- ANN: PERSISTED IVF index (build once, probe many) ----------------
+    // The production split: quantizer fit + cell assignment paid at build
+    // time, the corpus laid out PARTITIONED BY cell so a probe batch reads
+    // ~nProbe/nCells of the bytes (partition pruning through the broadcast
+    // join on the partition column). Index staged once per source dir;
+    // recall gated exactly like the in-line IVF query.
+    Q("q_ann_ivf_indexed",
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 8") { (s, d) =>
+      val emb = clusteredEmb(s, d)
+      val path = ivfIndexDirs.computeIfAbsent(d, _ => {
+        val w = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+        Ann.buildIvfIndex(emb, w, nCells = 16)
+        w
+      })
+      val queries = emb.filter(col("vec_id") < 8)
+      val approx = Ann.ivfTopKIndexed(s, path, queries, k = 5, nProbe = 4)
       Ann.recallAtK(emb, queries, k = 5, approx, minRecall = 0.8)
     },
 

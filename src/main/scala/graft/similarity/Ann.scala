@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -144,6 +144,55 @@ object Ann {
     // pairs are unique (1 cell per corpus vector, nProbe distinct cells per
     // query) — no distinct needed
     val scored = cellQ.join(cellC, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** Build and PERSIST an IVF index at `path`: the trained centroids as a
+    * versioned parquet model artifact plus the corpus laid out
+    * PARTITIONED BY its cell assignment. This is the production shape —
+    * quantizer fit + assignment are paid once at build time; every later
+    * query batch reads ~nProbe/nCells of the corpus BYTES because the
+    * cell_id partition filter prunes whole directories (the same
+    * build-once/probe-many split as `Dedup.buildCorpusIndex`). */
+  def buildIvfIndex(corpus: DataFrame, path: String, nCells: Int = 16,
+      seed: Long = 42L): Unit = {
+    val c = asFloatVec(corpus.toDF("neighbor_id", "c_vec"), "c_vec")
+    val cents = trainCentroids(c, nCells, seed)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("cell_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val cellIds = Array.tabulate(cents.length)(_.toLong)
+    def nearest(vec: Column, n: Int) = GraftBridge.column(
+      NearestCells(GraftBridge.expression(vec), cellIds, cents, n))
+    Par.ensureMin(c)
+      .withColumn("cell_id", element_at(nearest(col("c_vec"), 1), 1))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/corpus")
+  }
+
+  /** Probe a persisted IVF index built by [[buildIvfIndex]]: rehydrate the
+    * centroid model (k rows), broadcast the probe cells, and join against
+    * the partitioned corpus — the broadcast equi-join on the partition
+    * column lets dynamic partition pruning skip the non-probed cell
+    * directories entirely. Same answers as [[ivfTopK]] at equal
+    * parameters (asserted by ClusterSpec). */
+  def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val centRows = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell_id").collect()
+    val cellIds = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Double](1).toArray)
+    def nearest(vec: Column, n: Int) = GraftBridge.column(
+      NearestCells(GraftBridge.expression(vec), cellIds, cents, n))
+    val cellQ = broadcast(asFloatVec(queries.toDF("query_id", "q_vec"), "q_vec")
+      .withColumn("cell_id", explode(nearest(col("q_vec"), nProbe))))
+    val c = spark.read.parquet(s"$path/corpus")
+      .withColumn("cell_id", col("cell_id").cast("long"))
+    val scored = cellQ.join(c, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_vec"), col("c_vec")).as("cos"))

@@ -39,6 +39,22 @@ class ClusterSpec extends AnyFunSuite {
     assert(ids.forall(c => c >= 0 && c < 8), ids.mkString(","))
   }
 
+  test("persisted IVF index probes equal the in-line IVF answers") {
+    import graft.similarity.Ann
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 6)
+    val inline = Ann.ivfTopK(emb, queries, k = 4, nCells = 8, nProbe = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(_.toString).sorted
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    Ann.buildIvfIndex(emb, path, nCells = 8)
+    val indexed = Ann.ivfTopKIndexed(spark, path, queries, k = 4, nProbe = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(_.toString).sorted
+    assert(indexed.sameElements(inline))
+  }
+
   test("semdedup: no kept pair within a cluster reaches the threshold, " +
     "and every drop is justified by a lower-id cluster-mate") {
     val t = 0.42

@@ -87,6 +87,27 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("zorderKey round-trips: de-interleaving recovers both coordinates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val pts = Seq.tabulate(500)(i =>
+      (i.toLong, rnd.nextInt(1 << 8).toLong, rnd.nextInt(1 << 8).toLong))
+      .toDF("id", "x", "y")
+    val rows = pts.withColumn("z", Scale.zorderKey(col("x"), col("y"), 8))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    def unbits(z: Long, off: Int): Long =
+      (0 until 8).map(i => ((z >> (2 * i + off)) & 1L) << i).reduce(_ | _)
+    for ((x, y, z) <- rows) {
+      assert(unbits(z, 0) == x && unbits(z, 1) == y, s"z=$z x=$x y=$y")
+      assert(z >= 0 && z < (1L << 16))
+    }
+    // locality: identical high coordinate bits ⇒ identical high z bits
+    val grouped = rows.groupBy { case (x, y, _) => (x >> 4, y >> 4) }
+    for ((_, g) <- grouped if g.length > 1)
+      assert(g.map(_._3 >> 8).distinct.length == 1,
+        "points in one 16x16 cell must share the high z byte")
+  }
+
   test("chunkText covers the text: stripped overlaps reconstruct it") {
     import spark.implicits._
     val texts = Seq("", "ab", "a" * 255, "a" * 256, "héllo wörld " * 40,
