@@ -358,6 +358,49 @@ object Relational {
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     },
 
+    // ---- TPC-H Q4 shape: EXISTS decorrelates to a semi-join ---------------
+    // (lineitem has no commit/receipt dates in this fixture; the EXISTS
+    // predicate is a quantity threshold — the plan shape is identical)
+    Q("q4_exists_agg",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 30)
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .join(lineitem(s, d).filter(col("l_quantity") >= 30),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // ---- TPC-H Q12 shape: join + conditional classification counts --------
+    // Pure integer CASE aggregation — no float path at all.
+    Q("q12_case_agg",
+      """SELECT l_linestatus,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_count,
+        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS low_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus""".stripMargin) { (s, d) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      orders(s, d)
+        .join(lineitem(s, d)
+            .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(hi, 1).otherwise(0)).as("high_count"),
+          sum(when(!hi, 1).otherwise(0)).as("low_count"))
+    },
+
     // ---- rolling frame aggregates (ROWS BETWEEN; superset SURVEY §2.4) ----
     // Rolling sum uses the dsum fixed-point scheme inside the frame so the
     // double is identical across engines at every row; max is order-free.

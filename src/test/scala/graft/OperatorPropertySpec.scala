@@ -87,6 +87,34 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("removeBoilerplate equals the naive line-frequency reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    // 120 docs of 3-8 lines drawn from a small shared pool (so real
+    // cross-doc frequency structure emerges) plus unique body lines
+    val pool = Seq.tabulate(12)(i => s"shared line $i")
+    val docs = Seq.tabulate(120) { id =>
+      val lines = Seq.fill(3 + rnd.nextInt(5))(
+        if (rnd.nextBoolean()) pool(rnd.nextInt(pool.length))
+        else s"unique $id ${rnd.nextInt(1000)}")
+      (id.toLong, lines.mkString("\n"))
+    }
+    val df = docs.toDF("id", "text")
+    val minDocs = 15L
+    // naive reference: count distinct docs per line, filter, reassemble
+    val freq = docs.flatMap { case (id, t) => t.split("\n", -1).distinct.map((_, id)) }
+      .groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).distinct.size) }
+    val boiler = freq.filter(_._2 >= minDocs).keySet
+    val want = docs.map { case (id, t) =>
+      val ls = t.split("\n", -1)
+      (id, ls.filterNot(boiler).mkString("\n"), ls.count(boiler).toLong)
+    }.toSet
+    val got = graft.text.Corpus.removeBoilerplate(df, "id", "text", minDocs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(boiler.nonEmpty, "fixture produced no boilerplate lines")
+    assert(got == want)
+  }
+
   test("zorderKey round-trips: de-interleaving recovers both coordinates") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
