@@ -132,6 +132,35 @@ object CoverageOps {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
     },
 
+    // ---- edit distance (fuzzy-match / entity-resolution primitive) --------
+    // Levenshtein between each customer name and its successor's name —
+    // the same Wagner–Fischer DP in both engines, so integer distances
+    // match exactly. The `<= 2` flag is the usual ER confirm threshold.
+    Q("q_edit_distance",
+      """SELECT a.c_custkey, levenshtein(a.c_name, b.c_name) AS dist,
+        |  levenshtein(a.c_name, b.c_name) <= 2 AS near_match
+        |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1""".stripMargin) { (s, d) =>
+      val c = Tables(s, d, "customer")
+      val a = c.select(col("c_custkey"), col("c_name").as("_na"))
+      val b = c.select((col("c_custkey") - 1).as("c_custkey"), col("c_name").as("_nb"))
+      a.join(b, "c_custkey")
+        .select(col("c_custkey"), levenshtein(col("_na"), col("_nb")).as("dist"),
+          (levenshtein(col("_na"), col("_nb")) <= 2).as("near_match"))
+    },
+
+    // ---- feature binning (explicit arithmetic, engine-exact) --------------
+    // floor((x - lo) / step) with the same IEEE double ops on both sides
+    // — bit-identical bin assignment (width_bucket variants differ across
+    // engines; explicit arithmetic does not).
+    Q("q_binning",
+      """SELECT CAST(floor((c_acctbal + 1000) / 500) AS BIGINT) AS bin,
+        |  count(*) AS n
+        |FROM customer GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables(s, d, "customer")
+        .groupBy(floor((col("c_acctbal") + 1000) / 500).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // ---- explicit GROUPING SETS (the general form under rollup/cube) ------
     Q("q_grouping_sets",
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
