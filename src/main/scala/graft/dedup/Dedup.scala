@@ -234,6 +234,45 @@ object Dedup {
     try bloom.writeTo(out) finally out.close()
   }
 
+  /** Append-merge an ingested batch INTO a [[buildCorpusIndex]] output,
+    * writing the merged index to `outPath` (versioned indexes — never
+    * overwrite the one being read). The original corpus TEXT is never
+    * rescanned: only the batch is shingled/signed/hashed, and the merge
+    * unions it with the persisted signature/band/hash state (index-sized
+    * I/O — 16-byte hashes and integer signatures, not documents; a
+    * table format with appends would avoid even that rewrite). The
+    * Bloom filter is rebuilt from the merged hash set. This closes the
+    * ingest loop: probe the index ([[nearDupDeltaIndexed]] /
+    * [[exactDeltaIndexed]]), keep the survivors, merge them in. */
+  def updateCorpusIndex(batch: DataFrame, indexPath: String, outPath: String,
+      idCol: String, textCol: String, k: Int = 3, numHashes: Int = 32,
+      bands: Int = 16): Unit = {
+    require(outPath != indexPath, "write the merged index to a NEW path")
+    val spark = batch.sparkSession
+    val cd = shingledDocs(batch, idCol, textCol, k, numHashes)
+    spark.read.parquet(s"$indexPath/docs")
+      .unionByName(cd.select("_id", "_sh"))
+      .write.mode("overwrite").parquet(s"$outPath/docs")
+    spark.read.parquet(s"$indexPath/bands")
+      .unionByName(bandBuckets(cd, numHashes, bands))
+      .repartition(col("_bucket"))
+      .write.mode("overwrite").parquet(s"$outPath/bands")
+    cd.unpersist()
+    val hashes = spark.read.parquet(s"$indexPath/hashes")
+      .unionByName(batch
+        .select(md5(normalizeText(col(textCol)).cast("binary")).as("content_hash"))
+        .filter(col("content_hash").isNotNull))
+      .distinct().persist()
+    val bloom = hashes.stat.bloomFilter("content_hash",
+      math.max(hashes.count(), 1L), 0.01)
+    hashes.write.mode("overwrite").parquet(s"$outPath/hashes")
+    hashes.unpersist()
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$outPath/bloom.bin"), true)
+    try bloom.writeTo(out) finally out.close()
+  }
+
   /** Incremental near-dup against a [[buildCorpusIndex]] output: same
     * semantics and join shape as [[nearDupDelta]], but the corpus side is
     * read from the persisted index instead of recomputed — the production

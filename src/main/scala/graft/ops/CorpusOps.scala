@@ -30,6 +30,28 @@ object CorpusOps {
   private val MixRates: Seq[(String, Double)] =
     (0 until 20).map(i => s"src$i" -> (if (i < 4) 1.0 else if (i < 12) 0.5 else 0.125))
 
+  /** Versioned index dirs for q_dedup_index_update, staged once per dir. */
+  private val indexUpdateDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Exact all-pairs cross-set Jaccard (3-word shingles, j ≥ 0.8) of the
+    * %10=0 "delta" against the %10≠0 "corpus" — shared by q_dedup_delta
+    * and q_dedup_index_update (probing the append-merged index must give
+    * the same answers as probing the whole corpus directly). */
+  private val DeltaOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
+      |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS g
+      |  FROM documents)
+      |SELECT a.doc_id AS delta_id, b.doc_id AS corpus_id,
+      |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+      |FROM sh a, sh b
+      |WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+      |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- Gopher-style repetition quality signals --------------------------
@@ -138,19 +160,7 @@ object CorpusOps {
     // Every 10th document plays the "newly ingested" delta; the rest is
     // the standing corpus. LSH banding probes corpus buckets only — no
     // delta-delta or corpus-corpus pairs — then exact Jaccard confirms.
-    Q("q_dedup_delta",
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
-        |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS g
-        |  FROM documents)
-        |SELECT a.doc_id AS delta_id, b.doc_id AS corpus_id,
-        |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
-        |FROM sh a, sh b
-        |WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
-        |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8""".stripMargin) { (s, d) =>
+    Q("q_dedup_delta", DeltaOracle) { (s, d) =>
       val docs = Tables(s, d, "documents")
       // 2-row bands (64/32): P(a true j>=0.8 pair misses every band) =
       // (1-0.8^2)^32 ~ 5e-15, so the exact all-pairs oracle match is
@@ -159,6 +169,29 @@ object CorpusOps {
       graft.dedup.Dedup.nearDupDelta(
         docs.filter(col("doc_id") % 10 === 0),
         docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", threshold = 0.8, k = 3, numHashes = 64, bands = 32)
+    },
+
+    // ---- incremental index UPDATE: build → append-merge → probe -----------
+    // The full ingest loop: index built over doc_id%10 ∉ {0,5}, the %10=5
+    // batch append-merged in (updateCorpusIndex — original corpus text
+    // never rescanned), then the %10=0 batch probes the MERGED index. The
+    // answers must equal probing the whole %10≠0 corpus directly, which
+    // is exactly q_dedup_delta's oracle.
+    Q("q_dedup_index_update", DeltaOracle) { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val path = indexUpdateDirs.computeIfAbsent(d, _ => {
+        val w = java.nio.file.Files.createTempDirectory("graft_idxup").toString
+        graft.dedup.Dedup.buildCorpusIndex(
+          docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
+          "doc_id", "text", s"$w/v1", k = 3, numHashes = 64, bands = 32)
+        graft.dedup.Dedup.updateCorpusIndex(
+          docs.filter(col("doc_id") % 10 === 5), s"$w/v1", s"$w/v2",
+          "doc_id", "text", k = 3, numHashes = 64, bands = 32)
+        w
+      })
+      graft.dedup.Dedup.nearDupDeltaIndexed(
+        docs.filter(col("doc_id") % 10 === 0), s"$path/v2",
         "doc_id", "text", threshold = 0.8, k = 3, numHashes = 64, bands = 32)
     },
 

@@ -46,6 +46,10 @@ object PipelineOps {
   private val ivfIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Fragmented-layout fixture dirs for q_compact, staged once per dir. */
+  private val compactDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Bucketed lineitem/orders staged once per source dir: production
     * bucketed tables are written once and joined many times, so only the
     * first run of q_bucketed_join in a session pays the bucketed write. */
@@ -566,6 +570,27 @@ object PipelineOps {
           "o_custkey", "c_custkey", salts = 16)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("total"))
+    },
+
+    // ---- small-file compaction (streaming-sink hygiene) -------------------
+    // A 64-small-file layout (what a micro-batching sink leaves behind)
+    // bin-packs to 4 files; the oracle recomputes the row count and the
+    // files_ok contract asserts the layout actually changed. Fragmented
+    // input staged once per source dir.
+    Q("q_compact",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS files_ok
+        |FROM events""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions.{count => fcount}
+      val frag = compactDirs.computeIfAbsent(d, _ => {
+        val w = java.nio.file.Files.createTempDirectory("graft_frag").toString
+        Tables(s, d, "events").repartition(64)
+          .write.mode("overwrite").parquet(s"$w/small")
+        w
+      })
+      val nFiles = Scale.compact(s, s"$frag/small", s"$frag/compacted", 4)
+      s.read.parquet(s"$frag/compacted")
+        .agg(fcount(lit(1)).as("n_rows"))
+        .select(col("n_rows"), lit(nFiles == 4).as("files_ok"))
     },
 
     // ---- heavy-hitter detection (the input to salting decisions) ----------
