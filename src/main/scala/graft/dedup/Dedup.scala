@@ -247,8 +247,17 @@ object Dedup {
   def updateCorpusIndex(batch: DataFrame, indexPath: String, outPath: String,
       idCol: String, textCol: String, k: Int = 3, numHashes: Int = 32,
       bands: Int = 16): Unit = {
-    require(outPath != indexPath, "write the merged index to a NEW path")
     val spark = batch.sparkSession
+    // compare QUALIFIED paths: a raw string check misses aliases (trailing
+    // slash, relative vs absolute) and the overwrite would then delete the
+    // very files the lazy union is still reading
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(s: String) = {
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    require(qualified(outPath) != qualified(indexPath),
+      "write the merged index to a NEW path (versioned), never in place")
     val cd = shingledDocs(batch, idCol, textCol, k, numHashes)
     spark.read.parquet(s"$indexPath/docs")
       .unionByName(cd.select("_id", "_sh"))

@@ -296,7 +296,7 @@ object CorpusOps {
       """WITH x AS (SELECT doc_id, concat(text,
         |    CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Read more at our site' ELSE '' END,
         |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'All rights reserved 2024' ELSE '' END,
-        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'Editor note ' || CAST(doc_id % 50 AS VARCHAR) ELSE '' END) AS t
+        |    CASE WHEN doc_id % 5 = 0 AND doc_id < 500 THEN chr(10) || 'Editor note ' || CAST(doc_id % 50 AS VARCHAR) ELSE '' END) AS t
         |  FROM documents),
         |s AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM x),
         |l AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM s),
@@ -305,14 +305,20 @@ object CorpusOps {
         |m AS (SELECT ln.doc_id, ln.i, ln.line, f.line IS NOT NULL AS boiler
         |      FROM ln LEFT JOIN f ON ln.line = f.line)
         |SELECT doc_id,
-        |  string_agg(line, chr(10) ORDER BY i) FILTER (WHERE NOT boiler) AS clean,
+        |  coalesce(string_agg(line, chr(10) ORDER BY i) FILTER (WHERE NOT boiler), '') AS clean,
         |  count(*) FILTER (WHERE boiler) AS n_removed
         |FROM m GROUP BY doc_id""".stripMargin) { (s, d) =>
+      // the note family is capped to doc_id < 500 so each 'Editor note k'
+      // line stays a 10-doc family at EVERY scale factor (without the cap
+      // it grows with the corpus and crosses the >=20 threshold at sf0.1,
+      // silently un-exercising the survive branch); the oracle coalesce
+      // mirrors removeBoilerplate's '' for an all-boilerplate document
+      // (string_agg over zero rows is NULL, array_join over [] is '')
       val injected = Tables(s, d, "documents").select(col("doc_id"), concat(
         col("text"),
         when(col("doc_id") % 2 === 0, lit("\nRead more at our site")).otherwise(lit("")),
         when(col("doc_id") % 3 === 0, lit("\nAll rights reserved 2024")).otherwise(lit("")),
-        when(col("doc_id") % 5 === 0,
+        when(col("doc_id") % 5 === 0 && col("doc_id") < 500,
           concat(lit("\nEditor note "), (col("doc_id") % 50).cast("string")))
           .otherwise(lit(""))).as("t"))
       Corpus.removeBoilerplate(injected, "doc_id", "t", minDocs = 20)

@@ -182,7 +182,7 @@ object CoverageOps {
         |  CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
         |FROM documents""".stripMargin) { (s, d) =>
       val dir = schemaEvoDirs.computeIfAbsent(d, _ => {
-        val w = java.nio.file.Files.createTempDirectory("graft_evo").toString
+        val w = tmpDir("graft_evo")
         val docs = Tables(s, d, "documents")
         docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
           .write.mode("overwrite").parquet(s"$w/b0")

@@ -52,17 +52,25 @@ object PipelineOps {
 
   /** Bucketed lineitem/orders staged once per source dir: production
     * bucketed tables are written once and joined many times, so only the
-    * first run of q_bucketed_join in a session pays the bucketed write. */
-  private val bucketedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def bucketedFixture(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    * first run of q_bucketed_join in a session pays the bucketed write.
+    * Table names carry a per-dir tag — a global name would be silently
+    * OVERWRITTEN by a second source dir while the first dir's memo entry
+    * kept serving it (stale data). Returns (lineitemTable, ordersTable). */
+  private val bucketedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedFixture(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, String) =
     bucketedDirs.computeIfAbsent(d, _ => {
+      val tag = Integer.toHexString(d.hashCode)
+      val li = s"graft_tmp.q_li_bkt_$tag"
+      val ord = s"graft_tmp.q_ord_bkt_$tag"
       val root = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
       s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
       Scale.writeBucketed(Tables(s, d, "lineitem").select("l_orderkey", "l_quantity"),
-        "graft_tmp.q_li_bkt", s"$root/li", "l_orderkey", 8)
+        li, s"$root/li", "l_orderkey", 8)
       Scale.writeBucketed(Tables(s, d, "orders").select("o_orderkey", "o_orderstatus"),
-        "graft_tmp.q_ord_bkt", s"$root/ord", "o_orderkey", 8)
-      root
+        ord, s"$root/ord", "o_orderkey", 8)
+      (li, ord)
     })
 
   val all: Seq[Q] = Seq(
@@ -656,9 +664,9 @@ object PipelineOps {
       // is the operator's whole premise — production tables are written
       // bucketed once and joined many times, they aren't re-bucketed per
       // query; same memoization license as the PNG payload fixture)
-      bucketedFixture(s, d)
-      Scale.readBucketedTable(s, "graft_tmp.q_li_bkt")
-        .join(Scale.readBucketedTable(s, "graft_tmp.q_ord_bkt"),
+      val (liTbl, ordTbl) = bucketedFixture(s, d)
+      Scale.readBucketedTable(s, liTbl)
+        .join(Scale.readBucketedTable(s, ordTbl),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), Tables.dsum(col("l_quantity")).as("qty"))

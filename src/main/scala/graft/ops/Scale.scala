@@ -110,10 +110,11 @@ object Scale {
     spark.read.parquet(inPath)
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(outPath)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
-      .count(_.getPath.getName.endsWith(".parquet"))
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    // the path's OWN filesystem, not the default one — outPath may live
+    // on a different scheme (file:// vs hdfs:// vs s3a://) than fs.defaultFS
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
   }
 
   def rangeJoin(left: DataFrame, right: DataFrame, leftTs: String,
