@@ -141,6 +141,18 @@ object StreamMediaOps {
       Streams.streamStreamJoin(s, d)
     },
 
+    // ---- stream-stream LEFT OUTER join ------------------------------------
+    // The right replay keeps only even event ids; odd-id rows must emit
+    // with NULL value once the right watermark passes them — the outer
+    // half of the streaming join family. Must equal the batch left join.
+    Q("q_stream_left_join",
+      """SELECT l.event_id, l.event_type, r.value
+        |FROM events l LEFT JOIN (
+        |  SELECT event_id, value FROM events WHERE event_id % 2 = 0) r
+        |  ON l.event_id = r.event_id""".stripMargin) { (s, d) =>
+      Streams.streamStreamLeftJoin(s, d)
+    },
+
     // ---- REAL image resize: decode -> resample -> re-encode -> decode -----
     // Each fixture PNG is nearest-neighbor resized to 12x10 and re-encoded;
     // the probe then re-decodes and reads corner pixels. The oracle

@@ -181,6 +181,40 @@ object Streams {
         .writeStream
     }.filter(col("event_id") =!= -1L)
 
+  /** Stream-stream LEFT OUTER join: like [[streamStreamJoin]] but
+    * unmatched left rows EMIT WITH NULLS once the right watermark passes
+    * their event time + band — the only point an outer result is safe to
+    * finalize on unbounded input (a row can't be declared unmatched while
+    * late matches could still arrive). The right side keeps only even
+    * event ids, so odd ids exercise the null-emission path. The right
+    * filter must KEEP the sentinel row (`-1`): Catalyst pushes a
+    * non-event-time predicate below the EventTimeWatermark node, so a
+    * filter that drops the sentinel drops it BEFORE the watermark sees
+    * it — the global watermark then stalls at the max real event time
+    * and every unmatched row inside the last `band` of the stream is
+    * held in state forever (observed: exactly the final odd-id row
+    * missing). The sentinel instead joins its own twin and is dropped
+    * after the drain. */
+  def streamStreamLeftJoin(spark: SparkSession, dir: String,
+      band: String = "1 minute"): DataFrame =
+    runToParquet(spark, statePartitions = 4) { (s, _) =>
+      val l = stagedEventStream(s, dir)
+        .select(col("event_id").as("l_id"), col("ts").as("l_ts"),
+          col("event_type"))
+        .withWatermark("l_ts", "0 seconds")
+      val r = stagedEventStream(s, dir)
+        .select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+          col("value"))
+        .withWatermark("r_ts", "0 seconds")
+        .filter(col("r_id") % 2 === 0 || col("r_id") === -1L)
+      l.join(r, expr(
+          s"""l_id = r_id AND
+             |r_ts >= l_ts - interval $band AND
+             |r_ts <= l_ts + interval $band""".stripMargin), "left_outer")
+        .select(col("l_id").as("event_id"), col("event_type"), col("value"))
+        .writeStream
+    }.filter(col("event_id") =!= -1L)
+
   /** Streaming UPSERT via foreachBatch — the production pattern for
     * "merge this stream into a table": each micro-batch deduplicates
     * itself on `keyCols`, then merges into the target table keeping
