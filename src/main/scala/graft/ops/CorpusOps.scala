@@ -287,6 +287,42 @@ object CorpusOps {
           sum(col("n_tokens").cast("long")).as("n_tokens_total"))
     },
 
+    // ---- count-based LM fluency scoring (KenLM-style lookup) --------------
+    // Bigram counts trained on the %10≠0 split; each held-out (%10=0)
+    // document scores as the SUM of its bigrams' training counts plus its
+    // OOV-bigram count — the integer-exact count-based proxy for LM
+    // perplexity (monotone in the add-one-smoothed log-prob for fixed
+    // length; no float log crosses the engine boundary). Scale shape:
+    // one bigram-keyed shuffle builds the count table, one
+    // vocabulary-sized join scores the held-out side.
+    Q("q_lm_score",
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |b AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+         |      FROM t WHERE len(toks) >= 2),
+         |g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg FROM b),
+         |train AS (SELECT bg, CAST(count(*) AS BIGINT) AS c
+         |          FROM g WHERE doc_id % 10 <> 0 GROUP BY 1)
+         |SELECT g.doc_id,
+         |  CAST(sum(coalesce(train.c, 0)) AS BIGINT) AS fluency,
+         |  CAST(count(*) FILTER (WHERE train.c IS NULL) AS BIGINT) AS oov_bigrams
+         |FROM g LEFT JOIN train ON g.bg = train.bg
+         |WHERE g.doc_id % 10 = 0
+         |GROUP BY g.doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("_t"))
+        .filter(size(col("_t")) >= 2)
+      val grams = toks.select(col("doc_id"), explode(
+          expr("transform(sequence(0, size(_t) - 2), i -> concat(_t[i], ' ', _t[i + 1]))"))
+        .as("bg"))
+      val train = grams.filter(col("doc_id") % 10 =!= 0)
+        .groupBy("bg").agg(count(lit(1)).as("c"))
+      grams.filter(col("doc_id") % 10 === 0)
+        .join(train, Seq("bg"), "left")
+        .groupBy("doc_id")
+        .agg(sum(coalesce(col("c"), lit(0L))).as("fluency"),
+          count(when(col("c").isNull, 1)).as("oov_bigrams"))
+    },
+
     // ---- corpus-frequency boilerplate line removal ------------------------
     // The synthetic corpus is single-line, so both sides append the same
     // deterministic footer lines first (two site-wide footers in 1/2 and

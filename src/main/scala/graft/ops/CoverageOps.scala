@@ -132,6 +132,35 @@ object CoverageOps {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
     },
 
+    // ---- variance-based outlier flags (sqrt-free, fixed-point exact) ------
+    // Per event_type: flag rows with (x-μ)² > 4σ² — algebraically the
+    // |z| > 2 test with no sqrt, so every double on the compare path
+    // derives from exact fixed-point sums via identical IEEE ops on both
+    // engines. The 5-row moment table broadcasts back: a window over
+    // event_type would shuffle every row instead.
+    Q("q_outliers",
+      """WITH s AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS s1,
+        |    SUM(CAST(floor(value * value * 10000 + 0.5) AS BIGINT)) AS s2
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id,
+        |  (e.value - (s.s1 / 10000.0) / s.n) * (e.value - (s.s1 / 10000.0) / s.n)
+        |    > 4 * ((s.s2 / 10000.0) / s.n
+        |           - ((s.s1 / 10000.0) / s.n) * ((s.s1 / 10000.0) / s.n)) AS is_outlier
+        |FROM events e JOIN s USING (event_type)""".stripMargin) { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val mom = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("value") * 10000d + 0.5d).cast("long")).as("s1"),
+        sum(floor(col("value") * col("value") * 10000d + 0.5d).cast("long")).as("s2"))
+      val mu = (col("s1") / 10000.0) / col("n")
+      val vr = (col("s2") / 10000.0) / col("n") - mu * mu
+      ev.join(broadcast(mom), "event_type")
+        .select(col("event_id"),
+          ((col("value") - mu) * (col("value") - mu) > lit(4) * vr).as("is_outlier"))
+    },
+
     // ---- edit distance (fuzzy-match / entity-resolution primitive) --------
     // Levenshtein between each customer name and its successor's name —
     // the same Wagner–Fischer DP in both engines, so integer distances
