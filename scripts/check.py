@@ -1,12 +1,20 @@
 #!/usr/bin/env python3
 """Local correctness harness mimicking the driver's DuckDB-oracle compare.
 
-Usage: python3 scripts/check.py [sfDir] [verifyOutDir]
+Usage: python3 scripts/check.py [sfDir] [verifyOutDir] [recordPath]
 Reads verifyOutDir/oracle_sql.json (written by graft.Verify), runs each SQL
 in DuckDB against the sfDir parquet tables, and exact-compares with the
 parquet results Verify wrote (columns sorted by name, rows sorted).
+
+Writes a correctness record at recordPath (default CORRECTNESS_local_r5.json
+in the cwd) in the DRIVER'S per-query schema:
+    {"<query>": {"rows_match": bool, "schema_match": bool,
+                 "hash_match": bool, "err": null|str}, ...}
+so the committed local artifact is drop-in comparable with the official
+CORRECTNESS_r{N}.json even when the driver's own leg comes back empty.
 This is a dev-side tool only — the shipped library is pure Scala/Spark.
 """
+import hashlib
 import json
 import sys
 
@@ -16,9 +24,19 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def frame_hash(df):
+    """md5 over the column-name-sorted, row-sorted value matrix — the
+    driver's hash semantics (columns sorted by name before hashing)."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return hashlib.md5(
+        df.to_csv(index=False, float_format="%.12g").encode()).hexdigest()
+
+
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    record_path = sys.argv[3] if len(sys.argv) > 3 else "CORRECTNESS_local_r5.json"
 
     def fresh_con():
         # fresh connection per query: a fatal DuckDB error on one oracle
@@ -29,23 +47,30 @@ def main():
         return c
 
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    record = {}
     n_fail = 0
     for name, sql in sorted(oracle.items()):
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "err": None}
+        record[name] = rec
         try:
             exp = fresh_con().execute(sql).fetchdf()
             got = duckdb.connect().execute(
                 f"SELECT * FROM '{outdir}/{name}.parquet'").fetchdf()
         except Exception as e:
+            rec["err"] = str(e)[:300]
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
-        if sorted(exp.columns) != sorted(got.columns):
+        rec["schema_match"] = sorted(exp.columns) == sorted(got.columns)
+        rec["rows_match"] = len(exp) == len(got)
+        if not rec["schema_match"]:
             print(f"FAIL {name}: cols {sorted(got.columns)} != {sorted(exp.columns)}")
             n_fail += 1
             continue
         exp = exp.reindex(sorted(exp.columns), axis=1)
         got = got.reindex(sorted(got.columns), axis=1)
-        if len(exp) != len(got):
+        if not rec["rows_match"]:
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             n_fail += 1
             continue
@@ -55,11 +80,20 @@ def main():
         try:
             pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                           check_exact=True)
-            print(f"ok   {name} ({len(got)} rows)")
+            rec["hash_match"] = frame_hash(got) == frame_hash(exp)
+            if rec["hash_match"]:
+                print(f"ok   {name} ({len(got)} rows)")
+            else:
+                print(f"FAIL {name}: hash mismatch (values equal but "
+                      f"serialization differs)")
+                n_fail += 1
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch\n  {str(e)[:500]}")
             n_fail += 1
-    print(f"\n{len(oracle) - n_fail}/{len(oracle)} oracle queries match")
+    with open(record_path, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+    n_ok = len(oracle) - n_fail
+    print(f"\n{n_ok}/{len(oracle)} oracle queries match -> {record_path}")
     sys.exit(1 if n_fail else 0)
 
 

@@ -97,6 +97,7 @@ object Verify {
       val fn = all(name)
       pool.submit(new Runnable {
         def run(): Unit = {
+          val t0 = System.nanoTime()
           val st = QueryRunner.timed(spark, name) {
             // Contract: the result must land at outDir/<name>.parquet. Spark
             // can only write a directory, so write to a scratch dir and move
@@ -113,16 +114,24 @@ object Verify {
             new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
           } match {
             case Right(_) => "ok"
-            case Left(why) =>
-              System.err.println(s"[verify] $name failed: $why")
-              why
+            case Left(why) => why
           }
+          // One status line per query to stderr (stdout stays a single
+          // JSON summary line for the driver's parser) — a killed run
+          // still leaves a per-query post-mortem trail in the log.
+          val secs = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[verify] $name%-28s $st%-8s ${secs}%6.1fs")
           record(name, st)
         }
       })
     }
     pool.shutdown()
-    pool.awaitTermination(60, TimeUnit.MINUTES)
+    // 10-minute drain ceiling: typical full-registry wall is ~45 s at
+    // sf0.01 (8 workers) and every query already carries its own 300 s
+    // job-group timeout, so a pool that hasn't drained in 10 min is a
+    // genuine hang — fail fast INSIDE the driver's round budget (the old
+    // 60-min ceiling exceeded it, turning a hang into an empty artifact).
+    pool.awaitTermination(10, TimeUnit.MINUTES)
     // Per-query persisted frames (LSH signatures, CC labels, …) are NOT
     // dropped mid-run anymore — a global clearCache would evict a
     // concurrent query's working set. At verify SF the accumulated

@@ -46,6 +46,30 @@ object PipelineOps {
   private val ivfIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Brute-force ground truth for the ANN recall gates, staged ONCE per
+    * (source dir, fixture) as a tiny parquet (8 queries × 5 rows): the
+    * exact top-k is validation INPUT, not the operator under test, so a
+    * measured bench pass pays the probe plus a 40-row join instead of
+    * re-running the all-pairs scan inside every gated query (the round-4
+    * gate-dominated-bench finding). Production shape: ground truth for a
+    * sampled query set is computed once per corpus snapshot and reused
+    * across every index/config evaluation. */
+  private val annTruthDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def annTruth(s: org.apache.spark.sql.SparkSession, d: String,
+      fixture: String, emb: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val path = annTruthDirs.computeIfAbsent(s"$d#$fixture", _ => {
+      val w = java.nio.file.Files.createTempDirectory("graft_ann_truth").toString
+      val e = emb
+      Ann.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+        .select("query_id", "neighbor_id")
+        .coalesce(1).write.mode("overwrite").parquet(w)
+      w
+    })
+    s.read.parquet(path)
+  }
+
   /** Fragmented-layout fixture dirs for q_compact, staged once per dir. */
   private val compactDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -331,7 +355,7 @@ object PipelineOps {
       val emb = Tables(s, d, "embeddings").select("vec_id", "embedding")
       val queries = emb.filter(col("vec_id") < 8)
       val approx = Ann.lshTopK(emb, queries, k = 5, dim = 64)
-      Ann.recallAtK(emb, queries, k = 5, approx, minRecall = 0.8)
+      Ann.recallAtKFrom(annTruth(s, d, "raw", emb), approx, minRecall = 0.8)
     },
 
     // ---- ANN: IVF coarse-quantized top-5, recall-gated --------------------
@@ -350,7 +374,8 @@ object PipelineOps {
       val emb = clusteredEmb(s, d)
       val queries = emb.filter(col("vec_id") < 8)
       val approx = Ann.ivfTopK(emb, queries, k = 5, nCells = 16, nProbe = 4)
-      Ann.recallAtK(emb, queries, k = 5, approx, minRecall = 0.8)
+      Ann.recallAtKFrom(annTruth(s, d, "clustered", clusteredEmb(s, d)),
+        approx, minRecall = 0.8)
     },
 
     // ---- ANN: PERSISTED IVF index (build once, probe many) ----------------
@@ -369,7 +394,8 @@ object PipelineOps {
       })
       val queries = emb.filter(col("vec_id") < 8)
       val approx = Ann.ivfTopKIndexed(s, path, queries, k = 5, nProbe = 4)
-      Ann.recallAtK(emb, queries, k = 5, approx, minRecall = 0.8)
+      Ann.recallAtKFrom(annTruth(s, d, "clustered", clusteredEmb(s, d)),
+        approx, minRecall = 0.8)
     },
 
     // ---- gap-based sessionization (1h gap) --------------------------------

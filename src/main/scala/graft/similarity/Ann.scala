@@ -259,9 +259,17 @@ object Ann {
     * mirroring the reference's validate-across-configs tier
     * (benchmarks/zillow/Z1/validate_all.py). */
   def recallAtK(corpus: DataFrame, queries: DataFrame, k: Int,
-      approx: DataFrame, minRecall: Double): DataFrame = {
-    val exact = bruteForceTopK(corpus, queries, k)
-      .select(col("query_id"), col("neighbor_id"))
+      approx: DataFrame, minRecall: Double): DataFrame =
+    recallAtKFrom(bruteForceTopK(corpus, queries, k), approx, minRecall)
+
+  /** [[recallAtK]] against a PRE-COMPUTED exact top-k (query_id,
+    * neighbor_id[, …]) — the amortized validation shape: ground truth for
+    * a sampled query set is computed once per corpus snapshot and reused
+    * across every index/config evaluation, so each gate costs a
+    * ground-truth-sized join (k rows per query), not an all-pairs scan. */
+  def recallAtKFrom(exact0: DataFrame, approx: DataFrame,
+      minRecall: Double): DataFrame = {
+    val exact = exact0.select(col("query_id"), col("neighbor_id"))
     val hits = approx.select(col("query_id"), col("neighbor_id"))
       .join(exact, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
