@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
 
 /** Parallelism guard for CPU-bound per-row operators (shingling, vector
   * scoring, fingerprinting). A small parquet input — one file, one row
@@ -23,4 +24,31 @@ object Par {
     val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (size < BigInt(maxSplit) * target) df.repartition(target) else df
   }
+
+  /** Filter over EXPENSIVE projected columns without re-evaluating them:
+    * a filter above a deterministic projection is pushed through it
+    * (PushPredicateThroughNonJoin), substituting each referenced alias
+    * with its defining expression — a per-row kernel referenced by N
+    * predicates then evaluates N+1 times (once per predicate plus the
+    * projection; struct-field predicates re-evaluate the WHOLE struct
+    * expression each). Anchoring the filter to a non-deterministic gate
+    * column makes the projection ineligible for pushdown — the rule
+    * requires every project alias to be deterministic — and the gate
+    * reference in the predicate keeps column pruning from deleting the
+    * gate and re-enabling it. The kernels then run exactly once and the
+    * filter reads their output inside the same codegen stage; the gate
+    * (monotonically_increasing_id, always ≥ 0 — semantically a no-op
+    * conjunct) costs 8 bytes a row and is dropped on return. Measured on
+    * q_corpus_golden's tokenStats/repetition/langId cascade: 2.2 s →
+    * 0.5 s at sf0.1 (the filter had been re-running each kernel 2-4×). */
+  def filterOnce(df: DataFrame, pred: Column): DataFrame =
+    // The gate must be fused INTO the predicate (a CASE, not an AND):
+    // an AND splits into conjuncts and the optimizer pushes each
+    // deterministic conjunct through the projection individually —
+    // only a single inseparable conjunct referencing the
+    // non-deterministic gate is held above it.
+    df.withColumn("_graft_once", monotonically_increasing_id())
+      .filter(org.apache.spark.sql.functions
+        .when(col("_graft_once") >= 0, pred).otherwise(false))
+      .drop("_graft_once")
 }
