@@ -67,6 +67,47 @@ object Dedup {
   private def withMinParallelism(df: DataFrame): DataFrame =
     graft.ops.Par.ensureMin(df)
 
+  /** Materialize `result` as an eager local checkpoint, then release the
+    * corpus-sized cached intermediates it derived from. The checkpoint
+    * stores the (bounded — candidate/confirmed pairs, never the corpus)
+    * result as executor RDD blocks OUTSIDE the SQL cache, so
+    * `sharedState.cacheManager` is empty after every dedup call
+    * (DedupHygieneSpec) and the blocks are freed by the context cleaner
+    * when the returned frame is garbage-collected — a library consumer
+    * running many dedup calls per session accumulates nothing. Lineage
+    * truncation also means downstream consumers re-read the materialized
+    * rows instead of re-deriving shingles/signatures per reference (the
+    * same reuse the persist bought, without the unbounded lifetime). */
+  private def materializeThenRelease(result: DataFrame,
+      toRelease: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    toRelease.foreach(_.unpersist())
+    out
+  }
+
+  /** Serialized form of a sketch Bloom filter, for embedding as a plan
+    * literal (the same bytes `BloomFilter.readFrom` accepts). */
+  private def bloomBytes(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Native Bloom membership probe: `BloomFilterMightContain(filter bytes,
+    * xxhash64(value))` — a codegen'd Catalyst predicate, so the delta
+    * scan's hot path stays inside WholeStageCodegen (the previous boxed
+    * Scala UDF broke codegen there), and the filter rides the plan as a
+    * foldable literal — no broadcast handle to leak. CONTRACT: the filter
+    * must have been built over `xxhash64(value)` longs (putLong ↔
+    * mightContainLong), which is exactly how Spark's own runtime bloom
+    * join filters pair the two expressions. */
+  private def mightContainNative(filter: Array[Byte], value: Column): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          filter, org.apache.spark.sql.types.BinaryType),
+        GraftBridge.expression(xxhash64(value))))
+
   /** Docs with their distinct shingle-hash set and MinHash signature,
     * computed exactly once and persisted — every downstream reference
     * (banding, both sides of the candidate self-join, the Jaccard confirm)
@@ -76,7 +117,9 @@ object Dedup {
     * minutes at sf0.1, and between feasible and not at 100 TB. Documents
     * with no shingles (< k tokens) are dropped: they have no Jaccard
     * similarity to anything and would otherwise all collide on the
-    * sentinel signature. */
+    * sentinel signature. Every public entry point RELEASES this cache
+    * before returning ([[materializeThenRelease]]) — the persist's
+    * lifetime is the call, never the session. */
   private def shingledDocs(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int): DataFrame =
     hashedDocs(df, idCol, textCol, shingleHashes(_, k), numHashes)
@@ -109,13 +152,15 @@ object Dedup {
     * docs sharing any band bucket become candidates. */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 32, bands: Int = 16): DataFrame = {
-    val banded = bandBuckets(shingledDocs(df, idCol, textCol, k, numHashes),
-      numHashes, bands)
+    val sd = shingledDocs(df, idCol, textCol, k, numHashes)
+    val banded = bandBuckets(sd, numHashes, bands)
     val a = banded.toDF("id_a", "band_a", "bucket_a")
     val b = banded.toDF("id_b", "band_b", "bucket_b")
-    a.join(b, a("band_a") === b("band_b") && a("bucket_a") === b("bucket_b") &&
+    val cands = a.join(b,
+        a("band_a") === b("band_b") && a("bucket_a") === b("bucket_b") &&
         a("id_a") < b("id_b"))
       .select("id_a", "id_b").distinct()
+    materializeThenRelease(cands, sd)
   }
 
   /** Exact Jaccard similarity of two docs' distinct word-`k`-shingle sets. */
@@ -153,7 +198,7 @@ object Dedup {
         a("band_a") === b("band_b") && a("bucket_a") === b("bucket_b") &&
         a("id_a") < b("id_b"))
       .select("id_a", "id_b").distinct()
-    cands
+    val confirmed = cands
       .join(docs.select(col("_id").as("id_a"), col("_sh").as("_sh_a")), "id_a")
       .join(docs.select(col("_id").as("id_b"), col("_sh").as("_sh_b")), "id_b")
       .withColumn("_inter", sortedIntersectCount(col("_sh_a"), col("_sh_b")))
@@ -161,6 +206,7 @@ object Dedup {
         (size(col("_sh_a")) + size(col("_sh_b")) - col("_inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    materializeThenRelease(confirmed, docs)
   }
 
   /** Incremental near-dup: match a DELTA batch against an existing corpus
@@ -177,8 +223,10 @@ object Dedup {
       bands: Int = 16): DataFrame = {
     val dd = shingledDocs(delta, idCol, textCol, k, numHashes)
     val cd = shingledDocs(corpus, idCol, textCol, k, numHashes)
-    deltaProbe(dd, cd.select("_id", "_sh"), bandBuckets(cd, numHashes, bands),
-      threshold, numHashes, bands)
+    materializeThenRelease(
+      deltaProbe(dd, cd.select("_id", "_sh"), bandBuckets(cd, numHashes, bands),
+        threshold, numHashes, bands),
+      dd, cd)
   }
 
   /** Probe join shared by the self-contained and indexed delta paths:
@@ -224,8 +272,10 @@ object Dedup {
     val hashes = corpus
       .select(md5(normalizeText(col(textCol)).cast("binary")).as("content_hash"))
       .filter(col("content_hash").isNotNull).distinct().persist()
-    val bloom = hashes.stat.bloomFilter("content_hash",
-      math.max(hashes.count(), 1L), 0.01)
+    // filter built over xxhash64(content_hash) LONGS so probes can use the
+    // native BloomFilterMightContain expression (see mightContainNative)
+    val bloom = hashes.select(xxhash64(col("content_hash")).as("_h64"))
+      .stat.bloomFilter("_h64", math.max(hashes.count(), 1L), 0.01)
     hashes.write.mode("overwrite").parquet(s"$path/hashes")
     hashes.unpersist()
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -272,8 +322,8 @@ object Dedup {
         .select(md5(normalizeText(col(textCol)).cast("binary")).as("content_hash"))
         .filter(col("content_hash").isNotNull))
       .distinct().persist()
-    val bloom = hashes.stat.bloomFilter("content_hash",
-      math.max(hashes.count(), 1L), 0.01)
+    val bloom = hashes.select(xxhash64(col("content_hash")).as("_h64"))
+      .stat.bloomFilter("_h64", math.max(hashes.count(), 1L), 0.01)
     hashes.write.mode("overwrite").parquet(s"$outPath/hashes")
     hashes.unpersist()
     val fs = new org.apache.hadoop.fs.Path(outPath)
@@ -291,8 +341,10 @@ object Dedup {
       bands: Int = 16): DataFrame = {
     val spark = delta.sparkSession
     val dd = shingledDocs(delta, idCol, textCol, k, numHashes)
-    deltaProbe(dd, spark.read.parquet(s"$indexPath/docs"),
-      spark.read.parquet(s"$indexPath/bands"), threshold, numHashes, bands)
+    materializeThenRelease(
+      deltaProbe(dd, spark.read.parquet(s"$indexPath/docs"),
+        spark.read.parquet(s"$indexPath/bands"), threshold, numHashes, bands),
+      dd)
   }
 
   /** Exact (verbatim) delta dedup against a [[buildCorpusIndex]] output —
@@ -306,14 +358,16 @@ object Dedup {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new org.apache.hadoop.fs.Path(s"$indexPath/bloom.bin"))
-    val bloom = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-      finally in.close()
-    val bc = spark.sparkContext.broadcast(bloom)
-    val maybe = udf((h: String) => h != null && bc.value.mightContain(h))
+    val filter = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      bos.toByteArray
+    } finally in.close()
     delta
       .select(md5(normalizeText(col(textCol)).cast("binary")).as("content_hash"),
         col(idCol))
-      .filter(col("content_hash").isNotNull && maybe(col("content_hash")))
+      .filter(col("content_hash").isNotNull &&
+        mightContainNative(filter, col("content_hash")))
       .join(spark.read.parquet(s"$indexPath/hashes"), "content_hash")
       .select(col(idCol), col("content_hash"))
   }
@@ -336,32 +390,29 @@ object Dedup {
     * never duplicates (matching the EXISTS-on-normalized-text contract)
     * and are dropped up front.
     *
-    * NOTE — this call is EAGER and the result is persisted (the lshTopK
-    * pattern): the distinct corpus hash set must be computed ONCE and
-    * reused by both the bloom build and the exact-confirm join — without
-    * the persist the corpus would scan three times (count + bloom +
-    * join). The corpus-sized cache is dropped before returning; callers
-    * running many deltas in one session may `.unpersist()` each result
-    * when done with it. */
+    * NOTE — this call is EAGER (materialize-then-release): the distinct
+    * corpus hash set must be computed ONCE and reused by both the bloom
+    * build and the exact-confirm join — without the persist the corpus
+    * would scan three times (count + bloom + join). The corpus-sized
+    * cache is dropped before returning and the (bounded) result lives as
+    * a local checkpoint outside the SQL cache, so nothing needs a manual
+    * release. The membership probe is the native codegen'd
+    * BloomFilterMightContain expression riding the plan as a literal —
+    * no UDF boxing on the delta scan, no broadcast handle to leak. */
   def exactDeltaBloom(delta: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
-    val spark = delta.sparkSession
     def hashed(df: DataFrame, cols: Column*) = df.select(
       (md5(normalizeText(col(textCol)).cast("binary")).as("content_hash") +: cols): _*)
       .filter(col("content_hash").isNotNull)
     val corpusHashes = hashed(corpus).distinct().persist()
     val n = if (expectedItems > 0) expectedItems else corpusHashes.count()
-    val bloom = corpusHashes.stat.bloomFilter("content_hash", math.max(n, 1L), fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val maybe = udf((h: String) => h != null && bc.value.mightContain(h))
+    val bloom = corpusHashes.select(xxhash64(col("content_hash")).as("_h64"))
+      .stat.bloomFilter("_h64", math.max(n, 1L), fpp)
     val out = hashed(delta, col(idCol))
-      .filter(maybe(col("content_hash")))
+      .filter(mightContainNative(bloomBytes(bloom), col("content_hash")))
       .join(corpusHashes, "content_hash") // exact confirm: removes the fpp
       .select(col(idCol), col("content_hash"))
-      .persist()
-    out.count()
-    corpusHashes.unpersist()
-    out
+    materializeThenRelease(out, corpusHashes)
   }
 
   /** Embedding-cosine near-dup, exact: all pairs (idA < idB) with
@@ -397,12 +448,13 @@ object Dedup {
     val cands = a.join(b, col("table_a") === col("table_b") &&
         col("sig_a") === col("sig_b") && col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    cands
+    val confirmed = cands
       .join(vecs.select(col("_id").as("id_a"), col("_v").as("_va")), "id_a")
       .join(vecs.select(col("_id").as("id_b"), col("_v").as("_vb")), "id_b")
       .withColumn("cos", graft.similarity.Ann.cosine(col("_va"), col("_vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+    materializeThenRelease(confirmed, vecs)
   }
 
   /** Canonical-representative dedup: one row per distinct normalized
@@ -500,7 +552,7 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds - raise " +
           "maxIter for graphs with component diameter above it")
     }
-    labels.withColumnRenamed("label", "component")
+    materializeThenRelease(labels.withColumnRenamed("label", "component"), labels)
   }
 
   /** Full near-dup dedup: minhash near-dup pairs → connected components →
@@ -559,8 +611,10 @@ object Dedup {
     val nBand = nearDupSimhash(df, idCol, textCol, maxHamming)
       .agg(count(lit(1)).as("n_band"))
     val nDocs = fp.agg(count(lit(1)).as("n_docs"))
-    nDocs.crossJoin(nExact).crossJoin(nBand)
-      .select(col("n_docs"), (col("n_exact") === col("n_band")).as("sets_match"))
+    materializeThenRelease(
+      nDocs.crossJoin(nExact).crossJoin(nBand)
+        .select(col("n_docs"), (col("n_exact") === col("n_band")).as("sets_match")),
+      fp)
   }
 
   /** SimHash fingerprints + near-dup candidate pairs within Hamming

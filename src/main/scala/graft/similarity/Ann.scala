@@ -211,13 +211,13 @@ object Ann {
     * (The previous single-table multi-probe variant measured recall ≈ 0
     * on the sf0.01 corpus — 1-bit probes cannot rescue a 12-bit AND.)
     *
-    * NOTE — this call is EAGER and the result is persisted: the banded
-    * corpus must be persisted while the candidate join runs and must not
-    * outlive the call (repeated calls would accumulate corpus-sized
-    * caches), so the result — bounded at k rows per query — is
-    * materialized before the corpus cache is released. Callers running
-    * many `lshTopK` calls in one session should `.unpersist()` each
-    * returned frame once consumed. */
+    * NOTE — this call is EAGER: the banded corpus must be persisted while
+    * the candidate join runs and must not outlive the call (repeated
+    * calls would accumulate corpus-sized caches), so the result — bounded
+    * at k rows per query — is materialized as a local checkpoint OUTSIDE
+    * the SQL cache before the corpus cache is released. Nothing needs a
+    * manual release: the checkpoint blocks free when the returned frame
+    * is garbage-collected. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       bits: Int = 4, tables: Int = 24, seed: Long = 42L): DataFrame = {
     val c = Par.ensureMin(asFloatVec(corpus.toDF("neighbor_id", "c_vec"), "c_vec"))
@@ -241,10 +241,9 @@ object Ann {
         cosine(col("q_vec"), col("c_vec")).as("cos"))
     // c's persist must not outlive this call (repeated library calls would
     // accumulate corpus-sized cached partitions): materialize the result —
-    // bounded at k rows per query — then release the corpus. The returned
-    // frame stays persisted; callers may unpersist it when done.
-    val out = rankTopK(scored, k).persist()
-    out.count()
+    // bounded at k rows per query — as an eager local checkpoint (outside
+    // the SQL cache; blocks free on GC), then release the corpus.
+    val out = rankTopK(scored, k).localCheckpoint(true)
     c.unpersist()
     out
   }
