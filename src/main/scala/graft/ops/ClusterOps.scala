@@ -26,7 +26,8 @@ object ClusterOps {
   private val KmeansCtes: String =
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $K),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+       |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $K),
        |s1 AS (SELECT e.vec_id, c0.cid, ${oCos("e.v", "c0.cv")} AS cos FROM e, c0),
        |a1 AS (SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id

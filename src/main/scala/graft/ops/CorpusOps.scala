@@ -333,7 +333,7 @@ object CorpusOps {
     // 1/3 of docs, a 10-doc "editor note" family in 1/5): lines shared by
     // ≥20 distinct docs are cut, the rarer notes and the body survive.
     Q("q_boilerplate",
-      """WITH x AS (SELECT doc_id, concat(text,
+      """WITH x AS (SELECT doc_id, concat(coalesce(text, ''),
         |    CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Read more at our site' ELSE '' END,
         |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'All rights reserved 2024' ELSE '' END,
         |    CASE WHEN doc_id % 5 = 0 AND doc_id < 500 THEN chr(10) || 'Editor note ' || CAST(doc_id % 50 AS VARCHAR) ELSE '' END) AS t
@@ -354,8 +354,12 @@ object CorpusOps {
       // silently un-exercising the survive branch); the oracle coalesce
       // mirrors removeBoilerplate's '' for an all-boilerplate document
       // (string_agg over zero rows is NULL, array_join over [] is '')
+      // coalesce on BOTH sides: DuckDB's concat ignores NULL args while
+      // Spark's returns NULL — a null-text doc would otherwise get
+      // clean='' in the oracle but vanish from the Spark output entirely
+      // (split(NULL) → posexplode emits no rows)
       val injected = Tables(s, d, "documents").select(col("doc_id"), concat(
-        col("text"),
+        coalesce(col("text"), lit("")),
         when(col("doc_id") % 2 === 0, lit("\nRead more at our site")).otherwise(lit("")),
         when(col("doc_id") % 3 === 0, lit("\nAll rights reserved 2024")).otherwise(lit("")),
         when(col("doc_id") % 5 === 0 && col("doc_id") < 500,

@@ -97,7 +97,10 @@ object RangeJoinBucketRule extends Rule[LogicalPlan] with PredicateHelper {
     IntegralDivide(Cast(e, LongType), Literal(width))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = conf.getConfString(WidthConf, "0").toLong
+    // parse defensively: this runs inside the optimizer, so a malformed
+    // conf value must DISABLE the rule, not fail every query on the
+    // session with a NumberFormatException
+    val width = conf.getConfString(WidthConf, "0").toLongOption.getOrElse(0L)
     if (width <= 0) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) if j.resolved =>

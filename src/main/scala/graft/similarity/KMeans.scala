@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * built on it — the clustering layer of a training-data pipeline.
   *
   * Built for engine-exact verification: deterministic seed centroids (the
-  * k smallest ids), ONE Lloyd update whose component means use the exact
+  * k smallest md5(id) digests — a seeded pseudo-random draw that works on
+  * ANY id domain, dense or sparse, and is replayable in the DuckDB oracle
+  * because md5 is bit-identical across engines), ONE Lloyd update whose
+  * component means use the exact
   * fixed-point scheme of [[graft.ops.Tables.dsum]] (quantize ×10⁴ → exact
   * long sums → one double division), and cosine folded left-to-right in
   * double ([[cosD]]) so every comparison is bit-identical to the DuckDB
@@ -50,14 +53,21 @@ object KMeans {
     emb.select(col(idCol).cast("long").as(idCol),
       transform(col(vecCol), x => x.cast("double")).as("_v"))
 
-  /** Cluster every vector: seeds = ids < k, one exact Lloyd update, final
-    * assignment. Output: (idCol, cluster). Empty clusters keep their seed
-    * centroid. */
+  /** Cluster every vector: seeds = the k rows with the smallest
+    * md5(id-as-string) digest (id tie-break) — a deterministic
+    * pseudo-random draw that needs no dense/contiguous id space (`id < k`
+    * silently under-seeds any real corpus) and costs one bounded top-k
+    * collect (k rows — the [[Ann]] trainCentroids model-fit license); at
+    * 100 TB the top-k runs as a partial-agg, never a full sort. One exact
+    * Lloyd update, final assignment. Output: (idCol, cluster). Empty
+    * clusters keep their seed centroid. */
   def assignClusters(emb: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     val e = asDouble(emb, idCol, vecCol)
     val seeds: Seq[(Long, Seq[Double])] =
-      e.filter(col(idCol) < k).collect()
+      e.orderBy(md5(col(idCol).cast("string").cast("binary")).asc,
+          col(idCol).asc)
+        .limit(k).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
         .sortBy(_._1).toSeq
     val a1 = e.withColumn("_c", argmaxCos(col("_v"), seeds))

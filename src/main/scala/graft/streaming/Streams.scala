@@ -75,12 +75,20 @@ object Streams {
 
   /** Drain `q` into a parquet file sink and read the result back.
     * `statePartitions` sizes the state store for this query's keyspace —
-    * each state partition costs a store instance + checkpoint files per
-    * batch, so a low-cardinality grouping (e.g. window × event_type)
-    * should not pay for the session-wide shuffle width. The override lives
-    * on a CLONED session (`newSession()` shares the SparkContext but owns
-    * its SQLConf), so concurrent streaming queries — Verify runs the
-    * registry in parallel — never race on a session-global mutate. */
+    * each state partition costs a store instance + commit + checkpoint
+    * files EVERY batch (including no-data flush batches), so a
+    * low-cardinality grouping (e.g. window × event_type) should not pay
+    * for the session-wide shuffle width. Round-5 A/B at sf0.1: an
+    * isolated cold-ish run favored 2 partitions (commit overhead), but
+    * the full warmed bench protocol favored 8 (batch processing wants
+    * the parallelism once JIT-warm: 13.6 s vs 15.7 s over the 7-query
+    * streaming tier) — 8/4 is the measured optimum under the protocol
+    * that counts. At production keyspaces this sizes UP with state
+    * volume; the knob is per-query for exactly that reason. The override
+    * lives on a CLONED
+    * session (`newSession()` shares the SparkContext but owns its
+    * SQLConf), so concurrent streaming queries — Verify runs the registry
+    * in parallel — never race on a session-global mutate. */
   private def runToParquet(spark0: SparkSession, statePartitions: Int)(
       build: (SparkSession, String) => org.apache.spark.sql.streaming.DataStreamWriter[_]): DataFrame = {
     val root = Files.createTempDirectory("graft_stream_out").toString
@@ -249,10 +257,14 @@ object Streams {
         val tmp = s"$root/swap"
         merged.coalesce(4).write.mode("overwrite").parquet(tmp)
         // atomic-enough swap for a local dir; a table format's MERGE
-        // replaces this block wholesale in production
+        // replaces this block wholesale in production. Files.move throws
+        // on failure — renameTo returns false silently (e.g. across
+        // filesystems), which would leave the table dir missing/stale and
+        // the NEXT batch would quietly rebuild from the wrong state.
         val old = new java.io.File(s"$root/old")
-        if (tblDir.exists()) { tblDir.renameTo(old) }
-        new java.io.File(tmp).renameTo(tblDir)
+        if (tblDir.exists())
+          Files.move(tblDir.toPath, old.toPath)
+        Files.move(new java.io.File(tmp).toPath, tblDir.toPath)
         if (old.exists()) new scala.reflect.io.Directory(old).deleteRecursively()
         ()
       }

@@ -69,7 +69,7 @@ object Bpe {
 
     // exact in-memory BPE over the (word, freq) table
     var words: Map[Vector[String], Long] = table.toSeq
-      .map { case (w, f) => w.map(_.toString).toVector -> f }
+      .map { case (w, f) => codePointSyms(w) -> f }
       .groupMapReduce(_._1)(_._2)(_ + _)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var i = 0
@@ -115,6 +115,17 @@ object Bpe {
       .collect().sortBy(_._1).map(t => (t._2, t._3)).toSeq)
   }
 
+  /** Split a word into per-CODE-POINT symbol strings. `String.map
+    * (_.toString)` would split surrogate PAIRS (emoji, astral-plane CJK)
+    * into lone surrogates, which Spark's String→UTF8String conversion
+    * mangles to replacement characters — token concat would then no
+    * longer equal the word, flipping the round-trip gate on real-world
+    * text. Code points are the smallest unit that survives the engine
+    * boundary intact. */
+  private def codePointSyms(w: String): Vector[String] =
+    w.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toVector
+
   /** Apply one merge (l, r) -> l+r left-to-right over a symbol vector. */
   private def mergePair(syms: Vector[String], l: String, r: String): Vector[String] = {
     val out = Vector.newBuilder[String]
@@ -138,7 +149,7 @@ object Bpe {
       // Spark hands reference-typed UDF params through un-guarded)
       if (toks == null) null
       else toks.flatMap { w =>
-        var syms = w.map(_.toString)
+        var syms: Seq[String] = codePointSyms(w)
         var done = syms.lengthCompare(2) < 0
         while (!done) {
           var bi = -1

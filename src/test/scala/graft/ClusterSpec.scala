@@ -31,12 +31,35 @@ class ClusterSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
-  test("k-means: every vector assigned, cluster ids within [0, k)") {
+  test("k-means: every vector assigned, cluster ids are seed vec_ids") {
     val a = SparkEntry.queries("q_kmeans_embed")(spark, dir)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     assert(a.count() == emb.count())
-    val ids = a.select("cluster").distinct().collect().map(_.getLong(0))
-    assert(ids.forall(c => c >= 0 && c < 8), ids.mkString(","))
+    // seeds are the k smallest md5(id) draws, so cluster ids are real
+    // vec_ids (not 0..k-1) and there are at most k of them
+    val ids = a.select("cluster").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids.size <= 8, ids.mkString(","))
+    val vecIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(vecIds), s"cluster ids not drawn from vec_ids: $ids")
+  }
+
+  test("k-means seeds from sparse non-contiguous ids (no id<k assumption)") {
+    import spark.implicits._
+    val emb = Seq(
+      (1000L, Array(1f, 0f, 0f, 0f)),
+      (2500L, Array(0.95f, 0.05f, 0f, 0f)),
+      (4200L, Array(0f, 1f, 0f, 0f)),
+      (7777L, Array(0f, 0.9f, 0.1f, 0f)),
+      (9001L, Array(0f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val a = KMeans.assignClusters(emb, "vec_id", "embedding", k = 3)
+    assert(a.count() == 5, "every vector must be assigned")
+    val clusters = a.select("cluster").distinct().collect().map(_.getLong(0)).toSet
+    assert(clusters.nonEmpty && clusters.size <= 3)
+    assert(clusters.subsetOf(Set(1000L, 2500L, 4200L, 7777L, 9001L)))
+    val sd = KMeans.semDedup(emb, "vec_id", "embedding", k = 3, threshold = 0.99)
+    assert(sd.count() == 5)
+    assert(sd.filter(col("kept")).count() >= 3, "only true near-dups drop")
   }
 
   test("persisted IVF index probes equal the in-line IVF answers") {

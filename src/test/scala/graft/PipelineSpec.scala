@@ -300,6 +300,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"round-trip violated: ${bad.collect().mkString(",")}")
   }
 
+  test("BPE round-trips non-BMP text (surrogate pairs stay whole)") {
+    import spark.implicits._
+    // emoji + astral-plane math letters: every symbol is a surrogate PAIR
+    // in Java chars; per-char splitting would produce lone surrogates that
+    // UTF8String mangles, silently flipping roundtrip_ok
+    val docs = Seq(
+      (1L, "hello 🌍🌍 world 🌍world"),
+      (2L, "𝕙𝕖𝕝𝕝𝕠 " +
+        "𝕙𝕖𝕝𝕝𝕠 mixed ascii"),
+      (3L, "plain bmp text with 爱 and ß only")
+    ).toDF("doc_id", "text")
+    val merges = graft.text.Bpe.trainMerges(docs, "text", numMerges = 10)
+    val bad = graft.text.Bpe.encodeStats(docs, "doc_id", "text", merges)
+      .filter(!col("roundtrip_ok") || !col("bounds_ok"))
+    assert(bad.isEmpty, s"non-BMP round-trip violated: ${bad.collect().mkString(",")}")
+  }
+
   test("BPE merges survive the save/load model round-trip") {
     import spark.implicits._
     val df = Seq("aa ab aa ab aa ac ac").toDF("text")
