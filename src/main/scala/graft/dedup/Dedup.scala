@@ -579,8 +579,19 @@ object Dedup {
     * never the full corpus. */
   def embedLshRecall(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, bits: Int, tables: Int,
+      minRecall: Double): DataFrame =
+    embedLshRecallFrom(nearDupEmbedding(df, idCol, vecCol, threshold),
+      df, idCol, vecCol, threshold, dim, bits, tables, minRecall)
+
+  /** [[embedLshRecall]] against PRE-COMPUTED exact pairs (id_a, id_b) —
+    * the amortized validation shape: the all-pairs ground truth is
+    * computed once per corpus snapshot and reused across every LSH-config
+    * evaluation, so each gate costs the LSH probe plus a
+    * ground-truth-sized join, not an O(n²) rescan. */
+  def embedLshRecallFrom(exact0: DataFrame, df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, dim: Int, bits: Int, tables: Int,
       minRecall: Double): DataFrame = {
-    val exact = nearDupEmbedding(df, idCol, vecCol, threshold)
+    val exact = exact0.select("id_a", "id_b")
     val found = nearDupEmbeddingLsh(df, idCol, vecCol, threshold, dim, bits, tables)
       .select("id_a", "id_b")
     val nExact = exact.agg(count(lit(1)).as("n_exact"))

@@ -56,6 +56,11 @@ object PipelineOps {
     * across every index/config evaluation. */
   private val annTruthDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Exact all-pairs embedding near-dup ground truth, staged once per
+    * source dir (same license as [[annTruthDirs]]). */
+  private val embedTruthDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def annTruth(s: org.apache.spark.sql.SparkSession, d: String,
       fixture: String, emb: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -322,7 +327,18 @@ object PipelineOps {
         |    / (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*a.v[i])))
         |     * sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i]*b.v[i]))))
         |    >= 0.45""".stripMargin) { (s, d) =>
-      Dedup.embedLshRecall(Tables(s, d, "embeddings"), "vec_id", "embedding",
+      // exact all-pairs ground truth staged once per source dir (the
+      // annTruth license): the gate then costs the LSH probe plus a
+      // pair-set join, not an O(n²) rescan per measured pass
+      val exactPath = embedTruthDirs.computeIfAbsent(d, _ => {
+        val w = java.nio.file.Files.createTempDirectory("graft_embed_truth").toString
+        Dedup.nearDupEmbedding(Tables(s, d, "embeddings"), "vec_id", "embedding",
+            threshold = 0.45)
+          .coalesce(1).write.mode("overwrite").parquet(w)
+        w
+      })
+      Dedup.embedLshRecallFrom(s.read.parquet(exactPath),
+        Tables(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.45, dim = 64, bits = 4, tables = 24, minRecall = 0.9)
     },
 

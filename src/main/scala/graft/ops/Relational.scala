@@ -453,6 +453,126 @@ object Relational {
         values = Array(col("l_quantity"), col("l_discount"), col("l_tax")),
         variableColumnName = "metric",
         valueColumnName = "val")
+    },
+
+    // ---- TPC-H Q13 shape: order-count distribution over a LEFT join -------
+    // Customers with zero orders must appear (count = 0): the left outer
+    // join + count(o_orderkey) (nulls uncounted) is the operator under
+    // test; the outer distribution is a tiny second aggregate. Integer
+    // counts only — no float path.
+    Q("q13_distribution",
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // ---- TPC-H Q14 shape: promo revenue share (conditional agg ratio) -----
+    // Both sums use the exact fixed-point scheme; the final division is
+    // one IEEE op on identical operands → bit-exact across engines.
+    Q("q14_promo_share", {
+      val rev = "l_extendedprice * (1 - l_discount)"
+      val promoRev = s"CASE WHEN p_type = 'PROMO' THEN $rev ELSE 0.0 END"
+      s"""SELECT CAST(100.00 * ${oSum(promoRev)} / ${oSum(rev)} AS DOUBLE) AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin
+    }) { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .join(broadcast(part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.00) * dsum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0.0))) / dsum(rev))
+          .cast("double").as("promo_revenue"))
+    },
+
+    // ---- TPC-H Q17 shape: per-part average as the filter bound ------------
+    // The correlated scalar subquery decorrelates into a per-part
+    // aggregate joined back to the fact — the plan Spark and every MPP
+    // engine run. The avg is exact fixed-point / exact count, so the
+    // l_quantity < 0.5*avg comparison is engine-identical at every row.
+    Q("q17_avg_bound",
+      s"""WITH pa AS (
+         |  SELECT l_partkey AS a_partkey, ${oAvg("l_quantity")} AS avg_qty
+         |  FROM lineitem GROUP BY l_partkey)
+         |SELECT CAST(count(*) AS BIGINT) AS n_small,
+         |  ${oSum("l_extendedprice")} AS small_revenue
+         |FROM lineitem JOIN pa ON l_partkey = a_partkey
+         |WHERE l_quantity < 0.5 * avg_qty""".stripMargin) { (s, d) =>
+      val pa = lineitem(s, d).groupBy(col("l_partkey").as("a_partkey"))
+        .agg(davg(col("l_quantity")).as("avg_qty"))
+      lineitem(s, d)
+        .join(pa, col("l_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(count(lit(1)).as("n_small"),
+          dsum(col("l_extendedprice")).as("small_revenue"))
+    },
+
+    // ---- TPC-H Q18 shape: HAVING-filtered keys rejoined to the facts ------
+    // The big-order key set comes from one grouped agg with a HAVING
+    // bound; facts then SEMI-join it (never a broadcast of lineitem).
+    Q("q18_large_orders",
+      """WITH big AS (
+        |  SELECT l_orderkey AS b_orderkey
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) > 2000000)
+        |SELECT c_name, o_orderkey, o_orderdate, o_totalprice
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |WHERE o_orderkey IN (SELECT b_orderkey FROM big)
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      // HAVING over the exact fixed-point sum (200 units × 10⁴)
+      val big = lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum(floor(col("l_quantity") * 10000d + 0.5d).cast("long")).as("_q"))
+        .filter(col("_q") > 2000000L)
+        .select(col("l_orderkey").as("b_orderkey"))
+      orders(s, d)
+        .join(big, col("o_orderkey") === col("b_orderkey"), "left_semi")
+        .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+    },
+
+    // ---- TPC-H Q22 shape: global-average bound + anti join ----------------
+    // Two decorrelations in one query: the scalar AVG subquery becomes a
+    // broadcast 1-row cross join, and NOT EXISTS becomes a LEFT ANTI join
+    // — no correlated re-execution anywhere. Grouping key stands in for
+    // the phone country code (fixture has no phone column).
+    Q("q22_anti_avg",
+      s"""WITH ab AS (SELECT ${oAvg("c_acctbal")} AS avg_bal FROM customer
+         |            WHERE c_acctbal > 0.0)
+         |SELECT c_nationkey AS cntry, CAST(count(*) AS BIGINT) AS numcust,
+         |  ${oSum("c_acctbal")} AS totacctbal
+         |FROM customer, ab
+         |WHERE c_acctbal > ab.avg_bal
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |                  AND o_orderpriority = '1-URGENT')
+         |GROUP BY c_nationkey""".stripMargin) { (s, d) =>
+      // the NOT EXISTS side is filtered (urgent orders only) so the
+      // anti join actually leaves survivors at every fixture SF — an
+      // unfiltered version matches nobody (every customer has orders)
+      val avgBal = customer(s, d).filter(col("c_acctbal") > 0.0)
+        .agg(davg(col("c_acctbal")).as("avg_bal"))
+      customer(s, d)
+        .join(broadcast(avgBal)) // 1-row scalar: intentional cross join
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntry"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
     }
   )
 }
