@@ -602,6 +602,53 @@ object Dedup {
       (col("n_hit") >= ceil(col("n_exact") * minRecall)).as("recall_ok"))
   }
 
+  /** Exact top-k most-similar documents per document by word-shingle
+    * Jaccard — the TEXT analogue of ANN top-k. Candidates come from a
+    * shingle-hash INVERTED INDEX (every ordered pair sharing ≥1 shingle):
+    * unlike MinHash banding, the index is COMPLETE for Jaccard > 0, which
+    * a top-k RANKING needs — banding's collision probability ~b·j^r would
+    * silently drop low-similarity neighbors that still belong in the
+    * top-k of a document with no close matches. Exact Jaccard scores each
+    * candidate over the precomputed sorted hash sets (native merge walk),
+    * and the bounded [[graft.functions.TopKByScore]] partial aggregate
+    * keeps ≤k rows per document BEFORE the shuffle. `maxDf` caps posting
+    * lists exactly like `invertedIndex` — a shingle shared by more than
+    * maxDf documents is a stop-shingle whose pairs carry near-zero
+    * Jaccard; production runs bound the quadratic posting blowup with it
+    * (the default keeps the operator exact for oracle comparison).
+    * Output: (idCol, rank, nbr) — tie-break (jaccard DESC, nbr ASC). */
+  def textTopKSim(df: DataFrame, idCol: String, textCol: String, k: Int,
+      kShingle: Int = 3, maxDf: Long = Long.MaxValue): DataFrame = {
+    val docs = withMinParallelism(df)
+      .select(col(idCol).as("_id"), shingleHashes(col(textCol), kShingle).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .persist()
+    val posts0 = docs.select(col("_id"), explode(col("_sh")).as("_g"))
+    val posts = if (maxDf == Long.MaxValue) posts0 else {
+      val keep = posts0.groupBy("_g").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDf).select("_g")
+      posts0.join(keep, "_g")
+    }
+    val cands = posts.select(col("_id").as("id_a"), col("_g"))
+      .join(posts.select(col("_id").as("id_b"), col("_g")), "_g")
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val scored = cands
+      .join(docs.select(col("_id").as("id_a"), col("_sh").as("_sh_a")), "id_a")
+      .join(docs.select(col("_id").as("id_b"), col("_sh").as("_sh_b")), "id_b")
+      .withColumn("_inter", sortedIntersectCount(col("_sh_a"), col("_sh_b")))
+      .withColumn("_j", col("_inter").cast("double") /
+        (size(col("_sh_a")) + size(col("_sh_b")) - col("_inter")))
+    val agg = GraftBridge.column(graft.functions.TopKByScore(
+      GraftBridge.expression(col("_j")),
+      GraftBridge.expression(col("id_b")), k).toAggregateExpression())
+    val out = scored.groupBy("id_a").agg(agg.as("_nn"))
+      .select(col("id_a"), posexplode(col("_nn")))
+      .select(col("id_a").as(idCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("nbr"))
+    materializeThenRelease(out, docs)
+  }
+
   /** Exactness gate for [[nearDupSimhash]]: the 4×16-bit chunk banding is
     * provably lossless for Hamming ≤ 3 (pigeonhole: 3 flipped bits damage
     * at most 3 of 4 chunks), so the banded pair set must EQUAL the

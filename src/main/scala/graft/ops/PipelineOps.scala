@@ -79,6 +79,11 @@ object PipelineOps {
   private val compactDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Hive-partitioned events layout for q_partition_prune, staged once
+    * per dir (production tables are partitioned at write time). */
+  private val partitionedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Bucketed lineitem/orders staged once per source dir: production
     * bucketed tables are written once and joined many times, so only the
     * first run of q_bucketed_join in a session pays the bucketed write.
@@ -641,6 +646,104 @@ object PipelineOps {
       s.read.parquet(s"$frag/compacted")
         .agg(fcount(lit(1)).as("n_rows"))
         .select(col("n_rows"), lit(nFiles == 4).as("files_ok"))
+    },
+
+    // ---- hive-style partition pruning (layout primitive) ------------------
+    // Events laid out PARTITIONED BY event_type; a single-partition
+    // predicate must read ONLY that partition's directory. prune_ok
+    // asserts the physical property the oracle can't see: every scanned
+    // file path lives under event_type=click/ — at 100 TB this is the
+    // difference between scanning one partition and the whole table.
+    Q("q_partition_prune",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS prune_ok
+        |FROM events WHERE event_type = 'click'""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions.{count => fcount}
+      val root = partitionedDirs.computeIfAbsent(d, _ => {
+        val w = java.nio.file.Files.createTempDirectory("graft_part").toString
+        Tables(s, d, "events").write.mode("overwrite")
+          .partitionBy("event_type").parquet(w)
+        w
+      })
+      val clicks = s.read.parquet(root).filter(col("event_type") === "click")
+      // the prune assert must inspect the SCAN's selected partitions:
+      // Dataset.inputFiles lists the whole unfiltered relation, and
+      // input_file_name() over surviving rows can't see over-scanned
+      // files (their rows are filtered before the agg). The scan's
+      // pruned listing is the ground truth.
+      val scans = clicks.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val pruned = scans.nonEmpty && scans.forall(_.selectedPartitions
+        .toPartitionArray.forall(_.filePath.toString.contains("event_type=click")))
+      clicks.agg(fcount(lit(1)).as("n_rows"))
+        .select(col("n_rows"), lit(pruned).as("prune_ok"))
+    },
+
+    // ---- dynamic partition overwrite (the backfill primitive) -------------
+    // Re-processing day N must rewrite ONLY day N's directory:
+    // partitionOverwriteMode=dynamic replaces exactly the partitions the
+    // write produces and leaves every other partition's files untouched
+    // (STATIC mode would truncate the whole table first). The query
+    // rewrites the 'click' partition with corrected values (value + 1000)
+    // and returns per-type aggregates over the resulting table — the
+    // oracle recomputes the same correction; untouched_ok asserts the
+    // OTHER partitions' files were not rewritten (same names + mtimes).
+    Q("q_partition_overwrite",
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  ${Tables.oSum("CASE WHEN event_type = 'click' THEN value + 1000.0 ELSE value END")} AS total,
+         |  true AS untouched_ok
+         |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions.{count => fcount}
+      val root = java.nio.file.Files.createTempDirectory("graft_dynpart").toString
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      Tables(s2, d, "events").write.mode("overwrite")
+        .partitionBy("event_type").parquet(root)
+      def listing(skip: String) = {
+        val fs = new java.io.File(root).listFiles().toSeq
+          .filter(f => f.isDirectory && !f.getName.contains(skip))
+        fs.flatMap(dir => dir.listFiles().toSeq.map(f =>
+          f.getPath -> f.lastModified())).sortBy(_._1)
+      }
+      val before = listing("event_type=click")
+      // the backfill: rewrite ONLY the click partition, corrected values
+      s2.read.parquet(root).filter(col("event_type") === "click")
+        .withColumn("value", col("value") + 1000.0)
+        .write.mode("overwrite").partitionBy("event_type").parquet(root)
+      val untouched = listing("event_type=click") == before
+      s2.read.parquet(root)
+        .groupBy("event_type")
+        .agg(fcount(lit(1)).as("n"), Tables.dsum(col("value")).as("total"))
+        .select(col("event_type"), col("n"), col("total"),
+          lit(untouched).as("untouched_ok"))
+    },
+
+    // ---- per-document Jaccard top-k similarity (text ANN) -----------------
+    // "Most similar k documents for every document" — the text analogue
+    // of ANN top-k: MinHash banding proposes candidates, the native
+    // sorted-intersect confirms exact Jaccard, and the bounded
+    // TopKByScore partial aggregate keeps ≤k rows per doc pre-shuffle.
+    // The fixture corpus has no true near-dups, so candidates are ranked
+    // at a 0 threshold and the oracle replays all-pairs with the same
+    // (jaccard DESC, id ASC) total order over docs 0..39 — small enough
+    // for the oracle's O(n²), while the Spark side runs the banded plan.
+    Q("q_text_topk_sim",
+      """WITH t AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
+        |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS g
+        |  FROM documents WHERE doc_id < 40),
+        |p AS (SELECT a.doc_id AS doc_id, b.doc_id AS nbr,
+        |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+        |  FROM t a, t b WHERE a.doc_id <> b.doc_id
+        |    AND len(list_intersect(a.g, b.g)) > 0)
+        |SELECT doc_id, rank, nbr FROM (
+        |  SELECT doc_id, nbr,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY jaccard DESC, nbr ASC) AS rank
+        |  FROM p) WHERE rank <= 3""".stripMargin) { (s, d) =>
+      Dedup.textTopKSim(Tables(s, d, "documents").filter(col("doc_id") < 40),
+        "doc_id", "text", k = 3)
     },
 
     // ---- heavy-hitter detection (the input to salting decisions) ----------

@@ -74,6 +74,28 @@ object StreamMediaOps {
           col("n"), col("total"))
     },
 
+    // ---- streaming SESSION windows == batch gap sessionization ------------
+    // The native session_window state operator; only OPEN sessions hold
+    // state. Boundary is half-open (an event exactly `gap` later starts a
+    // new session), so the oracle breaks on `>= gap` — q_sessionize's
+    // batch operator keeps its own `> gap` contract separately.
+    Q("q_stream_session",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |      OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 3600000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (SELECT user_id, t,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin) { (s, d) =>
+      Streams.sessionWindowAgg(s, d, "1 hour")
+    },
+
     // ---- streaming dedup under at-least-once redelivery -------------------
     // The source replays the whole events file twice (the redelivery
     // case); watermarked dropDuplicates on (event_id, ts) must collapse

@@ -119,6 +119,30 @@ object Streams {
         .writeStream
     }.filter(col("event_type") =!= SentinelType)
 
+  /** Gap-based SESSION-window aggregation over the stream — the streaming
+    * twin of `ops.Sessionize`: the native `session_window` state operator
+    * merges events arriving within `gap` of the session's current end,
+    * and Append emits each session exactly once when the watermark passes
+    * it (state is bounded by the OPEN sessions only — closed sessions
+    * leave the store, which is what makes gap sessions viable on
+    * unbounded input). Boundary semantics are half-open: an event landing
+    * EXACTLY `gap` after the previous one starts a NEW session (the
+    * oracle mirrors this with a `>= gap` break). Output: (user_id,
+    * session_start, session_end, n_events) in epoch micros. */
+  def sessionWindowAgg(spark: SparkSession, dir: String,
+      gap: String): DataFrame =
+    runToParquet(spark, statePartitions = 8) { (s, _) =>
+      stagedEventStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("session_start"),
+          max(unix_micros(col("ts"))).as("session_end"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .writeStream
+    }.filter(col("user_id") =!= -1L)
+
   /** Streaming exact dedup under an event-time watermark. The dedup key is
     * EXPLICITLY `keyCols` + the event time `ts`: a duplicate is the same
     * content re-delivered at the same event time (the at-least-once replay
