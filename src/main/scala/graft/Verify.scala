@@ -28,14 +28,15 @@ object Verify {
   /** Slow tier from bench history, submitted first so the pool's tail is
     * short queries instead of a 4 s golden starting at minute N. */
   private val slowFirst = Seq(
-    "q_corpus_golden", "q_dedup_ngram", "q_zillow_golden",
-    "q_flights_golden", "q_stream_stream_join", "q_stream_upsert",
+    "q_stream_upsert", "q_stream_stream_join", "q_stream_left_join",
+    "q_stream_session", "q_corpus_golden", "q_dedup_ngram",
+    "q_zillow_golden", "q_flights_golden",
     "q_dedup_embed_lsh", "q_bucketed_join", "q_salted_join",
     "q_multimodal_resize", "q_stream_join", "q_stream_dedup",
     "q_stream_user_counts", "q_stream_window", "q_csv_roundtrip",
-    "q_ann_lsh", "q_semdedup", "q_kmeans_embed", "q_ann_ivf_indexed",
-    "q_dedup_embed_groundtruth", "q_dedup_minhash", "q_dedup_clusters",
-    "q_pipeline_golden", "q_dedup_delta")
+    "q_partition_overwrite", "q_ann_lsh", "q_semdedup", "q_kmeans_embed",
+    "q_ann_ivf_indexed", "q_dedup_embed_groundtruth", "q_dedup_minhash",
+    "q_dedup_clusters", "q_pipeline_golden", "q_dedup_delta")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
