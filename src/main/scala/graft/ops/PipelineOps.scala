@@ -759,6 +759,52 @@ object PipelineOps {
         .limit(10)
     },
 
+    // ---- approximate heavy hitters (Misra-Gries sketch) -------------------
+    // The bounded-memory counterpart of q_heavy_hitters: O(m) state per
+    // partition regardless of key-space size. A skewed key is derived so
+    // the guarantee tier is non-empty at every fixture SF (5 hot keys
+    // carry 2/3 of the stream; the rest is a user-id long tail). The MG
+    // invariants are merge-order-independent, so the gates are
+    // deterministic even though the summary's tail contents are
+    // partitioning-dependent: every key with exact > N/(m+1) must be
+    // present, and every estimate must satisfy exact-N/(m+1) <= est <=
+    // exact (integer cross-multiplications only). The oracle recomputes
+    // n_total / n_guaranteed exactly; the booleans must be uniformly true.
+    Q("q_heavy_hitters_approx",
+      """WITH k AS (SELECT CASE WHEN event_id % 3 <> 0 THEN event_id % 5
+        |    ELSE user_id + 1000 END AS k FROM events),
+        |e AS (SELECT k, CAST(count(*) AS BIGINT) AS exact FROM k GROUP BY k),
+        |t AS (SELECT CAST(sum(exact) AS BIGINT) AS n_total FROM e)
+        |SELECT t.n_total,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e WHERE e.exact * 17 > t.n_total)
+        |    AS n_guaranteed,
+        |  true AS all_guaranteed_present, true AS bounds_ok
+        |FROM t""".stripMargin) { (s, d) =>
+      val m = 16
+      val keyed = Tables(s, d, "events").select(
+        when(col("event_id") % 3 =!= 0, col("event_id") % 5)
+          .otherwise(col("user_id") + 1000).cast("long").as("k"))
+      val agg = GraftBridge.column(graft.functions.MisraGriesTopK(
+        GraftBridge.expression(col("k")), m).toAggregateExpression())
+      val summary = keyed.agg(agg.as("_mg"))
+        .select(explode(col("_mg")).as("e"))
+        .select(col("e.key").as("k"), col("e.est").as("est"))
+      val exact = keyed.groupBy("k").agg(count(lit(1)).as("exact"))
+      val tot = exact.agg(sum(col("exact")).as("n_total"))
+      exact.join(summary, Seq("k"), "left")
+        .crossJoin(broadcast(tot)) // 1-row scalar: intentional
+        .agg(
+          max(col("n_total")).as("n_total"),
+          sum(when(col("exact") * (m + 1) > col("n_total"), 1L).otherwise(0L))
+            .as("n_guaranteed"),
+          coalesce(min(when(col("exact") * (m + 1) > col("n_total"),
+            col("est").isNotNull)), lit(true)).as("all_guaranteed_present"),
+          coalesce(min(when(col("est").isNotNull,
+            col("est") <= col("exact") &&
+              (col("exact") - col("est")) * (m + 1) <= col("n_total"))),
+            lit(true)).as("bounds_ok"))
+    },
+
     // ---- z-order (Morton) clustering key ----------------------------------
     // The 2-D data-layout primitive behind Scale.writeZordered: files
     // written range-partitioned + sorted on this key cover compact (x, y)

@@ -34,6 +34,35 @@ class PipelineSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
   }
 
+  test("Misra-Gries summary: guarantee + bounds hold under any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    val rnd = new scala.util.Random(11)
+    // 3 hot keys with 400 occurrences each over a ~500-key tail: the hot
+    // keys exceed N/(m+1) at m=8, so the guarantee tier is non-empty
+    val rows = rnd.shuffle(
+      Seq.fill(400)(1L) ++ Seq.fill(400)(2L) ++ Seq.fill(400)(3L) ++
+        (1 to 700).map(_ => 1000L + rnd.nextInt(500)))
+    val n = rows.size
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("k").repartition(parts)
+      val agg = GraftBridge.column(graft.functions.MisraGriesTopK(
+        GraftBridge.expression(col("k")), 8).toAggregateExpression())
+      val summary = df.agg(agg.as("mg")).select(explode(col("mg")).as("e"))
+        .select(col("e.key"), col("e.est")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(summary.size <= 8)
+      for ((k, c) <- exact if c * 9 > n)
+        assert(summary.contains(k), s"guaranteed key $k missing at parts=$parts")
+      for ((k, est) <- summary) {
+        val ex = exact(k)
+        assert(est <= ex && (ex - est) * 9 <= n,
+          s"bounds violated for $k: est=$est exact=$ex n=$n parts=$parts")
+      }
+    }
+  }
+
   test("exact dedup keeps min id and counts copies") {
     val got = Dedup.exact(docs, "doc_id", "text")
     assert(got.count() == 4)

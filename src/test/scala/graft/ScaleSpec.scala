@@ -88,7 +88,13 @@ class ScaleSpec extends AnyFunSuite {
     // intersect every file; a single-column sort every y)
     val touched = boxes.count(b =>
       b.getAs[Long]("x0") < 64 && b.getAs[Long]("y0") < 64)
-    assert(touched <= 2,
+    // the quadrant covers 1/4 of the z range → 2 of 8 files, plus at
+    // most one boundary straddle: range partitioning SAMPLES its split
+    // points (seeded per RDD id, so file boundaries shift slightly with
+    // suite execution order) — ≤3 still proves file-level clustering
+    // (an unsorted layout intersects all 8, a y-only sort every file
+    // with x<64 rows)
+    assert(touched <= 3,
       s"2-D box intersects $touched of 8 files; layout not z-clustered")
   }
 }
