@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CharNgramHashes, CosineSim, HyperplaneSig, MinHashSig, ShingleHashes, SimHash64, SortedIntersectCount, TokenStats, WordListHits}
+import graft.functions.{CharNgramHashes, CosineSim, HyperplaneSig, MinHashSig, MisraGriesTopK, ShingleHashes, SimHash64, SortedIntersectCount, TokenStats, TopKByScore, WordListHits}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT simhash64(...)")`
@@ -95,6 +95,13 @@ object GraftExtensions {
       HyperplaneSig(args(0), intLit(args(1), "hyperplane_sig"),
         intLit(args(2), "hyperplane_sig"),
         if (args.length > 3) longLit(args(3), "hyperplane_sig") else 42L) }
+    // typed aggregates register as plain expressions: the analyzer wraps
+    // an AggregateFunction in its AggregateExpression at resolution, so
+    // `SELECT top_k_by_score(s, id, 3) FROM ... GROUP BY g` just works
+    register("top_k_by_score") { args =>
+      TopKByScore(args(0), args(1), intLit(args(2), "top_k_by_score")) }
+    register("misra_gries") { args =>
+      MisraGriesTopK(args(0), intLit(args(1), "misra_gries")) }
 
     out.result()
   }

@@ -48,5 +48,18 @@ class ExtensionsSpec extends AnyFunSuite {
         |  hyperplane_sig(cast(array(1.0, 0.0) AS array<float>), 2, 8) AS s
         |FROM t LIMIT 1""".stripMargin).head()
     assert(math.abs(sqlVec.getDouble(0) - 1.0) < 1e-12)
+
+    // typed AGGREGATES from SQL: the analyzer wraps the registered
+    // AggregateFunction in its AggregateExpression at resolution
+    (1L to 100L).map(i => (i % 3, i % 7, i.toDouble))
+      .toDF("g", "k", "s").createOrReplaceTempView("agg_t")
+    val topk = spark.sql(
+      "SELECT g, top_k_by_score(s, k, 2) AS nn FROM agg_t GROUP BY g")
+      .collect()
+    assert(topk.length == 3 &&
+      topk.forall(_.getSeq[org.apache.spark.sql.Row](1).length == 2))
+    val mg = spark.sql(
+      "SELECT misra_gries(k, 4) AS hh FROM agg_t").head()
+    assert(mg.getSeq[org.apache.spark.sql.Row](0).length <= 4)
   }
 }
