@@ -128,9 +128,14 @@ object Dedup {
     * n-grams, …) producing a sorted distinct `array<bigint>`. */
   private def hashedDocs(df: DataFrame, idCol: String, textCol: String,
       gramHashes: Column => Column, numHashes: Int): DataFrame =
-    withMinParallelism(df)
-      .select(col(idCol).as("_id"), gramHashes(col(textCol)).as("_sh"))
-      .filter(size(col("_sh")) > 0)
+    // filterOnce: a plain .filter(size(_sh) > 0) is pushed through the
+    // projection, substituting the gram-hash kernel into the predicate —
+    // every document would be shingled TWICE while materializing the
+    // persist (the q_corpus_golden pushdown lesson, Par.filterOnce)
+    graft.ops.Par.filterOnce(
+        withMinParallelism(df)
+          .select(col(idCol).as("_id"), gramHashes(col(textCol)).as("_sh")),
+        size(col("_sh")) > 0)
       .withColumn("_sig", minhashSigOfHashes(col("_sh"), numHashes))
       .persist()
       // NOTE(measured): a one-permutation (OPH) signature was tried here —
@@ -619,9 +624,11 @@ object Dedup {
     * Output: (idCol, rank, nbr) — tie-break (jaccard DESC, nbr ASC). */
   def textTopKSim(df: DataFrame, idCol: String, textCol: String, k: Int,
       kShingle: Int = 3, maxDf: Long = Long.MaxValue): DataFrame = {
-    val docs = withMinParallelism(df)
-      .select(col(idCol).as("_id"), shingleHashes(col(textCol), kShingle).as("_sh"))
-      .filter(size(col("_sh")) > 0)
+    val docs = graft.ops.Par.filterOnce(
+        withMinParallelism(df)
+          .select(col(idCol).as("_id"),
+            shingleHashes(col(textCol), kShingle).as("_sh")),
+        size(col("_sh")) > 0)
       .persist()
     val posts0 = docs.select(col("_id"), explode(col("_sh")).as("_g"))
     val posts = if (maxDf == Long.MaxValue) posts0 else {

@@ -312,9 +312,10 @@ object CorpusOps {
          |FROM g LEFT JOIN train ON g.bg = train.bg
          |WHERE g.doc_id % 10 = 0
          |GROUP BY g.doc_id""".stripMargin) { (s, d) =>
-      val toks = Tables(s, d, "documents")
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("_t"))
-        .filter(size(col("_t")) >= 2)
+      val toks = Par.filterOnce(
+        Tables(s, d, "documents")
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("_t")),
+        size(col("_t")) >= 2)
       val grams = toks.select(col("doc_id"), explode(
           expr("transform(sequence(0, size(_t) - 2), i -> concat(_t[i], ' ', _t[i + 1]))"))
         .as("bg"))
