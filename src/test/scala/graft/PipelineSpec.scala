@@ -63,6 +63,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("property: textTopKSim equals the all-pairs ranking on a seeded corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val corpus = (1L to 30L).map { i =>
+      (i, (0 until 8 + rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.textTopKSim(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // brute-force reference: distinct 3-shingles, jaccard, (j desc, id asc)
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sets = corpus.map { case (i, t) => i -> sh(t) }.toMap
+    val want = corpus.flatMap { case (a, _) =>
+      val nbrs = corpus.collect { case (b, _) if b != a &&
+          (sets(a) & sets(b)).nonEmpty =>
+        val j = (sets(a) & sets(b)).size.toDouble / (sets(a) | sets(b)).size
+        (b, j)
+      }.sortBy { case (b, j) => (-j, b) }.take(2)
+      nbrs.zipWithIndex.map { case ((b, _), r) => (a, r + 1) -> b }
+    }.toMap
+    assert(got == want, s"mismatch:\n got=$got\nwant=$want")
+  }
+
   test("exact dedup keeps min id and counts copies") {
     val got = Dedup.exact(docs, "doc_id", "text")
     assert(got.count() == 4)

@@ -43,6 +43,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q14: part dim is broadcast; lineitem date filters reach the scan") {
+    val p = planOf("q14_promo_share")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "lineitem date filter not pushed to the parquet scan")
+  }
+
   test("q1: aggregation runs inside WholeStageCodegen with partial agg") {
     val p = planOf("q1_agg")
     assert(p.contains("*(1)"), "no WholeStageCodegen stage markers")
