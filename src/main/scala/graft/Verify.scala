@@ -39,7 +39,17 @@ object Verify {
     "q_dedup_clusters", "q_pipeline_golden", "q_dedup_delta")
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // LENIENT argv: an exact-arity destructure would die in a MatchError
+    // before anything is written if the driver ever passes an extra flag
+    // or omits an arg — precisely the silent empty-artifact shape.
+    // First two args win; missing ones fall back to env/defaults, and
+    // the resolved paths are echoed to stderr for the post-mortem.
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val outDir = args.lift(1).getOrElse("/tmp/graft_verify")
+    if (args.length != 2)
+      System.err.println(
+        s"[verify] argv=${args.mkString("[", ",", "]")} -> sfDir=$sfDir outDir=$outDir")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
