@@ -706,6 +706,57 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Exact-substring span statistics (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" signal, re-expressed for
+    * a shuffle engine): every word k-gram a document contains is
+    * fingerprinted, and a gram present in ≥2 distinct documents marks a
+    * verbatim shared span. Per document this returns the distinct-gram
+    * count, how many of those grams any other document shares, and how
+    * many an EARLIER document (smaller id) shares — the keep-first policy
+    * counter. `is_dup` flags documents where ≥20% of spans are inherited
+    * from earlier documents.
+    *
+    * The reference design (suffix arrays, single machine) cannot shuffle;
+    * here the gram stream is keyed by md5 of the joined tokens — an
+    * engine-portable fingerprint — so duplicate detection is two
+    * hash-partitioned aggregations over (doc, gram) pairs, each keyed on
+    * a 32-char digest rather than raw text. That stream is k× the token
+    * count pre-distinct: the honest cost of EXACT substring matching (no
+    * banding shortcut exists — this is the exact complement to the
+    * MinHash family above). All outputs are integer/boolean → bit-exact
+    * cross-engine. */
+  def spanStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"span gram size must be >= 2, got $k")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+    // Spark's sequence(1, n) DESCENDS for n < 1 — the short-doc case must
+    // short-circuit to an empty gram list, not a [1, 0] sequence
+    val gramList = expr(
+      s"""CASE WHEN size(toks) >= $k
+         |  THEN transform(sequence(1, size(toks) - ${k - 1}),
+         |         i -> md5(array_join(slice(toks, i, $k), ' ')))
+         |  ELSE array() END""".stripMargin)
+    val pg = toks.select(col("doc_id"), explode(gramList).as("g")).distinct()
+    val stats = pg.groupBy("g")
+      .agg(count(lit(1)).as("nd"), min("doc_id").as("first_doc"))
+    val perDoc = pg.join(stats, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"),
+        sum(when(col("nd") >= 2 && col("first_doc") < col("doc_id"), 1L)
+          .otherwise(0L)).as("n_shared_earlier"))
+    // documents too short to hold one gram still appear, with zero counts
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("n_shared_earlier"), lit(0L)).as("n_shared_earlier"),
+        (coalesce(col("n_shared_earlier"), lit(0L)) * 5 >=
+          coalesce(col("n_grams"), lit(0L)) &&
+          coalesce(col("n_grams"), lit(0L)) > 0).as("is_dup"))
+  }
+
   /** n-gram (character) Jaccard near-dup — for short strings where word
     * shingles are too coarse. */
   def charNgramJaccard(aText: Column, bText: Column, n: Int): Column = {

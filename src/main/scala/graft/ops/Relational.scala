@@ -573,6 +573,89 @@ object Relational {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey").as("cntry"))
         .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+    },
+
+    // ---- TPC-H Q8 shape: national market share (two nation roles) ---------
+    // The same dimension table joins twice under different roles (customer
+    // nation gates the region, supplier nation is the share target) — the
+    // classic self-dimension disambiguation. Share = ratio of two exact
+    // fixed-point sums; one IEEE division per group → bit-exact.
+    Q("q8_market_share", {
+      val vol = "l_extendedprice * (1 - l_discount)"
+      val tgt = s"CASE WHEN supp_nation = 'NATION_7' THEN $vol ELSE 0.0 END"
+      s"""WITH v AS (
+         |  SELECT year(o_orderdate) AS o_year, l_extendedprice, l_discount,
+         |    n2.n_name AS supp_nation
+         |  FROM lineitem
+         |    JOIN part ON l_partkey = p_partkey
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN customer ON o_custkey = c_custkey
+         |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |    JOIN region ON n1.n_regionkey = r_regionkey
+         |    JOIN supplier ON l_suppkey = s_suppkey
+         |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+         |SELECT o_year,
+         |  CAST(${oSum(tgt)} / ${oSum(vol)} AS DOUBLE) AS mkt_share
+         |FROM v GROUP BY o_year""".stripMargin
+    }) { (s, d) =>
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      // customer-side nations inside the region (broadcast key set)
+      val regionNations = nation(s, d)
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      // supplier-side nation role, renamed to avoid the double-join clash
+      val suppNation = nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      lineitem(s, d)
+        .join(broadcast(part(s, d).filter(col("p_type") === "PROMO")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(regionNations), col("c_nationkey") === col("cn_key"),
+          "left_semi")
+        .join(supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((dsum(when(col("supp_nation") === "NATION_7", vol)
+            .otherwise(lit(0.0))) / dsum(vol))
+          .cast("double").as("mkt_share"))
+    },
+
+    // ---- TPC-H Q15 shape: argmax over a grouped view ----------------------
+    // The revenue "view" is one grouped agg kept in EXACT fixed-point
+    // (bigint) so the max and the equality filter are integer ops on both
+    // engines — no float compare anywhere. The scalar max joins back as a
+    // broadcast 1-row cross (labeled, same license as q22's avg bound).
+    Q("q15_top_supplier",
+      """WITH rev AS (
+        |  SELECT l_suppkey, SUM(CAST(floor(
+        |      l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS rev_fp
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_fp / 10000.0 AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE rev_fp = (SELECT max(rev_fp) FROM rev)""".stripMargin) { (s, d) =>
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          10000d + 0.5d).cast("long")).as("rev_fp"))
+      val maxRev = rev.agg(max(col("rev_fp")).as("max_fp"))
+      rev
+        .join(broadcast(maxRev)) // 1-row scalar: intentional cross join
+        .filter(col("rev_fp") === col("max_fp"))
+        .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev_fp") / 10000.0).cast("double").as("total_revenue"))
     }
   )
 }

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.{Corpus, Retrieval}
+
+/** Round-5 additions to the LLM-pipeline tier: full-text retrieval,
+  * exact-substring span dedup, and temperature-based mixture weights.
+  * Each query's oracle replays the identical arithmetic in DuckDB (the
+  * fixed-point / correctly-rounded-ops-only recipe — see Tables.dsum),
+  * so every compare is bit-exact, never tolerance-based. */
+object RetrievalOps {
+
+  private def documents(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables(s, d, "documents")
+
+  // mirror of Retrieval.bm25TopK's tokenizer on the DuckDB side
+  private val oToks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- BM25 top-k retrieval --------------------------------------------
+    // Query = {dup, vector, merge}: 'dup' is the rare discriminative term
+    // (df 25/500), the others are near-stopwords — the ranking is carried
+    // by the rare-term idf, which is what BM25 is for. Scoring arithmetic
+    // is identical expression-for-expression on both sides; the per-doc
+    // sum is over ×10⁶ fixed-point bigints (exact, order-free).
+    Q("q_bm25", {
+      val idf = "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+      val denom = "(CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+      val w = s"($idf * ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) / $denom))"
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+         |w AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM w WHERE term IN ('dup', 'vector', 'merge')
+         |       GROUP BY 1, 2, 3),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT doc_id,
+         |         SUM(CAST(floor($w * 1000000 + 0.5) AS BIGINT)) AS score_fp,
+         |         CAST(count(*) AS BIGINT) AS n_terms
+         |       FROM tf JOIN df USING (term), s GROUP BY doc_id)
+         |SELECT doc_id, CAST(score_fp / 1000000.0 AS DOUBLE) AS score, n_terms
+         |FROM sc ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+      Retrieval.bm25TopK(documents(s, d), "doc_id", "text",
+        Seq("dup", "vector", "merge"), k = 10)
+    },
+
+    // ---- exact-substring span dedup (Lee et al. keep-first signal) --------
+    // 1015 naturally-duplicated 8-grams exist in the sf0.01 fixture, so
+    // both the shared and shared-with-earlier branches are exercised
+    // without any injection. All counts integer → bit-exact.
+    Q("q_dedup_span",
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |g AS (SELECT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS g
+         |      FROM t, unnest(CASE WHEN len(toks) >= 8
+         |                     THEN generate_series(1, len(toks) - 7)
+         |                     ELSE [] END) AS u(i)),
+         |pg AS (SELECT DISTINCT doc_id, g FROM g),
+         |st AS (SELECT g, CAST(count(*) AS BIGINT) AS nd, min(doc_id) AS first_doc
+         |       FROM pg GROUP BY g),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |         CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |         CAST(sum(CASE WHEN nd >= 2 AND first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_earlier
+         |       FROM pg JOIN st USING (g) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+         |  coalesce(n_shared, 0) AS n_shared,
+         |  coalesce(n_shared_earlier, 0) AS n_shared_earlier,
+         |  coalesce(n_shared_earlier, 0) * 5 >= coalesce(n_grams, 0)
+         |    AND coalesce(n_grams, 0) > 0 AS is_dup
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin) { (s, d) =>
+      Dedup.spanStats(documents(s, d), "doc_id", "text", k = 8)
+    },
+
+    // ---- temperature mixture weights (α = 0.5 over char mass) ------------
+    // Doc counts are uniform across sources in the fixture, so the mass
+    // basis (total chars per source) is what makes the smoothing
+    // observable: weight ∝ sqrt(mass), normalized in exact fixed-point.
+    Q("q_mix_temperature",
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n_chars) AS BIGINT) AS mass
+        |           FROM documents GROUP BY source),
+        |f AS (SELECT source, n_docs, mass,
+        |        CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS w_fp
+        |      FROM c)
+        |SELECT source, n_docs, mass,
+        |  CAST(w_fp AS DOUBLE) / CAST(SUM(w_fp) OVER () AS DOUBLE) AS weight,
+        |  CAST(floor((CAST(w_fp AS DOUBLE) / CAST(SUM(w_fp) OVER () AS DOUBLE))
+        |    * CAST(SUM(n_docs) OVER () AS DOUBLE) + 0.5) AS BIGINT) AS target_docs
+        |FROM f""".stripMargin) { (s, d) =>
+      Corpus.temperatureMix(documents(s, d), "source",
+        massCol = Some("n_chars"))
+    }
+  )
+}

@@ -184,4 +184,40 @@ object Corpus {
           x => x("_line")), "\n").as("clean"),
         count(col("_boiler")).as("n_removed"))
   }
+
+  /** Temperature-based mixture reweighting — the α-smoothed source
+    * sampling recipe from multilingual/LM pretraining (XLM-R §3.1, PaLM
+    * table 2): target share w_s ∝ n_s^α with α < 1 upweighting small
+    * sources relative to their natural frequency. One row per source:
+    * (source, n_docs, weight, target_docs) with `weight` the normalized
+    * mixture share and `target_docs = round(weight · totalDocs)`.
+    *
+    * Exactness: the default α = 0.5 routes through `sqrt` (IEEE
+    * correctly-rounded, engine-portable — `pow` is not); the raw weight
+    * is then fixed-pointed (×10⁹ bigint) so the normalizing sum is exact
+    * integer arithmetic, and the final share/target are single identical
+    * IEEE ops on identical operands → bit-reproducible cross-engine.
+    * Scale: one count-by-source aggregate; the unpartitioned window runs
+    * over the source-level frame (rows = #sources, not #docs). */
+  def temperatureMix(docs: DataFrame, srcCol: String, alpha: Double = 0.5,
+      massCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // mass = what the temperature smooths over: document count by default,
+    // or a size column (chars/tokens/bytes) — the recipe's usual basis
+    val mass = massCol.map(c => sum(col(c)).cast("long"))
+      .getOrElse(count(lit(1))).as("mass")
+    val counts = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"), mass)
+    val wRaw =
+      if (alpha == 0.5) sqrt(col("mass").cast("double"))
+      else pow(col("mass").cast("double"), lit(alpha))
+    val everything = Window.partitionBy()
+    counts
+      .withColumn("w_fp", floor(wRaw * 1000000000d + 0.5d).cast("long"))
+      .withColumn("weight", col("w_fp").cast("double") /
+        sum(col("w_fp")).over(everything).cast("double"))
+      .withColumn("target_docs", floor(col("weight") *
+        sum(col("n_docs")).over(everything).cast("double") + 0.5d).cast("long"))
+      .select("source", "n_docs", "mass", "weight", "target_docs")
+  }
 }

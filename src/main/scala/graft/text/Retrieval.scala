@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over a document corpus — the "find training docs
+  * about X" / eval-set mining primitive that rides on the same tokenized
+  * view the dedup and quality operators use.
+  *
+  * BM25 here uses the Robertson idf WITHOUT the log:
+  * `idf = (N - df + 0.5) / (df + 0.5)` — a strictly monotone transform of
+  * the classic `log` form, so rankings for single-term queries are
+  * identical and multi-term rankings weight rare terms more aggressively.
+  * The reason is engine exactness: `+ - * /` and `sqrt` are IEEE
+  * correctly-rounded everywhere, `ln` is only ≤1 ulp per libm — a log in
+  * the scoring path would make the DuckDB oracle flaky at score-boundary
+  * ties. Per-term weights are fixed-pointed (×10⁶ bigint) before the
+  * per-document sum, so accumulation is exact and order-free.
+  *
+  * Scale design: the corpus token stream is filtered to query-term hits
+  * BEFORE any shuffle (the explode feeds a codegen'd `IN` filter), so the
+  * aggregation shuffles at most |queryTerms| rows per document. Corpus
+  * stats (N, Σdl) and the df table are 1-row / |queryTerms|-row broadcast
+  * sides. Top-k is TakeOrderedAndProject (per-partition heaps, no global
+  * sort), deterministically tie-broken on doc id.
+  */
+object Retrieval {
+
+  /** Top-k documents by BM25(ish) score for a bag-of-words query.
+    * Output: (doc_id, score, n_terms) where n_terms counts the distinct
+    * query terms the document hit. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    // corpus stats: one 1-row aggregate, broadcast (labeled scalar cross)
+    val stats = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nD = col("n_docs").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nD
+    val idf = (nD - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val denom = tfD + lit(k1) * (lit(1.0) - lit(b) +
+      lit(b) * (col("dl").cast("double") / avgdl))
+    // k1 + 1 as an explicit IEEE add (not a Scala-side constant): the
+    // oracle mirrors `(CAST(k1 AS DOUBLE) + 1.0)` so both engines round
+    // the sum identically instead of each parsing a "2.2" literal
+    val w = idf * ((tfD * (lit(k1) + lit(1.0))) / denom)
+    tf.join(broadcast(dfTbl), "term")
+      .join(broadcast(stats)) // 1-row scalar: intentional cross join
+      .withColumn("w_fp", floor(w * 1000000d + 0.5d).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("w_fp").as("score_fp"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"),
+        (col("score_fp") / 1000000.0).cast("double").as("score"),
+        col("n_terms"))
+  }
+}

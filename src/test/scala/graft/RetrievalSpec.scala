@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.text.{Corpus, Retrieval}
+
+/** Semantics tests for the retrieval / span-dedup / mixture-weight tier on
+  * crafted fixtures where the expected answers are hand-checkable. */
+class RetrievalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("bm25TopK: rare-term hits outrank common-term hits; k + tie-break hold") {
+    import spark.implicits._
+    // 'rare' appears in 1 of 6 docs, 'common' in 5 of 6 — equal length
+    // docs so the dl normalization is flat and idf decides the order
+    val docs = Seq(
+      (0L, "common alpha beta gamma"),
+      (1L, "rare alpha beta gamma"),
+      (2L, "common beta gamma delta"),
+      (3L, "common gamma delta epsilon"),
+      (4L, "common delta epsilon zeta"),
+      (5L, "common epsilon zeta eta")
+    ).toDF("doc_id", "text")
+    val top = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("rare", "common"), k = 3).collect()
+    assert(top.length === 3)
+    // the single 'rare' doc carries idf (6-1+0.5)/(1+0.5)=3.67 vs the
+    // 'common' idf (6-5+0.5)/(5+0.5)=0.27 — rare wins by an order
+    assert(top.head.getLong(0) === 1L)
+    assert(top.head.getDouble(1) > top(1).getDouble(1) * 5)
+    // remaining docs all score identically on 'common' → doc_id tie-break
+    assert(top.map(_.getLong(0)).toSeq === Seq(1L, 0L, 2L))
+  }
+
+  test("bm25TopK: higher tf wins within a term; n_terms counts hits") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x x x pad pad pad pad pad"),
+      (1L, "x pad pad pad pad pad pad pad"),
+      (2L, "x y pad pad pad pad pad pad"),
+      (3L, "pad pad pad pad pad pad pad pad")
+    ).toDF("doc_id", "text")
+    val top = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("x", "y"), k = 4)
+      .collect()
+    val byId = top.map(r => r.getLong(0) -> r).toMap
+    assert(!byId.contains(3L))           // no query term → no row
+    assert(byId(0L).getDouble(1) > byId(1L).getDouble(1)) // tf 3 > tf 1
+    assert(byId(2L).getLong(2) === 2L)   // hit both terms
+    assert(byId(0L).getLong(2) === 1L)
+    // the two-term doc outranks the single-hit tf=1 doc ('y' is rarer)
+    assert(byId(2L).getDouble(1) > byId(1L).getDouble(1))
+  }
+
+  test("spanStats: shared spans counted, keep-first attribution, short docs zeroed") {
+    import spark.implicits._
+    val shared = "a b c d e f g h" // exactly one 8-gram
+    val docs = Seq(
+      (10L, s"$shared tail1 tail2 tail3"),   // first owner of the span
+      (20L, s"prefix1 prefix2 $shared"),     // later doc, inherits the span
+      (30L, "u v w x y z aa bb cc"),         // unique spans only
+      (40L, "too short")                     // < 8 tokens → zero grams
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanStats(docs, "doc_id", "text", k = 8)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4)))).toMap
+    assert(r.keySet === Set(10L, 20L, 30L, 40L)) // every doc present
+    // doc 10: 4 grams (11 toks), one shared, but no EARLIER doc has it
+    assert(r(10L) === ((4L, 1L, 0L, false)))
+    // doc 20: 3 grams (10 toks), the shared one comes from doc 10
+    assert(r(20L) === ((3L, 1L, 1L, true))) // 1*5 >= 3 → flagged
+    assert(r(30L) === ((2L, 0L, 0L, false)))
+    assert(r(40L) === ((0L, 0L, 0L, false)))
+  }
+
+  test("spanStats: exact duplicate docs share every span") {
+    import spark.implicits._
+    val t = "one two three four five six seven eight nine ten"
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val r = Dedup.spanStats(docs, "doc_id", "text", k = 8)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r(1L) === 0L) // first doc inherits nothing
+    assert(r(2L) === 3L) // all 3 grams already owned by doc 1
+  }
+
+  test("temperatureMix: alpha=0.5 flattens the mixture toward small sources") {
+    import spark.implicits._
+    // 90/10 natural split → sqrt smoothing yields 3:1, not 9:1
+    val docs = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (1 to 10).map(i => (100L + i, "small"))).toDF("doc_id", "source")
+    val r = Corpus.temperatureMix(docs, "source")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(3), x.getLong(4)))).toMap
+    val (nBig, wBig, tBig) = r("big")
+    val (nSmall, wSmall, tSmall) = r("small")
+    assert(nBig === 90L && nSmall === 10L)
+    assert(math.abs(wBig / wSmall - 3.0) < 1e-9) // sqrt(90)/sqrt(10) = 3
+    assert(math.abs(wBig + wSmall - 1.0) < 1e-12)
+    assert(tBig === 75L && tSmall === 25L) // 100 docs at 3:1
+  }
+
+  test("temperatureMix: mass column basis and non-default alpha") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", 800L), (2L, "a", 800L), (3L, "b", 400L))
+      .toDF("doc_id", "source", "n_chars")
+    // alpha=1 over mass reproduces the natural mass split 1600:400 = 4:1
+    val r = Corpus.temperatureMix(docs, "source", alpha = 1.0,
+      massCol = Some("n_chars"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(2), x.getDouble(3)))).toMap
+    assert(r("a")._1 === 1600L && r("b")._1 === 400L)
+    assert(math.abs(r("a")._2 / r("b")._2 - 4.0) < 1e-9)
+  }
+}
