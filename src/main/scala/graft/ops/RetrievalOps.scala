@@ -94,6 +94,37 @@ object RetrievalOps {
         |FROM f""".stripMargin) { (s, d) =>
       Corpus.temperatureMix(documents(s, d), "source",
         massCol = Some("n_chars"))
+    },
+
+    // ---- deterministic corpus sharding (training-order shuffle) ----------
+    // (shard, pos) from md5 nibbles + hash-ordered rank: reproducible
+    // across runs/engines/cluster sizes. instr/substr/md5 behave
+    // identically in Spark SQL and DuckDB, so the oracle replays the
+    // exact expression.
+    Q("q_shard_shuffle",
+      """WITH h AS (SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || 'shard') AS hh FROM documents),
+        |s AS (SELECT doc_id,
+        |    ((instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16 +
+        |     (instr('0123456789abcdef', substr(hh, 2, 1)) - 1)) % 16 AS shard,
+        |    hh FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS BIGINT) AS pos
+        |FROM s""".stripMargin) { (s, d) =>
+      Scale.shardShuffle(documents(s, d).select("doc_id"), "doc_id",
+        nShards = 16)
+    },
+
+    // ---- exact-n-per-group sampling (hash reservoir) ----------------------
+    Q("q_sample_per_group",
+      """SELECT doc_id, source, rn FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'sample'), doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5""".stripMargin) { (s, d) =>
+      Corpus.sampleExactPerGroup(documents(s, d).select("doc_id", "source"),
+        "source", "doc_id", n = 5)
     }
   )
 }

@@ -117,6 +117,37 @@ object Scale {
     fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Deterministic training-order shuffle: assign every row a shard
+    * (uniform, from an md5 nibble pair — engine-portable, no RNG state)
+    * and a position within its shard (hash order, id tie-break). This is
+    * the "globally shuffle the corpus, then write N shards" step of a
+    * pretraining data pipeline, made reproducible: a row's (shard, pos)
+    * never depends on partitioning, cluster size, or run order.
+    *
+    * Scale: the per-shard window is ONE shuffle keyed on shard + a
+    * within-partition sort — physically identical to
+    * `repartition(shard).sortWithinPartitions(hash)`. Choose nShards at
+    * least the cluster's write parallelism; it must divide 256 so the
+    * nibble-pair modulo stays unbiased. */
+  def shardShuffle(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "shard"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards >= 1 && 256 % nShards == 0,
+      s"nShards must divide 256 for an unbiased nibble modulo, got $nShards")
+    // hex chars -> 0..255 via instr position arithmetic: instr/substr have
+    // identical 1-based semantics in Spark SQL and DuckDB, so the oracle
+    // replays this expression verbatim
+    val shard = expr(
+      s"""((instr('0123456789abcdef', substring(_h, 1, 1)) - 1) * 16 +
+         |  (instr('0123456789abcdef', substring(_h, 2, 1)) - 1)) % $nShards"""
+        .stripMargin)
+    df.withColumn("_h", md5(concat(col(idCol).cast("string"), lit(salt))))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("_h"), col(idCol))))
+      .drop("_h")
+  }
+
   def rangeJoin(left: DataFrame, right: DataFrame, leftTs: String,
       rightStart: String, rightEnd: String, width: Long): DataFrame = {
     require(width > 0, s"bucket width must be > 0, got $width")

@@ -199,6 +199,27 @@ object Corpus {
     * IEEE ops on identical operands → bit-reproducible cross-engine.
     * Scale: one count-by-source aggregate; the unpartitioned window runs
     * over the source-level frame (rows = #sources, not #docs). */
+  /** Exactly-n-per-group deterministic sample (hash-ordered "reservoir"):
+    * within each group, rows rank by md5(id·salt) with an id tie-break and
+    * the first n survive. Unlike rate-based [[sampleByHash]] this pins the
+    * EXACT group quota (per-class eval sets, balanced fine-tuning mixes),
+    * at the cost of one shuffle on the group key; the ranking is stable
+    * under corpus growth only within a group's existing members (a new row
+    * can displace the boundary rank — inherent to exact quotas). For
+    * heavy-hitter groups at scale, the bounded partial-agg alternative is
+    * `functions.TopKByScore` (≤n rows leave each partition pre-shuffle) —
+    * same pattern as `q_topk_per_group`. */
+  def sampleExactPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      n: Int, salt: String = "sample"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"sample size must be >= 1, got $n")
+    df.withColumn("_h", md5(concat(col(idCol).cast("string"), lit(salt))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("_h"), col(idCol))))
+      .filter(col("rn") <= n)
+      .drop("_h")
+  }
+
   def temperatureMix(docs: DataFrame, srcCol: String, alpha: Double = 0.5,
       massCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window

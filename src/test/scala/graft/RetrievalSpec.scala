@@ -109,6 +109,42 @@ class RetrievalSpec extends AnyFunSuite {
     assert(tBig === 75L && tSmall === 25L) // 100 docs at 3:1
   }
 
+  test("shardShuffle: uniform shards, contiguous positions, partitioning-invariant") {
+    import spark.implicits._
+    val ids = (1L to 400L).toDF("id")
+    val a = ops.Scale.shardShuffle(ids, "id", nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(a.length === 400)
+    assert(a.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // positions are exactly 1..count within each shard
+    for ((_, rows) <- a.groupBy(_._2))
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length).toSeq)
+    // md5 nibbles spread: no shard may be empty or hold half the corpus
+    val sizes = a.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.size === 8 && sizes.values.forall(n => n > 20 && n < 100))
+    // (shard, pos) must not depend on the input's physical layout
+    val b = ops.Scale.shardShuffle(ids.repartition(7), "id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    intercept[IllegalArgumentException] {
+      ops.Scale.shardShuffle(ids, "id", nShards = 10) // 10 does not divide 256
+    }
+  }
+
+  test("sampleExactPerGroup: exact quotas, prefix property, short groups kept whole") {
+    import spark.implicits._
+    val docs = ((1 to 40).map(i => (i.toLong, "big")) ++
+      Seq((100L, "tiny"), (101L, "tiny"))).toDF("doc_id", "source")
+    val s5 = Corpus.sampleExactPerGroup(docs, "source", "doc_id", n = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(s5.count(_._2 == "big") === 5)
+    assert(s5.count(_._2 == "tiny") === 2) // group smaller than n survives whole
+    // hash-ordered ranks make smaller samples prefixes of larger ones
+    val s3 = Corpus.sampleExactPerGroup(docs, "source", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(s3.subsetOf(s5))
+  }
+
   test("temperatureMix: mass column basis and non-default alpha") {
     import spark.implicits._
     val docs = Seq((1L, "a", 800L), (2L, "a", 800L), (3L, "b", 400L))
