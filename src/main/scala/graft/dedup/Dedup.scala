@@ -757,6 +757,46 @@ object Dedup {
           coalesce(col("n_grams"), lit(0L)) > 0).as("is_dup"))
   }
 
+  /** Exact-substring span REMOVAL — the cut half of the Lee et al. 2022
+    * recipe [[spanStats]] only scores: tokens covered by any k-gram an
+    * EARLIER document (smaller id) also contains are dropped, and the
+    * survivors reassemble in order. Overlapping spans union naturally
+    * (a token goes if ANY covering gram is inherited), so runs longer
+    * than k are cut end-to-end, not in k-sized bites.
+    *
+    * Returns (doc_id, clean, n_removed). Shape: the same two
+    * digest-keyed aggregations as spanStats plus one per-doc
+    * collect_list of inherited-gram start positions — bounded by the
+    * doc's own gram count, so reducer state stays document-sized. The
+    * cover test is a per-row HOF over (token positions × starts);
+    * starts lists are short in real corpora (dup runs are rare per doc)
+    * and the whole expression stays in codegen. */
+  def removeSharedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"span gram size must be >= 2, got $k")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+    val grams = toks.select(col("doc_id"), explode(expr(
+      s"""CASE WHEN size(toks) >= $k
+         |  THEN transform(sequence(1, size(toks) - ${k - 1}),
+         |         i -> struct(i AS i, md5(array_join(slice(toks, i, $k), ' ')) AS g))
+         |  ELSE array() END""".stripMargin)).as("x"))
+      .select(col("doc_id"), col("x.i").as("i"), col("x.g").as("g"))
+    val st = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    val cov = grams.join(st, "g")
+      .filter(col("first_doc") < col("doc_id"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    toks.join(cov, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), array()))
+      .withColumn("keep", expr(
+        s"filter(sequence(1, size(toks)), p -> size(filter(starts, s -> s <= p AND p < s + $k)) = 0)"))
+      .select(col("doc_id"),
+        array_join(expr("transform(keep, p -> element_at(toks, p))"), " ")
+          .as("clean"),
+        (size(col("toks")) - size(col("keep"))).cast("long").as("n_removed"))
+  }
+
   /** n-gram (character) Jaccard near-dup — for short strings where word
     * shingles are too coarse. */
   def charNgramJaccard(aText: Column, bText: Column, n: Int): Column = {

@@ -76,6 +76,36 @@ object RetrievalOps {
       Dedup.spanStats(documents(s, d), "doc_id", "text", k = 8)
     },
 
+    // ---- exact-substring span REMOVAL (the cut half of Lee et al.) --------
+    // Tokens covered by any 8-gram an earlier doc contains are dropped;
+    // overlapping spans union. Both engines run the same nested-lambda
+    // cover test over the same md5 gram fingerprints; output is strings +
+    // integers → bit-exact.
+    Q("q_dedup_span_rm",
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |g AS (SELECT doc_id, i, md5(array_to_string(toks[i:i+7], ' ')) AS g
+         |      FROM t, unnest(CASE WHEN len(toks) >= 8
+         |                     THEN generate_series(1, len(toks) - 7)
+         |                     ELSE [] END) AS u(i)),
+         |st AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g),
+         |cov AS (SELECT g.doc_id AS cdoc, list_sort(list(g.i)) AS starts
+         |        FROM g JOIN st USING (g) WHERE st.first_doc < g.doc_id
+         |        GROUP BY g.doc_id),
+         |j AS (SELECT t.doc_id, t.toks, coalesce(cov.starts, []) AS starts
+         |      FROM t LEFT JOIN cov ON t.doc_id = cov.cdoc),
+         |k AS (SELECT doc_id, toks,
+         |        list_filter(generate_series(1, len(toks)),
+         |          p -> len(list_filter(starts, s -> s <= p AND p < s + 8)) = 0) AS keep
+         |      FROM j)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(list_transform(keep, p -> toks[p]), ' '), '') AS clean,
+         |  CAST(len(toks) - len(keep) AS BIGINT) AS n_removed
+         |FROM k""".stripMargin) { (s, d) =>
+      // (oracle coalesce: DuckDB array_to_string over an empty list is
+      // NULL while Spark's array_join is '' — the fully-removed-doc edge)
+      Dedup.removeSharedSpans(documents(s, d), "doc_id", "text", k = 8)
+    },
+
     // ---- temperature mixture weights (α = 0.5 over char mass) ------------
     // Doc counts are uniform across sources in the fixture, so the mass
     // basis (total chars per source) is what makes the smoothing

@@ -93,6 +93,32 @@ class RetrievalSpec extends AnyFunSuite {
     assert(r(2L) === 3L) // all 3 grams already owned by doc 1
   }
 
+  test("removeSharedSpans: inherited spans cut end-to-end, first owner untouched") {
+    import spark.implicits._
+    val shared = "a b c d e f g h i j" // a 10-token run = three 8-grams
+    val docs = Seq(
+      (1L, s"$shared own1 own2 own3"),
+      (2L, s"pre1 pre2 $shared post1"), // inherits the whole 10-token run
+      (3L, "solo content with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeSharedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2)))).toMap
+    assert(r(1L) === ((s"$shared own1 own2 own3", 0L))) // first owner keeps all
+    // overlapping grams union: the full 10-token run goes in one cut
+    assert(r(2L) === (("pre1 pre2 post1", 10L)))
+    assert(r(3L)._2 === 0L)
+  }
+
+  test("removeSharedSpans: exact duplicate collapses to empty, not NULL") {
+    import spark.implicits._
+    val t = "one two three four five six seven eight"
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val r = Dedup.removeSharedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2)))).toMap
+    assert(r(1L) === ((t, 0L)))
+    assert(r(2L) === (("", 8L))) // every token covered → empty string
+  }
+
   test("temperatureMix: alpha=0.5 flattens the mixture toward small sources") {
     import spark.implicits._
     // 90/10 natural split → sqrt smoothing yields 3:1, not 9:1
