@@ -76,6 +76,55 @@ object RetrievalOps {
       Dedup.spanStats(documents(s, d), "doc_id", "text", k = 8)
     },
 
+    // ---- hybrid retrieval: BM25 ⊕ embedding cosine via RRF ----------------
+    // Both legs are independently proven oracle-exact (q_bm25, the
+    // q_ann_bruteforce cosine fold); the fusion adds only integer rank
+    // arithmetic — floor(1e9/(60+rank)) per leg, summed as bigints.
+    // vec_id aligns with doc_id in the fixture (0..N-1 both).
+    Q("q_hybrid_rank", {
+      val idf = "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+      val denom = "(CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+      val w = s"($idf * ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) / $denom))"
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+         |w AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM w WHERE term IN ('dup', 'vector', 'merge')
+         |       GROUP BY 1, 2, 3),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT doc_id,
+         |         SUM(CAST(floor($w * 1000000 + 0.5) AS BIGINT)) AS score_fp
+         |       FROM tf JOIN df USING (term), s GROUP BY doc_id),
+         |tr AS (SELECT doc_id, trank FROM (
+         |         SELECT doc_id, CAST(row_number() OVER (
+         |           ORDER BY score_fp DESC, doc_id) AS BIGINT) AS trank FROM sc)
+         |       WHERE trank <= 20),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |dots AS (SELECT c.vec_id AS nid,
+         |    list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE))) AS dot,
+         |    list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE))) AS qq,
+         |    list_sum(list_transform(generate_series(1, len(c.embedding)), i -> CAST(c.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE))) AS cc
+         |  FROM embeddings c, q WHERE c.vec_id <> 0),
+         |vr AS (SELECT nid AS doc_id, vrank FROM (
+         |         SELECT nid, CAST(row_number() OVER (
+         |           ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, nid) AS BIGINT) AS vrank
+         |         FROM dots)
+         |       WHERE vrank <= 20),
+         |fu AS (SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id, trank, vrank,
+         |         coalesce(CAST(floor(1000000000.0 / (60 + trank)) AS BIGINT), 0) +
+         |         coalesce(CAST(floor(1000000000.0 / (60 + vrank)) AS BIGINT), 0) AS score_fp
+         |       FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
+         |SELECT doc_id, trank, vrank, score_fp FROM fu
+         |ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+      Retrieval.hybridTopK(documents(s, d),
+        Tables(s, d, "embeddings").select("vec_id", "embedding"),
+        "doc_id", "text", Seq("dup", "vector", "merge"),
+        queryVecId = 0L, k = 10)
+    },
+
     // ---- exact-substring span REMOVAL (the cut half of Lee et al.) --------
     // Tokens covered by any 8-gram an earlier doc contains are dropped;
     // overlapping spans union. Both engines run the same nested-lambda

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Full-text retrieval over a document corpus — the "find training docs
@@ -25,6 +25,42 @@ import org.apache.spark.sql.functions._
   * sort), deterministically tie-broken on doc id.
   */
 object Retrieval {
+
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of the
+    * BM25 text leg and the embedding-cosine leg — the standard "hybrid
+    * search" recipe for RAG / eval-set mining. Each leg contributes
+    * `1/(rrfK + rank)` for its top `kPerLeg` hits; fused score is the sum,
+    * kept in ×10⁹ fixed-point so the compare is integer-exact (rank inputs
+    * are integers, the division is one IEEE op per leg).
+    *
+    * `emb` must be a 2-column (id, vector) frame whose ids align with
+    * `docs`' id column. Both legs end in bounded top-k (TakeOrdered /
+    * bounded partial agg), so the fusion join runs over ≤2·kPerLeg rows
+    * regardless of corpus size.
+    * Output: (doc_id, trank, vrank, score_fp) — null rank = the leg
+    * didn't surface the doc. */
+  def hybridTopK(docs: DataFrame, emb: DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], queryVecId: Long, k: Int,
+      kPerLeg: Int = 20, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // unpartitioned window is safe: the frame is the ≤kPerLeg-row top set
+    val text = bm25TopK(docs, idCol, textCol, queryTerms, kPerLeg)
+      .withColumn("trank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("trank"))
+    val qv = emb.toDF("vec_id", "embedding")
+      .filter(col("vec_id") === queryVecId)
+    val vec = graft.similarity.Ann.bruteForceTopK(emb, qv, kPerLeg)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("vrank"))
+    def rrf(r: Column) = coalesce(
+      floor(lit(1000000000.0) / (lit(rrfK) + r)).cast("long"), lit(0L))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("score_fp", rrf(col("trank")) + rrf(col("vrank")))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "trank", "vrank", "score_fp")
+  }
 
   /** Top-k documents by BM25(ish) score for a bag-of-words query.
     * Output: (doc_id, score, n_terms) where n_terms counts the distinct

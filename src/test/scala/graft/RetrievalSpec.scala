@@ -93,6 +93,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(r(2L) === 3L) // all 3 grams already owned by doc 1
   }
 
+  test("hybridTopK: RRF fuses both legs, single-leg docs get a null rank") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "rare alpha beta"),   // text hit AND vector neighbor
+      (2L, "alpha beta gamma"),  // neither leg
+      (3L, "rare gamma delta"),  // text hit only
+      (4L, "beta gamma delta")   // vector neighbor only
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f)),     // the query vector
+      (1L, Seq(0.9f, 0.1f, 0f)), // cos ≈ 1 → vrank 1
+      (2L, Seq(0f, 1f, 0f)),     // orthogonal
+      (3L, Seq(0f, 0.9f, 0.1f)), // orthogonal-ish
+      (4L, Seq(0.8f, 0.2f, 0f))  // cos high → vrank 2
+    ).toDF("vec_id", "embedding")
+    val r = Retrieval.hybridTopK(docs, emb, "doc_id", "text",
+      Seq("rare"), queryVecId = 0L, k = 10, kPerLeg = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((Option(x.get(1)), Option(x.get(2)), x.getLong(3))))
+    val byId = r.toMap
+    // doc 1: trank 1 (tie-broken vs doc 3) + vrank 1 → both legs fused
+    assert(byId(1L) === ((Some(1L), Some(1L), 1000000000L / 61 + 1000000000L / 61)))
+    assert(byId(3L) === ((Some(2L), None, 1000000000L / 62))) // text only
+    assert(byId(4L)._1 === None) // vector only
+    assert(!byId.contains(2L))   // surfaced by neither leg
+    // fused order: both-legs doc first
+    assert(r.head._1 === 1L)
+  }
+
   test("removeSharedSpans: inherited spans cut end-to-end, first owner untouched") {
     import spark.implicits._
     val shared = "a b c d e f g h i j" // a 10-token run = three 8-grams
