@@ -69,14 +69,23 @@ object Retrieval {
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "need at least one query term")
-    val toks = docs.select(col(idCol).as("doc_id"),
-      split(trim(col(textCol)), "\\s+").as("toks"))
-      .withColumn("dl", size(col("toks")).cast("long"))
+    // ONE corpus text scan: project each doc down to (id, dl, query-term
+    // hits) and persist that — doc-count-sized longs + a ≤|terms| array,
+    // not text. The stats / tf / df legs all derive from it (naively each
+    // leg re-scans the corpus — 3 full text reads at 100 TB). Released
+    // before returning (materialize-then-release, the library-wide cache
+    // hygiene contract).
+    val terms = queryTerms.map(t => "'" + t.replace("'", "\\'") + "'")
+      .mkString(", ")
+    val base = docs.select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        expr(s"filter(toks, t -> t IN ($terms))").as("hits"))
+      .persist()
     // corpus stats: one 1-row aggregate, broadcast (labeled scalar cross)
-    val stats = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    val tf = toks
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isInCollection(queryTerms))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("hits")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nD = col("n_docs").cast("double")
@@ -90,7 +99,7 @@ object Retrieval {
     // oracle mirrors `(CAST(k1 AS DOUBLE) + 1.0)` so both engines round
     // the sum identically instead of each parsing a "2.2" literal
     val w = idf * ((tfD * (lit(k1) + lit(1.0))) / denom)
-    tf.join(broadcast(dfTbl), "term")
+    val out = tf.join(broadcast(dfTbl), "term")
       .join(broadcast(stats)) // 1-row scalar: intentional cross join
       .withColumn("w_fp", floor(w * 1000000d + 0.5d).cast("long"))
       .groupBy("doc_id")
@@ -100,5 +109,8 @@ object Retrieval {
       .select(col("doc_id"),
         (col("score_fp") / 1000000.0).cast("double").as("score"),
         col("n_terms"))
+      .localCheckpoint(true) // ≤k rows; frees `base` for the caller
+    base.unpersist()
+    out
   }
 }

@@ -93,6 +93,14 @@ class RetrievalSpec extends AnyFunSuite {
     assert(r(2L) === 3L) // all 3 grams already owned by doc 1
   }
 
+  test("bm25TopK releases its corpus projection before returning") {
+    import spark.implicits._
+    val docs = (1 to 50).map(i => (i.toLong, s"term$i x y")).toDF("doc_id", "text")
+    Retrieval.bm25TopK(docs, "doc_id", "text", Seq("x"), k = 5).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "bm25TopK must not leave its base projection cached")
+  }
+
   test("hybridTopK: RRF fuses both legs, single-leg docs get a null rank") {
     import spark.implicits._
     val docs = Seq(
