@@ -737,7 +737,12 @@ object Dedup {
          |  THEN transform(sequence(1, size(toks) - ${k - 1}),
          |         i -> md5(array_join(slice(toks, i, $k), ' ')))
          |  ELSE array() END""".stripMargin)
+    // persist the distinct (doc, gram-digest) pairs: both the gram stats
+    // and the per-doc rollup consume them — without this each leg re-scans
+    // and re-hashes the corpus text. Released before returning (the output
+    // is a few ints per doc, cheap to checkpoint eagerly).
     val pg = toks.select(col("doc_id"), explode(gramList).as("g")).distinct()
+      .persist()
     val stats = pg.groupBy("g")
       .agg(count(lit(1)).as("nd"), min("doc_id").as("first_doc"))
     val perDoc = pg.join(stats, "g")
@@ -747,7 +752,8 @@ object Dedup {
         sum(when(col("nd") >= 2 && col("first_doc") < col("doc_id"), 1L)
           .otherwise(0L)).as("n_shared_earlier"))
     // documents too short to hold one gram still appear, with zero counts
-    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+    val out = docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
@@ -755,6 +761,9 @@ object Dedup {
         (coalesce(col("n_shared_earlier"), lit(0L)) * 5 >=
           coalesce(col("n_grams"), lit(0L)) &&
           coalesce(col("n_grams"), lit(0L)) > 0).as("is_dup"))
+      .localCheckpoint(true)
+    pg.unpersist()
+    out
   }
 
   /** Exact-substring span REMOVAL — the cut half of the Lee et al. 2022
@@ -770,7 +779,14 @@ object Dedup {
     * doc's own gram count, so reducer state stays document-sized. The
     * cover test is a per-row HOF over (token positions × starts);
     * starts lists are short in real corpora (dup runs are rare per doc)
-    * and the whole expression stays in codegen. */
+    * and the whole expression stays in codegen.
+    *
+    * Deliberately STATELESS (the gram stream recomputes per consumer —
+    * three pruned (id, text) scans): the output here is the rewritten
+    * corpus itself, so the persist + eager-checkpoint hygiene pattern
+    * would double storage I/O for no reuse. Repeated span work against a
+    * stable corpus should build the gram index once instead (the
+    * [[buildCorpusIndex]] shape). */
   def removeSharedSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     require(k >= 2, s"span gram size must be >= 2, got $k")
