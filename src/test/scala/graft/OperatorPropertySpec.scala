@@ -115,6 +115,46 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("spanStats + removeSharedSpans equal the naive reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("a", "b", "c", "d") // tiny vocab forces gram collisions
+    val k = 4
+    val corpus = Seq.tabulate(60) { i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(4))).mkString(" "))
+    }
+    // naive reference: materialize every k-gram with positions in memory
+    val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    def gramsOf(ts: Seq[String]) =
+      if (ts.length < k) Seq.empty
+      else (0 to ts.length - k).map(i => (i + 1, ts.slice(i, i + k).mkString(" ")))
+    val owner = corpus.flatMap { case (id, _) => gramsOf(toks(id)).map(_._2 -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expStats = corpus.map { case (id, _) =>
+      val gs = gramsOf(toks(id)).map(_._2).distinct
+      val shared = gs.count(g => corpus.exists { case (o, _) =>
+        o != id && gramsOf(toks(o)).exists(_._2 == g) })
+      val earlier = gs.count(g => owner(g) < id)
+      (id, gs.length.toLong, shared.toLong, earlier.toLong,
+        earlier * 5 >= gs.length && gs.nonEmpty)
+    }.toSet
+    val df = corpus.toDF("doc_id", "text")
+    val gotStats = dedup.Dedup.spanStats(df, "doc_id", "text", k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(gotStats === expStats)
+    // removal: drop tokens covered by any gram owned by an earlier doc
+    val expClean = corpus.map { case (id, _) =>
+      val ts = toks(id)
+      val starts = gramsOf(ts).collect { case (i, g) if owner(g) < id => i }
+      val keep = (1 to ts.length).filterNot(p => starts.exists(s => s <= p && p < s + k))
+      id -> ((keep.map(p => ts(p - 1)).mkString(" "), (ts.length - keep.length).toLong))
+    }.toMap
+    val gotClean = dedup.Dedup.removeSharedSpans(df, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(gotClean === expClean)
+  }
+
   test("zorderKey round-trips: de-interleaving recovers both coordinates") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
