@@ -151,6 +151,22 @@ object StreamMediaOps {
         .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_distinct"))
     },
 
+    // ---- streaming ingest probing the persisted dedup index ---------------
+    // Documents arrive as micro-batches; each batch Bloom-probes +
+    // hash-confirms against the prebuilt corpus index (doc_id % 3 ≠ 0) and
+    // only verbatim-new content merges in, keeping min doc_id per hash —
+    // batch-order independent, so the batch-mode oracle is exact.
+    Q("q_stream_dedup_ingest",
+      """WITH n AS (SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash
+        |  FROM documents),
+        |c AS (SELECT DISTINCT content_hash FROM n WHERE doc_id % 3 <> 0)
+        |SELECT min(doc_id) AS doc_id, content_hash FROM n
+        |WHERE content_hash NOT IN (SELECT content_hash FROM c)
+        |GROUP BY content_hash""".stripMargin) { (s, d) =>
+      Streams.dedupIngestStream(s, d)
+    },
+
     // ---- stream-stream inner join (watermarked, event-time banded) --------
     // Two replays of the event stream join on event_id within a ±1 minute
     // event-time band; event ids are unique, so every event pairs exactly

@@ -336,4 +336,67 @@ object Streams {
     }
     counts.filter(col("user_id") =!= -1L)
   }
+
+  /** Memoized per source dir: the corpus dedup index (built ONCE over the
+    * doc_id % 3 ≠ 0 "existing corpus") and the staged document stream
+    * (4 doc_id-ranged files so several micro-batches really execute). */
+  private val ingestAssets =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Streaming ingest with INDEX-BACKED exact dedup — the composition the
+    * persisted dedup index exists for: documents arrive as micro-batches,
+    * each batch probes the corpus index ([[graft.dedup.Dedup.exactDeltaIndexed]]
+    * — map-side Bloom prune + hash-confirm join, ZERO corpus text scans),
+    * and only verbatim-new content merges into the ingest table. The
+    * merge keeps the MIN doc id per content hash, so the final table is
+    * independent of batch order/boundaries — which is what makes a
+    * batch-mode oracle possible. State lives in the table (no watermark,
+    * no state store); at scale the foreachBatch body is unchanged and the
+    * swap becomes a transactional MERGE, exactly like [[upsertStream]].
+    * Output: (doc_id, content_hash) per surviving new document. */
+  def dedupIngestStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val (idxPath, watch) = ingestAssets.computeIfAbsent(dir, _ => {
+      val idx = Files.createTempDirectory("graft_ingest_idx").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.buildCorpusIndex(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", idx)
+      val w = Files.createTempDirectory("graft_ingest_in").toString
+      docs.repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(w)
+      (idx, w)
+    })
+    val root = Files.createTempDirectory("graft_ingest_run").toString
+    val tbl = s"$root/table"
+    val docSchema = s.read.parquet(watch).schema
+    val q = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(watch)
+      .writeStream
+      .option("checkpointLocation", s"$root/chk")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val dupIds = Dedup.exactDeltaIndexed(batch, idxPath, "doc_id", "text")
+        val fresh = batch
+          .withColumn("content_hash",
+            md5(Dedup.normalizeText(col("text")).cast("binary")))
+          .join(dupIds.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select("doc_id", "content_hash")
+        val tblDir = new java.io.File(tbl)
+        val merged =
+          (if (tblDir.exists()) s.read.parquet(tbl).unionByName(fresh) else fresh)
+            .groupBy("content_hash").agg(min(col("doc_id")).as("doc_id"))
+        val tmp = s"$root/swap"
+        merged.coalesce(4).write.mode("overwrite").parquet(tmp)
+        val old = new java.io.File(s"$root/old")
+        if (tblDir.exists()) Files.move(tblDir.toPath, old.toPath)
+        Files.move(new java.io.File(tmp).toPath, tblDir.toPath)
+        if (old.exists()) new scala.reflect.io.Directory(old).deleteRecursively()
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(tbl).select("doc_id", "content_hash")
+  }
 }

@@ -103,6 +103,23 @@ class StreamMediaSpec extends AnyFunSuite {
     assert(t.exceptAll(b).isEmpty && b.exceptAll(t).isEmpty)
   }
 
+  test("index-probed streaming ingest equals the batch dedup formulation") {
+    import org.apache.spark.sql.functions._
+    val got = Streams.dedupIngestStream(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), md5(lower(regexp_replace(trim(col("text")),
+        "\\s+", " ")).cast("binary")).as("content_hash"))
+    val corpusHashes = docs.filter(col("doc_id") % 3 =!= 0)
+      .select("content_hash").distinct()
+    val want = docs.join(corpusHashes, Seq("content_hash"), "left_anti")
+      .groupBy("content_hash").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "content_hash")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // second run reuses the memoized index + staging, same answer
+    val again = Streams.dedupIngestStream(spark, dir)
+    assert(again.exceptAll(want).isEmpty && want.exceptAll(again).isEmpty)
+  }
+
   test("stream-static join + windowed agg equals the batch join") {
     val dim = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
     val streamed = Streams.streamStaticWindowedAgg(spark, dir, dim,
