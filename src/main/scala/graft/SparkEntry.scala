@@ -10,7 +10,7 @@ object SparkEntry {
 
   /** Full verifiable-query registry (one per operator, SURVEY.md §2). */
   def registry: Seq[Q] =
-    Relational.all ++ ApiOps.all ++ PipelineOps.all ++ StreamMediaOps.all ++
+    Relational.all ++ TpchOps.all ++ ApiOps.all ++ PipelineOps.all ++ StreamMediaOps.all ++
       CoverageOps.all ++ ZillowOps.all ++ CorpusOps.all ++ LogsOps.all ++
       ClusterOps.all ++ RetrievalOps.all
 
