@@ -109,6 +109,28 @@ object PipelineOps {
 
   val all: Seq[Q] = Seq(
 
+    // ---- sequence packing via distributed prefix sum ----------------------
+    // The oracle's window SUM() OVER (ORDER BY doc_id) is exactly the
+    // formulation the operator must NOT use at scale (single-reducer
+    // sort); Scale.prefixSum computes the identical exact bigint offsets
+    // with a two-pass range-partitioned plan. ScaleSpec asserts the
+    // equivalence on adversarial partition counts.
+    Q("q_seq_pack",
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($oToks) AS BIGINT) AS n_tok FROM documents),
+         |o AS (SELECT doc_id, n_tok,
+         |    CAST(coalesce(SUM(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_offset
+         |  FROM t)
+         |SELECT doc_id, n_tok, tok_offset,
+         |  tok_offset // 2048 AS seq_id_first,
+         |  (tok_offset + greatest(n_tok, 1) - 1) // 2048 AS seq_id_last
+         |FROM o""".stripMargin) { (s, d) =>
+      Scale.packSequences(Tables(s, d, "documents"), "doc_id",
+        tokenCount(col("text")), seqLen = 2048L)
+    },
+
     // ---- token counting (whitespace + subword approximation) --------------
     Q("q_token_count",
       s"""SELECT doc_id,

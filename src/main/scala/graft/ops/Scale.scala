@@ -164,4 +164,84 @@ object Scale {
       .filter(col(leftTs) >= col(rightStart) && col(leftTs) <= col(rightEnd))
       .drop(b)
   }
+
+  /** Distributed EXCLUSIVE prefix sum over a global order — the building
+    * block for sequence packing and any "position in the concatenated
+    * corpus" computation. A window `SUM() OVER (ORDER BY ...)` forces the
+    * whole table through ONE partition (Spark plans an un-keyed window as
+    * a single-reducer sort) — the classic 100 TB scale killer. This is the
+    * textbook two-pass alternative: range-partition + in-partition sort
+    * gives the global order across `p` reducers; pass 1 reduces each
+    * partition to one subtotal (`p` rows to the driver — bounded license);
+    * the exclusive per-partition offsets broadcast back; pass 2 streams
+    * each partition once, accumulating locally from its offset. The
+    * partitioned frame is persisted so both passes see the SAME sampled
+    * range boundaries, and released eagerly before returning.
+    *
+    * Output: the input columns plus `prefixCol` = sum of `valueCol` over
+    * all rows strictly before this one in `orderCol` order. `orderCol`
+    * must be unique (it defines the total order); `valueCol` must be
+    * integral — the accumulation is exact bigint, engine-identical. */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+      prefixCol: String = "prefix_sum", partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df
+      .select(col(orderCol), col(valueCol).cast("long").as(valueCol))
+      .repartitionByRange(p, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .persist()
+    // pass 1: one subtotal per partition (genuine per-partition imperative
+    // logic — the sanctioned RDD case; empty partitions still emit a row)
+    val perPart = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = 0L
+      it.foreach(r => acc += r.getLong(1))
+      Iterator.single(pid -> acc)
+    }.collect()
+    val offsets = {
+      val m = new scala.collection.mutable.HashMap[Int, Long]
+      var acc = 0L
+      for ((pid, s0) <- perPart.sortBy(_._1)) { m(pid) = acc; acc += s0 }
+      m.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = StructType(Seq(
+      df.schema(orderCol), StructField(valueCol, LongType),
+      StructField(prefixCol, LongType)))
+    // pass 2: stream each partition from its broadcast offset
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { r =>
+        val v = r.getLong(1); val o = acc; acc += v
+        Row(r.get(0), v, o)
+      }
+    }
+    val out = spark.createDataFrame(rdd, schema).localCheckpoint(true)
+    sorted.unpersist()
+    bc.destroy()
+    out
+  }
+
+  /** GPT-style sequence packing: documents are conceptually concatenated
+    * in `idCol` order and chunked into fixed `seqLen`-token training
+    * sequences; each document's placement is fully determined by its
+    * token offset in the virtual concatenation. Emits per document:
+    * token count, exclusive token offset, and the ids of the first and
+    * last training sequence the document lands in (a long document spans
+    * `seq_id_first..seq_id_last`). The offset comes from [[prefixSum]] —
+    * no single-partition window anywhere — so the packing plan holds at
+    * corpus scale; the sequence assembly itself is then a
+    * partition-by-`seq_id_first` write, embarrassingly parallel. */
+  def packSequences(docs: DataFrame, idCol: String, nTok: Column,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be > 0, got $seqLen")
+    prefixSum(docs.select(col(idCol), nTok.cast("long").as("n_tok")),
+      idCol, "n_tok", prefixCol = "tok_offset")
+      .withColumn("seq_id_first", expr(s"tok_offset div ${seqLen}L"))
+      .withColumn("seq_id_last",
+        expr(s"(tok_offset + greatest(n_tok, 1L) - 1L) div ${seqLen}L"))
+  }
 }

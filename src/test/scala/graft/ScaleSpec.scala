@@ -97,4 +97,43 @@ class ScaleSpec extends AnyFunSuite {
     assert(touched <= 3,
       s"2-D box intersects $touched of 8 files; layout not z-clustered")
   }
+
+  test("prefixSum equals the single-partition window on adversarial shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(41)
+    // non-contiguous, unsorted ids; zero-valued rows; duplicates of value
+    val rows = rnd.shuffle(Seq.tabulate(257) { i =>
+      (i.toLong * 7 + (i % 3), if (i % 11 == 0) 0L else rnd.nextLong(50))
+    }.toList)
+    val df = rows.toDF("id", "v")
+    val expect = df.withColumn("prefix_sum",
+        coalesce(sum("v").over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // p > rows (mostly-empty partitions), p = 1 (degenerate), odd p
+    for (p <- Seq(1, 7, 64, 400)) {
+      val got = graft.ops.Scale.prefixSum(df, "id", "v", partitions = p)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(got == expect, s"partitions=$p")
+    }
+  }
+
+  test("packSequences spans: contiguous, gap-free sequence coverage") {
+    import spark.implicits._
+    val docs = Seq.tabulate(100)(i => (i.toLong, s"d$i"))
+      .toDF("doc_id", "text")
+    val toks = (col("doc_id") % 7 + 1) // 1..7 tokens per doc
+    val out = graft.ops.Scale.packSequences(docs, "doc_id", toks, seqLen = 10L)
+      .orderBy("doc_id").collect()
+    var expectedOffset = 0L
+    for (r <- out) {
+      assert(r.getAs[Long]("tok_offset") == expectedOffset)
+      val first = r.getAs[Long]("seq_id_first")
+      val last = r.getAs[Long]("seq_id_last")
+      assert(first == r.getAs[Long]("tok_offset") / 10)
+      assert(last == (r.getAs[Long]("tok_offset") + r.getAs[Long]("n_tok") - 1) / 10)
+      expectedOffset += r.getAs[Long]("n_tok")
+    }
+  }
 }
