@@ -256,4 +256,110 @@ object Multimodal {
       transform(sequence(lit(0), lit(n - 1)),
         i => substring(col(payloadCol), (i * step + 1).cast("int"), lit(65536))))
   }
+
+  /** REAL perceptual difference-hash (dHash) over decoded image payloads:
+    * the image is area-averaged onto a 9×8 luma grid and each of the 64
+    * bits records whether a cell is brighter than its right neighbour —
+    * the standard cheap near-duplicate fingerprint for image corpora
+    * (robust to re-encode, resize, and small edits; a few bits flip for
+    * light perturbations). Everything is INTEGER arithmetic: per-cell
+    * luma SUMS (BT.601 ×1000 weights) compared cross-multiplied
+    * (sumA·cntB > sumB·cntA), so the hash is bit-identical on every JVM —
+    * no float rounding anywhere. Cells cover ≥1 pixel for any image ≥1×1
+    * (ranges are clamped, so tiny images repeat pixels rather than
+    * leaving cells empty). Output: (doc_id, dhash) with dhash LongType. */
+  def imageDHash(df: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("dhash", LongType)))
+    val pre = df.select(col(idCol).cast("long"), col(payloadCol))
+    pre.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(img != null, s"payload of id ${r.getLong(0)} is not a decodable image")
+          val w = img.getWidth; val h = img.getHeight
+          val gw = 9; val gh = 8
+          val sums = Array.ofDim[Long](gh, gw)
+          val cnts = Array.ofDim[Long](gh, gw)
+          var cy = 0
+          while (cy < gh) {
+            val y0 = cy * h / gh
+            val y1 = math.min(math.max((cy + 1) * h / gh, y0 + 1), h)
+            var cx = 0
+            while (cx < gw) {
+              val x0 = cx * w / gw
+              val x1 = math.min(math.max((cx + 1) * w / gw, x0 + 1), w)
+              var s0 = 0L; var n0 = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  // BT.601 luma ×1000 — integer, engine-identical
+                  s0 += 299L * ((rgb >> 16) & 0xFF) +
+                    587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+                  n0 += 1
+                  x += 1
+                }
+                y += 1
+              }
+              sums(cy)(cx) = s0; cnts(cy)(cx) = n0
+              cx += 1
+            }
+            cy += 1
+          }
+          var hash = 0L; var bit = 0
+          cy = 0
+          while (cy < gh) {
+            var cx = 0
+            while (cx < gw - 1) {
+              // mean(cx) > mean(cx+1) without division: cross-multiply
+              if (sums(cy)(cx) * cnts(cy)(cx + 1) >
+                  sums(cy)(cx + 1) * cnts(cy)(cx)) hash |= 1L << bit
+              bit += 1
+              cx += 1
+            }
+            cy += 1
+          }
+          Row(r.getLong(0), hash)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Image near-duplicate pairs by dHash hamming distance — the visual
+    * twin of the SimHash text path and the image-dedup stage of a
+    * training-data pipeline. Same lossless pigeonhole banding: for
+    * `maxHamming` ≤ 3, two 64-bit hashes within distance 3 must agree on
+    * at least one of the four 16-bit chunks, so candidates come from four
+    * chunk-keyed equi-joins (one shuffle on small integer keys — never an
+    * all-pairs compare) and the exact `bit_count(xor)` confirm runs on
+    * candidates only. The hash frame is computed ONCE (persisted, then
+    * released eagerly — no cache left behind). Output:
+    * (id_a, id_b, hamming), id_a < id_b. */
+  def imageNearDupDHash(df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding is lossless only for maxHamming <= 3, got $maxHamming")
+    val fp = imageDHash(df, idCol, payloadCol).persist()
+    val banded = fp.select(col("doc_id").as("_id"), col("dhash"), posexplode(
+      array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftrightunsigned(col("dhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)))
+      .select(col("_id"), col("dhash"), col("col.chunk").as("_chunk"),
+        col("col.v").as("_v"))
+    val a = banded.toDF("id_a", "h_a", "chunk_a", "v_a")
+    val b = banded.toDF("id_b", "h_b", "chunk_b", "v_b")
+    val pairs = a.join(b, a("chunk_a") === b("chunk_b") && a("v_a") === b("v_b") &&
+        a("id_a") < b("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+    val out = pairs.localCheckpoint(true)
+    fp.unpersist()
+    out
+  }
 }

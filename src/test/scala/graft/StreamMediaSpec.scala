@@ -156,4 +156,52 @@ class StreamMediaSpec extends AnyFunSuite {
       assert(r.getLong(4) == px(11 * sw / 12, 9 * sh / 10))
     }
   }
+
+  /** Deterministic test images for the perceptual-hash tier: structure
+    * (not palette) drives dHash, so the pattern function is the control. */
+  private def patternPng(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y) & 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("image dHash: re-encode/resize invariance, perturbation tolerance, structure separation") {
+    import spark.implicits._
+    // brightness is a function of the 9x8 dHash CELL the pixel falls in,
+    // so the area-averaged grid recovers the exact same values at any
+    // resolution (true resize invariance, non-degenerate hash)
+    def cells(w: Int, h: Int)(f: (Int, Int) => Int)(x: Int, y: Int): Int = {
+      val v = f(x * 9 / w, y * 8 / h) & 0xFF; (v << 16) | (v << 8) | v
+    }
+    def base(cx: Int, cy: Int) = ((cx * 37 + cy * 53) % 9) * 28
+    def checker(x: Int, y: Int) = if (((x / 4) + (y / 4)) % 2 == 0) 0xFFFFFF else 0
+    val imgs = Seq(
+      (0L, patternPng(32, 24)(cells(32, 24)(base))),  // base pattern
+      (1L, patternPng(32, 24)(cells(32, 24)(base))),  // exact duplicate bytes
+      (2L, patternPng(64, 48)(cells(64, 48)(base))),  // same structure, 2x size
+      (3L, patternPng(32, 24)((x, y) =>              // light noise on the base
+        cells(32, 24)(base)(x, y) ^ (if ((x * 7 + y * 13) % 97 == 0) 0x000008 else 0))),
+      (4L, patternPng(32, 24)(checker)),              // different structure
+      (5L, patternPng(32, 24)(cells(32, 24)((cx, cy) => base(8 - cx, cy)))) // mirrored
+    ).toDF("doc_id", "payload")
+    val hs = Multimodal.imageDHash(imgs, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hs(0L) == hs(1L), "identical payloads must hash identically")
+    assert(hs(0L) == hs(2L), "area-averaged dHash must be resize-invariant")
+    assert(ham(hs(0L), hs(3L)) <= 3, "light perturbation flips at most a few bits")
+    assert(ham(hs(0L), hs(4L)) > 10, "different structure must be far")
+    assert(ham(hs(0L), hs(5L)) > 10, "mirrored gradient must be far")
+    // near-dup pairs via banding: the {0,1,2,3} cluster, never 4/5
+    val pairs = Multimodal.imageNearDupDHash(imgs, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) &&
+      pairs.contains((0L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L || a == 5L || b == 5L })
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "imageNearDupDHash must release its hash cache")
+  }
 }
