@@ -390,6 +390,88 @@ object PipelineOps {
         .select("query_id", "rank", "neighbor_id")
     },
 
+    // ---- embedding int8 quantization: per-vector symmetric codes ----------
+    // The 4x compression lever for an embedding corpus. Emitted as exact
+    // integer code statistics (sum, squared norm, saturation count) plus
+    // the fixed-point reconstruction error, so the oracle proves the full
+    // code vector without hash-comparing array serialization.
+    Q("q_embed_quantize",
+      """WITH z AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, embedding, maxabs,
+        |    CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5) AS INTEGER))
+        |    END AS qv
+        |  FROM z)
+        |SELECT vec_id, maxabs,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS q_norm2,
+        |  CAST(len(list_filter(qv, x -> abs(x) >= 127)) AS BIGINT) AS n_sat,
+        |  CAST(list_sum(list_transform(generate_series(1, len(qv)),
+        |    i -> CAST(floor(abs(CAST(embedding[i] AS DOUBLE) - qv[i] * (maxabs / 127.0))
+        |      * 10000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS err_fp
+        |FROM qz""".stripMargin) { (s, d) =>
+      Ann.quantizeInt8(Tables(s, d, "embeddings"), "vec_id", "embedding")
+        .join(Tables(s, d, "embeddings").select("vec_id", "embedding"), "vec_id")
+        .select(col("vec_id"), col("maxabs"),
+          expr("aggregate(qvec, 0L, (acc, x) -> acc + x)").as("q_sum"),
+          expr("aggregate(qvec, 0L, (acc, x) -> acc + CAST(x AS BIGINT) * x)")
+            .as("q_norm2"),
+          expr("CAST(size(filter(qvec, x -> abs(x) >= 127)) AS BIGINT)").as("n_sat"),
+          expr("""aggregate(zip_with(embedding, qvec,
+                |  (x, q) -> CAST(floor(abs(CAST(x AS DOUBLE) - q * (maxabs / 127.0))
+                |    * 10000000.0D + 0.5D) AS BIGINT)), 0L, (acc, e) -> acc + e)"""
+            .stripMargin).as("err_fp"))
+    },
+
+    // ---- ANN in the quantized domain: exact BIGINT dot products -----------
+    // Same broadcast-queries/stream-corpus plan as q_ann_bruteforce; the
+    // kernel is an int8 dot (4x the SIMD width of float32 on a real
+    // cluster), rescaled by the two per-vector scales. Deterministic and
+    // oracle-exact; ranking fidelity vs float cosine is gated separately
+    // in q_ann_int8_gate, not benched here.
+    Q("q_ann_int8",
+      """WITH z AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, maxabs,
+        |    CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5) AS INTEGER))
+        |    END AS qv
+        |  FROM z),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |      i -> CAST(q.qv[i] AS BIGINT) * c.qv[i])) AS DOUBLE)
+        |      * (q.maxabs / 127.0) * (c.maxabs / 127.0) AS score
+        |  FROM qz q, qz c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT qid AS query_id, nid AS neighbor_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 5""".stripMargin) { (s, d) =>
+      val emb = Tables(s, d, "embeddings").select("vec_id", "embedding")
+      Ann.bruteForceTopKInt8(emb, emb.filter(col("vec_id") < 8), k = 5)
+        .select("query_id", "rank", "neighbor_id")
+    },
+
+    // ---- int8 ANN fidelity gate (Verify-only tier, like the LSH gates) ----
+    // Measured overlap vs float cosine top-5 is 4-5 of 5 at sf0.001 and
+    // sf0.01; the gate asserts >= 3 per query so quantization regressions
+    // fail Verify without the bench paying the double ranking.
+    Q("q_ann_int8_gate",
+      "SELECT vec_id AS query_id, true AS overlap_ok FROM embeddings WHERE vec_id < 8") { (s, d) =>
+      val emb = Tables(s, d, "embeddings").select("vec_id", "embedding")
+      Ann.int8RecallGate(emb, emb.filter(col("vec_id") < 8), k = 5, minOverlap = 3)
+    },
+
     // ---- ANN: LSH-bucketed approximate top-5, recall-gated ----------------
     // Output: (query_id, recall_ok) per query — recall@5 vs the in-Spark
     // brute-force ground truth must reach the gate for every query.

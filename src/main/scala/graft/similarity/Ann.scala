@@ -301,4 +301,59 @@ object Ann {
         .select("query_id", "rank", "neighbor_id", "cos")
     }
   }
+
+  /** Symmetric per-vector int8 quantization — the storage/bandwidth lever
+    * for a 100 TB embedding corpus (4× smaller than float32, and integer
+    * dot products downstream). q = floor(x·(127/maxabs) + 0.5), so the
+    * max-magnitude element maps to ±127; a zero vector quantizes to
+    * zeros. Every step is either integer or the SAME IEEE expression an
+    * oracle replays — bit-exact cross-engine (the division is computed
+    * once as 127.0/maxabs, then multiplied; operand order matters and is
+    * part of the contract). Output: (vec_id, maxabs, qvec array<int>). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    asFloatVec(df.select(col(idCol).as("vec_id"), col(vecCol).as("_vec")), "_vec")
+      .withColumn("maxabs",
+        array_max(transform(col("_vec"), x => abs(x.cast("double")))))
+      .withColumn("qvec", when(col("maxabs") === 0.0,
+          transform(col("_vec"), _ => lit(0)))
+        .otherwise(expr(
+          "transform(_vec, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5) AS INT))")))
+      .select(col("vec_id"), col("maxabs"), col("qvec"))
+
+  /** Brute-force top-k in the QUANTIZED domain: the dot product is an
+    * exact BIGINT accumulation over int8 codes (the cheap kernel a SIMD
+    * runtime vectorizes 4× wider than float32), rescaled by the two
+    * per-vector scales for the final ranking score. Same plan shape as
+    * [[bruteForceTopK]]: broadcast quantized queries, stream the corpus
+    * once, bounded [[TopKByScore]] partial agg. Ranking is approximate
+    * versus float cosine (that's the point — [[int8RecallGate]] measures
+    * it); the OUTPUT itself is deterministic and oracle-exact. */
+  def bruteForceTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(quantizeInt8(queries.toDF("id", "v"), "id", "v")
+      .toDF("query_id", "q_max", "q_q"))
+    val c = Par.ensureMin(quantizeInt8(corpus.toDF("id", "v"), "id", "v")
+      .toDF("neighbor_id", "c_max", "c_q"))
+    val dotInt = expr(
+      "aggregate(zip_with(q_q, c_q, (a, b) -> CAST(a AS BIGINT) * b), 0L, (acc, x) -> acc + x)")
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotInt.cast("double") * (col("q_max") / 127.0) * (col("c_max") / 127.0))
+          .as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** Overlap gate for int8 ANN: |top-k(int8) ∩ top-k(float)| ≥ minOverlap
+    * per query — the quantization-quality check, run in Verify (not
+    * benched with the operator). */
+  def int8RecallGate(corpus: DataFrame, queries: DataFrame, k: Int,
+      minOverlap: Int): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val got = bruteForceTopKInt8(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+      .select(col("query_id"),
+        (col("n_overlap") >= minOverlap).as("overlap_ok"))
+  }
 }
