@@ -143,6 +143,63 @@ object LogsOps {
         .groupBy("ip", "date", "method", "endpoint", "protocol",
           "response_code", "content_size")
         .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- retention cohorts: first-seen day × activity-day offset ----------
+    // The standard DAU-retention triangle. Two user-keyed aggregations
+    // (first-seen, then distinct activity days) — the cohort join is on
+    // user_id, so at scale both sides share one hash partitioning and
+    // the day grid is tiny. All-integer outputs.
+    Q("q_retention_cohorts",
+      """WITH a AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS act_day
+        |           FROM events),
+        |f AS (SELECT user_id, min(act_day) AS cohort_day FROM a GROUP BY user_id)
+        |SELECT cohort_day,
+        |  CAST(datediff('day', cohort_day, act_day) AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM a JOIN f USING (user_id)
+        |WHERE datediff('day', cohort_day, act_day) <= 28
+        |GROUP BY cohort_day, datediff('day', cohort_day, act_day)""".stripMargin) { (s, d) =>
+      val a = Tables(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("act_day")).distinct()
+      val f = a.groupBy("user_id").agg(min(col("act_day")).as("cohort_day"))
+      a.join(f, "user_id")
+        .withColumn("day_offset", datediff(col("act_day"), col("cohort_day")).cast("long"))
+        .filter(col("day_offset") <= 28)
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    },
+
+    // ---- ordered funnel: view -> click -> purchase, strictly in order -----
+    // Each stage is a user-keyed min-timestamp aggregation constrained
+    // AFTER the previous stage's time — three shuffles on user_id (one
+    // partitioning, reused), never a self-join explosion. The three
+    // stage counts land in one row via labeled 1-row cross joins (same
+    // scalar license as q22/q15). Timestamps are µs-exact in both
+    // engines (verified: no sub-µs components in the fixture), so the
+    // strict > comparisons are engine-identical.
+    Q("q_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+        |  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after,
+        |  CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after""".stripMargin) { (s, d) =>
+      val e = Tables(s, d, "events").select("user_id", "event_type", "ts")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .join(broadcast(c.agg(count(lit(1)).as("n_click_after")))) // 1-row scalar
+        .join(broadcast(p.agg(count(lit(1)).as("n_purchase_after")))) // 1-row scalar
     }
   )
 }
