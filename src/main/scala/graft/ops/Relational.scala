@@ -642,12 +642,16 @@ object Relational {
         |SELECT s_suppkey, s_name, CAST(rev_fp / 10000.0 AS DOUBLE) AS total_revenue
         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
         |WHERE rev_fp = (SELECT max(rev_fp) FROM rev)""".stripMargin) { (s, d) =>
+      // rev feeds both the scalar max and the equality filter — persisted
+      // so the date-sliced fact scan runs once (per-supplier frame is tiny;
+      // harness clearCache releases, same license as q2/q11/q21)
       val rev = lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
         .groupBy("l_suppkey")
         .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
           10000d + 0.5d).cast("long")).as("rev_fp"))
+        .persist()
       val maxRev = rev.agg(max(col("rev_fp")).as("max_fp"))
       rev
         .join(broadcast(maxRev)) // 1-row scalar: intentional cross join

@@ -53,10 +53,17 @@ object TpchOps {
         |  JOIN region ON n_regionkey = r_regionkey
         |WHERE p_size < 15 AND r_name = 'ASIA'
         |ORDER BY cost_fp, p_partkey, s_suppkey LIMIT 100""".stripMargin) { (s, d) =>
+      // ps feeds BOTH the per-part min and the rejoin; without the persist
+      // the branches prune different columns, defeat exchange reuse, and
+      // SCAN LINEITEM TWICE — at 100 TB persisting the (part, supplier)
+      // aggregate (orders of magnitude smaller than the fact table) is
+      // the right trade. Storage is released by the harness's clearCache
+      // between queries (same license as q_corpus_golden's dd.persist).
       val ps = lineitem(s, d).filter(col("l_quantity") > 0)
         .groupBy("l_partkey", "l_suppkey")
         .agg(min(floor(col("l_extendedprice") / col("l_quantity") * 10000d + 0.5d)
           .cast("long")).as("cost_fp"))
+        .persist()
       val mn = ps.groupBy(col("l_partkey").as("mp"))
         .agg(min(col("cost_fp")).as("min_fp"))
       val asiaNations = nation(s, d)
@@ -174,10 +181,13 @@ object TpchOps {
         .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_19")),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey").as("ns_key"))
+      // value feeds both the scalar total and the threshold filter —
+      // persisted for the same single-fact-scan reason as q2's ps
       val value = lineitem(s, d)
         .join(broadcast(natSupp), col("l_suppkey") === col("ns_key"), "left_semi")
         .groupBy("l_partkey")
         .agg(sum(floor(col("l_extendedprice") * 10000d + 0.5d).cast("long")).as("v_fp"))
+        .persist()
       val total = value.agg(sum(col("v_fp")).as("t_fp"))
       value
         .join(broadcast(total)) // 1-row scalar: intentional cross join
@@ -280,6 +290,10 @@ object TpchOps {
         |  AND n_name = 'NATION_19'
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (s, d) =>
+      // l feeds both the per-order supplier census and the qualifying-line
+      // filter — persisted so the lineitem⋈orders join runs once (q2's ps
+      // rationale; the projected 3-int frame is far smaller than a second
+      // fact join at scale)
       val l = lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(orders(s, d).filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate"),
@@ -288,6 +302,7 @@ object TpchOps {
           when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1)
             .otherwise(0))
         .select("l_orderkey", "l_suppkey", "is_late")
+        .persist()
       val perOrder = l.groupBy("l_orderkey")
         .agg(countDistinct(col("l_suppkey")).as("n_supp"),
           countDistinct(when(col("is_late") === 1, col("l_suppkey"))).as("n_late"))
