@@ -328,6 +328,52 @@ object CorpusOps {
           count(when(col("c").isNull, 1)).as("oov_bigrams"))
     },
 
+    // ---- collocation extraction (PMI lift, restated log-free) -------------
+    // PMI(w1,w2) > ln 1.25  ⟺  4·n_ab·N² > 5·M·n_a·n_b with unigram total N,
+    // bigram total M — the log never evaluates, so the test is exact
+    // BIGINT cross-multiplication (same no-float-log device as q_keywords
+    // and q_lm_score; products stay < 2^62 up to ~10⁹ tokens, beyond that
+    // promote to DECIMAL). One token-keyed and one bigram-keyed shuffle;
+    // the two corpus totals ride along as labeled 1-row broadcasts.
+    Q("q_collocations",
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |b AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+         |      FROM t WHERE len(toks) >= 2),
+         |g AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM b),
+         |u0 AS (SELECT unnest(toks) AS w FROM t),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM u0 GROUP BY w),
+         |nn AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM uni),
+         |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM g
+         |       GROUP BY w1, w2 HAVING count(*) >= 5),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m_tot FROM g)
+         |SELECT w1, w2, n_ab, ua.n AS n_w1, ub.n AS n_w2
+         |FROM bg JOIN uni ua ON w1 = ua.w JOIN uni ub ON w2 = ub.w, nn, mm
+         |WHERE 4 * n_ab * n_tot * n_tot > 5 * m_tot * ua.n * ub.n""".stripMargin) { (s, d) =>
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      val g = Par.filterOnce(t, size(col("toks")) >= 2)
+        .select(posexplode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")))
+        .select(col("col.w1"), col("col.w2"))
+        .persist() // feeds bigram counts AND the M total; harness-released
+      val uni = t.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .persist() // joined twice + the N total; harness-released
+      val nTot = uni.agg(sum(col("n")).as("n_tot"))
+      val mTot = g.agg(count(lit(1)).as("m_tot"))
+      g.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+        .join(uni.toDF("w", "n_w1"), col("w1") === col("w"))
+        .drop("w")
+        .join(uni.toDF("w", "n_w2"), col("w2") === col("w"))
+        .drop("w")
+        .join(broadcast(nTot)) // 1-row scalar: intentional cross join
+        .join(broadcast(mTot)) // 1-row scalar: intentional cross join
+        .filter(lit(4L) * col("n_ab") * col("n_tot") * col("n_tot") >
+          lit(5L) * col("m_tot") * col("n_w1") * col("n_w2"))
+        .select("w1", "w2", "n_ab", "n_w1", "n_w2")
+    },
+
     // ---- corpus-frequency boilerplate line removal ------------------------
     // The synthetic corpus is single-line, so both sides append the same
     // deterministic footer lines first (two site-wide footers in 1/2 and
