@@ -196,6 +196,9 @@ class StreamMediaSpec extends AnyFunSuite {
     assert(ham(hs(0L), hs(4L)) > 10, "different structure must be far")
     assert(ham(hs(0L), hs(5L)) > 10, "mirrored gradient must be far")
     // near-dup pairs via banding: the {0,1,2,3} cluster, never 4/5
+    // (clear first: the session is shared across suites and registry
+    // queries legitimately leave harness-released persists behind)
+    spark.sqlContext.clearCache()
     val pairs = Multimodal.imageNearDupDHash(imgs, "doc_id", "payload")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) &&

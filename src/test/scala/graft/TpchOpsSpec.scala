@@ -31,6 +31,10 @@ class TpchOpsSpec extends AnyFunSuite {
       val n = e.fn(spark, sf).count()
       assert(n > 0, s"${e.name} returned no rows")
     }
+    // q2/q11/q21 persist derived aggregates (harness-released in the
+    // driver protocol); release here so later suites sharing the session
+    // can assert cache emptiness
+    spark.sqlContext.clearCache()
   }
 
   test("q21 single-shuffle decorrelation equals the correlated EXISTS form") {
