@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics as DataFrame loops — the Pregel-style
+  * pattern (join ranks to edges, aggregate messages, repeat) that
+  * complements [[graft.dedup.Dedup.connectedComponents]]'s label
+  * propagation. Everything is EXACT INTEGER arithmetic (scaled ranks,
+  * floor division) so a SQL oracle replays the iterations verbatim —
+  * the same no-float-drift device as the fixed-point aggregates.
+  */
+object GraphOps {
+
+  /** Weighted PageRank, `iters` synchronous iterations, damping 0.85,
+    * ranks scaled to 10¹² total mass. Per iteration each node sends
+    * `(rank·w) div wout` along every out-edge and collects
+    * `base + (85·inflow) div 100` — floor division keeps every value a
+    * BIGINT, so the result is bit-identical on any engine and any
+    * partitioning (integer sums are associative). `edges` = (src, dst,
+    * w); nodes are the distinct sources (feed a symmetric edge list for
+    * undirected graphs — that also guarantees no dangling mass). The
+    * edge+outweight frame is persisted across iterations (harness- or
+    * caller-released); each iteration is one join + one shuffle on dst —
+    * the scale shape of every BSP graph engine. */
+  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val wout = edges.groupBy("src").agg(sum(col("w")).as("wout"))
+    val ew = edges.join(wout, "src").persist()
+    val n = ew.select(col("src")).distinct().count()
+    val r0 = 1000000000000L / n
+    val base = r0 * 15L / 100L
+    var r = ew.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(r0))
+    for (_ <- 1 to iters) {
+      r = ew.join(r, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("(rank * w) div wout")).as("inflow"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(inflow * 85) div 100")).as("rank"))
+    }
+    r
+  }
+
+  private def lineitem(s: SparkSession, d: String) = Tables(s, d, "lineitem")
+  private def orders(s: SparkSession, d: String)   = Tables(s, d, "orders")
+
+  /** The 3-iteration oracle: DuckDB replays the identical integer
+    * arithmetic CTE-by-CTE. */
+  private val PageRankOracle: String = {
+    def iter(prev: String, out: String) =
+      s"""i$out AS (SELECT e.dst AS node, CAST(sum((r.rank * e.w) // e.wout) AS BIGINT) AS inflow
+         |      FROM ew e JOIN r$prev r ON r.node = e.src GROUP BY e.dst),
+         |r$out AS (SELECT node, b + (inflow * 85) // 100 AS rank FROM i$out, base)"""
+        .stripMargin
+    s"""WITH g AS (SELECT o_custkey AS c, l_suppkey AS s, CAST(count(*) AS BIGINT) AS w
+       |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY c, s),
+       |e AS (SELECT c * 2 AS src, s * 2 + 1 AS dst, w FROM g
+       |      UNION ALL SELECT s * 2 + 1, c * 2, w FROM g),
+       |wo AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY src),
+       |ew AS (SELECT e.src, e.dst, e.w, wo.wout FROM e JOIN wo USING (src)),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM wo),
+       |base AS (SELECT ((1000000000000 // nn) * 15) // 100 AS b FROM n),
+       |r0 AS (SELECT src AS node, 1000000000000 // nn AS rank FROM wo, n),
+       |${iter("0", "1")},
+       |${iter("1", "2")},
+       |${iter("2", "3")}
+       |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 100""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- PageRank over the customer<->supplier trade graph ----------------
+    // Nodes: customers (2k) and suppliers (2k+1) that traded; symmetric
+    // weighted edges from the lineitem x orders bridge (so no dangling
+    // mass). Three exact fixed-point iterations; top-100 by integer rank.
+    Q("q_pagerank", PageRankOracle) { (s, d) =>
+      val g = lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .agg(count(lit(1)).as("w"))
+      val edges = g.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"), col("w"))
+        .unionAll(g.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"), col("w")))
+      pageRank(edges, iters = 3)
+        .orderBy(col("rank").desc, col("node")).limit(100)
+        .select("node", "rank")
+    }
+  )
+}
