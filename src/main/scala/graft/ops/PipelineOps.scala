@@ -17,6 +17,18 @@ object PipelineOps {
   // DuckDB-side token array of trimmed text (keeps duplicates).
   private val oToks = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** Per-row 32-bit value from the md5 of the row's canonical serialization
+    * — ONE SQL string evaluated verbatim by Spark AND DuckDB (md5,
+    * concat_ws, substr(1-based), instr behave identically; 1-based hex
+    * decode via the instr-nibble device proven by q_shard_shuffle). */
+  private val RowCheck32: String = {
+    val h = "md5(concat_ws('|', CAST(doc_id AS STRING), coalesce(text, ''), coalesce(lang, '')))"
+    (1 to 8).map { i =>
+      val p = 1L << (4 * (8 - i))
+      s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1) * CAST($p AS BIGINT)"
+    }.mkString("(", " + ", ")")
+  }
+
   private def inList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
@@ -108,6 +120,102 @@ object PipelineOps {
     })
 
   val all: Seq[Q] = Seq(
+
+    // ---- batch MERGE-upsert (lakehouse MERGE INTO semantics) --------------
+    // Matched keys take the update, base-only rows persist, update-only
+    // keys insert; one key-keyed shuffle per side (zero if pre-bucketed).
+    // Fixture: every doc_id%3==0 doc arrives re-texted; %7==0 docs are
+    // missing from the base, so all three actions occur.
+    Q("q_merge_upsert",
+      """WITH base AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 7 <> 0),
+        |upd AS (SELECT doc_id, upper(text) AS text, source FROM documents
+        |        WHERE doc_id % 3 = 0)
+        |SELECT coalesce(b.doc_id, u.doc_id) AS doc_id,
+        |  CASE WHEN u.doc_id IS NOT NULL THEN u.text ELSE b.text END AS text,
+        |  CASE WHEN u.doc_id IS NOT NULL THEN u.source ELSE b.source END AS source,
+        |  CASE WHEN u.doc_id IS NOT NULL AND b.doc_id IS NOT NULL THEN 'updated'
+        |       WHEN b.doc_id IS NULL THEN 'inserted'
+        |       ELSE 'kept' END AS action
+        |FROM base b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
+      Scale.mergeUpsert(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("text", upper(col("text"))),
+        Seq("doc_id"))
+    },
+
+    // ---- CDC snapshot diff (added / removed / changed) --------------------
+    // Delta-sized output: unchanged rows never leave the join. Fixture:
+    // old = docs with id%7!=0, new = docs with id%5!=0 re-texted when
+    // id%3==0 — so adds (%7==0, %5!=0), removes (%5==0, %7!=0), changes
+    // (%3==0 in both), and drops (rest in both) all occur. The oracle's
+    // IS-NULL-on-key presence test is sound there because doc_id is a
+    // non-null key; the operator itself uses explicit presence markers.
+    Q("q_snapshot_diff",
+      """WITH oldsnap AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 7 <> 0),
+        |newsnap AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END AS text, source
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+        |  CASE WHEN n.doc_id IS NOT NULL THEN n.text ELSE o.text END AS text,
+        |  CASE WHEN n.doc_id IS NOT NULL THEN n.source ELSE o.source END AS source,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change
+        |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+        |   OR (o.text IS DISTINCT FROM n.text)
+        |   OR (o.source IS DISTINCT FROM n.source)""".stripMargin) { (s, d) =>
+      val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
+      Scale.snapshotDiff(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 5 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 3 === 0, upper(col("text")))
+              .otherwise(col("text"))),
+        Seq("doc_id"))
+    },
+
+    // ---- SCD Type-2 dimension history -------------------------------------
+    // orders as the change feed: custkey's order-status history. Same-day
+    // ties broken by orderkey in BOTH engines; re-delivered no-change
+    // events collapse into one version span.
+    Q("q_scd2_history",
+      """WITH ev AS (SELECT o_custkey AS custkey, o_orderstatus AS status,
+        |              o_orderdate AS ts, o_orderkey AS seq FROM orders),
+        |mark AS (SELECT *, (lag(ts) OVER w IS NULL) AS first,
+        |           lag(status) OVER w AS prev
+        |         FROM ev WINDOW w AS (PARTITION BY custkey ORDER BY ts, seq)),
+        |surv AS (SELECT custkey, status, ts, seq FROM mark
+        |         WHERE first OR (status IS DISTINCT FROM prev))
+        |SELECT custkey, status, ts AS eff_from,
+        |  lead(ts) OVER w AS eff_to,
+        |  (lead(ts) OVER w IS NULL) AS is_current
+        |FROM surv WINDOW w AS (PARTITION BY custkey ORDER BY ts, seq)""".stripMargin) { (s, d) =>
+      val ev = Tables(s, d, "orders").select(
+        col("o_custkey").as("custkey"), col("o_orderstatus").as("status"),
+        col("o_orderdate").as("ts"), col("o_orderkey").as("seq"))
+      Scale.scdType2(ev, Seq("custkey"), Seq("status"), "ts", "seq")
+    },
+
+    // ---- order-independent table checksums (replication validation) -------
+    // The cross-cluster "did the copy arrive intact" primitive: a per-
+    // group COMMUTATIVE checksum (sum of per-row md5-derived 32-bit
+    // values — order/partitioning can't change it) + row count. The
+    // expression is ONE shared SQL string both engines evaluate verbatim
+    // (instr-nibble hex decode, the q_shard_shuffle device). BIGINT holds
+    // ~2^31 rows; promote the sum to DECIMAL beyond that.
+    Q("q_table_checksum", {
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum($RowCheck32) AS BIGINT) AS checksum
+         |FROM documents GROUP BY source""".stripMargin
+    }) { (s, d) =>
+      Tables(s, d, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr(RowCheck32)).cast("long").as("checksum"))
+    },
 
     // ---- sequence packing via distributed prefix sum ----------------------
     // The oracle's window SUM() OVER (ORDER BY doc_id) is exactly the

@@ -225,6 +225,103 @@ object Scale {
     out
   }
 
+  /** Batch MERGE-upsert: the lakehouse `MERGE INTO` semantics as one full
+    * outer join — matched keys take the update's columns, unmatched base
+    * rows persist, update-only keys insert; `action` labels each row
+    * (updated/inserted/kept) for audit sinks. Both sides shuffle once on
+    * the key (or zero times if pre-bucketed on it — [[writeBucketed]]);
+    * at scale this is exactly the shuffle a Delta/Iceberg MERGE pays,
+    * minus the transaction log. `base` and `updates` must share the
+    * schema; non-key columns are taken whole-row from the winning side. */
+  def mergeUpsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
+    val dataCols = base.columns.filterNot(keyCols.contains).toSeq
+    require(updates.columns.sorted.sameElements(base.columns.sorted),
+      "base and updates must share a schema")
+    // explicit presence markers, not IS NULL on data columns — a data
+    // column may be legitimately NULL on either side
+    val b = base.select(
+      keyCols.map(col) ++ dataCols.map(c => col(c).as(s"_b_$c"))
+        :+ lit(true).as("_in_b"): _*)
+    val u = updates.select(
+      keyCols.map(col) ++ dataCols.map(c => col(c).as(s"_u_$c"))
+        :+ lit(true).as("_in_u"): _*)
+    b.join(u, keyCols, "full_outer")
+      .select(keyCols.map(col) ++ dataCols.map(c =>
+        when(col("_in_u").isNotNull, col(s"_u_$c"))
+          .otherwise(col(s"_b_$c")).as(c)) :+
+        when(col("_in_u").isNotNull && col("_in_b").isNotNull, "updated")
+          .when(col("_in_b").isNull, "inserted")
+          .otherwise("kept").as("action"): _*)
+  }
+
+  /** CDC snapshot diff: compare two snapshots of the same table keyed on
+    * `keyCols` and emit ONLY the delta — rows labeled `added` (key only in
+    * `newSnap`), `removed` (key only in `oldSnap`), or `changed` (key in
+    * both, any non-key column differs under null-safe compare). Unchanged
+    * rows are dropped, so the output is delta-sized, not table-sized. Data
+    * columns carry the NEW side's values (the old values for `removed`).
+    * One key-keyed shuffle per side — the same cost as [[mergeUpsert]];
+    * at 100 TB, prune unchanged partitions first with per-partition
+    * [[graft.ops.PipelineOps q_table_checksum]]-style checksums and diff
+    * only the partitions whose checksums moved. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(newSnap.columns.sorted.sameElements(oldSnap.columns.sorted),
+      "snapshots must share a schema")
+    val dataCols = oldSnap.columns.filterNot(keyCols.contains).toSeq
+    val o = oldSnap.select(
+      keyCols.map(col) ++ dataCols.map(c => col(c).as(s"_o_$c"))
+        :+ lit(true).as("_in_o"): _*)
+    val n = newSnap.select(
+      keyCols.map(col) ++ dataCols.map(c => col(c).as(s"_n_$c"))
+        :+ lit(true).as("_in_n"): _*)
+    // null-safe (<=>): a NULL→value or value→NULL flip IS a change,
+    // NULL→NULL is not
+    val changed = dataCols.map(c => !(col(s"_o_$c") <=> col(s"_n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("_in_o").isNull, "added")
+          .when(col("_in_n").isNull, "removed")
+          .when(changed, "changed"))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) ++ dataCols.map(c =>
+        when(col("_in_n").isNotNull, col(s"_n_$c"))
+          .otherwise(col(s"_o_$c")).as(c)) :+ col("change"): _*)
+  }
+
+  /** SCD Type-2 dimension history: turn a change-event stream
+    * (key, attrs, event time) into versioned dimension rows
+    * `keyCols ++ attrCols ++ (eff_from, eff_to, is_current)` — each
+    * version effective from its event until the next CHANGE for that key
+    * (open-ended for the latest). Consecutive events whose attrs are
+    * null-safe-identical are collapsed first (re-delivered no-change
+    * events are the norm in CDC feeds), so a version's span covers all
+    * its duplicate re-deliveries. `tsCol` must be non-null; `tieCol`
+    * breaks same-timestamp ties deterministically. Plan shape: ONE
+    * shuffle on the key; the collapse lag, the filter, and the
+    * effective-range lead all reuse the same (key, ts, tie) sort —
+    * Spark elides the second sort because filter preserves ordering. */
+  def scdType2(events: DataFrame, keyCols: Seq[String], attrCols: Seq[String],
+      tsCol: String, tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty, "scdType2 needs keys and attrs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(tsCol), col(tieCol))
+    // first-row detection rides the non-null ts, NOT the attrs — a key
+    // whose first event carries all-NULL attrs must still survive
+    val first  = lag(col(tsCol), 1).over(w).isNull
+    val prevEq = attrCols.map(c => lag(col(c), 1).over(w) <=> col(c)).reduce(_ && _)
+    events
+      .withColumn("_keep", first || !prevEq)
+      .filter(col("_keep"))
+      .withColumn("eff_from", col(tsCol))
+      .withColumn("eff_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("eff_to").isNull)
+      .select(keyCols.map(col) ++ attrCols.map(col)
+        :+ col("eff_from") :+ col("eff_to") :+ col("is_current"): _*)
+  }
+
   /** GPT-style sequence packing: documents are conceptually concatenated
     * in `idCol` order and chunked into fixed `seqLen`-token training
     * sequences; each document's placement is fully determined by its

@@ -119,6 +119,55 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeUpsert: updates win, inserts land, NULL data columns stay honest") {
+    import spark.implicits._
+    val base = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]))
+      .toDF("k", "v")
+    // update 2 -> NULL (a real update TO null, not a missing row);
+    // update 3 -> "c"; insert 4
+    val upd = Seq((2L, None: Option[String]), (3L, Some("c")), (4L, Some("d")))
+      .toDF("k", "v")
+    val m = graft.ops.Scale.mergeUpsert(base, upd, Seq("k")).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getString(2)))).toMap
+    assert(m(1L) == ((Some("a"), "kept")))
+    assert(m(2L) == ((None, "updated")), "an update TO NULL must not fall back to base")
+    assert(m(3L) == ((Some("c"), "updated")), "a NULL base value must still classify as updated")
+    assert(m(4L) == ((Some("d"), "inserted")))
+  }
+
+  test("snapshotDiff: delta-only output, null-safe change detection") {
+    import spark.implicits._
+    val oldS = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),
+      (5L, Some("e"))).toDF("k", "v")
+    val newS = Seq((1L, Some("a")), (2L, None: Option[String]), (3L, None: Option[String]),
+      (4L, Some("d"))).toDF("k", "v")
+    val m = graft.ops.Scale.snapshotDiff(oldS, newS, Seq("k")).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getString(2)))).toMap
+    assert(!m.contains(1L), "identical rows must not appear in the delta")
+    assert(m(2L) == ((None, "changed")), "value→NULL is a change, carrying the NEW value")
+    assert(!m.contains(3L), "NULL <=> NULL is not a change")
+    assert(m(4L) == ((Some("d"), "added")))
+    assert(m(5L) == ((Some("e"), "removed")), "removed rows carry the OLD value")
+  }
+
+  test("scdType2: no-change collapse, NULL-attr first event, open current row") {
+    import spark.implicits._
+    // key 1: a@1, a@2 (re-delivery, collapses), b@3 → two versions
+    // key 2: single all-NULL-attr first event → must survive as current
+    val ev = Seq(
+      (1L, Some("a"), 1L, 10L), (1L, Some("a"), 2L, 11L), (1L, Some("b"), 3L, 12L),
+      (2L, None: Option[String], 1L, 13L)
+    ).toDF("k", "attr", "ts", "seq")
+    val out = graft.ops.Scale.scdType2(ev, Seq("k"), Seq("attr"), "ts", "seq")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._3))
+    assert(out.toSeq == Seq(
+      (1L, Some("a"), 1L, Some(3L), false),  // span covers the re-delivery
+      (1L, Some("b"), 3L, None, true),
+      (2L, None, 1L, None, true)))
+  }
+
   test("packSequences spans: contiguous, gap-free sequence coverage") {
     import spark.implicits._
     val docs = Seq.tabulate(100)(i => (i.toLong, s"d$i"))
