@@ -145,6 +145,47 @@ object PipelineOps {
         Seq("doc_id"))
     },
 
+    // ---- data-quality expectation suite (Deequ-style, one scan) -----------
+    // Five constraint kinds over orders; metrics are exact count ratios so
+    // the double division is reproducible bit-for-bit in both engines.
+    Q("q_expectations",
+      """SELECT 'completeness' AS check_name, 'o_orderpriority' AS col_name,
+        |  CAST(count(o_orderpriority) AS DOUBLE)/count(*) AS metric,
+        |  CAST(1.0 AS DOUBLE) AS threshold,
+        |  CAST(count(o_orderpriority) AS DOUBLE)/count(*) >= CAST(1.0 AS DOUBLE) AS passed
+        |FROM orders
+        |UNION ALL
+        |SELECT 'uniqueness', 'o_orderkey',
+        |  CAST(count(DISTINCT o_orderkey) AS DOUBLE)/count(o_orderkey),
+        |  CAST(1.0 AS DOUBLE),
+        |  CAST(count(DISTINCT o_orderkey) AS DOUBLE)/count(o_orderkey) >= CAST(1.0 AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'in_range', 'o_totalprice',
+        |  CAST(count(CASE WHEN o_totalprice >= 800.0 AND o_totalprice <= 600000.0 THEN 1 END) AS DOUBLE)/count(o_totalprice),
+        |  CAST(0.95 AS DOUBLE),
+        |  CAST(count(CASE WHEN o_totalprice >= 800.0 AND o_totalprice <= 600000.0 THEN 1 END) AS DOUBLE)/count(o_totalprice) >= CAST(0.95 AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'in_set', 'o_orderstatus',
+        |  CAST(count(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 END) AS DOUBLE)/count(o_orderstatus),
+        |  CAST(1.0 AS DOUBLE),
+        |  CAST(count(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 END) AS DOUBLE)/count(o_orderstatus) >= CAST(1.0 AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'matches_regex', 'o_orderpriority',
+        |  CAST(count(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 END) AS DOUBLE)/count(o_orderpriority),
+        |  CAST(1.0 AS DOUBLE),
+        |  CAST(count(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 END) AS DOUBLE)/count(o_orderpriority) >= CAST(1.0 AS DOUBLE)
+        |FROM orders""".stripMargin) { (s, d) =>
+      Expectations.validate(Tables(s, d, "orders"), Seq(
+        Expectations.Complete("o_orderpriority"),
+        Expectations.Unique("o_orderkey"),
+        Expectations.InRange("o_totalprice", 800.0, 600000.0, 0.95),
+        Expectations.InSet("o_orderstatus", Seq("F", "O", "P")),
+        Expectations.MatchesRegex("o_orderpriority", "^[1-5]-[A-Z ]+$")))
+    },
+
     // ---- CDC snapshot diff (added / removed / changed) --------------------
     // Delta-sized output: unchanged rows never leave the join. Fixture:
     // old = docs with id%7!=0, new = docs with id%5!=0 re-texted when
