@@ -376,10 +376,124 @@ object AnalyticsOps {
       |u AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
       |SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt FROM u GROUP BY node""".stripMargin
 
+  // =========================================================================
+  // 7. Functional-dependency discovery (profiling tier 2)
+  // =========================================================================
+
+  /** Test candidate functional dependencies A→B in ONE scan: A→B holds
+    * iff ndv(A) == ndv(A,B) (every A value maps to exactly one B). All
+    * the distinct counts land in a single wide aggregate (one Expand
+    * pass — the same one-scan contract as [[profile]]); the row-per-test
+    * unpivot is executor-side. The Metanome-style primitive for schema
+    * discovery on tables you didn't design. */
+  def fdDiscovery(df: DataFrame, tests: Seq[(String, String)]): DataFrame = {
+    val cols = tests.flatMap(t => Seq(t._1, t._2)).distinct
+    val aggs =
+      cols.map(c => count_distinct(col(c)).as(s"d_$c")) ++
+        tests.map { case (a, b) =>
+          count_distinct(struct(col(a), col(b))).as(s"d_${a}_$b")
+        }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = tests.map { case (a, b) =>
+      struct(lit(a).as("lhs"), lit(b).as("rhs"),
+        col(s"d_$a").as("ndv_lhs"), col(s"d_${a}_$b").as("ndv_pair"),
+        (col(s"d_$a") === col(s"d_${a}_$b")).as("holds"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  private val FdOracle: String =
+    """WITH a AS (SELECT
+      |    CAST(count(DISTINCT p_partkey) AS BIGINT) AS d_pk,
+      |    CAST(count(DISTINCT p_name) AS BIGINT) AS d_nm,
+      |    CAST(count(DISTINCT p_brand) AS BIGINT) AS d_br,
+      |    CAST(count(DISTINCT p_type) AS BIGINT) AS d_ty,
+      |    CAST(count(DISTINCT (p_partkey, p_name)) AS BIGINT) AS d_pk_nm,
+      |    CAST(count(DISTINCT (p_name, p_brand)) AS BIGINT) AS d_nm_br,
+      |    CAST(count(DISTINCT (p_brand, p_type)) AS BIGINT) AS d_br_ty,
+      |    CAST(count(DISTINCT (p_type, p_brand)) AS BIGINT) AS d_ty_br
+      |  FROM part)
+      |SELECT lhs, rhs, ndv_lhs, ndv_pair, ndv_lhs = ndv_pair AS holds
+      |FROM (
+      |  SELECT 'p_partkey' AS lhs, 'p_name' AS rhs, d_pk AS ndv_lhs, d_pk_nm AS ndv_pair FROM a
+      |  UNION ALL SELECT 'p_name', 'p_brand', d_nm, d_nm_br FROM a
+      |  UNION ALL SELECT 'p_brand', 'p_type', d_br, d_br_ty FROM a
+      |  UNION ALL SELECT 'p_type', 'p_brand', d_ty, d_ty_br FROM a)""".stripMargin
+
+  // =========================================================================
+  // 8. Referential-integrity audit
+  // =========================================================================
+
+  /** Orphan audit across parent→child foreign keys: per FK, child row
+    * count, distinct child keys, and rows with no matching parent (an
+    * ANTI join — broadcast when the parent key set is small, hash
+    * otherwise; never a subquery-per-row). The cross-table counterpart
+    * of [[Expectations]]' single-table constraints. */
+  def fkAudit(fks: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    fks.map { case (name, child, ck, parent, pk) =>
+      val orphans = child.join(parent.select(col(pk).as(ck)).distinct(),
+        Seq(ck), "left_anti")
+      child.agg(count(lit(1)).as("n_child"),
+          count_distinct(col(ck)).as("n_keys"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk"), col("n_child"), col("n_keys"), col("n_orphans"))
+    }.reduce(_ unionAll _)
+  }
+
+  private val FkOracle: String =
+    """SELECT 'lineitem.l_orderkey->orders' AS fk,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+      |  (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS n_keys,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+      |UNION ALL SELECT 'lineitem.l_partkey->part',
+      |  (SELECT count(*) FROM lineitem),
+      |  (SELECT count(DISTINCT l_partkey) FROM lineitem),
+      |  (SELECT count(*) FROM lineitem l
+      |    WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      |UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+      |  (SELECT count(*) FROM lineitem),
+      |  (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+      |  (SELECT count(*) FROM lineitem l
+      |    WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+      |UNION ALL SELECT 'orders.o_custkey->customer',
+      |  (SELECT count(*) FROM orders),
+      |  (SELECT count(DISTINCT o_custkey) FROM orders),
+      |  (SELECT count(*) FROM orders x
+      |    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = x.o_custkey))
+      |UNION ALL SELECT 'customer.c_nationkey->nation',
+      |  (SELECT count(*) FROM customer),
+      |  (SELECT count(DISTINCT c_nationkey) FROM customer),
+      |  (SELECT count(*) FROM customer c
+      |    WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))"""
+      .stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- one-scan column profiler ----------------------------------------
     Q("q_profile", ProfileOracle) { (s, d) => profile(customer(s, d)) },
+
+    // ---- functional-dependency discovery over part ------------------------
+    Q("q_fd_discovery", FdOracle) { (s, d) =>
+      fdDiscovery(part(s, d), Seq(
+        "p_partkey" -> "p_name", "p_name" -> "p_brand",
+        "p_brand" -> "p_type", "p_type" -> "p_brand"))
+    },
+
+    // ---- referential-integrity audit across the star schema ---------------
+    Q("q_fk_audit", FkOracle) { (s, d) =>
+      fkAudit(Seq(
+        ("lineitem.l_orderkey->orders", lineitem(s, d), "l_orderkey",
+          Tables(s, d, "orders"), "o_orderkey"),
+        ("lineitem.l_partkey->part", lineitem(s, d), "l_partkey",
+          part(s, d), "p_partkey"),
+        ("lineitem.l_suppkey->supplier", lineitem(s, d), "l_suppkey",
+          Tables(s, d, "supplier"), "s_suppkey"),
+        ("orders.o_custkey->customer", Tables(s, d, "orders"), "o_custkey",
+          customer(s, d), "c_custkey"),
+        ("customer.c_nationkey->nation", customer(s, d), "c_nationkey",
+          Tables(s, d, "nation"), "n_nationkey")))
+    },
 
     // ---- exact set-similarity self-join, shingle Jaccard >= 0.8 -----------
     Q("q_setsim_join", SetSimOracle) { (s, d) =>

@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-journey analytics over the events stream: Markov transition
+  * matrices, per-session path mining, interval coverage (gaps-and-
+  * islands), and a point-in-time join of events against an SCD2
+  * dimension history. Everything keys on user_id — at scale the whole
+  * family shares one hash partitioning — and every output value is an
+  * integer, a passthrough, or an integer-ratio basis point, so the
+  * DuckDB oracle is bit-exact.
+  */
+object JourneyOps {
+
+  private def events(s: SparkSession, d: String) = Tables(s, d, "events")
+  private def orders(s: SparkSession, d: String) = Tables(s, d, "orders")
+
+  private def byTime: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+  // =========================================================================
+  // 1. Markov transition matrix
+  // =========================================================================
+
+  /** (src → dst) transition counts + probability (basis points, floor
+    * division) between consecutive events per user, ordered by
+    * (ts, event_id). One user-keyed window + a groupBy on the tiny
+    * (src, dst) grid; the per-src totals join is grid-sized. */
+  def transitions(ev: DataFrame): DataFrame = {
+    val g = ev.withColumn("dst", lead(col("event_type"), 1).over(byTime))
+      .where(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val tot = g.groupBy("src").agg(sum(col("n")).as("tot"))
+    g.join(tot, "src")
+      .select(col("src"), col("dst"), col("n"), expr("(n * 10000) div tot").as("p_bp"))
+  }
+
+  private val TransitionsOracle: String =
+    """WITH s AS (SELECT event_type, lead(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM events),
+      |g AS (SELECT event_type AS src, dst, CAST(count(*) AS BIGINT) AS n
+      |  FROM s WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM g GROUP BY src)
+      |SELECT g.src, g.dst, g.n, (g.n * 10000) // t.tot AS p_bp
+      |FROM g JOIN t USING (src)""".stripMargin
+
+  // =========================================================================
+  // 2. Top session paths
+  // =========================================================================
+
+  /** Top 20 event-type paths ('view>click>…') over gap-based sessions
+    * (same brk/cumsum device as [[Sessionize]], with an explicit
+    * (ts, event_id) tie-break so the path string is deterministic).
+    * Path assembly is array_sort over per-session structs — sessions are
+    * human-sized, so the collect is bounded; the path frequency table is
+    * tiny. */
+  def topPaths(ev: DataFrame, gapMicros: Long, k: Int): DataFrame = {
+    val tsu = unix_micros(col("ts"))
+    val brk = when(lag(tsu, 1).over(byTime).isNull ||
+      tsu - lag(tsu, 1).over(byTime) > gapMicros, 1L).otherwise(0L)
+    ev.withColumn("sid", sum(brk).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(array_join(expr("transform(array_sort(collect_list(" +
+        "struct(unix_micros(ts) AS t, event_id AS i, event_type AS y))), x -> x.y)"),
+        ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+  }
+
+  private val TopPathsOracle: String =
+    """WITH o AS (SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o),
+      |p AS (SELECT user_id, sid,
+      |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path FROM s GROUP BY 1, 2)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n FROM p
+      |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin
+
+  // =========================================================================
+  // 3. Interval merge (gaps-and-islands)
+  // =========================================================================
+
+  /** Merge each user's overlapping activity intervals ([ts, ts+span))
+    * into maximal islands: classic gaps-and-islands via a running max of
+    * interval ends (an interval starts a new island iff it begins after
+    * every earlier interval has ended). Integer micros throughout; one
+    * user-keyed sort. Emits per island: bounds and event count. */
+  def mergeIntervals(ev: DataFrame, spanMicros: Long): DataFrame = {
+    val iv = ev.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) + spanMicros).as("e"))
+    val w = Window.partitionBy("user_id").orderBy("s", "e")
+    val pmax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val brk = when(pmax.isNull || col("s") > pmax, 1L).otherwise(0L)
+    iv.withColumn("island", sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("i_start"), max(col("e")).as("i_end"),
+        count(lit(1)).as("n_ev"))
+  }
+
+  private val IntervalOracle: String =
+    """WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+      |  FROM events),
+      |m AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv),
+      |f AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk FROM m),
+      |g AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island FROM f)
+      |SELECT user_id, island, min(s) AS i_start, max(e) AS i_end,
+      |  CAST(count(*) AS BIGINT) AS n_ev
+      |FROM g GROUP BY user_id, island""".stripMargin
+
+  // =========================================================================
+  // 4. Point-in-time join against an SCD2 dimension
+  // =========================================================================
+
+  /** Each event joined to the dimension version in effect at its
+    * timestamp: the lakehouse PIT-lookup composition. The history is
+    * [[Scale.scdType2]] over a DAILY-deduped change feed (last status
+    * per (key, day) by seq — same-day churn collapses so every version
+    * has a unique eff_from and the as-of carry is deterministic), then
+    * [[AsofJoin.asofJoin]] does the lookup as one exchange + ordered
+    * window carry — never a range BNLJ. */
+  def pitJoin(ev: DataFrame, feed: DataFrame): DataFrame = {
+    val daily = feed
+      .groupBy(col("custkey"), col("ts"))
+      .agg(max(struct(col("seq"), col("status"))).as("m"))
+      .select(col("custkey"), col("ts"), col("m.seq").as("seq"), col("m.status").as("status"))
+    val hist = Scale.scdType2(daily, Seq("custkey"), Seq("status"), "ts", "seq")
+      .select(col("custkey"), col("status"), col("eff_from").as("ts"))
+    AsofJoin.asofJoin(
+        ev.select(col("event_id"), col("user_id").as("custkey"), col("ts")),
+        hist, key = "custkey", ts = "ts", rightCols = Seq("status"), prefix = "pit_")
+      .select(col("event_id"), col("custkey").as("user_id"),
+        col("pit_status").as("status_at_event"))
+  }
+
+  private val PitOracle: String =
+    """WITH daily AS (SELECT o_custkey AS custkey, o_orderdate AS ts,
+      |    max_by(o_orderstatus, o_orderkey) AS status FROM orders GROUP BY 1, 2),
+      |mark AS (SELECT *, (lag(ts) OVER w IS NULL) AS frst, lag(status) OVER w AS prev
+      |  FROM daily WINDOW w AS (PARTITION BY custkey ORDER BY ts)),
+      |hist AS (SELECT custkey, status, ts AS eff_from FROM mark
+      |  WHERE frst OR (status IS DISTINCT FROM prev))
+      |SELECT e.event_id, e.user_id, h.status AS status_at_event
+      |FROM events e ASOF LEFT JOIN hist h
+      |  ON e.user_id = h.custkey AND e.ts >= h.eff_from""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Markov transition matrix over user event sequences ---------------
+    Q("q_transitions", TransitionsOracle) { (s, d) =>
+      transitions(events(s, d).select("user_id", "event_type", "ts", "event_id"))
+    },
+
+    // ---- top session paths (6h gap) ---------------------------------------
+    Q("q_top_paths", TopPathsOracle) { (s, d) =>
+      topPaths(events(s, d).select("user_id", "event_type", "ts", "event_id"),
+        gapMicros = 21600000000L, k = 20)
+    },
+
+    // ---- merged activity intervals (30 min span) --------------------------
+    Q("q_interval_merge", IntervalOracle) { (s, d) =>
+      mergeIntervals(events(s, d), spanMicros = 1800000000L)
+    },
+
+    // ---- point-in-time SCD2 lookup ----------------------------------------
+    Q("q_pit_join", PitOracle) { (s, d) =>
+      pitJoin(events(s, d),
+        orders(s, d).select(col("o_custkey").as("custkey"),
+          col("o_orderdate").as("ts"), col("o_orderkey").as("seq"),
+          col("o_orderstatus").as("status")))
+    }
+  )
+}
