@@ -19,12 +19,22 @@ object Tables {
   def apply(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(s, dir) else s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
-    * natively; read it as long and rebuild a (µs-truncated) timestamp. */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
+    * drops (which Spark 4 refuses to read natively — nanosAsLong turns
+    * it into a long to rebuild) and TIMESTAMP(MICROS) in others (which
+    * reads as TIMESTAMP_NTZ under inferTimestampNTZ). Dispatch on the
+    * schema actually read so both flavors land on the same session-tz
+    * TimestampType column every downstream query was built against. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long drop
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ: identity instant under the UTC session tz
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Exact float sum: per-row fixed-point quantization (×10⁴, floor+0.5 —

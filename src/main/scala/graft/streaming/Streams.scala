@@ -26,10 +26,11 @@ object Streams {
 
   /** Group key / event_type marking the watermark-advancing sentinel. */
   private val SentinelType = "_g_sentinel"
-  private val SentinelNs = 4102444800L * 1000000000L // 2100-01-01T00:00Z, ns
+  private val SentinelUs = 4102444800L * 1000000L // 2100-01-01T00:00Z, µs
 
-  /** Events schema as a *stream* source: ns timestamps arrive as longs
-    * (matching graft.ops.Tables' batch workaround) and are rebuilt. */
+  /** Events schema as a *stream* source: staging normalizes ts to
+    * µs-since-epoch longs (whatever the source parquet's timestamp
+    * flavor — see graft.ops.Tables.events) and the stream rebuilds. */
   private val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -56,13 +57,17 @@ object Streams {
     * streaming dedup query de-duplicates. */
   private def stagedEventStream(spark: SparkSession, dir: String,
       replays: Int = 1, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val watch = stagedDirs.computeIfAbsent((dir, replays), _ => {
       val w = Files.createTempDirectory("graft_stream_in")
-      (1 to replays).foreach(r =>
-        Files.copy(Paths.get(s"$dir/events.parquet"), w.resolve(s"events_$r.parquet")))
+      // One normalizing rewrite instead of a raw file copy: the source
+      // parquet's ts flavor varies by data drop (nanos vs micros — see
+      // Tables.events), so stage µs-longs and every downstream stream
+      // reads one uniform schema. Memoized per (dir, replays).
+      val ev = graft.ops.Tables.events(spark, dir)
+        .withColumn("ts", unix_micros(col("ts"))).coalesce(1)
+      (1 to replays).foreach(_ => ev.write.mode("append").parquet(w.toString))
       import spark.implicits._
-      Seq((-1L, SentinelNs, -1L, SentinelType, 0.0, null: String))
+      Seq((-1L, SentinelUs, -1L, SentinelType, 0.0, null: String))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("append").parquet(w.toString)
       w.toString
@@ -70,7 +75,7 @@ object Streams {
     val reader = spark.readStream.schema(eventsRawSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(watch)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
   }
 
   /** Drain `q` into a parquet file sink and read the result back.
