@@ -1,0 +1,235 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pattern-mining and feature-statistics tranche: market-basket
+  * association rules (A-Priori pruned pair mining), exact per-group mode,
+  * one-scan exact covariance/variance numerators, bounded-window
+  * exponential decay (EWMA) features, and the FULL OUTER join completing
+  * the join-type matrix (the reference enumerates inner/left/right only —
+  * `/root/reference/tuplex/python/tuplex/dataset.py:384-498`; full outer
+  * is the capability superset alongside the semi/anti entries in
+  * [[Relational]]).
+  *
+  * Exactness discipline (same as the rest of the registry): every output
+  * is integer / fixed-point / a final identical IEEE op on identical exact
+  * operands, so the DuckDB oracle replays bit-for-bit. Second moments
+  * accumulate in decimal(38,0) on the Spark side and HUGEINT on the
+  * DuckDB side — both exact at these magnitudes — and only the final
+  * already-exact integer is cast to double.
+  */
+object MiningOps {
+
+  private def lineitem(s: SparkSession, d: String) = Tables(s, d, "lineitem")
+  private def orders(s: SparkSession, d: String)   = Tables(s, d, "orders")
+  private def customer(s: SparkSession, d: String) = Tables(s, d, "customer")
+  private def events(s: SparkSession, d: String)   = Tables(s, d, "events")
+
+  /** Fixed-point quantization — pure IEEE ops, bit-identical across
+    * engines (see [[Tables.dsum]] for why not a decimal cast). */
+  private def fp(c: Column, scale: Double): Column =
+    floor(c.cast("double") * scale + lit(0.5d)).cast("long")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- FULL OUTER join (completes the join-type matrix) -----------------
+    // Both sides are filtered so both null-emission paths are exercised:
+    // high-balance customers with no 'F' orders surface with NULL order
+    // columns; 'F' orders of low-balance customers surface with NULL
+    // customer columns. Plan: one shuffle on the join key (sort-merge
+    // full outer — broadcast cannot implement full outer), both filters
+    // pushed to the scans. At 100 TB this is the standard reconciliation
+    // join; skew on the key would be handled by AQE skew-join splitting.
+    Q("q_join_full",
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM (SELECT * FROM customer WHERE c_acctbal >= 5000) c
+        |FULL OUTER JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+        |ON c_custkey = o_custkey""".stripMargin) { (s, d) =>
+      val c = customer(s, d).filter(col("c_acctbal") >= 5000)
+      val o = orders(s, d).filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+    },
+
+    // ---- market-basket association rules (A-Priori pruned) ----------------
+    // Baskets = distinct (order, part). Stage 1 keeps only FREQUENT items
+    // (support >= minsup) — the A-Priori monotonicity prune: an infrequent
+    // item cannot appear in a frequent pair, so the quadratic pair stage
+    // runs over the pruned basket set. Pair generation is a self-join on
+    // the basket key: per-basket cost is |basket|², bounded by basket size
+    // (~7 for TPC-H-ish data), NOT corpus size — the standard distributed
+    // shape. Confidence is integer-division percent; the lift>1 test is an
+    // exact integer cross-multiplication (pair·N > cnt_a·cnt_b), no
+    // floating division anywhere. The item-count side of the final joins
+    // is broadcast (minsup pruning keeps it small by construction); the
+    // 1-row basket-count scalar is a labeled broadcast-NLJ, the allowed
+    // pattern for scalar subqueries.
+    Q("q_assoc_rules",
+      """WITH baskets AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+        |ic AS (SELECT item, count(*) AS cnt FROM baskets GROUP BY item HAVING count(*) >= 2),
+        |fb AS (SELECT bk, item FROM baskets WHERE item IN (SELECT item FROM ic)),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_cnt
+        |      FROM fb a JOIN fb b ON a.bk = b.bk AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM baskets),
+        |j AS (SELECT item_a, item_b, pair_cnt, ca.cnt AS cnt_a, cb.cnt AS cnt_b, n_baskets
+        |      FROM p JOIN ic ca ON p.item_a = ca.item
+        |             JOIN ic cb ON p.item_b = cb.item CROSS JOIN nb)
+        |SELECT item_a, item_b, pair_cnt, cnt_a, cnt_b, n_baskets,
+        |  (pair_cnt * 100) // cnt_a AS conf_pct,
+        |  CAST(pair_cnt * n_baskets > cnt_a * cnt_b AS INT) AS lift_gt1
+        |FROM j""".stripMargin) { (s, d) =>
+      val baskets = lineitem(s, d)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("item")).distinct()
+      val itemCnt = baskets.groupBy("item").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+      val fb = baskets.join(broadcast(itemCnt.select("item")), Seq("item"), "left_semi")
+      val pairs = fb.select(col("bk"), col("item").as("item_a"))
+        .join(fb.select(col("bk"), col("item").as("item_b")), Seq("bk"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy("item_a", "item_b").agg(count(lit(1)).as("pair_cnt"))
+        .filter(col("pair_cnt") >= 2)
+      // 1-row scalar (labeled broadcast-NLJ, same license as q17-style scalars)
+      val nB = baskets.agg(count_distinct(col("bk")).as("n_baskets"))
+      pairs
+        .join(broadcast(itemCnt.select(col("item").as("item_a"), col("cnt").as("cnt_a"))), Seq("item_a"))
+        .join(broadcast(itemCnt.select(col("item").as("item_b"), col("cnt").as("cnt_b"))), Seq("item_b"))
+        .crossJoin(broadcast(nB))
+        .select(col("item_a"), col("item_b"), col("pair_cnt"), col("cnt_a"),
+          col("cnt_b"), col("n_baskets"),
+          expr("(pair_cnt * 100) div cnt_a").as("conf_pct"),
+          (col("pair_cnt") * col("n_baskets") > col("cnt_a") * col("cnt_b"))
+            .cast("int").as("lift_gt1"))
+    },
+
+    // ---- exact per-group mode (most frequent value, deterministic) --------
+    // Mode is the one profiling primitive [[AnalyticsOps.profile]] cannot
+    // fold into its single wide aggregate (it needs a count-per-value
+    // sub-aggregation). Two shuffles: count per (group, value), then the
+    // per-group argmax via a window over the (tiny) count table. Ties
+    // break lexicographically ASC on the value — deterministic on both
+    // engines by construction, never by hash luck.
+    Q("q_mode",
+      """WITH c AS (
+        |  SELECT c_mktsegment AS segment, o_orderpriority AS priority, count(*) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT segment, priority, cnt,
+        |      row_number() OVER (PARTITION BY segment ORDER BY cnt DESC, priority ASC) AS rn
+        |      FROM c)
+        |SELECT segment, priority AS modal_priority, cnt AS modal_cnt
+        |FROM r WHERE rn = 1""".stripMargin) { (s, d) =>
+      val counts = orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("segment").orderBy(col("cnt").desc, col("priority").asc)
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("segment"), col("priority").as("modal_priority"), col("cnt").as("modal_cnt"))
+    },
+
+    // ---- one-scan exact covariance / variance numerators ------------------
+    // Feature-selection statistics over three lineitem measures in ONE
+    // scan, ONE aggregate: fixed-point first moments in BIGINT, second
+    // moments in decimal(38,0) (Spark) / HUGEINT (DuckDB) — both exact and
+    // associative, so partial-aggregation order cannot change the value.
+    // The covariance NUMERATOR n·Σxy − Σx·Σy (an exact integer ≤ ~4·10²⁵
+    // at sf0.1, well inside 38 digits / int128) is the output; the final
+    // cast to double rounds the identical exact integer identically on
+    // both engines. Dividing by n(n−1) would leave exactness — consumers
+    // do that division knowing num/denominator are exact.
+    Q("q_cov_exact",
+      """WITH f AS (SELECT
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+        |    CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS d
+        |  FROM lineitem),
+        |a AS (SELECT count(*) AS n,
+        |    CAST(sum(q) AS BIGINT) AS s_q, CAST(sum(p) AS BIGINT) AS s_p,
+        |    CAST(sum(d) AS BIGINT) AS s_d,
+        |    sum(CAST(q * q AS HUGEINT)) AS m_qq, sum(CAST(p * p AS HUGEINT)) AS m_pp,
+        |    sum(CAST(d * d AS HUGEINT)) AS m_dd, sum(CAST(q * p AS HUGEINT)) AS m_qp,
+        |    sum(CAST(q * d AS HUGEINT)) AS m_qd, sum(CAST(p * d AS HUGEINT)) AS m_pd
+        |  FROM f)
+        |SELECT n, s_q, s_p, s_d,
+        |  CAST(n * m_qq - CAST(s_q AS HUGEINT) * s_q AS DOUBLE) AS var_q_num,
+        |  CAST(n * m_pp - CAST(s_p AS HUGEINT) * s_p AS DOUBLE) AS var_p_num,
+        |  CAST(n * m_dd - CAST(s_d AS HUGEINT) * s_d AS DOUBLE) AS var_d_num,
+        |  CAST(n * m_qp - CAST(s_q AS HUGEINT) * s_p AS DOUBLE) AS cov_qp_num,
+        |  CAST(n * m_qd - CAST(s_q AS HUGEINT) * s_d AS DOUBLE) AS cov_qd_num,
+        |  CAST(n * m_pd - CAST(s_p AS HUGEINT) * s_d AS DOUBLE) AS cov_pd_num
+        |FROM a""".stripMargin) { (s, d) =>
+      val q  = fp(col("l_quantity"), 100d)
+      val p  = fp(col("l_extendedprice"), 100d)
+      val dd = fp(col("l_discount"), 10000d)
+      def m2(x: Column, y: Column) = sum((x * y).cast("decimal(38,0)"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val a = lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(q).as("s_q"), sum(p).as("s_p"), sum(dd).as("s_d"),
+        m2(q, q).as("m_qq"), m2(p, p).as("m_pp"), m2(dd, dd).as("m_dd"),
+        m2(q, p).as("m_qp"), m2(q, dd).as("m_qd"), m2(p, dd).as("m_pd"))
+      def num(m: String, sx: String, sy: String) =
+        (dec(col("n")) * col(m) - dec(col(sx)) * dec(col(sy))).cast("double")
+      a.select(col("n"), col("s_q"), col("s_p"), col("s_d"),
+        num("m_qq", "s_q", "s_q").as("var_q_num"),
+        num("m_pp", "s_p", "s_p").as("var_p_num"),
+        num("m_dd", "s_d", "s_d").as("var_d_num"),
+        num("m_qp", "s_q", "s_p").as("cov_qp_num"),
+        num("m_qd", "s_q", "s_d").as("cov_qd_num"),
+        num("m_pd", "s_p", "s_d").as("cov_pd_num"))
+    },
+
+    // ---- bounded-window exponential decay (EWMA) feature ------------------
+    // Per-user time-decay smoothing with binary half-life weights over the
+    // last 8 events: num = Σ_{k=0..7} v_{t-k}·2^{7-k}, den = Σ present
+    // weights. All-integer (fixed-point values × power-of-two weights), so
+    // both engines agree bit-for-bit; the final ewma = num/den is one
+    // identical IEEE division. The bounded frame is the point at scale:
+    // an unbounded recursive EWMA needs a sequential scan per key, while
+    // the 8-lag form is a single window pass (one shuffle on user_id) that
+    // whole-stage-codegens, and the truncation error is 2⁻⁸ of the oldest
+    // weight — below any feature-engineering tolerance.
+    Q("q_ewma",
+      """WITH f AS (SELECT event_id, user_id,
+        |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |l AS (SELECT event_id, user_id, v,
+        |    lag(v, 1) OVER w AS v1, lag(v, 2) OVER w AS v2, lag(v, 3) OVER w AS v3,
+        |    lag(v, 4) OVER w AS v4, lag(v, 5) OVER w AS v5, lag(v, 6) OVER w AS v6,
+        |    lag(v, 7) OVER w AS v7
+        |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |m AS (SELECT event_id, user_id,
+        |    coalesce(v, 0)*128 + coalesce(v1, 0)*64 + coalesce(v2, 0)*32 +
+        |    coalesce(v3, 0)*16 + coalesce(v4, 0)*8 + coalesce(v5, 0)*4 +
+        |    coalesce(v6, 0)*2 + coalesce(v7, 0) AS ewma_num,
+        |    (CASE WHEN v  IS NULL THEN 0 ELSE 128 END) +
+        |    (CASE WHEN v1 IS NULL THEN 0 ELSE 64 END) +
+        |    (CASE WHEN v2 IS NULL THEN 0 ELSE 32 END) +
+        |    (CASE WHEN v3 IS NULL THEN 0 ELSE 16 END) +
+        |    (CASE WHEN v4 IS NULL THEN 0 ELSE 8 END) +
+        |    (CASE WHEN v5 IS NULL THEN 0 ELSE 4 END) +
+        |    (CASE WHEN v6 IS NULL THEN 0 ELSE 2 END) +
+        |    (CASE WHEN v7 IS NULL THEN 0 ELSE 1 END) AS ewma_den
+        |  FROM l)
+        |SELECT event_id, user_id, ewma_num, ewma_den,
+        |  CAST(ewma_num AS DOUBLE) / ewma_den AS ewma
+        |FROM m""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val base = events(s, d).select(col("event_id"), col("user_id"),
+        fp(col("value"), 10000d).as("v"))
+      val lags = (0 to 7).map(k => if (k == 0) col("v") else lag(col("v"), k).over(w))
+      val num = lags.zipWithIndex
+        .map { case (lv, k) => coalesce(lv, lit(0L)) * lit(1L << (7 - k)) }
+        .reduce(_ + _)
+      val den = lags.zipWithIndex
+        .map { case (lv, k) => when(lv.isNull, lit(0L)).otherwise(lit(1L << (7 - k))) }
+        .reduce(_ + _)
+      base.select(col("event_id"), col("user_id"),
+        num.as("ewma_num"), den.as("ewma_den"),
+        (num.cast("double") / den).as("ewma"))
+    }
+  )
+}
