@@ -3,14 +3,12 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Par, Tables}
-import graft.text.Corpus
-import graft.text.Corpus.repetitionStats
-import graft.text.TextFunctions.langId
+import graft.ops.{AnalyticsOps, Tables}
 
 /** Scratch profiling main (dev only, not part of the library surface).
-  * Current focus: attribute q_corpus_golden's cleared-cache cost across
-  * its cascade stages (round-4 task #3 — 9.9 s official vs 3.2 s local). */
+  * Current focus: attribute q_triangle / q_pagerank cost across their
+  * stages (round-5 slow-tier pass; both sit at ~4.2-4.5 s in BENCH while
+  * every other batch query is under 3 s). */
 object Prof {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -31,38 +29,34 @@ object Prof {
       }
     }
 
-    def docs = Par.ensureMin(Tables(s, d, "documents"))
-    def stats = docs.select(col("doc_id"), col("source"), col("lang"), col("text"),
-        graft.text.TextFunctions.tokenStats(col("text")).as("ts"),
-        repetitionStats(col("text"), 2).as("rep"),
-        langId(col("text")).as("lang_pred"))
-      .withColumn("n_tokens", col("ts.n_tokens"))
-      .withColumn("n_uniq", col("ts.n_uniq_tokens"))
-    def q = Par.filterOnce(stats, col("lang_pred") === col("lang") &&
-      col("n_tokens").between(20, 1000) &&
-      col("n_uniq") * 10 >= col("n_tokens") * 3 &&
-      col("rep.top_count") * 5 <= col("rep.n_ngrams"))
-    def dd = q.groupBy(
-        md5(graft.dedup.Dedup.normalizeText(col("text")).cast("binary")).as("_h"))
-      .agg(min(struct(col("doc_id"), col("source"), col("n_tokens"),
-        col("text"))).as("_keep"))
-      .select(col("_keep.doc_id").as("doc_id"), col("_keep.source").as("source"),
-        col("_keep.n_tokens").as("n_tokens"), col("_keep.text").as("text"))
+    def lineitem = Tables(s, d, "lineitem")
+    def orders   = Tables(s, d, "orders")
 
-    time("A0 raw-read")   { s.read.parquet(s"$d/documents.parquet").count() }
-    time("A1 tables")     { Tables(s, d, "documents").count() }
-    time("A2 ensureMin")  { Par.ensureMin(Tables(s, d, "documents")).count() }
-    time("A scan")        { docs.count() }
-    time("B stats")       { stats.count() }
-    time("C filter")      { q.count() }
-    time("D dedup-agg")   { dd.count() }
-    time("E decontam")    {
-      val ddp = dd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Corpus.decontaminate(ddp.select("doc_id", "text"),
-        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 5)
-        .filter(!col("contaminated")).count()
-    }
-    time("F full")        { SparkEntry.queries("q_corpus_golden")(s, d).count() }
+    // ---- q_triangle stages ----
+    def co = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS s, y AS d))))"))
+        .as("pr"))
+      .groupBy(col("pr.s").as("s"), col("pr.d").as("d"))
+      .agg(count(lit(1)).as("w"))
+    time("T1 co-graph")   { co.count() }
+    time("T2 sparsify")   { AnalyticsOps.topKAffinity(co, 8).count() }
+    time("T3 triangles")  { AnalyticsOps.triangleCounts(AnalyticsOps.topKAffinity(co, 8)).count() }
+    time("T4 full")       { SparkEntry.queries("q_triangle")(s, d).count() }
+
+    // ---- q_pagerank stages ----
+    def g = lineitem.select("l_orderkey", "l_suppkey")
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("w"))
+    def edges = g.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"), col("w"))
+      .unionAll(g.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"), col("w")))
+    time("P1 edges")      { edges.count() }
+    time("P2 full")       { SparkEntry.queries("q_pagerank")(s, d).count() }
     spark.stop()
   }
 }

@@ -25,13 +25,22 @@ object GraphOps {
     * the scale shape of every BSP graph engine. */
   def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val wout = edges.groupBy("src").agg(sum(col("w")).as("wout"))
-    val ew = edges.join(wout, "src").persist()
-    val n = ew.select(col("src")).distinct().count()
+    // Out-weight via a WINDOW over src, not groupBy+self-join: the edge
+    // frame (often an expensive join/agg itself) is built exactly ONCE —
+    // the join form either rebuilds it for the probe side or leans on
+    // exchange reuse that a persisted subplan breaks. The node table is
+    // one distinct over the cached frame, itself cached for its two
+    // readers (count + initial ranks). Persists are harness-/caller-
+    // released.
+    import org.apache.spark.sql.expressions.Window
+    val ew = edges
+      .withColumn("wout", sum(col("w")).over(Window.partitionBy("src")))
+      .persist()
+    val nodes = ew.select(col("src")).distinct().persist()
+    val n = nodes.count()
     val r0 = 1000000000000L / n
     val base = r0 * 15L / 100L
-    var r = ew.select(col("src").as("node")).distinct()
-      .withColumn("rank", lit(r0))
+    var r = nodes.select(col("src").as("node")).withColumn("rank", lit(r0))
     for (_ <- 1 to iters) {
       r = ew.join(r, col("src") === col("node"))
         .groupBy(col("dst"))

@@ -54,18 +54,24 @@ object MiningOps {
     },
 
     // ---- market-basket association rules (A-Priori pruned) ----------------
-    // Baskets = distinct (order, part). Stage 1 keeps only FREQUENT items
-    // (support >= minsup) — the A-Priori monotonicity prune: an infrequent
-    // item cannot appear in a frequent pair, so the quadratic pair stage
-    // runs over the pruned basket set. Pair generation is a self-join on
-    // the basket key: per-basket cost is |basket|², bounded by basket size
-    // (~7 for TPC-H-ish data), NOT corpus size — the standard distributed
-    // shape. Confidence is integer-division percent; the lift>1 test is an
-    // exact integer cross-multiplication (pair·N > cnt_a·cnt_b), no
-    // floating division anywhere. The item-count side of the final joins
-    // is broadcast (minsup pruning keeps it small by construction); the
-    // 1-row basket-count scalar is a labeled broadcast-NLJ, the allowed
-    // pattern for scalar subqueries.
+    // ONE scan of the fact builds per-basket sorted item arrays (groupBy
+    // with map-side partial collect_set — dedup within basket is free);
+    // item supports, the basket count, and the quadratic pair expansion
+    // all derive from that persisted frame, so pair generation is a
+    // per-row ARRAY comprehension (flatten∘transform — codegen'd, no
+    // self-join): per-basket cost is |basket|², bounded by basket size
+    // (~7 for TPC-H-ish data), NOT corpus size. The oracle states the
+    // textbook fb⋈fb form; the array form is plan-equivalent by
+    // construction (a pair with support ≥2 implies both items have
+    // support ≥2, so the A-Priori item prune never changes the output —
+    // it only bounds intermediate work; at corpora where baskets are
+    // large, reinstate the per-basket array_intersect with the broadcast
+    // frequent-item set before expansion). Confidence is integer-division
+    // percent; the lift>1 test is an exact integer cross-multiplication
+    // (pair·N > cnt_a·cnt_b), no floating division anywhere. Item-count
+    // joins are broadcast (minsup pruning keeps them small); the 1-row
+    // basket-count scalar is a labeled broadcast-NLJ, the allowed pattern
+    // for scalar subqueries.
     Q("q_assoc_rules",
       """WITH baskets AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
         |ic AS (SELECT item, count(*) AS cnt FROM baskets GROUP BY item HAVING count(*) >= 2),
@@ -81,18 +87,23 @@ object MiningOps {
         |  (pair_cnt * 100) // cnt_a AS conf_pct,
         |  CAST(pair_cnt * n_baskets > cnt_a * cnt_b AS INT) AS lift_gt1
         |FROM j""".stripMargin) { (s, d) =>
-      val baskets = lineitem(s, d)
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("item")).distinct()
-      val itemCnt = baskets.groupBy("item").agg(count(lit(1)).as("cnt"))
+      val arr = lineitem(s, d)
+        .groupBy(col("l_orderkey").as("bk"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+        .persist() // feeds supports, the N scalar AND pair expansion; harness-released
+      val itemCnt = arr.select(explode(col("items")).as("item"))
+        .groupBy("item").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2)
-      val fb = baskets.join(broadcast(itemCnt.select("item")), Seq("item"), "left_semi")
-      val pairs = fb.select(col("bk"), col("item").as("item_a"))
-        .join(fb.select(col("bk"), col("item").as("item_b")), Seq("bk"))
-        .filter(col("item_a") < col("item_b"))
+      val pairs = arr.select(explode(expr(
+          """flatten(transform(items, (x, i) ->
+            |  transform(slice(items, i + 2, size(items)),
+            |            y -> named_struct('item_a', x, 'item_b', y))))""".stripMargin))
+          .as("p"))
+        .select(col("p.item_a"), col("p.item_b"))
         .groupBy("item_a", "item_b").agg(count(lit(1)).as("pair_cnt"))
         .filter(col("pair_cnt") >= 2)
       // 1-row scalar (labeled broadcast-NLJ, same license as q17-style scalars)
-      val nB = baskets.agg(count_distinct(col("bk")).as("n_baskets"))
+      val nB = arr.agg(count(lit(1)).as("n_baskets"))
       pairs
         .join(broadcast(itemCnt.select(col("item").as("item_a"), col("cnt").as("cnt_a"))), Seq("item_a"))
         .join(broadcast(itemCnt.select(col("item").as("item_b"), col("cnt").as("cnt_b"))), Seq("item_b"))
