@@ -717,31 +717,28 @@ object Dedup {
     * from earlier documents.
     *
     * The reference design (suffix arrays, single machine) cannot shuffle;
-    * here the gram stream is keyed by md5 of the joined tokens — an
-    * engine-portable fingerprint — so duplicate detection is two
-    * hash-partitioned aggregations over (doc, gram) pairs, each keyed on
-    * a 32-char digest rather than raw text. That stream is k× the token
-    * count pre-distinct: the honest cost of EXACT substring matching (no
-    * banding shortcut exists — this is the exact complement to the
-    * MinHash family above). All outputs are integer/boolean → bit-exact
-    * cross-engine. */
+    * here the gram stream comes from the native [[ShingleHashes]] kernel
+    * (one codegen'd pass per document, distinct sorted 64-bit gram
+    * hashes — the same tokenization as `split(trim(text), '\\s+')`), so
+    * duplicate detection is two hash-partitioned aggregations over
+    * (doc, gram) pairs keyed on 8-byte longs — not 32-char digests, and
+    * with no corpus-wide distinct (the kernel dedups within doc). That
+    * stream is k× the token count: the honest cost of EXACT substring
+    * matching (no banding shortcut exists — this is the exact complement
+    * to the MinHash family above). All outputs are integer/boolean →
+    * bit-exact cross-engine; the DuckDB oracle replays STRING grams, so
+    * counts agree unless XXH64 collides on the observed gram population
+    * (~10⁻¹³ at sf0.1 — the same contract `q_dedup_minhash` relies on,
+    * and a collision would fail the hash compare, not pass silently). */
   def spanStats(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     require(k >= 2, s"span gram size must be >= 2, got $k")
-    val toks = docs.select(col(idCol).as("doc_id"),
-      split(trim(col(textCol)), "\\s+").as("toks"))
-    // Spark's sequence(1, n) DESCENDS for n < 1 — the short-doc case must
-    // short-circuit to an empty gram list, not a [1, 0] sequence
-    val gramList = expr(
-      s"""CASE WHEN size(toks) >= $k
-         |  THEN transform(sequence(1, size(toks) - ${k - 1}),
-         |         i -> md5(array_join(slice(toks, i, $k), ' ')))
-         |  ELSE array() END""".stripMargin)
-    // persist the distinct (doc, gram-digest) pairs: both the gram stats
-    // and the per-doc rollup consume them — without this each leg re-scans
-    // and re-hashes the corpus text. Released before returning (the output
+    // persist the (doc, gram-hash) pairs: both the gram stats and the
+    // per-doc rollup consume them — without this each leg re-scans and
+    // re-hashes the corpus text. Released before returning (the output
     // is a few ints per doc, cheap to checkpoint eagerly).
-    val pg = toks.select(col("doc_id"), explode(gramList).as("g")).distinct()
+    val pg = docs.select(col(idCol).as("doc_id"),
+        explode(shingleHashes(col(textCol), k)).as("g"))
       .persist()
     val stats = pg.groupBy("g")
       .agg(count(lit(1)).as("nd"), min("doc_id").as("first_doc"))

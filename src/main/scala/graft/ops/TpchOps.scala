@@ -53,25 +53,25 @@ object TpchOps {
         |  JOIN region ON n_regionkey = r_regionkey
         |WHERE p_size < 15 AND r_name = 'ASIA'
         |ORDER BY cost_fp, p_partkey, s_suppkey LIMIT 100""".stripMargin) { (s, d) =>
-      // ps feeds BOTH the per-part min and the rejoin; without the persist
-      // the branches prune different columns, defeat exchange reuse, and
-      // SCAN LINEITEM TWICE — at 100 TB persisting the (part, supplier)
-      // aggregate (orders of magnitude smaller than the fact table) is
-      // the right trade. Storage is released by the harness's clearCache
-      // between queries (same license as q_corpus_golden's dd.persist).
+      // The per-part minimum is a WINDOW over the (part, supplier)
+      // aggregate, not a second groupBy self-joined back: the oracle's
+      // ps⋈mn states the semantics, but the window form keeps it ONE
+      // pipeline — one fact scan, one (part,supp) shuffle, one window
+      // pass by part — with no persist and no join, and it stays the
+      // right plan at 100 TB (the window input is the aggregate, orders
+      // of magnitude smaller than the fact table).
       val ps = lineitem(s, d).filter(col("l_quantity") > 0)
         .groupBy("l_partkey", "l_suppkey")
         .agg(min(floor(col("l_extendedprice") / col("l_quantity") * 10000d + 0.5d)
           .cast("long")).as("cost_fp"))
-        .persist()
-      val mn = ps.groupBy(col("l_partkey").as("mp"))
-        .agg(min(col("cost_fp")).as("min_fp"))
       val asiaNations = nation(s, d)
         .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey").as("rn_key"), col("n_name"))
       ps
-        .join(mn, col("l_partkey") === col("mp") && col("cost_fp") === col("min_fp"))
+        .withColumn("min_fp", min(col("cost_fp")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")))
+        .filter(col("cost_fp") === col("min_fp"))
         .join(broadcast(part(s, d).filter(col("p_size") < 15)
           .select("p_partkey", "p_name")), col("l_partkey") === col("p_partkey"))
         .join(broadcast(supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")),
