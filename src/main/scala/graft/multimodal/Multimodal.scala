@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: PNG/JPEG payloads are decoded with the JDK's
   * `javax.imageio` (header-only reads for metadata, full decode for pixel
   * access), batched inside `mapPartitions` — binary column in, typed
-  * values out, no driver materialization. Audio/video decode remains a
-  * DETERMINISTIC STUB (no codec libraries in this container): features
-  * derive from payload bytes via a seeded hash mix, with the production
-  * shape — schema up front, bounded batches — kept real. */
+  * values out, no driver materialization. AUDIO decode is REAL for
+  * WAV/PCM ([[parseWav]]/[[wavProbe]]/[[wavDecimate]] — RIFF needs no
+  * codec library). Compressed audio/VIDEO decode remains a DETERMINISTIC
+  * STUB (no codec libraries in this container): features derive from
+  * payload bytes via a seeded hash mix, with the production shape —
+  * schema up front, bounded batches — kept real. */
 object Multimodal {
 
   /** Typed metadata carried alongside every media payload. */
@@ -199,6 +201,154 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // ======================= audio: REAL WAV/PCM ===========================
+
+  /** Deterministic fixture WAV: 16-bit mono PCM at 8 kHz, a full RIFF
+    * container (fmt + data chunks). `n = 256 + id mod 512` samples;
+    * `sample[i] = ((id·2654435761 + i·40503) mod 2¹⁶) − 2¹⁵` — pure id
+    * functions, so the DuckDB oracle can recompute every decoded value. */
+  private[multimodal] def encodeWav(seed: Long, n: Int, rate: Int): Array[Byte] = {
+    val dataSize = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataSize)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(rate); bb.putInt(rate * 2); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      bb.putShort((java.lang.Math.floorMod(seed + i.toLong * 40503L, 65536L) - 32768L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  def withWavPayload(df: DataFrame, idCol: String): DataFrame = {
+    val enc = udf((id: Long) =>
+      encodeWav(id * 2654435761L, 256 + (id % 512).toInt, 8000))
+    df.withColumn("payload", enc(col(idCol).cast("long")))
+  }
+
+  /** REAL WAV parser: walks the RIFF chunk list (tolerating extra chunks
+    * and odd-size padding per the spec), reads the fmt geometry and the
+    * 16-bit little-endian PCM frames. Pure JVM byte work — PCM needs no
+    * codec library, which is why the audio path gets a real decode while
+    * compressed video stays a labeled stub. */
+  private[graft] def parseWav(bytes: Array[Byte]): (Int, Array[Short]) = {
+    require(bytes.length >= 44 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+      "payload is not a RIFF/WAVE container")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(12)
+    var rate = -1
+    var samples: Array[Short] = null
+    while (bb.remaining >= 8) {
+      val tag = new String(
+        Array(bb.get(), bb.get(), bb.get(), bb.get()).map(b => (b & 0xff).toChar))
+      val size = bb.getInt
+      tag match {
+        case "fmt " =>
+          val fmtStart = bb.position()
+          val audioFormat = bb.getShort; val channels = bb.getShort
+          rate = bb.getInt
+          bb.getInt; bb.getShort // byteRate, blockAlign
+          val bits = bb.getShort
+          require(audioFormat == 1 && channels == 1 && bits == 16,
+            s"only 16-bit mono PCM supported (fmt=$audioFormat ch=$channels bits=$bits)")
+          bb.position(fmtStart + size + (size & 1))
+        case "data" =>
+          val n = size / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) { out(i) = bb.getShort; i += 1 }
+          samples = out
+        case _ => bb.position(bb.position() + size + (size & 1)) // skip + pad
+      }
+    }
+    require(rate > 0 && samples != null, "missing fmt or data chunk")
+    (rate, samples)
+  }
+
+  /** REAL batched audio decode + signal features over WAV payloads:
+    * sample count / rate / integer duration, peak |amplitude|, energy
+    * (Σ s² — exact in a long at any realistic clip length: 2³⁰ per
+    * sample × 10⁷ samples ≪ 2⁶³), and the zero-crossing count (the
+    * classic cheap voiced/unvoiced discriminator). ALL-INTEGER outputs →
+    * bit-exact cross-engine; consumers derive RMS/ZCR-rate by dividing
+    * the exact numerators. Batched `mapPartitions` like the image path. */
+  def wavProbe(df: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("duration_ms", LongType),
+      StructField("peak", LongType),
+      StructField("sum_sq", LongType),
+      StructField("zero_cross", LongType)))
+    val pre = df.select(col(idCol).cast("long"), col(payloadCol))
+    pre.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (rate, s) = parseWav(r.getAs[Array[Byte]](1))
+          var peak = 0L; var sumSq = 0L; var zc = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            sumSq += v * v
+            if (i > 0 && ((s(i - 1) < 0) != (v < 0))) zc += 1
+            i += 1
+          }
+          Row(r.getLong(0), rate, s.length.toLong,
+            s.length.toLong * 1000L / rate, peak, sumSq, zc)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL audio downsample by integer decimation: keep every `factor`-th
+    * PCM frame and re-emit a VALID WAV at rate/factor (header rewritten,
+    * frames re-packed) — an actual signal transform, not a metadata
+    * stub. (No anti-alias filter: plain decimation, stated contract;
+    * exact and portable.) Payload in, payload out, so it composes with
+    * [[wavProbe]] and round-trips through parquet binary columns. */
+  def wavDecimate(df: DataFrame, idCol: String, payloadCol: String,
+      factor: Int, batchSize: Int = 256): DataFrame = {
+    require(factor >= 1, s"decimation factor must be >= 1, got $factor")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val pre = df.select(col(idCol).cast("long"), col(payloadCol))
+    pre.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (rate, s) = parseWav(r.getAs[Array[Byte]](1))
+          val n = (s.length + factor - 1) / factor
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) { out(i) = s(i * factor); i += 1 }
+          val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + n * 2)
+          bb.put("WAVE".getBytes("US-ASCII"))
+          bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+          bb.putShort(1); bb.putShort(1)
+          bb.putInt(rate / factor); bb.putInt(rate / factor * 2)
+          bb.putShort(2); bb.putShort(16)
+          bb.put("data".getBytes("US-ASCII")); bb.putInt(n * 2)
+          var j = 0
+          while (j < n) { bb.putShort(out(j)); j += 1 }
+          Row(r.getLong(0), bb.array())
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** STUB decoder: deterministic pseudo-features from payload bytes.
     * Replace with a real codec (JPEG/WAV/MP4 demux) in production. */
   private[multimodal] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
@@ -241,7 +391,9 @@ object Multimodal {
       col("meta.kind"), lit(w).as("width"), lit(h).as("height"),
       col("meta.sample_rate"), col("meta.n_frames")))
 
-  /** STUB audio resample to `rate` Hz — metadata analogue of [[resize]]. */
+  /** STUB audio resample to `rate` Hz — metadata analogue of [[resize]],
+    * for COMPRESSED payloads only; WAV/PCM gets the real transform in
+    * [[wavDecimate]]. */
   def resample(df: DataFrame, rate: Int): DataFrame =
     df.withColumn("meta", struct(
       col("meta.kind"), col("meta.width"), col("meta.height"),

@@ -23,7 +23,61 @@ object StreamMediaOps {
     s.read.parquet(p)
   }
 
+  /** WAV payload fixture, staged once per source dir like [[pngFixture]]. */
+  private val wavDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def wavFixture(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val p = wavDirs.computeIfAbsent(d, _ => {
+      val w = java.nio.file.Files.createTempDirectory("graft_wav").toString
+      Multimodal.withWavPayload(Tables(s, d, "documents").select("doc_id"), "doc_id")
+        .write.mode("overwrite").parquet(w)
+      w
+    })
+    s.read.parquet(p)
+  }
+
+  /** Oracle CTEs recomputing the WAV fixture's PCM stream from its id
+    * formulas: sample[i] = ((id·2654435761 + i·40503) mod 2¹⁶) − 2¹⁵,
+    * n = 256 + id mod 512 — a hash match proves the RIFF encode→decode
+    * round-trip recovered rate, length and every 16-bit sample exactly. */
+  private def wavOracle(stride: Int, rate: Int): String =
+    s"""WITH d AS (SELECT doc_id, doc_id * 2654435761 AS seed,
+       |    256 + doc_id % 512 AS n FROM documents),
+       |s AS (SELECT doc_id, n, i,
+       |    ((seed + i * 40503) % 65536) - 32768 AS v
+       |  FROM d, unnest(generate_series(0, n - 1)) AS u(i)
+       |  WHERE i % $stride = 0),
+       |z AS (SELECT doc_id, n, v,
+       |    CASE WHEN lag(v) OVER w IS NULL THEN 0
+       |         WHEN (lag(v) OVER w < 0) <> (v < 0) THEN 1 ELSE 0 END AS zc
+       |  FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+       |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+       |    CAST(max(abs(v)) AS BIGINT) AS peak,
+       |    CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+       |    CAST(sum(zc) AS BIGINT) AS zero_cross
+       |  FROM z GROUP BY doc_id)
+       |SELECT doc_id, CAST($rate AS INT) AS sample_rate, n_samples,
+       |  (n_samples * 1000) // $rate AS duration_ms, peak, sum_sq, zero_cross
+       |FROM a""".stripMargin
+
   val all: Seq[Q] = Seq(
+
+    // ---- REAL WAV/PCM decode + integer signal features --------------------
+    // Fixture WAVs are full RIFF containers generated per doc_id; the
+    // probe walks the chunk list and reads the 16-bit PCM frames back.
+    // peak/energy/zero-crossings are all-integer -> bit-exact.
+    Q("q_audio_decode", wavOracle(stride = 1, rate = 8000)) { (s, d) =>
+      Multimodal.wavProbe(wavFixture(s, d), "doc_id", "payload")
+    },
+
+    // ---- REAL audio downsample: decimate 2x, re-emit valid WAV, probe ----
+    // The decimated payload is itself a parseable RIFF file at 4 kHz;
+    // the oracle replays the same every-2nd-sample stream, so the hash
+    // only matches if the rewrite kept header and frames consistent.
+    Q("q_audio_resample", wavOracle(stride = 2, rate = 4000)) { (s, d) =>
+      Multimodal.wavProbe(
+        Multimodal.wavDecimate(wavFixture(s, d), "doc_id", "payload", factor = 2),
+        "doc_id", "payload")
+    },
 
     // ---- multimodal image decode: REAL PNGs through javax.imageio --------
     // Fixture PNGs are generated per doc_id (dimensions and pixels are

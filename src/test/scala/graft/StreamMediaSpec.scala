@@ -207,4 +207,49 @@ class StreamMediaSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty,
       "imageNearDupDHash must release its hash cache")
   }
+
+  test("WAV round-trip: encode -> parse recovers rate and every sample") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 7L, 511L, 513L)
+    val df = Multimodal.withWavPayload(ids.toDF("doc_id"), "doc_id")
+    val probed = Multimodal.wavProbe(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    ids.foreach { id =>
+      val n = 256 + (id % 512).toInt
+      val ref = (0 until n).map(i =>
+        (java.lang.Math.floorMod(id * 2654435761L + i.toLong * 40503L, 65536L) - 32768L))
+      val peak = ref.map(math.abs).max
+      val sumSq = ref.map(v => v * v).sum
+      val zc = ref.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      assert(probed(id) == ((8000, n.toLong, n.toLong * 1000 / 8000, peak, sumSq, zc.toLong)),
+        s"id $id")
+    }
+  }
+
+  test("wavDecimate emits a valid half-rate WAV equal to every-2nd-sample") {
+    import spark.implicits._
+    val df = Multimodal.withWavPayload(Seq(3L, 300L).toDF("doc_id"), "doc_id")
+    val dec = Multimodal.wavDecimate(df, "doc_id", "payload", factor = 2)
+    dec.collect().foreach { r =>
+      val id = r.getLong(0)
+      val (rate, s) = Multimodal.parseWav(r.getAs[Array[Byte]](1))
+      assert(rate == 4000)
+      val n = 256 + (id % 512).toInt
+      val ref = (0 until n by 2).map(i =>
+        (java.lang.Math.floorMod(id * 2654435761L + i.toLong * 40503L, 65536L) - 32768L).toShort)
+      assert(s.toSeq == ref, s"id $id decimated samples")
+    }
+  }
+
+  test("parseWav rejects non-RIFF payloads and truncated containers") {
+    intercept[IllegalArgumentException] {
+      Multimodal.parseWav("definitely not a wav".getBytes ++ new Array[Byte](40))
+    }
+    // valid header tag but no chunks -> missing fmt/data must be caught
+    val bare = java.nio.ByteBuffer.allocate(44)
+    bare.put("RIFF".getBytes); bare.putInt(36); bare.put("WAVE".getBytes)
+    intercept[IllegalArgumentException] { Multimodal.parseWav(bare.array()) }
+  }
 }
