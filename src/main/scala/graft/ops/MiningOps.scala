@@ -193,6 +193,44 @@ object MiningOps {
         num("m_pd", "s_p", "s_d").as("cov_pd_num"))
     },
 
+    // ---- robust per-group statistics: median, MAD, winsorized mean --------
+    // The outlier-resistant profiling trio. Median and the p05/p95 fences
+    // come from one grouped percentile pass; MAD and the winsorized mean
+    // need the per-row |x − median| / clamp, so the tiny per-group stats
+    // frame broadcasts back onto the fact and a second grouped pass
+    // finishes — two fact scans total, no window over raw rows. Exactness:
+    // Spark `percentile` and DuckDB `quantile_cont` share the same
+    // sort-based linear interpolation (the q_percentile contract); the
+    // derived arithmetic (abs/clamp) is the same IEEE ops on identical
+    // operands, and the winsorized mean goes through the fixed-point
+    // dsum/count scheme.
+    Q("q_robust_stats",
+      s"""WITH m AS (SELECT o_orderstatus AS st,
+         |    quantile_cont(o_totalprice, 0.5) AS med,
+         |    quantile_cont(o_totalprice, 0.05) AS p05,
+         |    quantile_cont(o_totalprice, 0.95) AS p95
+         |  FROM orders GROUP BY 1)
+         |SELECT st AS o_orderstatus, max(med) AS med, max(p05) AS p05,
+         |  max(p95) AS p95,
+         |  quantile_cont(abs(o_totalprice - med), 0.5) AS mad,
+         |  ${Tables.oSum("least(greatest(o_totalprice, p05), p95)")} / count(*) AS wmean
+         |FROM orders JOIN m ON o_orderstatus = st
+         |GROUP BY st""".stripMargin) { (s, d) =>
+      val m = orders(s, d).groupBy(col("o_orderstatus").as("st")).agg(
+        expr("percentile(o_totalprice, 0.5)").as("med"),
+        expr("percentile(o_totalprice, 0.05)").as("p05"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"))
+      orders(s, d).join(broadcast(m), col("o_orderstatus") === col("st"))
+        .groupBy(col("st"))
+        .agg(max(col("med")).as("med"), max(col("p05")).as("p05"),
+          max(col("p95")).as("p95"),
+          expr("percentile(abs(o_totalprice - med), 0.5)").as("mad"),
+          Tables.davg(least(greatest(col("o_totalprice"), col("p05")), col("p95")))
+            .as("wmean"))
+        .select(col("st").as("o_orderstatus"), col("med"), col("p05"),
+          col("p95"), col("mad"), col("wmean"))
+    },
+
     // ---- bounded-window exponential decay (EWMA) feature ------------------
     // Per-user time-decay smoothing with binary half-life weights over the
     // last 8 events: num = Σ_{k=0..7} v_{t-k}·2^{7-k}, den = Σ present

@@ -107,6 +107,37 @@ class MiningOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_robust_stats matches brute-force median/MAD/winsorized mean") {
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val pos = p * (s.length - 1)
+      val lo = pos.toInt
+      if (lo == s.length - 1) s(lo)
+      else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+    }
+    val byStatus = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    val got = q("q_robust_stats").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // ~==: the in-memory reference interpolates in a different FP op
+    // order than Spark's percentile (last-bit differences); cross-ENGINE
+    // exactness is what the DuckDB oracle hash proves — this spec guards
+    // the algorithm, so a 1e-12 relative band is the right contract.
+    def ~==(a: Double, b: Double) = math.abs(a - b) <= 1e-12 * math.max(1.0, math.abs(b))
+    byStatus.foreach { case (st, xs) =>
+      val v = xs.map(_._2).toSeq
+      val (med, p05, p95) = (pct(v, 0.5), pct(v, 0.05), pct(v, 0.95))
+      val r = got(st)
+      assert(~==(r.getDouble(1), med) && ~==(r.getDouble(2), p05) &&
+        ~==(r.getDouble(3), p95), s"$st fences")
+      assert(~==(r.getDouble(4), pct(v.map(x => math.abs(x - med)), 0.5)), s"$st mad")
+      val clamped = v.map(x => math.min(math.max(x, p05), p95))
+      val wmean = clamped.map(x => math.floor(x * 10000 + 0.5).toLong).sum / 10000.0 / v.length
+      assert(~==(r.getDouble(5), wmean), s"$st wmean")
+    }
+  }
+
   test("q_ewma: first event per user is pure value; weights sum correctly") {
     val rows = q("q_ewma").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
