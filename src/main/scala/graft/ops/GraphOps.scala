@@ -51,8 +51,28 @@ object GraphOps {
     r
   }
 
+  /** Bounded k-hop BFS: exact minimum hop distance from a seed set,
+    * `iters` synchronous frontier expansions. Each iteration is ONE join
+    * of the current distance table onto the edge list plus a min-combine
+    * — the BSP shape every distributed graph engine runs; distances and
+    * hop arithmetic are all BIGINT, so results are engine-identical.
+    * Nodes unreached within `iters` hops are absent (no sentinel row).
+    * The caller should pass a persisted edge frame (it is scanned once
+    * per hop). */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to iters) {
+      val step = edges.join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist"))
+      dist = dist.unionAll(step).groupBy("node").agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
+
   private def lineitem(s: SparkSession, d: String) = Tables(s, d, "lineitem")
   private def orders(s: SparkSession, d: String)   = Tables(s, d, "orders")
+  private def supplier(s: SparkSession, d: String) = Tables(s, d, "supplier")
 
   /** The 3-iteration oracle: DuckDB replays the identical integer
     * arithmetic CTE-by-CTE. */
@@ -94,6 +114,43 @@ object GraphOps {
       pageRank(edges, iters = 3)
         .orderBy(col("rank").desc, col("node")).limit(100)
         .select("node", "rank")
+    },
+
+    // ---- bounded BFS: hop distance from nation-3 suppliers ----------------
+    // Same customer(2k) <-> supplier(2k+1) trade graph as q_pagerank;
+    // seeds are nation-3 suppliers (a nation populated at every fixture
+    // SF — seed emptiness would be a scale-dependent predicate). Three
+    // frontier expansions; the oracle replays each hop as a CTE, exactly
+    // like the PageRank iteration oracle.
+    Q("q_bfs_hops", {
+      def hop(prev: String, out: String) =
+        s"""s$out AS (SELECT e.dst AS node, d.dist + 1 AS dist
+           |      FROM e JOIN d$prev d ON e.src = d.node),
+           |d$out AS (SELECT node, min(dist) AS dist FROM
+           |      (SELECT * FROM d$prev UNION ALL SELECT * FROM s$out) GROUP BY node)"""
+          .stripMargin
+      s"""WITH g AS (SELECT o_custkey AS c, l_suppkey AS s
+         |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY c, s),
+         |e AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM g
+         |      UNION ALL SELECT s * 2 + 1, c * 2 FROM g),
+         |d0 AS (SELECT s_suppkey * 2 + 1 AS node, CAST(0 AS BIGINT) AS dist
+         |      FROM supplier WHERE s_nationkey = 3),
+         |${hop("0", "1")},
+         |${hop("1", "2")},
+         |${hop("2", "3")}
+         |SELECT node, dist FROM d3""".stripMargin
+    }) { (s, d) =>
+      val g = lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .agg(count(lit(1)).as("w"))
+      val edges = g.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+        .unionAll(g.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+        .persist() // scanned once per hop; harness-released
+      val seeds = supplier(s, d).filter(col("s_nationkey") === 3)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      bfsHops(edges, seeds, iters = 3)
     }
   )
 }

@@ -53,4 +53,18 @@ class GraphOpsSpec extends AnyFunSuite {
     val r = ranks(edges)
     assert(r(1L) > r(2L), s"heavier-edge node must rank higher: $r")
   }
+
+  test("bfsHops: exact hop distances on a path + branch, unreached absent") {
+    import spark.implicits._
+    // 0-1-2-3-4 path with a branch 1-5; undirected via symmetric edges;
+    // node 9 is isolated (edge 9-10 in its own component)
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (9L, 10L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = GraphOps.bfsHops(edges, seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.sqlContext.clearCache()
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 5L -> 2L, 3L -> 3L),
+      s"wrong distances: $got") // 4 is 4 hops away -> absent at iters=3
+  }
 }
