@@ -28,6 +28,8 @@ object Verify {
   /** Slow tier from bench history, submitted first so the pool's tail is
     * short queries instead of a 4 s golden starting at minute N. */
   private val slowFirst = Seq(
+    "q_audio_decode", "q_audio_resample", "q_pagerank", "q_triangle",
+    "q_assoc_rules", "q_setsim_join", "q_dedup_span", "q_bfs_hops",
     "q_ann_int8_gate", "q_ann_int8", "q_stream_dedup_ingest",
     "q_stream_upsert", "q_stream_stream_join", "q_stream_left_join",
     "q_stream_session", "q_corpus_golden", "q_dedup_ngram",

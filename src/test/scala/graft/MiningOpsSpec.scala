@@ -25,11 +25,18 @@ class MiningOpsSpec extends AnyFunSuite {
     s
   }
 
-  private def q(name: String) =
-    SparkEntry.queries(name)(spark, sf)
+  /** Registry queries may persist under the harness-release license
+    * (e.g. q_assoc_rules' basket-array frame); the suites share one
+    * session, so release here — other suites assert cache emptiness. */
+  private def q(name: String) = {
+    val rows = SparkEntry.queries(name)(spark, sf)
+    val out = rows.collect()
+    spark.sqlContext.clearCache()
+    out
+  }
 
   test("q_join_full exercises BOTH null-emission sides and preserves matches") {
-    val rows = q("q_join_full").collect()
+    val rows = q("q_join_full")
     val leftOnly  = rows.count(r => !r.isNullAt(0) && r.isNullAt(2))
     val rightOnly = rows.count(r => r.isNullAt(0) && !r.isNullAt(2))
     val matched   = rows.count(r => !r.isNullAt(0) && !r.isNullAt(2))
@@ -52,7 +59,7 @@ class MiningOpsSpec extends AnyFunSuite {
       for (i <- items.indices; j <- i + 1 until items.length) yield (items(i), items(j))
     }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
       .filter(_._2 >= 2)
-    val got = q("q_assoc_rules").collect().map { r =>
+    val got = q("q_assoc_rules").map { r =>
       val (a, b, pc) = (r.getLong(0), r.getLong(1), r.getLong(2))
       val (ca, cb, nb) = (r.getLong(3), r.getLong(4), r.getLong(5))
       // invariants: support bounded by item counts; counts/N consistent
@@ -80,7 +87,7 @@ class MiningOpsSpec extends AnyFunSuite {
         .toSeq.sortBy { case (p, n) => (-n, p) }.head
       seg -> ((pri, cnt))
     }
-    val got = q("q_mode").collect()
+    val got = q("q_mode")
       .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(got == want)
   }
@@ -95,7 +102,7 @@ class MiningOpsSpec extends AnyFunSuite {
     def cov(xs: Array[BigInt], ys: Array[BigInt]): BigInt =
       n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum
     val (qs, ps, ds) = (rows.map(_._1), rows.map(_._2), rows.map(_._3))
-    val r = q("q_cov_exact").collect().head
+    val r = q("q_cov_exact").head
     assert(r.getLong(0) == rows.length)
     assert(r.getLong(1) == qs.sum.toLong && r.getLong(2) == ps.sum.toLong &&
       r.getLong(3) == ds.sum.toLong)
@@ -118,7 +125,7 @@ class MiningOpsSpec extends AnyFunSuite {
     val byStatus = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderstatus", "o_totalprice").collect()
       .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
-    val got = q("q_robust_stats").collect()
+    val got = q("q_robust_stats")
       .map(r => r.getString(0) -> r).toMap
     // ~==: the in-memory reference interpolates in a different FP op
     // order than Spark's percentile (last-bit differences); cross-ENGINE
@@ -139,7 +146,7 @@ class MiningOpsSpec extends AnyFunSuite {
   }
 
   test("q_ewma: first event per user is pure value; weights sum correctly") {
-    val rows = q("q_ewma").collect()
+    val rows = q("q_ewma")
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
     val byUser = rows.groupBy(_._2)
     byUser.foreach { case (_, es) =>
