@@ -61,11 +61,23 @@ object GraphOps {
     * per hop). */
   def bfsHops(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+    // Unlike the PageRank loop (rank referenced ONCE per iteration, so a
+    // lazy chain is linear), each BFS iteration references `dist` TWICE
+    // (frontier join + carry-forward union) — left lazy, the lineage
+    // doubles per hop and evaluation goes exponential. So every round
+    // materializes eagerly and releases its predecessor: the BSP shape.
+    // The returned (final) frame stays persisted — harness-/caller-
+    // released like the other iterative-operator outputs.
+    var dist = seeds.select(col("node"), lit(0L).as("dist")).persist()
+    dist.count()
     for (_ <- 1 to iters) {
       val step = edges.join(dist, col("src") === col("node"))
         .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist"))
-      dist = dist.unionAll(step).groupBy("node").agg(min(col("dist")).as("dist"))
+      val next = dist.unionAll(step)
+        .groupBy("node").agg(min(col("dist")).as("dist")).persist()
+      next.count()
+      dist.unpersist()
+      dist = next
     }
     dist
   }
