@@ -201,6 +201,53 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL image crop (+ optional horizontal flip): decode, copy the
+    * `cw`×`ch` region at (x0, y0) — mirrored left-right when `flipH` —
+    * and re-encode as PNG. Crop/flip are the standard vision-augmentation
+    * pair and, unlike interpolating kernels, are EXACTLY specified
+    * (out(x, y) = src(x0 + (flipH ? cw-1-x : x), y0 + y)), so an oracle
+    * can recompute every output pixel from the source formula and verify
+    * the full decode→transform→encode→decode loop bit-exactly. Payloads
+    * smaller than the crop window fail loudly (require) rather than
+    * emitting a silently-clamped region. Batched like [[imageResize]]. */
+  def imageCrop(df: DataFrame, idCol: String, payloadCol: String,
+      x0: Int, y0: Int, cw: Int, ch: Int, flipH: Boolean = false,
+      batchSize: Int = 256): DataFrame = {
+    require(x0 >= 0 && y0 >= 0 && cw > 0 && ch > 0,
+      s"crop region must be non-negative with positive dims, got ($x0,$y0,$cw,$ch)")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val pre = df.select(col(idCol).cast("long"), col(payloadCol))
+    pre.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(img != null, s"payload of id $id is not a decodable image")
+          require(x0 + cw <= img.getWidth && y0 + ch <= img.getHeight,
+            s"crop ($x0,$y0,$cw,$ch) exceeds ${img.getWidth}x${img.getHeight} of id $id")
+          val out = new java.awt.image.BufferedImage(
+            cw, ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < ch) {
+            var x = 0
+            while (x < cw) {
+              val sx = if (flipH) x0 + cw - 1 - x else x0 + x
+              out.setRGB(x, y, img.getRGB(sx, y0 + y) & 0xFFFFFF)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Row(id, bos.toByteArray)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   // ======================= audio: REAL WAV/PCM ===========================
 
   /** Deterministic fixture WAV: 16-bit mono PCM at 8 kHz, a full RIFF

@@ -1,0 +1,255 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering and incremental-maintenance tranche: the operators a
+  * training-data platform runs CONTINUOUSLY rather than once — incremental
+  * aggregate maintenance (new data must not trigger a base rescan),
+  * mergeable distinct-count sketches (the cross-partition/cross-day
+  * cardinality primitive), categorical label indexing and the hashing-trick
+  * vectorizer (vocabulary-free featurization), sliding-window distinct
+  * counts, cross-source contamination overlap, and exact quantile
+  * normalization.
+  *
+  * Exactness discipline: integer / fixed-point outputs, or a final
+  * identical IEEE op on identical exact operands; probabilistic outputs
+  * (HLL) are gated behind deterministic error-bound booleans the oracle
+  * states as literals, with the exact counts carried alongside.
+  */
+object FeatureOps {
+
+  private def orders(s: SparkSession, d: String)    = Tables(s, d, "orders")
+  private def documents(s: SparkSession, d: String) = Tables(s, d, "documents")
+  private def events(s: SparkSession, d: String)    = Tables(s, d, "events")
+
+  /** ×10⁴ fixed-point (floor + 0.5 — the [[Tables.dsum]] device). */
+  private def fp4(c: Column): Column =
+    floor(c.cast("double") * 10000d + 0.5d).cast("long")
+
+  /** Portable md5-nibble hex decode (the q_shard_shuffle / q_table_checksum
+    * device): one SQL string both engines evaluate verbatim. */
+  private def nib(h: String, i: Int) =
+    s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
+
+  // Aggregate STATE for q_incr_agg, staged once per source dir: the
+  // grouped (cnt, fixed-point sum) partials over the base partition
+  // (o_orderdate < 1997-01-01), written to parquet exactly once. The
+  // incremental query then reads THIS state + scans only the delta —
+  // which is the operator's whole point: at 100 TB the base is never
+  // re-aggregated when a day of new data lands.
+  private val aggStateDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def aggState(s: SparkSession, d: String): DataFrame = {
+    val p = aggStateDirs.computeIfAbsent(d, _ => {
+      val w = java.nio.file.Files.createTempDirectory("graft_aggstate").toString
+      orders(s, d)
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum(fp4(col("o_totalprice"))).as("s_fp"))
+        .write.mode("overwrite").parquet(w)
+      w
+    })
+    s.read.parquet(p)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- incremental aggregate maintenance (materialized-view update) -----
+    // The lakehouse pattern for "keep a 100 TB rollup current": the base
+    // partition's grouped partials (count + exact fixed-point sum — both
+    // ASSOCIATIVE, so partials merge losslessly) are persisted once; when
+    // a delta lands, the update aggregates ONLY the delta and merges it
+    // with the state-sized frame — base-partition I/O is zero. The oracle
+    // recomputes the rollup from ALL rows, so a hash match proves
+    // merge(state, agg(delta)) == agg(base ∪ delta) exactly. Non-decomposable
+    // aggregates (exact median/ndv) need sketch-typed state instead —
+    // that path is q_hll_incremental below.
+    Q("q_incr_agg",
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  ${Tables.oSum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val delta = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum(fp4(col("o_totalprice"))).as("s_fp"))
+      aggState(s, d).unionByName(delta)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(sum(col("cnt")).as("n_orders"),
+          (sum(col("s_fp")) / 10000.0).cast("double").as("sum_price"))
+    },
+
+    // ---- mergeable HLL distinct-count sketches ----------------------------
+    // The incremental counterpart for COUNT DISTINCT (not decomposable into
+    // scalar partials): per-group DataSketches HLL sketches, whose union
+    // answers the global cardinality WITHOUT re-scanning groups — at scale
+    // these are persisted per day/partition and rolling windows are
+    // answered by sketch unions alone. HLL updates/merges are commutative,
+    // so the estimate is a pure function of the input value SET —
+    // deterministic per fixture — and the ±5% gate (~3σ at lgK=12; exact
+    // in sparse mode at these SFs) is an integer cross-multiplication the
+    // oracle states as a literal, with the exact counts checked alongside.
+    Q("q_hll_incremental",
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(1 AS INT) AS est_ok
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT '__all__' AS event_type, CAST(count(DISTINCT user_id) AS BIGINT),
+        |  CAST(1 AS INT)
+        |FROM events""".stripMargin) { (s, d) =>
+      val base = events(s, d).select(col("event_type"), col("user_id"))
+      val perType = base.groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+      val gate = (est: Column, exact: Column) =>
+        (abs(est - exact) * 20 <= exact).cast("int").as("est_ok")
+      val perRows = perType.select(col("event_type"), col("exact_users"),
+        gate(expr("hll_sketch_estimate(sk)"), col("exact_users")))
+      // union-of-sketches answers the global question from per-group state
+      // (1-row frames; the cross is a labeled scalar broadcast)
+      val allRow = base.agg(countDistinct(col("user_id")).as("exact_users"))
+        .crossJoin(broadcast(
+          perType.agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))))
+        .select(lit("__all__").as("event_type"), col("exact_users"),
+          gate(col("est"), col("exact_users")))
+      perRows.unionByName(allRow)
+    },
+
+    // ---- categorical label indexing (StringIndexer semantics) -------------
+    // Frequency-ordered label → contiguous index, the categorical-feature
+    // encode step. Label frames are aggregation outputs (≤ distinct-count
+    // rows), so the unpartitioned row_number window runs over a frame of
+    // cardinality |labels| — NOT over data rows (the single-partition sort
+    // is over 5 and 20 rows here); the encode itself is two BROADCAST
+    // joins back onto the fact, no fact shuffle at all. Ties break
+    // lexicographically — deterministic on both engines by construction.
+    Q("q_label_index",
+      """WITH lc AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+        |li AS (SELECT lang, row_number() OVER (ORDER BY c DESC, lang) - 1 AS lang_idx FROM lc),
+        |sc AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+        |si AS (SELECT source, row_number() OVER (ORDER BY c DESC, source) - 1 AS source_idx FROM sc)
+        |SELECT doc_id, lang_idx, source_idx
+        |FROM documents JOIN li USING (lang) JOIN si USING (source)""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      def index(keyCol: String, idxName: String) = {
+        val cnt = docs.groupBy(keyCol).agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("c").desc, col(keyCol).asc)
+        cnt.select(col(keyCol),
+          (row_number().over(w).cast("long") - 1L).as(idxName))
+      }
+      docs.select("doc_id", "lang", "source")
+        .join(broadcast(index("lang", "lang_idx")), Seq("lang"))
+        .join(broadcast(index("source", "source_idx")), Seq("source"))
+        .select("doc_id", "lang_idx", "source_idx")
+    },
+
+    // ---- hashing-trick featurization (vocabulary-free) --------------------
+    // Tokens map straight to a fixed 256-bucket feature space via two md5
+    // nibbles — no vocabulary build, no label table, no shuffle to assign
+    // ids: the property that makes the hashing trick THE featurizer at
+    // 100 TB (the bucket expression is a pure per-row map; the only
+    // shuffle is the (doc, bucket) count, bounded by 256 rows per doc).
+    // The bucket arithmetic is the proven instr-nibble hex decode, one SQL
+    // string both engines evaluate verbatim.
+    Q("q_feature_hash", {
+      val bucket = s"(${nib("md5(tok)", 1)} * 16 + ${nib("md5(tok)", 2)})"
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents)
+         |SELECT doc_id, CAST($bucket AS INT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM t GROUP BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      val bucket = s"(${nib("md5(tok)", 1)} * 16 + ${nib("md5(tok)", 2)})"
+      documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), expr(bucket).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // ---- sliding 7-day distinct users (rolling-window cardinality) --------
+    // COUNT DISTINCT over a sliding frame can't run as a window function
+    // in either engine; the scale formulation is the anchor-explode: each
+    // distinct (user, day) pair contributes to its 7 anchor days, then one
+    // grouped distinct per anchor. Cost is 7× the DISTINCT-pair count —
+    // not 7× raw events — and every step is a hash aggregation (no sort,
+    // no self-join). For long windows swap the exact distinct for the HLL
+    // sketches above (union of 7 daily sketches).
+    Q("q_rolling_distinct",
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |e AS (SELECT user_id, d + CAST(i AS INT) AS day
+        |      FROM du, unnest(generate_series(0, 6)) AS t(i))
+        |SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS u7
+        |FROM e GROUP BY day""".stripMargin) { (s, d) =>
+      events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("i"), col("d"))
+        .select(col("user_id"), date_add(col("d"), col("i")).as("day"))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("u7"))
+    },
+
+    // ---- cross-source contamination overlap matrix ------------------------
+    // "How much verbatim content do my sources share?" — the governance
+    // question behind decontamination and source weighting. Word-8-gram
+    // fingerprints (native ShingleHashes kernel — long keys, dedup within
+    // doc) aggregate to per-gram sorted source SETS (bounded by #sources,
+    // collect_set dedups map-side), and the pair expansion is a per-row
+    // array comprehension — ONE shuffle on gram keys, never a gram-table
+    // self-join. Counts agree with the oracle's string-gram replay unless
+    // XXH64 collides on the observed gram population (~10⁻¹³ at sf0.1 —
+    // the q_dedup_span contract; a collision fails the hash compare, it
+    // cannot pass silently).
+    Q("q_source_overlap",
+      """WITH t AS (SELECT doc_id, source,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT DISTINCT source, md5(array_to_string(toks[i:i+7], ' ')) AS g
+        |      FROM t, unnest(CASE WHEN len(toks) >= 8
+        |                     THEN generate_series(1, len(toks) - 7)
+        |                     ELSE [] END) AS u(i))
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val sets = documents(s, d)
+        .select(col("source"), explode(graft.dedup.Dedup.shingleHashes(col("text"), 8)).as("g"))
+        .groupBy("g").agg(sort_array(collect_set(col("source"))).as("ss"))
+      sets.select(explode(expr(
+          """flatten(transform(ss, (x, i) ->
+            |  transform(slice(ss, i + 2, size(ss)),
+            |            y -> named_struct('src_a', x, 'src_b', y))))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    },
+
+    // ---- exact quantile normalization (percent_rank) ----------------------
+    // Feature scaling to [0, 1] by within-group rank: pr = (rank−1)/(n−1)
+    // restated over its INTEGER operands (rank ties on equal prices are
+    // resolved identically by both engines' rank()), so the only float is
+    // one identical IEEE division. One sort shuffle per group — at 100 TB
+    // swap the exact rank for interpolation against approx_percentile
+    // fences; the exact form is the correctness anchor that variant is
+    // validated against.
+    Q("q_percent_rank",
+      """WITH r AS (SELECT o_orderkey, o_orderstatus,
+        |    rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS rk,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderstatus,
+        |  CAST(rk - 1 AS BIGINT) AS pr_num, CAST(n - 1 AS BIGINT) AS pr_den,
+        |  CAST(rk - 1 AS DOUBLE) / (n - 1) AS pr
+        |FROM r""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+      val wc = Window.partitionBy("o_orderstatus")
+      orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+          rank().over(w).cast("long").as("rk"),
+          count(lit(1)).over(wc).as("n"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("rk") - 1).as("pr_num"), (col("n") - 1).as("pr_den"),
+          ((col("rk") - 1).cast("double") / (col("n") - 1)).as("pr"))
+    }
+  )
+}

@@ -261,6 +261,26 @@ object StreamMediaOps {
       Multimodal.imageProbe(
         Multimodal.imageResize(pngFixture(s, d), "doc_id", "payload", w = 12, h = 10),
         "doc_id", "payload")
+    },
+
+    // ---- REAL image crop + horizontal flip (augmentation pair) ------------
+    // Each fixture PNG (min 8x8) is cropped to the 6x5 region at (1, 2)
+    // and mirrored left-right, then re-encoded; the probe re-decodes and
+    // reads the output corners. out(x,y) = src(1 + 5 - x, 2 + y), so
+    // p00 = src(6,2) = seed + 31*6 + 17*2 and pwh = out(5,4) = src(1,6)
+    // = seed + 31 + 17*6 — the oracle recomputes both from the fixture's
+    // pixel formula, proving the decode→crop→flip→encode→decode loop
+    // pixel-exact (a clamped or off-by-one crop, or an unflipped copy,
+    // cannot hash-match).
+    Q("q_multimodal_crop",
+      """SELECT doc_id, CAST(6 AS INT) AS width, CAST(5 AS INT) AS height,
+        |  (doc_id * 2654435761 + 220) % 16777216 AS p00,
+        |  (doc_id * 2654435761 + 133) % 16777216 AS pwh
+        |FROM documents""".stripMargin) { (s, d) =>
+      Multimodal.imageProbe(
+        Multimodal.imageCrop(pngFixture(s, d), "doc_id", "payload",
+          x0 = 1, y0 = 2, cw = 6, ch = 5, flipH = true),
+        "doc_id", "payload")
     }
   )
 }
