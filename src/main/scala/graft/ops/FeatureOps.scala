@@ -225,6 +225,60 @@ object FeatureOps {
         .agg(count(lit(1)).as("n_shared"))
     },
 
+    // ---- time-series OHLC downsampling (bar aggregation) ------------------
+    // Per (user, day) open/high/low/close + volume — the canonical
+    // downsample for metric/trade streams. The scale shape is ONE hash
+    // aggregation with map-side combine: open/close are min/max over
+    // (ts, event_id, value) STRUCTS (lexicographic on the unique
+    // (ts, event_id) prefix — first/last without any window sort), the
+    // rest are plain aggregates; the oracle states the same bars via
+    // row_number windows, which is exactly the double-sort formulation
+    // the operator avoids. Values pass through unmodified (exact
+    // compare); the sum goes through the fixed-point scheme.
+    Q("q_ohlc",
+      s"""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
+         |  FROM events),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rn_a,
+         |    row_number() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn_d
+         |  FROM e)
+         |SELECT user_id, day,
+         |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+         |  max(value) AS high, min(value) AS low,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  ${Tables.oSum("value")} AS sum_value
+         |FROM r GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("open"),
+          max(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("close"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          count(lit(1)).as("n_events"),
+          Tables.dsum(col("value")).as("sum_value"))
+    },
+
+    // ---- k-anonymity audit (privacy / governance) -------------------------
+    // Quasi-identifier group sizes over (nation, market segment): any
+    // group smaller than k=5 re-identifies its members and must be
+    // suppressed or generalized before release. One hash aggregation on
+    // the QI tuple — the audit is exactly a grouped count at any scale;
+    // the violation flag is an integer the oracle restates.
+    Q("q_k_anon",
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS group_size,
+        |  CAST(count(*) < 5 AS INT) AS violates_k5
+        |FROM customer GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Tables(s, d, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("group_size"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("group_size"),
+          (col("group_size") < 5).cast("int").as("violates_k5"))
+    },
+
     // ---- exact quantile normalization (percent_rank) ----------------------
     // Feature scaling to [0, 1] by within-group rank: pr = (rank−1)/(n−1)
     // restated over its INTEGER operands (rank ties on equal prices are

@@ -652,6 +652,26 @@ object PipelineOps {
         approx, minRecall = 0.8)
     },
 
+    // ---- ANN: product quantization + exact re-rank, recall-gated ----------
+    // The 32×-compression tier: corpus vectors become m=8 codebook indices
+    // (Ann.pqTopK — seeded-deterministic per-subspace Euclidean k-means,
+    // codegen'd HOF encode, per-query ADC lookup tables), ADC prunes the
+    // corpus to a 50-candidate shortlist per query, and exact cosine
+    // re-ranks only the shortlist (Ann.pqTopKReranked — the FAISS-style
+    // recipe; raw ADC cannot order in-cluster near-ties, measured ≈0.3
+    // recall@5 vs 1.0 re-ranked). Gated like the other approximate tiers
+    // on the clustered fixture (PQ on pure-noise vectors would gate
+    // nothing — same rationale as q_ann_ivf).
+    Q("q_ann_pq",
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 8") { (s, d) =>
+      val emb = clusteredEmb(s, d)
+      val queries = emb.filter(col("vec_id") < 8)
+      val approx = Ann.pqTopKReranked(emb, queries, k = 5, dim = 64,
+        m = 8, ksub = 32, candidates = 50)
+      Ann.recallAtKFrom(annTruth(s, d, "clustered", clusteredEmb(s, d)),
+        approx, minRecall = 0.8)
+    },
+
     // ---- ANN: PERSISTED IVF index (build once, probe many) ----------------
     // The production split: quantizer fit + cell assignment paid at build
     // time, the corpus laid out PARTITIONED BY cell so a probe batch reads

@@ -245,6 +245,21 @@ object StreamMediaOps {
       Streams.streamStreamLeftJoin(s, d)
     },
 
+    // ---- stream-stream FULL OUTER join ------------------------------------
+    // Left keeps ids not divisible by 3, right keeps even ids, so the
+    // fixture exercises matched rows AND both null-emission directions
+    // (odd non-div-3 → NULL value; div-6 → NULL event_type). Must equal
+    // the batch full outer join.
+    Q("q_stream_full_join",
+      """SELECT coalesce(l.event_id, r.event_id) AS event_id,
+        |  l.event_type, r.value
+        |FROM (SELECT event_id, event_type FROM events WHERE event_id % 3 <> 0) l
+        |FULL OUTER JOIN (
+        |  SELECT event_id, value FROM events WHERE event_id % 2 = 0) r
+        |  ON l.event_id = r.event_id""".stripMargin) { (s, d) =>
+      Streams.streamStreamFullJoin(s, d)
+    },
+
     // ---- REAL image resize: decode -> resample -> re-encode -> decode -----
     // Each fixture PNG is nearest-neighbor resized to 12x10 and re-encoded;
     // the probe then re-decodes and reads corner pixels. The oracle

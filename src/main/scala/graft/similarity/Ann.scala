@@ -342,6 +342,156 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** Per-subspace PQ codebooks: the vector is split into `m` contiguous
+    * subvectors and each subspace gets `ksub` centroids from a EUCLIDEAN
+    * k-means on the same bounded deterministic sample as
+    * [[trainCentroids]] (xxhash64-ordered limit — no full-corpus sort at
+    * scale). All driver arithmetic is sequential with deterministic
+    * tie-breaks (strict < keeps the lowest index), so codebooks — and
+    * every code derived from them — are bit-stable for a (corpus, seed).
+    * Returns cb(s)(j) = centroid j of subspace s. */
+  private[graft] def trainPqCodebooks(c: DataFrame, dim: Int, m: Int,
+      ksub: Int, seed: Long, iters: Int = 10): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val sampleN = math.min(math.max(ksub * 32, 256), 4096)
+    val pts = c.orderBy(xxhash64(col("neighbor_id"), lit(seed)).asc,
+        col("neighbor_id").asc).limit(sampleN).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    Array.tabulate(m) { s0 =>
+      val sub = pts.map(_.slice(s0 * dsub, (s0 + 1) * dsub))
+      def l2(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var i = 0
+        while (i < dsub) { val t = a(i) - b(i); d += t * t; i += 1 }
+        d
+      }
+      val kk = math.min(ksub, sub.length)
+      val rnd = new scala.util.Random(seed * 31 + s0)
+      val centers = scala.collection.mutable.ArrayBuffer(sub(rnd.nextInt(sub.length)))
+      while (centers.length < kk) {
+        val d2 = sub.map(p => centers.map(l2(p, _)).min)
+        val total = d2.sum
+        if (total == 0.0) centers += sub(rnd.nextInt(sub.length))
+        else {
+          var r = rnd.nextDouble() * total; var i = 0
+          while (i < d2.length - 1 && r >= d2(i)) { r -= d2(i); i += 1 }
+          centers += sub(i)
+        }
+      }
+      var cents = centers.toArray
+      var it = 0
+      while (it < iters) {
+        val assign = sub.map { p =>
+          var best = 0; var bd = Double.MaxValue; var ci = 0
+          while (ci < cents.length) {
+            val d0 = l2(p, cents(ci)); if (d0 < bd) { bd = d0; best = ci }; ci += 1
+          }
+          best
+        }
+        cents = Array.tabulate(cents.length) { ci =>
+          val members = sub.indices.filter(assign(_) == ci)
+          if (members.isEmpty) {
+            val worst = sub.indices.maxBy(i => l2(sub(i), cents(assign(i))))
+            sub(worst)
+          } else {
+            val mvec = new Array[Double](dsub)
+            members.foreach { i =>
+              val p = sub(i); var j = 0
+              while (j < dsub) { mvec(j) += p(j); j += 1 }
+            }
+            mvec.map(_ / members.length)
+          }
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** Product-quantization ANN (ADC): the 32×-compression scale path for a
+    * 100 TB embedding corpus. The corpus is ENCODED once — per subspace,
+    * the L2-nearest codeword index (an argmin fold over codegen'd
+    * higher-order functions on broadcast codebook literals; `m` bytes
+    * replace `4·dim` — here 8 codes for 256 float bytes), and queries
+    * score candidates by Asymmetric Distance Computation: each query
+    * precomputes a `m×ksub` lookup table of exact subvector dots (on its
+    * own 1-row broadcast side), and a corpus row's score is `m` table
+    * lookups — no float vector ever leaves the scan. Same plan shape as
+    * [[bruteForceTopK]]: broadcast queries, one corpus-code scan, bounded
+    * [[TopKByScore]] partial agg. Ranking is approximate vs float cosine
+    * (the recall gate measures it); the output is deterministic: codebook
+    * training is seeded-sequential, argmin ties keep the lowest codeword
+    * (strict <), and ranking ties break on neighbor_id. At scale the code
+    * table is materialized next to the corpus (the [[buildIvfIndex]]
+    * split) and composes with IVF cells for IVF-PQ. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      m: Int = 8, ksub: Int = 16, seed: Long = 42L): DataFrame = {
+    val c = Par.ensureMin(asFloatVec(corpus.toDF("neighbor_id", "c_vec"), "c_vec"))
+    val cb = trainPqCodebooks(c, dim, m, ksub, seed)
+    val dsub = dim / m
+    def cbLit(s0: Int): Column =
+      array(cb(s0).map(row => array(row.map(lit): _*)): _*)
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+    // corpus side: per-subspace argmin_j L2(sub, cb[s][j]) — strict < keeps
+    // the lowest index on exact ties, matching the driver-side encoder
+    def encode(s0: Int): Column = {
+      val sub = slice(col("c_vec"), s0 * dsub + 1, dsub)
+      def d2(j: Column): Column =
+        aggregate(zip_with(sub, element_at(cbLit(s0), (j + 1).cast("int")),
+          (x, cc) => { val t = x.cast("double") - cc; t * t }),
+          lit(0.0), (acc, x) => acc + x)
+      aggregate(sequence(lit(0), lit(ksub - 1)),
+        struct(lit(-1).as("j"), lit(Double.MaxValue).as("d")),
+        (acc, j) => when(d2(j) < acc.getField("d"),
+          struct(j.cast("int").as("j"), d2(j).as("d"))).otherwise(acc))
+        .getField("j")
+    }
+    val coded = c.select(col("neighbor_id"),
+      array((0 until m).map(encode): _*).as("codes"))
+    // query side: ADC lookup table lut(s)(j) = dot(q_sub_s, cb[s][j])
+    def lut(s0: Int): Column = {
+      val sub = slice(col("q_vec"), s0 * dsub + 1, dsub)
+      transform(sequence(lit(0), lit(ksub - 1)),
+        j => dot(sub, element_at(cbLit(s0), (j + 1).cast("int"))))
+    }
+    val q = broadcast(asFloatVec(queries.toDF("query_id", "q_vec"), "q_vec")
+      .select(col("query_id"), array((0 until m).map(lut): _*).as("lut")))
+    val score = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s0) => acc + element_at(
+        element_at(col("lut"), (s0 + 1).cast("int")),
+        (element_at(col("codes"), (s0 + 1).cast("int")) + 1).cast("int")))
+    val scored = q.join(coded, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), score.as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** PQ candidate generation + EXACT re-rank — the production PQ recipe:
+    * ADC over the compressed codes prunes the corpus to `candidates`
+    * rows per query (the only stage that scans all N vectors, touching m
+    * bytes each), then exact cosine re-scores just the shortlist (an
+    * equi-join point lookup of candidate float vectors — k·|queries|
+    * rows, negligible at any corpus size). PQ alone cannot ORDER
+    * near-ties (reconstruction error exceeds the score gaps between
+    * close neighbors — measured: raw ADC@5 ≈ 0.3 recall on the clustered
+    * fixture vs 1.0 after re-rank), which is exactly why FAISS-style
+    * systems always re-rank a shortlist; the shortlist's recall is the
+    * quantity PQ actually controls via (m, ksub, candidates). */
+  def pqTopKReranked(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      m: Int = 8, ksub: Int = 32, candidates: Int = 50,
+      seed: Long = 42L): DataFrame = {
+    require(candidates >= k, s"candidates $candidates must be >= k $k")
+    val shortlist = pqTopK(corpus, queries, candidates, dim, m, ksub, seed)
+      .select("query_id", "neighbor_id")
+    val q = broadcast(asFloatVec(queries.toDF("query_id", "q_vec"), "q_vec"))
+    val c = asFloatVec(corpus.toDF("neighbor_id", "c_vec"), "c_vec")
+    val rescored = shortlist.join(q, "query_id").join(c, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cos"))
+    rankTopK(rescored, k)
+  }
+
   /** Overlap gate for int8 ANN: |top-k(int8) ∩ top-k(float)| ≥ minOverlap
     * per query — the quantization-quality check, run in Verify (not
     * benched with the operator). */

@@ -252,6 +252,39 @@ object Streams {
         .writeStream
     }.filter(col("event_id") =!= -1L)
 
+  /** Stream-stream FULL OUTER join — completes the streaming join family:
+    * rows unmatched on EITHER side emit with NULLs for the other side's
+    * columns once the watermark passes their time + band (the same
+    * finalization rule as [[streamStreamLeftJoin]], now applied
+    * symmetrically: Spark holds both sides' state until the global
+    * watermark proves no in-band partner can still arrive). The side
+    * filters (left keeps ids with `id % 3 != 0`, right keeps even ids)
+    * make all three emission paths non-empty on the fixture: matched
+    * (even, not div-3), left-only (odd, not div-3), right-only (div-6).
+    * Both filters KEEP the `-1` sentinel — the watermark-stall gotcha
+    * documented on the left join applies to each side here. */
+  def streamStreamFullJoin(spark: SparkSession, dir: String,
+      band: String = "1 minute"): DataFrame =
+    runToParquet(spark, statePartitions = 4) { (s, _) =>
+      val l = stagedEventStream(s, dir)
+        .select(col("event_id").as("l_id"), col("ts").as("l_ts"),
+          col("event_type"))
+        .withWatermark("l_ts", "0 seconds")
+        .filter(col("l_id") % 3 =!= 0 || col("l_id") === -1L)
+      val r = stagedEventStream(s, dir)
+        .select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+          col("value"))
+        .withWatermark("r_ts", "0 seconds")
+        .filter(col("r_id") % 2 === 0 || col("r_id") === -1L)
+      l.join(r, expr(
+          s"""l_id = r_id AND
+             |r_ts >= l_ts - interval $band AND
+             |r_ts <= l_ts + interval $band""".stripMargin), "full_outer")
+        .select(coalesce(col("l_id"), col("r_id")).as("event_id"),
+          col("event_type"), col("value"))
+        .writeStream
+    }.filter(col("event_id") =!= -1L)
+
   /** Streaming UPSERT via foreachBatch — the production pattern for
     * "merge this stream into a table": each micro-batch deduplicates
     * itself on `keyCols`, then merges into the target table keeping

@@ -156,6 +156,46 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("q_ohlc struct-min open/close equals the window formulation") {
+    import spark.implicits._
+    val ev = graft.ops.Tables(spark, sf, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), to_date(col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    val ref = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nmax", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), to_date(col("ts")))))
+      .filter(col("rn") === 1 || col("rn") === col("nmax"))
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(struct(col("rn"), col("value"))).getField("value").as("open"),
+        max(struct(col("rn"), col("value"))).getField("value").as("close"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val got = q("q_ohlc").map(r => (r.getLong(0), r.getDate(1).toString) ->
+      (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got == ref)
+  }
+
+  test("PQ codebook training is deterministic; re-rank output is a shortlist subset") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 4)
+    val a = graft.similarity.Ann.pqTopK(emb, queries, k = 10, dim = 64,
+      m = 8, ksub = 16).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val b = graft.similarity.Ann.pqTopK(emb, queries, k = 10, dim = 64,
+      m = 8, ksub = 16).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sameElements(b), "PQ ranking must be bit-deterministic")
+    val short = graft.similarity.Ann.pqTopK(emb, queries, k = 20, dim = 64,
+      m = 8, ksub = 16).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rer = graft.similarity.Ann.pqTopKReranked(emb, queries, k = 5, dim = 64,
+      m = 8, ksub = 16, candidates = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rer.forall(short.contains), "re-ranked ids must come from the ADC shortlist")
+    assert(rer.groupBy(_._1).forall(_._2.length == 5))
+  }
+
   test("q_percent_rank: pr spans [0,1] per group and ties share a rank") {
     val rows = q("q_percent_rank")
     val byGroup = rows.groupBy(_.getString(1))
