@@ -279,6 +279,47 @@ object FeatureOps {
           (col("group_size") < 5).cast("int").as("violates_k5"))
     },
 
+    // ---- deterministic negative sampling (contrastive pairs) --------------
+    // k=4 pseudo-random non-matching partners per document for contrastive
+    // / triplet training, with NO RNG state: documents are ranked inside
+    // 16 hash shards (the proven q_shard_shuffle device), and partners sit
+    // at ring offsets (pos−1+j) mod shardSize — hash order makes ring
+    // neighbors a uniform draw, determinism makes the epoch reproducible
+    // across runs, engines, and cluster sizes. Plan: ONE shard shuffle,
+    // a 16-row broadcast of shard sizes, and a (shard, pos) equi-join —
+    // no RNG, no cross join, no global sort (each shard ranks
+    // independently). Self-pairing needs shardSize ≤ k (documented;
+    // shards are corpus/16 here).
+    Q("q_negative_pairs",
+      """WITH h AS (SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || 'neg') AS hh FROM documents),
+        |s AS (SELECT doc_id,
+        |    ((instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16 +
+        |     (instr('0123456789abcdef', substr(hh, 2, 1)) - 1)) % 16 AS shard,
+        |    hh FROM h),
+        |r AS (SELECT doc_id, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS pos
+        |  FROM s),
+        |z AS (SELECT shard, count(*) AS sz FROM r GROUP BY shard),
+        |p AS (SELECT r.doc_id, r.shard, CAST(j AS INT) AS j,
+        |    ((r.pos - 1 + j) % sz) + 1 AS npos
+        |  FROM r JOIN z USING (shard), unnest(generate_series(1, 4)) AS t(j))
+        |SELECT p.doc_id, j, r2.doc_id AS neg_id
+        |FROM p JOIN r r2 ON r2.shard = p.shard AND r2.pos = p.npos""".stripMargin) { (s, d) =>
+      val ranked = Scale.shardShuffle(
+        documents(s, d).select("doc_id"), "doc_id", nShards = 16, salt = "neg")
+      val sizes = ranked.groupBy("shard").agg(count(lit(1)).as("sz"))
+      val probes = ranked.join(broadcast(sizes), "shard")
+        .select(col("doc_id"), col("shard"),
+          explode(sequence(lit(1), lit(4))).as("j"), col("pos"), col("sz"))
+        .select(col("doc_id"), col("shard"), col("j"),
+          ((col("pos") - 1 + col("j")) % col("sz") + 1).as("npos"))
+      val partners = ranked.select(col("shard"), col("pos").as("npos"),
+        col("doc_id").as("neg_id"))
+      probes.join(partners, Seq("shard", "npos"))
+        .select(col("doc_id"), col("j"), col("neg_id"))
+    },
+
     // ---- exact quantile normalization (percent_rank) ----------------------
     // Feature scaling to [0, 1] by within-group rank: pr = (rank−1)/(n−1)
     // restated over its INTEGER operands (rank ties on equal prices are

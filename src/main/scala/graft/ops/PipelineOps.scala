@@ -672,6 +672,21 @@ object PipelineOps {
         approx, minRecall = 0.8)
     },
 
+    // ---- ANN: IVF-PQ (cells × codes — the composed billion-vector index) --
+    // IVF pruning bounds WHICH rows are scored (nProbe=4 of 16 cells), PQ
+    // codes bound WHAT each row costs (8 bytes + 8 lookups, no floats in
+    // the scan), exact cosine re-ranks the 50-candidate shortlist. Same
+    // recall gate as the component tiers on the clustered fixture.
+    Q("q_ann_ivfpq",
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 8") { (s, d) =>
+      val emb = clusteredEmb(s, d)
+      val queries = emb.filter(col("vec_id") < 8)
+      val approx = Ann.ivfPqTopK(emb, queries, k = 5, dim = 64,
+        nCells = 16, nProbe = 4, m = 8, ksub = 32, candidates = 50)
+      Ann.recallAtKFrom(annTruth(s, d, "clustered", clusteredEmb(s, d)),
+        approx, minRecall = 0.8)
+    },
+
     // ---- ANN: PERSISTED IVF index (build once, probe many) ----------------
     // The production split: quantizer fit + cell assignment paid at build
     // time, the corpus laid out PARTITIONED BY cell so a probe batch reads

@@ -428,18 +428,33 @@ object Ann {
       m: Int = 8, ksub: Int = 16, seed: Long = 42L): DataFrame = {
     val c = Par.ensureMin(asFloatVec(corpus.toDF("neighbor_id", "c_vec"), "c_vec"))
     val cb = trainPqCodebooks(c, dim, m, ksub, seed)
-    val dsub = dim / m
-    def cbLit(s0: Int): Column =
-      array(cb(s0).map(row => array(row.map(lit): _*)): _*)
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
-    // corpus side: per-subspace argmin_j L2(sub, cb[s][j]) — strict < keeps
-    // the lowest index on exact ties, matching the driver-side encoder
-    def encode(s0: Int): Column = {
-      val sub = slice(col("c_vec"), s0 * dsub + 1, dsub)
+    val coded = c.select(col("neighbor_id"), pqEncode(cb, col("c_vec")).as("codes"))
+    val q = broadcast(asFloatVec(queries.toDF("query_id", "q_vec"), "q_vec")
+      .select(col("query_id"), pqLut(cb, col("q_vec")).as("lut")))
+    val scored = q.join(coded, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), pqAdcScore(cb.length).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** PQ building blocks shared by [[pqTopK]] and [[ivfPqTopK]]: codebook
+    * literal arrays ship with the plan; encode/LUT/score are codegen'd
+    * higher-order functions (no UDFs, no driver loops at query time). */
+  private def pqCbLit(cb: Array[Array[Array[Double]]], s0: Int): Column =
+    array(cb(s0).map(row => array(row.map(lit): _*)): _*)
+
+  private def pqDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Per-subspace argmin_j L2(sub, cb(s)(j)) over the vector column —
+    * strict < keeps the lowest index on exact ties, matching the
+    * driver-side trainer. Output: array<int> of m codes. */
+  private def pqEncode(cb: Array[Array[Array[Double]]], vec: Column): Column = {
+    val m = cb.length; val dsub = cb(0)(0).length; val ksub = cb(0).length
+    def one(s0: Int): Column = {
+      val sub = slice(vec, s0 * dsub + 1, dsub)
       def d2(j: Column): Column =
-        aggregate(zip_with(sub, element_at(cbLit(s0), (j + 1).cast("int")),
+        aggregate(zip_with(sub, element_at(pqCbLit(cb, s0), (j + 1).cast("int")),
           (x, cc) => { val t = x.cast("double") - cc; t * t }),
           lit(0.0), (acc, x) => acc + x)
       aggregate(sequence(lit(0), lit(ksub - 1)),
@@ -448,23 +463,63 @@ object Ann {
           struct(j.cast("int").as("j"), d2(j).as("d"))).otherwise(acc))
         .getField("j")
     }
-    val coded = c.select(col("neighbor_id"),
-      array((0 until m).map(encode): _*).as("codes"))
-    // query side: ADC lookup table lut(s)(j) = dot(q_sub_s, cb[s][j])
-    def lut(s0: Int): Column = {
-      val sub = slice(col("q_vec"), s0 * dsub + 1, dsub)
+    array((0 until m).map(one): _*)
+  }
+
+  /** ADC lookup table for a query vector: lut(s)(j) = dot(q_sub_s, cb(s)(j)). */
+  private def pqLut(cb: Array[Array[Array[Double]]], vec: Column): Column = {
+    val m = cb.length; val dsub = cb(0)(0).length; val ksub = cb(0).length
+    def one(s0: Int): Column = {
+      val sub = slice(vec, s0 * dsub + 1, dsub)
       transform(sequence(lit(0), lit(ksub - 1)),
-        j => dot(sub, element_at(cbLit(s0), (j + 1).cast("int"))))
+        j => pqDot(sub, element_at(pqCbLit(cb, s0), (j + 1).cast("int"))))
     }
-    val q = broadcast(asFloatVec(queries.toDF("query_id", "q_vec"), "q_vec")
-      .select(col("query_id"), array((0 until m).map(lut): _*).as("lut")))
-    val score = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+    array((0 until m).map(one): _*)
+  }
+
+  /** ADC score = Σ_s lut(s)(codes(s)) over the joined (lut, codes) row. */
+  private def pqAdcScore(m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
       (acc, s0) => acc + element_at(
         element_at(col("lut"), (s0 + 1).cast("int")),
         (element_at(col("codes"), (s0 + 1).cast("int")) + 1).cast("int")))
-    val scored = q.join(coded, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), score.as("cos"))
-    rankTopK(scored, k)
+
+  /** IVF-PQ: the composed production index for billion-vector corpora —
+    * IVF coarse cells bound WHICH rows are scored (each query probes
+    * `nProbe` of `nCells` cells, pruning ~(1 − nProbe/nCells) of the
+    * corpus), PQ codes bound WHAT each scored row costs (m bytes + m
+    * table lookups, no float vector in the scan), and the exact re-rank
+    * restores ordering on the shortlist (the [[pqTopKReranked]] recipe).
+    * Both models are seeded-deterministic bounded fits; at scale the
+    * (cell_id, codes) table is what gets persisted — partitioned by cell
+    * like [[buildIvfIndex]] — so a probe reads nProbe cell directories
+    * of m-byte codes: the two pruning axes multiply. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nCells: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 32,
+      candidates: Int = 50, seed: Long = 42L): DataFrame = {
+    require(candidates >= k, s"candidates $candidates must be >= k $k")
+    val c = Par.ensureMin(asFloatVec(corpus.toDF("neighbor_id", "c_vec"), "c_vec"))
+    val cents = trainCentroids(c, nCells, seed)
+    val cellIds = Array.tabulate(cents.length)(_.toLong)
+    def nearest(vec: Column, n: Int) = GraftBridge.column(
+      NearestCells(GraftBridge.expression(vec), cellIds, cents, n))
+    val cb = trainPqCodebooks(c, dim, m, ksub, seed)
+    val coded = c.select(col("neighbor_id"),
+      element_at(nearest(col("c_vec"), 1), 1).as("cell_id"),
+      pqEncode(cb, col("c_vec")).as("codes"))
+    val q = broadcast(asFloatVec(queries.toDF("query_id", "q_vec"), "q_vec")
+      .select(col("query_id"), pqLut(cb, col("q_vec")).as("lut"),
+        explode(nearest(col("q_vec"), nProbe)).as("cell_id")))
+    val scored = q.join(coded, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), pqAdcScore(m).as("cos"))
+    val shortlist = rankTopK(scored, candidates)
+      .select("query_id", "neighbor_id")
+    val qv = broadcast(asFloatVec(queries.toDF("query_id", "q_vec"), "q_vec"))
+    val rescored = shortlist.join(qv, "query_id").join(c, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cos"))
+    rankTopK(rescored, k)
   }
 
   /** PQ candidate generation + EXACT re-rank — the production PQ recipe:

@@ -196,6 +196,19 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(rer.groupBy(_._1).forall(_._2.length == 5))
   }
 
+  test("q_negative_pairs: 4 distinct non-self partners per doc, reproducible") {
+    val a = q("q_negative_pairs").map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val b = q("q_negative_pairs").map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sorted.sameElements(b.sorted), "epoch must be reproducible")
+    assert(a.forall { case (d, _, n) => d != n }, "no self-pairs")
+    val byDoc = a.groupBy(_._1)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(byDoc.size == nDocs)
+    assert(byDoc.forall(_._2.length == 4))
+    assert(byDoc.forall(_._2.map(_._3).distinct.length == 4),
+      "ring offsets 1..4 must give 4 distinct partners when shards are larger than k")
+  }
+
   test("q_percent_rank: pr spans [0,1] per group and ties share a rank") {
     val rows = q("q_percent_rank")
     val byGroup = rows.groupBy(_.getString(1))
