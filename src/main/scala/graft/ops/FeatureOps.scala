@@ -279,6 +279,74 @@ object FeatureOps {
           (col("group_size") < 5).cast("int").as("violates_k5"))
     },
 
+    // ---- smoothed target encoding (mean encoding) -------------------------
+    // The categorical-feature workhorse for tabular models: category →
+    // smoothed target mean (sum_c + m·prior) / (n_c + m), shrinking rare
+    // categories toward the global prior (m = 10 virtual rows). Two
+    // aggregations (per-category + the 1-row global prior as a labeled
+    // broadcast), never a per-row pass. Exactness: sums are fixed-point
+    // BIGINTs, and the encode is ONE identical IEEE expression over
+    // exact integer operands — the prior division folds into the
+    // cross-multiplied form (10000·(s_c·1 + 10·s_g/n_g…)) restated so
+    // both engines evaluate the same operand tree: enc = (s_c/10⁴ +
+    // 10·(s_g/10⁴/n_g)) / (n_c + 10) with every sub-term exact.
+    Q("q_target_encode",
+      """WITH g AS (SELECT CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS s_g,
+        |    CAST(count(*) AS BIGINT) AS n_g FROM orders),
+        |c AS (SELECT o_orderpriority,
+        |    CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS s_c,
+        |    CAST(count(*) AS BIGINT) AS n_c
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, n_c, s_c, n_g, s_g,
+        |  (s_c / 10000.0 + 10 * (s_g / 10000.0 / n_g)) / (n_c + 10) AS enc
+        |FROM c CROSS JOIN g""".stripMargin) { (s, d) =>
+      val sfp = sum(fp4(col("o_totalprice")))
+      val g = orders(s, d).agg(sfp.as("s_g"), count(lit(1)).as("n_g"))
+      val c = orders(s, d).groupBy("o_orderpriority")
+        .agg(sfp.as("s_c"), count(lit(1)).as("n_c"))
+      c.crossJoin(broadcast(g))
+        .select(col("o_orderpriority"), col("n_c"), col("s_c"),
+          col("n_g"), col("s_g"),
+          ((col("s_c") / 10000.0 + lit(10) * (col("s_g") / 10000.0 / col("n_g")))
+            / (col("n_c") + 10)).as("enc"))
+    },
+
+    // ---- per-group OLS trend lines (one aggregation pass) -----------------
+    // Slope/intercept of value vs hour-of-day per event type, from the
+    // SAME exact-moment machinery as q_cov_exact: one scan, one grouped
+    // aggregate of (n, Σx, Σy, Σxy, Σx²) with x integer and y fixed-point
+    // BIGINT, then slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) as two exact BIGINT
+    // numerators (output) plus one identical IEEE division. The window-
+    // free single-pass shape is the point: per-key trend fitting over
+    // 100 TB of telemetry is a grouped agg, not a regression library.
+    Q("q_ols_group",
+      """WITH f AS (SELECT event_type,
+        |    CAST(extract(hour FROM ts) AS BIGINT) AS x,
+        |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM f GROUP BY 1)
+        |SELECT event_type, n, sx, sy, sxy, sxx,
+        |  n * sxy - sx * sy AS slope_num, n * sxx - sx * sx AS slope_den,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS slope
+        |FROM a""".stripMargin) { (s, d) =>
+      val x = hour(col("ts")).cast("long")
+      val y = fp4(col("value"))
+      val a = events(s, d).select(col("event_type"), x.as("x"), y.as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      a.select(col("event_type"), col("n"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+    },
+
     // ---- deterministic negative sampling (contrastive pairs) --------------
     // k=4 pseudo-random non-matching partners per document for contrastive
     // / triplet training, with NO RNG state: documents are ranked inside
