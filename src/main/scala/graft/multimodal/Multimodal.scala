@@ -396,6 +396,220 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // ================ video: REAL uncompressed AVI (DIB/BI_RGB) ============
+
+  /** Deterministic fixture VIDEO: a complete RIFF/AVI container holding
+    * `n` UNCOMPRESSED 24-bit BGR frames ('00db' DIB chunks, bottom-up
+    * rows, 4-byte row stride — the standard BI_RGB layout). Raw-frame AVI
+    * is a real, spec-complete format that needs NO codec library — the
+    * same reason the audio path decodes WAV/PCM for real while compressed
+    * codecs stay labeled stubs. pixel(x, y, f) = (seed + 31x + 17y + 73f)
+    * mod 2²⁴ — pure id functions, so an oracle recomputes every decoded
+    * value. */
+  private[multimodal] def encodeAvi(seed: Long, w: Int, h: Int, n: Int): Array[Byte] = {
+    def pix(x: Int, y: Int, f: Int): Int =
+      (java.lang.Math.floorMod(seed + 31L * x + 17L * y + 73L * f, 16777216L)).toInt
+    encodeAviFrames(w, h, (0 until n).map(f =>
+      Array.tabulate(w * h)(i => pix(i % w, i / w, f))))
+  }
+
+  /** Write a complete uncompressed AVI from row-major 24-bit RGB frames. */
+  private[graft] def encodeAviFrames(w: Int, h: Int,
+      framePixels: Seq[Array[Int]]): Array[Byte] = {
+    val n = framePixels.length
+    val stride = (w * 3 + 3) & ~3
+    val frameSize = stride * h
+    val strf = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0) // BI_RGB
+      .putInt(frameSize).putInt(0).putInt(0).putInt(0).putInt(0)
+    val strh = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strh.put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(25) // scale, rate: 25 fps
+      .putInt(0).putInt(n).putInt(frameSize).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(0).putShort(0) // rcFrame
+    val avih = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(40000).putInt(frameSize * 25).putInt(0).putInt(0)
+      .putInt(n).putInt(0).putInt(1).putInt(frameSize)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(tag.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("LIST".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put(kind.getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    val strl = list("strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array()))
+    val hdrl = list("hdrl", chunk("avih", avih.array()) ++ strl)
+    val frames = framePixels.toArray.flatMap { f =>
+      val body = new Array[Byte](frameSize)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = f(y * w + x)
+          val off = (h - 1 - y) * stride + x * 3 // bottom-up rows
+          body(off) = (v & 0xFF).toByte             // B
+          body(off + 1) = ((v >> 8) & 0xFF).toByte  // G
+          body(off + 2) = ((v >> 16) & 0xFF).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      chunk("00db", body)
+    }
+    val movi = list("movi", frames)
+    val riffBody = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val out = java.nio.ByteBuffer.allocate(8 + riffBody.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffBody.length).put(riffBody)
+    out.array()
+  }
+
+  def withAviPayload(df: DataFrame, idCol: String): DataFrame = {
+    val enc = udf((id: Long) =>
+      encodeAvi(id * 2654435761L, 10, 8, 2 + (id % 4).toInt))
+    df.withColumn("payload", enc(col(idCol).cast("long")))
+  }
+
+  /** REAL AVI demux + frame decode: walks the RIFF chunk tree (LIST
+    * recursion, odd-size padding per spec), reads the stream format
+    * (BITMAPINFOHEADER — requires BI_RGB 24-bit, i.e. uncompressed DIB;
+    * compressed fourccs fail loudly rather than pretending), then decodes
+    * each '00db'/'00dc' movi chunk's bottom-up BGR rows into row-major
+    * 24-bit RGB ints. Pure JVM byte work, no codec library. Returns
+    * (width, height, frames), frames row-major top-down. */
+  private[graft] def parseAvi(bytes: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
+    require(bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I',
+      "payload is not a RIFF/AVI container")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var w = -1; var h = -1
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def tag4(): String = new String(
+      Array(bb.get(), bb.get(), bb.get(), bb.get()).map(b => (b & 0xff).toChar))
+    def walk(end: Int): Unit = {
+      while (bb.position() + 8 <= end) {
+        val tag = tag4()
+        val size = bb.getInt
+        val body = bb.position()
+        tag match {
+          case "LIST" =>
+            tag4() // list kind — recurse into every list
+            walk(body + size)
+          case "strf" =>
+            val p0 = bb.position()
+            bb.getInt // biSize
+            w = bb.getInt; h = bb.getInt
+            bb.getShort // planes
+            val bits = bb.getShort
+            val compression = bb.getInt
+            require(compression == 0 && bits == 24,
+              s"only uncompressed 24-bit DIB frames supported (BI_RGB), " +
+                s"got compression=$compression bits=$bits")
+            bb.position(p0)
+          case t if t.endsWith("db") || t.endsWith("dc") =>
+            val f = new Array[Byte](size)
+            bb.get(f)
+            frames += f
+            bb.position(body) // rewind; shared advance below
+          case _ => ()
+        }
+        bb.position(body + size + (size & 1))
+      }
+    }
+    bb.position(12)
+    walk(bytes.length)
+    require(w > 0 && h > 0, "missing strf stream format")
+    val stride = (w * 3 + 3) & ~3
+    val decoded = frames.map { f =>
+      require(f.length >= stride * h, s"frame chunk too short: ${f.length}")
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val off = (h - 1 - y) * stride + x * 3
+          out(y * w + x) = ((f(off + 2) & 0xFF) << 16) |
+            ((f(off + 1) & 0xFF) << 8) | (f(off) & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }.toArray
+    (w, h, decoded)
+  }
+
+  /** REAL batched video decode + per-frame features: geometry, corner
+    * pixels, and the exact integer RGB-sum (Σ(r+g+b) over the frame —
+    * the cheap brightness signal). One output row per (video, frame);
+    * `stride` keeps every stride-th frame, the frame-sampling knob a
+    * vision-preproc pipeline uses to cut decode volume. ALL-INTEGER
+    * outputs → bit-exact cross-engine. Batched like the image path. */
+  def aviProbe(df: DataFrame, idCol: String, payloadCol: String,
+      stride: Int = 1, batchSize: Int = 64): DataFrame = {
+    require(stride >= 1, s"frame stride must be >= 1, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_id", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("p00", LongType),
+      StructField("pwh", LongType),
+      StructField("sum_rgb", LongType)))
+    val pre = df.select(col(idCol).cast("long"), col(payloadCol))
+    pre.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val (w, h, frames) = parseAvi(r.getAs[Array[Byte]](1))
+          frames.iterator.zipWithIndex.filter(_._2 % stride == 0).map {
+            case (f, fi) =>
+              var s0 = 0L; var i = 0
+              while (i < f.length) {
+                val v = f(i)
+                s0 += ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+                i += 1
+              }
+              Row(r.getLong(0), fi / stride, w, h,
+                f(0).toLong, f(w * h - 1).toLong, s0)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL video frame-sampling transform: keep every `stride`-th frame
+    * and re-emit a VALID uncompressed AVI (headers rewritten with the new
+    * frame count) — payload in, payload out, so it composes with
+    * [[aviProbe]] and round-trips through parquet binary columns, the
+    * [[wavDecimate]] pattern applied to video. */
+  def aviFrameSample(df: DataFrame, idCol: String, payloadCol: String,
+      stride: Int, batchSize: Int = 64): DataFrame = {
+    require(stride >= 1, s"frame stride must be >= 1, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val pre = df.select(col(idCol).cast("long"), col(payloadCol))
+    pre.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (w, h, frames) = parseAvi(r.getAs[Array[Byte]](1))
+          val kept = frames.indices.filter(_ % stride == 0).map(frames)
+          Row(r.getLong(0), encodeAviFrames(w, h, kept))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** STUB decoder: deterministic pseudo-features from payload bytes.
     * Replace with a real codec (JPEG/WAV/MP4 demux) in production. */
   private[multimodal] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {

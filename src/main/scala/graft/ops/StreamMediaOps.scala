@@ -35,6 +35,40 @@ object StreamMediaOps {
     s.read.parquet(p)
   }
 
+  /** AVI payload fixture (uncompressed DIB frames), staged once per
+    * source dir like [[pngFixture]]. */
+  private val aviDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def aviFixture(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val p = aviDirs.computeIfAbsent(d, _ => {
+      val w = java.nio.file.Files.createTempDirectory("graft_avi").toString
+      Multimodal.withAviPayload(Tables(s, d, "documents").select("doc_id"), "doc_id")
+        .write.mode("overwrite").parquet(w)
+      w
+    })
+    s.read.parquet(p)
+  }
+
+  /** Oracle CTEs replaying the AVI fixture's pixel formula
+    * pixel(x,y,f) = (seed + 31x + 17y + 73f) mod 2²⁴ for frames f
+    * where f % `stride` = 0 — a hash match proves the RIFF demux +
+    * bottom-up BGR frame decode recovered geometry, corner pixels and
+    * every per-frame RGB sum exactly. */
+  private def aviOracle(stride: Int): String =
+    s"""WITH d AS (SELECT doc_id, doc_id * 2654435761 AS seed,
+       |    2 + doc_id % 4 AS n FROM documents),
+       |f AS (SELECT doc_id, seed, i AS orig FROM d,
+       |      unnest(generate_series(0, n - 1)) AS t(i) WHERE i % $stride = 0),
+       |p AS (SELECT doc_id, orig, x, y,
+       |    (seed + 31 * x + 17 * y + 73 * orig) % 16777216 AS v
+       |  FROM f, unnest(generate_series(0, 9)) AS tx(x),
+       |       unnest(generate_series(0, 7)) AS ty(y))
+       |SELECT doc_id, CAST(orig // $stride AS INT) AS frame_id,
+       |  CAST(10 AS INT) AS width, CAST(8 AS INT) AS height,
+       |  CAST(max(CASE WHEN x = 0 AND y = 0 THEN v END) AS BIGINT) AS p00,
+       |  CAST(max(CASE WHEN x = 9 AND y = 7 THEN v END) AS BIGINT) AS pwh,
+       |  CAST(sum((v // 65536) + ((v // 256) % 256) + (v % 256)) AS BIGINT) AS sum_rgb
+       |FROM p GROUP BY 1, 2""".stripMargin
+
   /** Oracle CTEs recomputing the WAV fixture's PCM stream from its id
     * formulas: sample[i] = ((id·2654435761 + i·40503) mod 2¹⁶) − 2¹⁵,
     * n = 256 + id mod 512 — a hash match proves the RIFF encode→decode
@@ -275,6 +309,30 @@ object StreamMediaOps {
         |FROM d""".stripMargin) { (s, d) =>
       Multimodal.imageProbe(
         Multimodal.imageResize(pngFixture(s, d), "doc_id", "payload", w = 12, h = 10),
+        "doc_id", "payload")
+    },
+
+    // ---- REAL video decode: RIFF/AVI demux + uncompressed frame decode ----
+    // Each fixture payload is a complete AVI container with 2-5 raw
+    // 24-bit DIB frames (bottom-up BGR rows, 4-byte stride — the
+    // codec-free video format, the exact analogue of WAV/PCM for audio).
+    // The probe demuxes the RIFF tree, decodes every frame, and emits
+    // all-integer per-frame features; the oracle replays the pixel
+    // formula, so a match proves the container walk AND the row/channel
+    // layout decode are sample-exact. Compressed video (H.264 etc.)
+    // remains the labeled stub — that genuinely needs codec libraries.
+    Q("q_video_decode", aviOracle(stride = 1)) { (s, d) =>
+      Multimodal.aviProbe(aviFixture(s, d), "doc_id", "payload")
+    },
+
+    // ---- REAL video frame sampling (decode → subsample → re-encode) -------
+    // Every 2nd frame is kept and a VALID uncompressed AVI re-emitted
+    // (headers rewritten), then re-decoded by the same probe — the full
+    // transform round trip a vision-preproc stage runs to cut decode
+    // volume, proven frame-exact by the stride-aware oracle replay.
+    Q("q_video_sample", aviOracle(stride = 2)) { (s, d) =>
+      Multimodal.aviProbe(
+        Multimodal.aviFrameSample(aviFixture(s, d), "doc_id", "payload", stride = 2),
         "doc_id", "payload")
     },
 

@@ -252,4 +252,44 @@ class StreamMediaSpec extends AnyFunSuite {
     bare.put("RIFF".getBytes); bare.putInt(36); bare.put("WAVE".getBytes)
     intercept[IllegalArgumentException] { Multimodal.parseWav(bare.array()) }
   }
+
+  test("AVI encode -> parse round-trips every frame pixel-exactly") {
+    val w = 10; val h = 8; val n = 3; val seed = 42L * 2654435761L
+    val bytes = Multimodal.encodeAviFrames(w, h, (0 until n).map(f =>
+      Array.tabulate(w * h)(i => (java.lang.Math.floorMod(
+        seed + 31L * (i % w) + 17L * (i / w) + 73L * f, 16777216L)).toInt)))
+    val (pw, ph, frames) = Multimodal.parseAvi(bytes)
+    assert(pw == w && ph == h && frames.length == n)
+    for (f <- 0 until n; y <- 0 until h; x <- 0 until w)
+      assert(frames(f)(y * w + x) == (java.lang.Math.floorMod(
+        seed + 31L * x + 17L * y + 73L * f, 16777216L)).toInt,
+        s"frame $f pixel ($x,$y)")
+  }
+
+  test("aviFrameSample keeps exactly the stride frames and emits a valid AVI") {
+    import spark.implicits._
+    val df = Multimodal.withAviPayload(Seq(5L).toDF("doc_id"), "doc_id") // 3 frames
+    val sampled = Multimodal.aviFrameSample(df, "doc_id", "payload", stride = 2)
+      .collect().head.getAs[Array[Byte]](1)
+    val (_, _, frames) = Multimodal.parseAvi(sampled)
+    assert(frames.length == 2) // frames 0 and 2 of 3
+    val seed = 5L * 2654435761L
+    assert(frames(0)(0) == java.lang.Math.floorMod(seed, 16777216L).toInt)
+    assert(frames(1)(0) == java.lang.Math.floorMod(seed + 73L * 2, 16777216L).toInt)
+  }
+
+  test("parseAvi fails loudly on compressed streams and non-AVI payloads") {
+    intercept[IllegalArgumentException] {
+      Multimodal.parseAvi("not an avi at all, sorry".getBytes ++ new Array[Byte](20))
+    }
+    // flip the compression field of a valid container to a fake fourcc
+    val ok = Multimodal.encodeAviFrames(4, 4, Seq(Array.fill(16)(0)))
+    val idx = {
+      // locate 'strf' chunk body: biCompression is at +16 of BITMAPINFOHEADER
+      val s2 = new String(ok.map(b => (b & 0xff).toChar))
+      s2.indexOf("strf") + 8 + 16
+    }
+    ok(idx) = 1 // BI_RLE8
+    intercept[IllegalArgumentException] { Multimodal.parseAvi(ok) }
+  }
 }
