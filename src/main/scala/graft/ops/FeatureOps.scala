@@ -279,6 +279,45 @@ object FeatureOps {
           (col("group_size") < 5).cast("int").as("violates_k5"))
     },
 
+    // ---- readability scoring (Flesch reading ease) ------------------------
+    // The classic document-quality heuristic a curation cascade thresholds
+    // on: words (the proven \s+ tokenization), sentences (non-blank
+    // [.!?]+ segments via the same HOF filter both engines run), and
+    // syllables (vowel-group count — the standard approximation). All
+    // three counts are exact integers; the Flesch score is ONE identical
+    // IEEE expression over them (guarded for empty docs). Pure per-row
+    // map — no shuffle at any scale.
+    Q("q_readability",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> length(x) > 0)) AS BIGINT) AS n_words,
+        |  CAST(greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+        |    x -> length(trim(x)) > 0)), 1) AS BIGINT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+        |  CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> length(x) > 0)) = 0 THEN 0.0
+        |    ELSE 206.835
+        |      - 1.015 * (CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0)) AS DOUBLE)
+        |        / greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'), x -> length(trim(x)) > 0)), 1))
+        |      - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+        |        / len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0)))
+        |  END AS flesch
+        |FROM documents""".stripMargin) { (s, d) =>
+      val words = size(filter(split(trim(col("text")), "\\s+"),
+        x => length(x) > 0)).cast("long")
+      val sentences = greatest(size(filter(split(col("text"), "[.!?]+"),
+        x => length(trim(x)) > 0)), lit(1)).cast("long")
+      val syllables = size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .cast("long")
+      documents(s, d).select(col("doc_id"),
+        words.as("n_words"), sentences.as("n_sentences"),
+        syllables.as("n_syllables"),
+        when(words === 0, lit(0.0)).otherwise(
+          lit(206.835)
+            - lit(1.015) * (words.cast("double") / sentences)
+            - lit(84.6) * (syllables.cast("double") / words)).as("flesch"))
+    },
+
     // ---- smoothed target encoding (mean encoding) -------------------------
     // The categorical-feature workhorse for tabular models: category →
     // smoothed target mean (sum_c + m·prior) / (n_c + m), shrinking rare
