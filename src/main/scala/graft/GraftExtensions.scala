@@ -68,6 +68,8 @@ object GraftExtensions {
       out += (name -> builder)
 
     register("simhash64") { args => SimHash64(args.head) }
+    register("nfc_normalize") { args => graft.functions.NfcNormalize(args.head) }
+    register("strip_accents") { args => graft.functions.StripAccents(args.head) }
     register("shingle_hashes") { args =>
       ShingleHashes(args(0), intLit(args(1), "shingle_hashes")) }
     register("char_ngram_hashes") { args =>

@@ -279,6 +279,47 @@ object FeatureOps {
           (col("group_size") < 5).cast("int").as("violates_k5"))
     },
 
+    // ---- Unicode canonicalization (NFC + accent strip) --------------------
+    // The normalization a web crawl runs BEFORE content hashing: "Café"
+    // arrives precomposed (U+00E9) and decomposed (e+U+0301) and the two
+    // hash differently while reading identically. Native codegen'd
+    // expressions (Spark has no built-in Unicode normalizer) implementing
+    // the same Unicode algorithms as DuckDB's nfc_normalize/strip_accents
+    // (java.text.Normalizer vs utf8proc — both Unicode-conformant, so
+    // outputs agree byte-for-byte). The fixture text is ASCII, so each
+    // doc gets DECOMPOSED accented tokens appended (chr-composed in the
+    // oracle, \\u-literals here — the same code points) to make the test
+    // real: n_raw > n_nfc proves composition actually happened. Pure
+    // per-row map; at scale this runs fused into the scan.
+    Q("q_unicode_norm",
+      """WITH t AS (SELECT doc_id,
+        |    substr(text, 1, 16) || ' nai' || chr(776) || 've Cafe' || chr(769)
+        |      || ' ' || chr(937) || chr(956) || chr(941) || chr(947) || chr(945)
+        |      || ' ' || chr(241) || 'and' || chr(250) AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(s) AS BIGINT) AS n_raw,
+        |  CAST(length(nfc_normalize(s)) AS BIGINT) AS n_nfc,
+        |  nfc_normalize(s) AS nfc,
+        |  strip_accents(nfc_normalize(s)) AS plain,
+        |  CAST(nfc_normalize(s) <> s AS INT) AS changed
+        |FROM t""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.GraftBridge
+      def nfc(c: Column) = GraftBridge.column(
+        graft.functions.NfcNormalize(GraftBridge.expression(c)))
+      def strip(c: Column) = GraftBridge.column(
+        graft.functions.StripAccents(GraftBridge.expression(c)))
+      val t = concat(substring(col("text"), 1, 16),
+        lit(" nai\u0308ve Cafe\u0301 \u03a9\u03bc\u03ad\u03b3\u03b1 \u00f1and\u00fa")) // decomposed i+U0308/e+U0301: the oracle chr() build
+      documents(s, d).select(col("doc_id"), t.as("s"))
+        .select(col("doc_id"),
+          length(col("s")).cast("long").as("n_raw"),
+          length(nfc(col("s"))).cast("long").as("n_nfc"),
+          nfc(col("s")).as("nfc"),
+          strip(nfc(col("s"))).as("plain"),
+          (nfc(col("s")) =!= col("s")).cast("int").as("changed"))
+    },
+
     // ---- readability scoring (Flesch reading ease) ------------------------
     // The classic document-quality heuristic a curation cascade thresholds
     // on: words (the proven \s+ tokenization), sentences (non-blank

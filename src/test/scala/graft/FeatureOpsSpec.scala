@@ -209,6 +209,22 @@ class FeatureOpsSpec extends AnyFunSuite {
       "ring offsets 1..4 must give 4 distinct partners when shards are larger than k")
   }
 
+  test("nfc_normalize composes decomposed sequences; strip_accents drops marks") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val row = Seq(("Cafe\u0301", "nai\u0308ve", "\u03a9\u03bc\u03ad\u03b3\u03b1", null: String))
+      .toDF("a", "b", "c", "n")
+      .selectExpr("nfc_normalize(a) AS a", "strip_accents(b) AS b",
+        "strip_accents(c) AS c", "nfc_normalize(n) AS n",
+        "length(nfc_normalize('Café')) AS l")
+      .collect().head
+    assert(row.getString(0) == "Caf\u00e9")      // e + U+0301 -> precomposed
+    assert(row.getString(1) == "naive")
+    assert(row.getString(2) == "\u03a9\u03bc\u03b5\u03b3\u03b1") // tonos dropped
+    assert(row.isNullAt(3))                       // null-safe
+    assert(row.getInt(4) == 4)
+  }
+
   test("q_percent_rank: pr spans [0,1] per group and ties share a rank") {
     val rows = q("q_percent_rank")
     val byGroup = rows.groupBy(_.getString(1))
