@@ -279,6 +279,47 @@ object FeatureOps {
           (col("group_size") < 5).cast("int").as("violates_k5"))
     },
 
+    // ---- time-weighted average (TWAP) -------------------------------------
+    // The irregular-sampling average: each observation holds until the
+    // next one (last-value-carried-forward), so the mean weights values by
+    // their µs holding duration, not by sample count — the correct
+    // aggregate for telemetry/prices sampled on change. One (user, day)
+    // window pass computes lead() durations, then the SAME partitioning
+    // feeds the grouped sum — one shuffle total. Exactness: durations are
+    // exact µs BIGINTs, values fixed-point, products accumulate in
+    // decimal(38,0)/HUGEINT, and twap is one identical IEEE division of
+    // the two exact integers (NULL for single-event groups — no span).
+    Q("q_twap",
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+        |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v FROM events),
+        |l AS (SELECT user_id, day, v,
+        |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur
+        |  FROM e WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id)),
+        |a AS (SELECT user_id, day,
+        |    sum(CAST(v AS HUGEINT) * dur) AS num,
+        |    CAST(sum(dur) AS BIGINT) AS den
+        |  FROM l WHERE dur IS NOT NULL GROUP BY 1, 2)
+        |SELECT user_id, day, CAST(num AS DOUBLE) AS num, den,
+        |  CASE WHEN den = 0 THEN NULL
+        |       ELSE CAST(num AS DOUBLE) / den / 10000.0 END AS twap
+        |FROM a""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+      val e = events(s, d).select(col("user_id"),
+        to_date(col("ts")).as("day"), col("ts"), col("event_id"),
+        fp4(col("value")).as("v"))
+      val l = e.withColumn("dur",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+        .filter(col("dur").isNotNull)
+      l.groupBy("user_id", "day")
+        .agg(sum((col("v").cast("decimal(38,0)") * col("dur"))).as("num0"),
+          sum(col("dur")).as("den"))
+        .select(col("user_id"), col("day"),
+          col("num0").cast("double").as("num"), col("den"),
+          when(col("den") === 0, lit(null).cast("double"))
+            .otherwise(col("num0").cast("double") / col("den") / 10000.0)
+            .as("twap"))
+    },
+
     // ---- Unicode canonicalization (NFC + accent strip) --------------------
     // The normalization a web crawl runs BEFORE content hashing: "Café"
     // arrives precomposed (U+00E9) and decomposed (e+U+0301) and the two

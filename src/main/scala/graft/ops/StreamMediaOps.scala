@@ -195,6 +195,19 @@ object StreamMediaOps {
         .groupBy("event_type").agg(count(lit(1)).as("n"))
     },
 
+    // ---- streaming dedup, watermark-BOUNDED state -------------------------
+    // dropDuplicatesWithinWatermark keys state on event_id ALONE (no
+    // event-time in the key — the time-agnostic dedup a redelivering bus
+    // needs) while the watermark still expires each key's state, keeping
+    // it bounded where plain dropDuplicates(event_id) would grow forever.
+    // The 2× replay must still collapse exactly to the batch table.
+    Q("q_stream_dedup_wm",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      Streams.dedupWithinWatermarkStream(s, d, keyCols = Seq("event_id"), replays = 2)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+    },
+
     // ---- stateful per-user counts (flatMapGroupsWithState, Append) --------
     // Custom bounded state: each user's count emits exactly once when the
     // watermark passes their last event, then the state drops. Must equal

@@ -165,6 +165,27 @@ object Streams {
         .writeStream
     }.filter(col("event_type") =!= SentinelType)
 
+  /** Watermark-BOUNDED time-agnostic dedup — the scale-correct form of
+    * "drop redelivered events regardless of their timestamp":
+    * `dropDuplicatesWithinWatermark` keys state on `keyCols` ALONE (no
+    * event-time column in the key) yet still expires each key's state
+    * once the watermark passes its first-seen time + delay, so state is
+    * bounded by the key arrival rate × the lateness window instead of
+    * growing forever like time-agnostic `dropDuplicates` on a stream.
+    * Contract: duplicates are guaranteed dropped only when they arrive
+    * within `watermark` of the first occurrence — exactly the
+    * at-least-once redelivery case (`replays` simulates it; redeliveries
+    * land within the same staged read, well inside any real delay). */
+  def dedupWithinWatermarkStream(spark: SparkSession, dir: String,
+      keyCols: Seq[String], watermark: String = "1 day",
+      replays: Int = 2): DataFrame =
+    runToParquet(spark, statePartitions = 8) { (s, _) =>
+      stagedEventStream(s, dir, replays)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+        .writeStream
+    }.filter(col("event_type") =!= SentinelType)
+
   /** Stream-static join + windowed aggregate: the event stream enriches
     * against a STATIC dimension (re-planned per micro-batch, broadcast
     * when small — exactly the batch join rules), then a watermarked
