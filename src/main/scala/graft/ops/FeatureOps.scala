@@ -279,6 +279,51 @@ object FeatureOps {
           (col("group_size") < 5).cast("int").as("violates_k5"))
     },
 
+    // ---- mixture rebalancing (deterministic up/down-sampling) -------------
+    // Equalize source proportions to the largest source — the "match the
+    // target mixture" step before training. Each doc's copy count is
+    // floor(f) + Bernoulli(frac(f)) with f = max_cnt/cnt_source, decided
+    // by an md5-derived ppm fraction instead of an RNG: expected
+    // proportions are exact, the epoch is reproducible, and the whole
+    // thing is a per-row map under a 20-row broadcast of source factors
+    // (counts: one agg; the max: a 1-row labeled broadcast). The ±1-ppm
+    // quantization of f is the stated contract (ppm fixed-point, exact
+    // integer compare); at 100 TB the same plan upsamples by emitting
+    // n_copies via explode(sequence(...)) — kept as the count here so the
+    // oracle row set stays source-sized deterministic.
+    Q("q_rebalance", {
+      val oh = "md5(CAST(doc_id AS VARCHAR) || 'bal')"
+      val frac = (1 to 6)
+        .map(i => s"${nib(oh, i)} * ${math.pow(16, 6 - i).toLong}")
+        .mkString("((", " + ", ") % 1000000)")
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM documents GROUP BY 1),
+         |m AS (SELECT max(cnt) AS max_cnt FROM c),
+         |f AS (SELECT source, cnt, (max_cnt * 1000000) // cnt AS f_ppm
+         |  FROM c CROSS JOIN m)
+         |SELECT d.doc_id, d.source,
+         |  CAST(f_ppm // 1000000 + (CASE WHEN $frac < f_ppm % 1000000
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+         |FROM documents d JOIN f USING (source)""".stripMargin
+    }) { (s, d) =>
+      val c = documents(s, d).groupBy("source").agg(count(lit(1)).as("cnt"))
+      val m = c.agg(max(col("cnt")).as("max_cnt"))
+      val f = c.crossJoin(broadcast(m))
+        .select(col("source"), expr("(max_cnt * 1000000L) div cnt").as("f_ppm"))
+      // Spark spells the identical hash CAST(... AS STRING); DuckDB's
+      // VARCHAR cast of a BIGINT renders the same digits
+      val h = "md5(CAST(doc_id AS STRING) || 'bal')"
+      val frac = expr(
+        (1 to 6).map(i => s"${nib(h, i)} * ${math.pow(16, 6 - i).toLong}L")
+          .mkString("(", " + ", ") % 1000000L"))
+      documents(s, d).select(col("doc_id"), col("source"))
+        .join(broadcast(f), "source")
+        .select(col("doc_id"), col("source"),
+          (expr("f_ppm div 1000000L") +
+            when(frac < expr("f_ppm % 1000000L"), 1L).otherwise(0L))
+            .cast("long").as("n_copies"))
+    },
+
     // ---- time-weighted average (TWAP) -------------------------------------
     // The irregular-sampling average: each observation holds until the
     // next one (last-value-carried-forward), so the mean weights values by

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-hygiene guards: the properties that decide 100 TB behavior are
@@ -140,5 +141,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("xxhash64"), "line key is not hashed")
     assert(!p.contains("hashpartitioning(_line"),
       "line-frequency exchange keyed on raw line text")
+  }
+
+  test("runtime bloom-filter join pruning injects might_contain on the fact scan") {
+    // The runtime row-level filter: a selective dim side builds a bloom
+    // filter that prunes fact rows BEFORE the join shuffle — at 100 TB
+    // this is the difference between shuffling the whole fact table and
+    // shuffling the matching slice. Size thresholds are lowered so the
+    // sf0.001 fixture qualifies; production leaves the defaults.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // tiny fixture sides would broadcast, and the rule only fires on
+      // probable SHUFFLE joins (a broadcast join already prunes at probe)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> scala.util.Try(conf.get(k)).toOption }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val q = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain(") && plan.contains("bloom_filter_agg("),
+        s"expected a runtime bloom filter in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 }
