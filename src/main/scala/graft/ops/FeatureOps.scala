@@ -261,6 +261,35 @@ object FeatureOps {
           Tables.dsum(col("value")).as("sum_value"))
     },
 
+    // ---- consistent pseudonymization (join-safe anonymization) ------------
+    // The PII-removal step that PRESERVES referential integrity: the same
+    // name always maps to the same salted-md5 token, so joins and
+    // distinct-counts still work downstream while the raw identifier is
+    // gone (unlike [[Corpus.scrubPii]]'s destructive redaction). Keyed
+    // salting means un-pseudonymizing requires the salt, not a rainbow
+    // table. Pure per-row map; the ndv-parity columns prove injectivity
+    // held on this corpus (a collision would break both engines equally —
+    // and the 32-hex space makes one vanishingly unlikely).
+    Q("q_pseudonymize",
+      """WITH p AS (SELECT c_custkey,
+        |    'u_' || substr(md5('graftsalt|' || c_name), 1, 12) AS pseud,
+        |    c_name FROM customer)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT c_name) AS BIGINT) AS ndv_name,
+        |  CAST(count(DISTINCT pseud) AS BIGINT) AS ndv_pseud,
+        |  CAST(min(pseud) AS VARCHAR) AS min_pseud,
+        |  CAST(max(pseud) AS VARCHAR) AS max_pseud
+        |FROM p""".stripMargin) { (s, d) =>
+      val pseud = concat(lit("u_"),
+        substring(md5(concat(lit("graftsalt|"), col("c_name"))), 1, 12))
+      Tables(s, d, "customer")
+        .select(col("c_custkey"), pseud.as("pseud"), col("c_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("c_name")).as("ndv_name"),
+          countDistinct(col("pseud")).as("ndv_pseud"),
+          min(col("pseud")).as("min_pseud"), max(col("pseud")).as("max_pseud"))
+    },
+
     // ---- k-anonymity audit (privacy / governance) -------------------------
     // Quasi-identifier group sizes over (nation, market segment): any
     // group smaller than k=5 re-identifies its members and must be
