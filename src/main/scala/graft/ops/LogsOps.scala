@@ -145,6 +145,74 @@ object LogsOps {
         .agg(count(lit(1)).as("n"))
     },
 
+    // ---- 311 golden: the reference's service-requests cleaning job --------
+    // `/root/reference/benchmarks/311/runtuplex.py:91-118`: csv with the
+    // benchmark's six null-value strings -> mapColumn("Incident Zip",
+    // fix_zip_codes) (truncate to 5, '00000' -> None, None passes
+    // through) -> unique() -> csv. The fixture synthesizes a dirty zip
+    // column cycling through all the benchmark's null/zip+4/short/sentinel
+    // shapes, round-trips it through a REAL csv sink + the api csv source
+    // (null-value mapping exercised on actual files), and the oracle
+    // replays the synthesis + cleaning in SQL — a hash match proves the
+    // write->read->nullmap->fix->distinct loop end-to-end.
+    Q("q_311_golden", {
+      val zipRaw =
+        """CASE event_id % 9
+          | WHEN 0 THEN '10023'
+          | WHEN 1 THEN CAST(10000 + event_id % 80000 AS VARCHAR) || '-'
+          |   || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+          | WHEN 2 THEN '00000'
+          | WHEN 3 THEN 'NO CLUE'
+          | WHEN 4 THEN 'N/A'
+          | WHEN 5 THEN 'Unspecified'
+          | WHEN 6 THEN ''
+          | WHEN 7 THEN '0'
+          | ELSE CAST(10000 + event_id % 89999 AS VARCHAR)
+          |END""".stripMargin.replace("\n", " ")
+      s"""WITH raw AS (SELECT event_type AS complaint_type,
+         |    ['MANHATTAN','BROOKLYN','QUEENS','BRONX','STATEN ISLAND'][CAST(user_id % 5 AS INT) + 1] AS borough,
+         |    $zipRaw AS zip_raw
+         |  FROM events),
+         |n AS (SELECT complaint_type, borough,
+         |    CASE WHEN zip_raw IN ('Unspecified', 'NO CLUE', 'NA', 'N/A', '0', '')
+         |         THEN NULL ELSE zip_raw END AS z
+         |  FROM raw)
+         |SELECT DISTINCT complaint_type, borough,
+         |  CASE WHEN z IS NULL THEN NULL
+         |       WHEN substr(z, 1, 5) = '00000' THEN NULL
+         |       ELSE substr(z, 1, 5) END AS incident_zip
+         |FROM n""".stripMargin
+    }) { (s, d) =>
+      val ctx = new Context(s)
+      val dir = Files.createTempDirectory("graft_311").toString
+      val boroughs = array(lit("MANHATTAN"), lit("BROOKLYN"), lit("QUEENS"),
+        lit("BRONX"), lit("STATEN ISLAND"))
+      val e = col("event_id")
+      val zipRaw = when(e % 9 === 0, lit("10023"))
+        .when(e % 9 === 1, concat((lit(10000) + e % 80000).cast("string"),
+          lit("-"), lpad((e % 10000).cast("string"), 4, "0")))
+        .when(e % 9 === 2, lit("00000"))
+        .when(e % 9 === 3, lit("NO CLUE"))
+        .when(e % 9 === 4, lit("N/A"))
+        .when(e % 9 === 5, lit("Unspecified"))
+        .when(e % 9 === 6, lit(""))
+        .when(e % 9 === 7, lit("0"))
+        .otherwise((lit(10000) + e % 89999).cast("string"))
+      Tables(s, d, "events").select(
+          col("event_type").as("complaint_type"),
+          element_at(boroughs, (col("user_id") % 5 + 1).cast("int")).as("borough"),
+          zipRaw.as("incident_zip"))
+        .coalesce(4).write.mode("overwrite").option("header", "true").csv(dir)
+      ctx.csv(dir + "/*.csv",
+          nullValues = Seq("Unspecified", "NO CLUE", "NA", "N/A", "0", ""))
+        .mapColumnUdf[String, String]("incident_zip") { z =>
+          if (z == null) null
+          else { val s5 = z.take(5); if (s5 == "00000") null else s5 }
+        }
+        .unique()
+        .toDF
+    },
+
     // ---- retention cohorts: first-seen day × activity-day offset ----------
     // The standard DAU-retention triangle. Two user-keyed aggregations
     // (first-seen, then distinct activity days) — the cohort join is on
