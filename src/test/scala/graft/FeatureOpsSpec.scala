@@ -236,4 +236,63 @@ class FeatureOpsSpec extends AnyFunSuite {
       assert(rs.map(_.getLong(3)).distinct.length == 1)
     }
   }
+
+  test("q_twap equals a driver-side integral on collected events") {
+    val got = q("q_twap").map(r => (r.getLong(0), r.getDate(1).toString) ->
+      (r.getDouble(2), r.getLong(3))).toMap
+    val evs = graft.ops.Tables(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getTimestamp(2).getTime * 1000L +
+          (r.getTimestamp(2).getNanos / 1000) % 1000,
+        r.getLong(3), r.getDouble(4)))
+    val want = evs.groupBy(e => (e._1, e._2)).flatMap { case (k, rows) =>
+      val sorted = rows.toSeq.sortBy(e => (e._3, e._4))
+      val fp = sorted.map(e => math.floor(e._5 * 10000d + 0.5d).toLong)
+      val durs: Seq[Long] = sorted.zip(sorted.drop(1)).map { case (a, b) => b._3 - a._3 }
+      if (durs.isEmpty) None
+      else {
+        val num = fp.zip(durs).map { case (v, d) => BigInt(v) * BigInt(d) }.sum
+        Some(k -> ((num.toDouble, durs.sum)))
+      }
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (n, dsum)) =>
+      assert(got(k)._2 == dsum, s"den mismatch at $k")
+      assert(got(k)._1 == n, s"num mismatch at $k")
+    }
+  }
+
+  test("q_rebalance: copies bring every source within one doc-worth of the max") {
+    val rows = q("q_rebalance")
+    val bySource = rows.groupBy(_.getString(1))
+      .map { case (src, rs) => src -> rs.map(_.getLong(2)).sum }
+    val inCounts = rows.groupBy(_.getString(1)).map { case (s0, rs) => s0 -> rs.length }
+    val maxIn = inCounts.values.max
+    assert(rows.forall(_.getLong(2) >= 1), "every doc keeps at least one copy")
+    bySource.foreach { case (src, out) =>
+      val cnt = inCounts(src).toLong
+      // E[out] = max exactly; the md5-Bernoulli draw concentrates tightly -
+      // allow +-20% for a 20-30 doc source
+      assert(math.abs(out - maxIn) <= math.max(6L, maxIn / 5),
+        s"source $src rebalanced to $out vs target $maxIn")
+    }
+  }
+
+  test("q_readability: counts are consistent and flesch falls out of them") {
+    val rows = q("q_readability")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, sen, syl, fl) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(sen >= 1)
+      if (w == 0) assert(fl == 0.0)
+      else {
+        val expect = 206.835 - 1.015 * (w.toDouble / sen) - 84.6 * (syl.toDouble / w)
+        assert(fl == expect, s"flesch drift for doc ${r.getLong(0)}")
+      }
+    }
+  }
 }
