@@ -304,7 +304,13 @@ object CsvSniffer {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val first = Option(fs.globStatus(p)).flatMap(_.headOption.map(_.getPath))
       .getOrElse(p)
-    val in = fs.open(first)
+    val raw = fs.open(first)
+    // compressed inputs (.gz/.bz2/…) must sniff DECOMPRESSED text — the
+    // same codec resolution Spark's own line reader applies per file
+    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(
+      spark.sparkContext.hadoopConfiguration).getCodec(first)
+    val in: java.io.InputStream =
+      if (codec == null) raw else codec.createInputStream(raw)
     try {
       val src = scala.io.Source.fromInputStream(in, "UTF-8")
       src.getLines().take(n).toList

@@ -44,6 +44,31 @@ object CoverageOps {
         dsum(col("l_extendedprice")).as("sum_price"))
     },
 
+    // ---- gzip-compressed csv source (transparent codec decompression) -----
+    // 100 TB of csv arrives compressed; the source must decompress
+    // transparently through the same dialect/inference path. The fixture
+    // slice is written with the gzip codec and read back through the api
+    // csv source (glob over *.csv.gz) — the identical aggregate proves
+    // content survived the codec round trip. Caveat documented: .gz files
+    // are NOT splittable (one task per file — why the fixture writes 4
+    // parts; at scale prefer zstd/parquet or many medium gz files).
+    Q("q_csv_gzip",
+      s"""SELECT count(*) AS n, ${oSum("l_quantity")} AS sum_qty,
+         |  ${oSum("l_extendedprice")} AS sum_price
+         |FROM lineitem""".stripMargin) { (s, d) =>
+      val ctx = new Context(s)
+      val out = tmpDir("graft_csv_gz") + "/lineitem"
+      Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .repartition(4)
+        .write.option("header", "true").option("compression", "gzip")
+        .mode("overwrite").csv(out)
+      ctx.csv(s"$out/*.csv.gz").toDF.agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+    },
+
     // ---- toorc + orc source round-trip (dataset.py:554; context.py:389) ---
     Q("q_orc_roundtrip",
       s"""SELECT count(*) AS n, ${oSum("o_totalprice")} AS total

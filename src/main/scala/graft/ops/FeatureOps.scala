@@ -583,6 +583,28 @@ object FeatureOps {
         .select(col("doc_id"), col("j"), col("neg_id"))
     },
 
+    // ---- l-diversity audit (the k-anonymity companion) --------------------
+    // k-anonymity alone fails when a quasi-identifier group is uniform in
+    // its SENSITIVE attribute (everyone in the group shares the secret):
+    // l-diversity demands ≥ l distinct sensitive values per group. The
+    // sensitive attribute here is the account-balance band (integer floor
+    // division — engine-exact); one hash aggregation with a multi-distinct
+    // count, flags restated by the oracle.
+    Q("q_l_diversity",
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS group_size,
+        |  CAST(count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) AS BIGINT) AS l_bands,
+        |  CAST(count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) < 3 AS INT) AS violates_l3
+        |FROM customer GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val band = floor(col("c_acctbal") / 2000).cast("long")
+      Tables(s, d, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("group_size"),
+          countDistinct(band).as("l_bands"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("group_size"),
+          col("l_bands"), (col("l_bands") < 3).cast("int").as("violates_l3"))
+    },
+
     // ---- exact quantile normalization (percent_rank) ----------------------
     // Feature scaling to [0, 1] by within-group rank: pr = (rank−1)/(n−1)
     // restated over its INTEGER operands (rank ties on equal prices are
