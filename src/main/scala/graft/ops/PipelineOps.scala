@@ -55,6 +55,10 @@ object PipelineOps {
   }
 
   /** Persisted IVF index dirs, built once per source dir. */
+  /** Persisted PQ index dirs, built once per source dir. */
+  private val pqIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val ivfIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -683,6 +687,25 @@ object PipelineOps {
       val queries = emb.filter(col("vec_id") < 8)
       val approx = Ann.ivfPqTopK(emb, queries, k = 5, dim = 64,
         nCells = 16, nProbe = 4, m = 8, ksub = 32, candidates = 50)
+      Ann.recallAtKFrom(annTruth(s, d, "clustered", clusteredEmb(s, d)),
+        approx, minRecall = 0.8)
+    },
+
+    // ---- ANN: PERSISTED PQ index (build once, probe many) -----------------
+    // The buildIvfIndex split applied to the PQ tier: codebook fit +
+    // encode paid at build time, probes scan only m-byte code rows and
+    // re-rank against stored vectors for the shortlist alone. Index
+    // staged once per source dir; recall gated like the in-line PQ.
+    Q("q_ann_pq_indexed",
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 8") { (s, d) =>
+      val emb = clusteredEmb(s, d)
+      val path = pqIndexDirs.computeIfAbsent(d, _ => {
+        val w = java.nio.file.Files.createTempDirectory("graft_pq").toString
+        Ann.buildPqIndex(emb, w, dim = 64, m = 8, ksub = 32)
+        w
+      })
+      val queries = emb.filter(col("vec_id") < 8)
+      val approx = Ann.pqTopKIndexed(s, path, queries, k = 5, candidates = 50)
       Ann.recallAtKFrom(annTruth(s, d, "clustered", clusteredEmb(s, d)),
         approx, minRecall = 0.8)
     },

@@ -547,6 +547,65 @@ object Ann {
     rankTopK(rescored, k)
   }
 
+  /** Build and PERSIST a PQ index at `path`: the trained codebooks as a
+    * versioned model artifact (m·ksub rows), the corpus as m-byte code
+    * rows, and the float vectors kept beside them for shortlist re-rank
+    * fetches. The [[buildIvfIndex]] split applied to the PQ tier: encode
+    * is paid ONCE at build; every probe batch scans only the code table
+    * (m ints per row instead of dim floats — the bandwidth the index
+    * exists to save) and joins float vectors back for just the
+    * ≤ candidates·|queries| re-rank rows. At scale the code and vector
+    * tables are bucketed on the id so the re-rank fetch is co-located. */
+  def buildPqIndex(corpus: DataFrame, path: String, dim: Int, m: Int = 8,
+      ksub: Int = 32, seed: Long = 42L): Unit = {
+    val c = asFloatVec(corpus.toDF("neighbor_id", "c_vec"), "c_vec")
+    val cb = trainPqCodebooks(c, dim, m, ksub, seed)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cb.zipWithIndex.flatMap { case (rows, s0) =>
+      rows.zipWithIndex.map { case (v, j) => (s0, j, v.toSeq) }
+    }.toSeq.toDF("subspace", "codeword", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val enc = Par.ensureMin(c)
+      .select(col("neighbor_id"), pqEncode(cb, col("c_vec")).as("codes"),
+        col("c_vec"))
+    enc.select("neighbor_id", "codes")
+      .write.mode("overwrite").parquet(s"$path/codes")
+    enc.select("neighbor_id", "c_vec")
+      .write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** Probe a persisted PQ index built by [[buildPqIndex]]: rehydrate the
+    * codebooks (m·ksub rows, driver-side model load), ADC-score the CODE
+    * table only, then re-rank the shortlist against the stored float
+    * vectors. Same answers as [[pqTopKReranked]] at equal parameters. */
+  def pqTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, candidates: Int = 50): DataFrame = {
+    require(candidates >= k, s"candidates $candidates must be >= k $k")
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("subspace", "codeword").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    val cb = Array.tabulate(m, ksub) { (s0, j) =>
+      rows.find(r => r.getInt(0) == s0 && r.getInt(1) == j).get
+        .getSeq[Double](2).toArray
+    }
+    val q = broadcast(asFloatVec(queries.toDF("query_id", "q_vec"), "q_vec")
+      .select(col("query_id"), col("q_vec"), pqLut(cb, col("q_vec")).as("lut")))
+    val coded = spark.read.parquet(s"$path/codes")
+    val scored = q.select(col("query_id"), col("lut"))
+      .join(coded, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), pqAdcScore(m).as("cos"))
+    val shortlist = rankTopK(scored, candidates).select("query_id", "neighbor_id")
+    val vecs = spark.read.parquet(s"$path/vectors")
+    val rescored = shortlist
+      .join(q.select(col("query_id"), col("q_vec")), "query_id")
+      .join(vecs, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cos"))
+    rankTopK(rescored, k)
+  }
+
   /** Overlap gate for int8 ANN: |top-k(int8) ∩ top-k(float)| ≥ minOverlap
     * per query — the quantization-quality check, run in Verify (not
     * benched with the operator). */
