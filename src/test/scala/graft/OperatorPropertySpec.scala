@@ -193,4 +193,49 @@ class OperatorPropertySpec extends AnyFunSuite {
       assert(chunks.forall(_.length <= 64))
     }
   }
+
+  test("pqTopKIndexed equals the in-line reranked PQ at equal parameters") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 4)
+    val inline = graft.similarity.Ann.pqTopKReranked(emb, queries, k = 5,
+      dim = 64, m = 8, ksub = 32, candidates = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_spec").toString
+    graft.similarity.Ann.buildPqIndex(emb, dir, dim = 64, m = 8, ksub = 32)
+    val indexed = graft.similarity.Ann.pqTopKIndexed(spark, dir, queries,
+      k = 5, candidates = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(inline == indexed)
+  }
+
+  test("Unicode normalization laws: idempotence, accent-free fixpoint, length order") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.UnicodeNormUtil.{nfc, stripAccents}
+    // BMP strings mixing ASCII, precomposed and decomposed accents
+    val accenty = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const("\u00e9"), Gen.const("e\u0301"),
+      Gen.const("\u00f1"), Gen.const("n\u0303"), Gen.const("\u03ad"),
+      Gen.const("\u03b5\u0301"), Gen.const(" "))).map(_.mkString)
+    val prop = forAll(accenty) { s0 =>
+      val u = UTF8String.fromString(s0)
+      val n1 = nfc(u).toString
+      val n2 = nfc(UTF8String.fromString(n1)).toString
+      val a1 = stripAccents(u).toString
+      val a2 = stripAccents(UTF8String.fromString(a1)).toString
+      Prop.all(
+        Prop(n2 == n1) :| "nfc idempotent",
+        Prop(a2 == a1) :| "stripAccents idempotent",
+        Prop(stripAccents(UTF8String.fromString(n1)).toString == a1)
+          :| "strip after nfc == strip",
+        Prop(n1.codePointCount(0, n1.length) <= s0.codePointCount(0, s0.length))
+          :| "nfc never grows code points")
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
