@@ -162,6 +162,22 @@ object StreamMediaOps {
           col("n"), col("total"))
     },
 
+    // ---- windowed agg on the ROCKSDB state store (production backend) -----
+    // Same watermark/window/Append machinery as q_stream_window but with
+    // state in RocksDB (disk-spilling, incremental checkpoints) — the
+    // provider a 100 TB deployment runs once state outgrows the heap.
+    // Must produce the identical batch answer.
+    Q("q_stream_rocksdb",
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         |  count(*) AS n, ${Tables.oSum("value")} AS total
+         |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Streams.windowedAggRocksDb(s, d, "1 day", Seq(
+          "n" -> count(lit(1)),
+          "total" -> Tables.dsum(col("value"))))
+        .select(to_date(col("window.start")).as("day"), col("event_type"),
+          col("n"), col("total"))
+    },
+
     // ---- streaming SESSION windows == batch gap sessionization ------------
     // The native session_window state operator; only OPEN sessions hold
     // state. Boundary is half-open (an event exactly `gap` later starts a

@@ -94,11 +94,19 @@ object Streams {
     * session (`newSession()` shares the SparkContext but owns its
     * SQLConf), so concurrent streaming queries — Verify runs the registry
     * in parallel — never race on a session-global mutate. */
-  private def runToParquet(spark0: SparkSession, statePartitions: Int)(
+  private def runToParquet(spark0: SparkSession, statePartitions: Int,
+      rocksDbState: Boolean = false)(
       build: (SparkSession, String) => org.apache.spark.sql.streaming.DataStreamWriter[_]): DataFrame = {
     val root = Files.createTempDirectory("graft_stream_out").toString
     val spark = spark0.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // RocksDB state store: the production provider once state outgrows the
+    // executor heap (the default HDFS-backed provider keeps the working
+    // set in memory) — spilling, incremental checkpoints, bounded memory.
+    // Same query plans, same answers; only the state backend changes.
+    if (rocksDbState) spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val q = build(spark, root)
       .outputMode(OutputMode.Append())
       .format("parquet").option("path", s"$root/data")
@@ -183,6 +191,24 @@ object Streams {
       stagedEventStream(s, dir, replays)
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(keyCols)
+        .writeStream
+    }.filter(col("event_type") =!= SentinelType)
+
+  /** Watermarked windowed aggregation with the ROCKSDB state store — the
+    * configuration a 100 TB deployment actually runs (state spills to
+    * local disk with incremental checkpointing instead of living on the
+    * executor heap). Identical plan and answers to the default-provider
+    * window agg; what's under test is that the whole state machinery —
+    * watermark advance, window finalization, Append emission — behaves
+    * identically on the production backend. */
+  def windowedAggRocksDb(spark: SparkSession, dir: String, windowDur: String,
+      aggs: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    runToParquet(spark, statePartitions = 8, rocksDbState = true) { (s, _) =>
+      stagedEventStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), windowDur), col("event_type"))
+        .agg(aggs.head._2.as(aggs.head._1),
+          aggs.tail.map { case (n, c) => c.as(n) }: _*)
         .writeStream
     }.filter(col("event_type") =!= SentinelType)
 
