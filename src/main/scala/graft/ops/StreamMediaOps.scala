@@ -162,6 +162,16 @@ object StreamMediaOps {
           col("n"), col("total"))
     },
 
+    // ---- custom state via transformWithState (the Spark 4 state API) ------
+    // The successor to flatMapGroupsWithState: typed named state cells +
+    // explicit event-time timers (RocksDB-only). Same bounded-state
+    // semantics as q_stream_user_counts, must equal the batch group-by.
+    Q("q_stream_tws",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+      Streams.userEventCountsTws(s, d)
+    },
+
     // ---- windowed agg on the ROCKSDB state store (production backend) -----
     // Same watermark/window/Append machinery as q_stream_window but with
     // state in RocksDB (disk-spilling, incremental checkpoints) — the

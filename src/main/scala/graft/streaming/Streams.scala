@@ -422,6 +422,63 @@ object Streams {
     counts.filter(col("user_id") =!= -1L)
   }
 
+  /** The same bounded per-user count on Spark 4's `transformWithState` —
+    * the arbitrary-state API that supersedes (flat)MapGroupsWithState:
+    * typed named state cells (ValueState/ListState/MapState with optional
+    * TTL) plus EXPLICIT event-time timers instead of one implicit
+    * timeout. Requires the RocksDB state-store provider (the API is
+    * implemented only there — which is also the backend a large
+    * deployment runs anyway). Semantics mirrored from
+    * [[userEventCounts]]: count + max event time accumulate in a
+    * ValueState; each batch re-arms a single timer strictly beyond
+    * max(lastEvent, watermark); when the watermark passes it, the count
+    * emits once and the state clears. Timers are ADDITIVE here (unlike
+    * setTimeoutTimestamp, which replaces), so the previous timer is
+    * deleted explicitly — the one behavioral trap in the migration. */
+  def userEventCountsTws(spark: SparkSession, dir: String): DataFrame = {
+    val counts = runToParquet(spark, statePartitions = 8, rocksDbState = true) { (s, _) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{StatefulProcessor, TTLConfig, TimeMode, TimerValues, ExpiredTimerInfo, ValueState}
+      val processor = new StatefulProcessor[Long, (Long, java.sql.Timestamp), (Long, Long)] {
+        @transient private var st: ValueState[(Long, Long, Long)] = _ // (n, maxTs, armedTimer)
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          st = getHandle.getValueState[(Long, Long, Long)]("agg",
+            org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.scalaLong,
+              org.apache.spark.sql.Encoders.scalaLong,
+              org.apache.spark.sql.Encoders.scalaLong),
+            TTLConfig.NONE)
+        override def handleInputRows(key: Long,
+            rows: Iterator[(Long, java.sql.Timestamp)],
+            tv: TimerValues): Iterator[(Long, Long)] = {
+          var (n, maxTs, armed) =
+            if (st.exists()) st.get() else (0L, 0L, Long.MinValue)
+          rows.foreach { r => n += 1; maxTs = math.max(maxTs, r._2.getTime) }
+          if (armed != Long.MinValue) getHandle.deleteTimer(armed)
+          val expiry = math.max(maxTs, tv.getCurrentWatermarkInMs()) + 1
+          getHandle.registerTimer(expiry)
+          st.update((n, maxTs, expiry))
+          Iterator.empty
+        }
+        override def handleExpiredTimer(key: Long, tv: TimerValues,
+            info: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+          val (n, _, _) = st.get()
+          st.clear()
+          Iterator.single((key, n))
+        }
+      }
+      stagedEventStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(processor, TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "n_events")
+        .writeStream
+    }
+    counts.filter(col("user_id") =!= -1L)
+  }
+
   /** Memoized per source dir: the corpus dedup index (built ONCE over the
     * doc_id % 3 ≠ 0 "existing corpus") and the staged document stream
     * (4 doc_id-ranged files so several micro-batches really execute). */
