@@ -435,6 +435,35 @@ object FeatureOps {
           (nfc(col("s")) =!= col("s")).cast("int").as("changed"))
     },
 
+    // ---- VARIANT semi-structured extraction (Spark 4 type) ----------------
+    // The open-schema path for 100 TB of JSON telemetry: parse ONCE into
+    // the binary VARIANT encoding, then typed path extraction
+    // (variant_get) without per-query re-parsing or a rigid schema —
+    // Spark 4's answer to schema drift. Nested objects + arrays are
+    // synthesized from columns (the fixture's props is flat), extracted
+    // down typed paths, and aggregated; the oracle replays the identical
+    // JSON construction + path reads with DuckDB's JSON operators.
+    Q("q_variant",
+      """WITH j AS (SELECT event_type,
+        |    '{"user":{"id":' || user_id || ',"seg":"' || event_type
+        |      || '"},"vals":[' || (event_id % 10) || ',' || (event_id % 7) || ']}' AS doc
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(sum(CAST(doc->'user'->>'id' AS BIGINT)) AS BIGINT) AS sum_uid,
+        |  CAST(sum(CAST(doc->'vals'->>1 AS BIGINT)) AS BIGINT) AS sum_v1,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM j GROUP BY event_type""".stripMargin) { (s, d) =>
+      val doc = concat(lit("{\"user\":{\"id\":"), col("user_id"),
+        lit(",\"seg\":\""), col("event_type"), lit("\"},\"vals\":["),
+        col("event_id") % 10, lit(","), col("event_id") % 7, lit("]}"))
+      events(s, d).select(col("event_type"), doc.as("doc"))
+        .withColumn("v", parse_json(col("doc")))
+        .groupBy("event_type")
+        .agg(sum(expr("variant_get(v, '$.user.id', 'bigint')")).as("sum_uid"),
+          sum(expr("variant_get(v, '$.vals[1]', 'bigint')")).as("sum_v1"),
+          count(lit(1)).as("n"))
+    },
+
     // ---- readability scoring (Flesch reading ease) ------------------------
     // The classic document-quality heuristic a curation cascade thresholds
     // on: words (the proven \s+ tokenization), sentences (non-blank
