@@ -435,6 +435,31 @@ object FeatureOps {
           (nfc(col("s")) =!= col("s")).cast("int").as("changed"))
     },
 
+    // ---- recursive CTE (Spark 4 WITH RECURSIVE) ---------------------------
+    // Iterative graph walks in pure SQL — the hierarchy/reachability
+    // surface DataFrame loops (q_pagerank, q_bfs_hops) hand-roll. Each
+    // customer key walks its binary-ancestor chain (k -> k/2 -> ... -> 1,
+    // the org-chart parent pattern on synthetic parents), yielding
+    // depth = floor(log2(k)) — ~17 recursion rounds at sf0.1, bounded by
+    // construction. Both engines run the SAME recursive SQL (only the
+    // integer-division spelling differs); exact integer outputs.
+    Q("q_recursive_cte",
+      """WITH RECURSIVE up(k, cur, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT k, cur // 2, depth + 1 FROM up WHERE cur > 1)
+        |SELECT k AS c_custkey, CAST(max(depth) AS BIGINT) AS depth
+        |FROM up GROUP BY k""".stripMargin) { (s, d) =>
+      Tables(s, d, "customer").createOrReplaceTempView("customer_rec")
+      s.sql(
+        """WITH RECURSIVE up(k, cur, depth) AS (
+          |  SELECT c_custkey, c_custkey, 0 FROM customer_rec
+          |  UNION ALL
+          |  SELECT k, cur DIV 2, depth + 1 FROM up WHERE cur > 1)
+          |SELECT k AS c_custkey, CAST(max(depth) AS BIGINT) AS depth
+          |FROM up GROUP BY k""".stripMargin)
+    },
+
     // ---- VARIANT semi-structured extraction (Spark 4 type) ----------------
     // The open-schema path for 100 TB of JSON telemetry: parse ONCE into
     // the binary VARIANT encoding, then typed path extraction
