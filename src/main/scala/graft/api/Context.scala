@@ -310,7 +310,10 @@ object CsvSniffer {
     val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(
       spark.sparkContext.hadoopConfiguration).getCodec(first)
     val in: java.io.InputStream =
-      if (codec == null) raw else codec.createInputStream(raw)
+      if (codec == null) raw
+      else try codec.createInputStream(raw) catch {
+        case e: Throwable => raw.close(); throw e // don't leak the handle
+      }
     try {
       val src = scala.io.Source.fromInputStream(in, "UTF-8")
       src.getLines().take(n).toList

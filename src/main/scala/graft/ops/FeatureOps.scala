@@ -154,8 +154,12 @@ object FeatureOps {
     // string both engines evaluate verbatim.
     Q("q_feature_hash", {
       val bucket = s"(${nib("md5(tok)", 1)} * 16 + ${nib("md5(tok)", 2)})"
+      // list_filter: regexp_split_to_array('') yields [''] in DuckDB while
+      // the Spark tokens() kernel emits NO tokens for blank text — drop
+      // the empty token so empty/whitespace-only docs agree
       s"""WITH t AS (SELECT doc_id,
-         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      x -> length(x) > 0)) AS tok
          |  FROM documents)
          |SELECT doc_id, CAST($bucket AS INT) AS bucket,
          |  CAST(count(*) AS BIGINT) AS cnt
@@ -568,6 +572,10 @@ object FeatureOps {
     // numerators (output) plus one identical IEEE division. The window-
     // free single-pass shape is the point: per-key trend fitting over
     // 100 TB of telemetry is a grouped agg, not a regression library.
+    // Moments and numerators accumulate in decimal(38,0)/HUGEINT exactly
+    // like q_cov_exact (BIGINT n·Σxy overflows ~2e20 at sf1 — DuckDB
+    // errors, non-ANSI Spark silently wraps); the exact integers cast to
+    // double identically on both engines at the very end.
     Q("q_ols_group",
       """WITH f AS (SELECT event_type,
         |    CAST(extract(hour FROM ts) AS BIGINT) AS x,
@@ -575,25 +583,30 @@ object FeatureOps {
         |  FROM events),
         |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |    sum(CAST(x * y AS HUGEINT)) AS sxy, sum(CAST(x * x AS HUGEINT)) AS sxx
         |  FROM f GROUP BY 1)
-        |SELECT event_type, n, sx, sy, sxy, sxx,
-        |  n * sxy - sx * sy AS slope_num, n * sxx - sx * sx AS slope_den,
-        |  CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS slope
+        |SELECT event_type, n, sx, sy,
+        |  CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+        |  CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS slope_num,
+        |  CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope_den,
+        |  CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |    / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope
         |FROM a""".stripMargin) { (s, d) =>
       val x = hour(col("ts")).cast("long")
       val y = fp4(col("value"))
+      def dec(c: Column) = c.cast("decimal(38,0)")
       val a = events(s, d).select(col("event_type"), x.as("x"), y.as("y"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"))
+          sum(col("y")).as("sy"), sum(dec(col("x") * col("y"))).as("sxy0"),
+          sum(dec(col("x") * col("x"))).as("sxx0"))
+      val num = (dec(col("n")) * col("sxy0") - dec(col("sx")) * dec(col("sy")))
+        .cast("double")
+      val den = (dec(col("n")) * col("sxx0") - dec(col("sx")) * dec(col("sx")))
+        .cast("double")
       a.select(col("event_type"), col("n"), col("sx"), col("sy"),
-        col("sxy"), col("sxx"),
-        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
-        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+        col("sxy0").cast("double").as("sxy"), col("sxx0").cast("double").as("sxx"),
+        num.as("slope_num"), den.as("slope_den"), (num / den).as("slope"))
     },
 
     // ---- deterministic negative sampling (contrastive pairs) --------------

@@ -54,11 +54,11 @@ object PipelineOps {
           (a, e) => a * lit(1.0) + e * lit(0.35)).as("embedding"))
   }
 
-  /** Persisted IVF index dirs, built once per source dir. */
   /** Persisted PQ index dirs, built once per source dir. */
   private val pqIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Persisted IVF index dirs, built once per source dir. */
   private val ivfIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

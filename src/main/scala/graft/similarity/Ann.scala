@@ -102,13 +102,14 @@ object Ann {
         }
         best
       })
+      // worst-assigned points in order, each consumed by ONE empty cell —
+      // reseeding several empties with the same point would leave
+      // permanently duplicate centroids
+      val worstOrder = pts.indices.sortBy(i => dot(pts(i), cents(assign(i)))).iterator
       cents = Array.tabulate(cents.length) { ci =>
         val members = pts.indices.filter(assign(_) == ci)
-        if (members.isEmpty) {
-          // reseed from the globally worst-assigned point (deterministic)
-          val worst = pts.indices.minBy(i => dot(pts(i), cents(assign(i))))
-          pts(worst)
-        } else {
+        if (members.isEmpty) pts(worstOrder.next())
+        else {
           val m = new Array[Double](pts(members.head).length)
           members.foreach { i =>
             val p = pts(i); var j = 0
@@ -388,12 +389,14 @@ object Ann {
           }
           best
         }
+        // distinct worst-assigned reseeds (same rationale as trainCentroids:
+        // one shared reseed point would duplicate codewords permanently)
+        val worstOrder = sub.indices
+          .sortBy(i => -l2(sub(i), cents(assign(i)))).iterator
         cents = Array.tabulate(cents.length) { ci =>
           val members = sub.indices.filter(assign(_) == ci)
-          if (members.isEmpty) {
-            val worst = sub.indices.maxBy(i => l2(sub(i), cents(assign(i))))
-            sub(worst)
-          } else {
+          if (members.isEmpty) sub(worstOrder.next())
+          else {
             val mvec = new Array[Double](dsub)
             members.foreach { i =>
               val p = sub(i); var j = 0
@@ -457,10 +460,15 @@ object Ann {
         aggregate(zip_with(sub, element_at(pqCbLit(cb, s0), (j + 1).cast("int")),
           (x, cc) => { val t = x.cast("double") - cc; t * t }),
           lit(0.0), (acc, x) => acc + x)
-      aggregate(sequence(lit(0), lit(ksub - 1)),
+      // distances materialize ONCE into (j, d) candidates before the
+      // argmin fold — folding over when(d2(j) < …, struct(j, d2(j)))
+      // would expand the O(dsub) distance expression twice per codeword
+      // and double the corpus-wide encode cost
+      val cands = transform(sequence(lit(0), lit(ksub - 1)),
+        j => struct(j.cast("int").as("j"), d2(j).as("d")))
+      aggregate(cands,
         struct(lit(-1).as("j"), lit(Double.MaxValue).as("d")),
-        (acc, j) => when(d2(j) < acc.getField("d"),
-          struct(j.cast("int").as("j"), d2(j).as("d"))).otherwise(acc))
+        (acc, c) => when(c.getField("d") < acc.getField("d"), c).otherwise(acc))
         .getField("j")
     }
     array((0 until m).map(one): _*)
