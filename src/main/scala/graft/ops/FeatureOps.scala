@@ -439,6 +439,39 @@ object FeatureOps {
           (nfc(col("s")) =!= col("s")).cast("int").as("changed"))
     },
 
+    // ---- Matryoshka embedding truncation (dim-reduction lever) ------------
+    // MRL-style prefix truncation: keep the first 16 of 64 dims and
+    // L2-renormalize — 4× less storage/bandwidth for ANN at a known
+    // recall cost, with NO model rerun (the property Matryoshka training
+    // buys). Pure per-row map. Exactness: the norm accumulates over
+    // DOUBLE-cast floats left-to-right (both engines fold list_sum /
+    // aggregate sequentially over 16 elements), the renormalized probe
+    // component is the same IEEE divide, and outputs carry exact
+    // fixed-point norm stats alongside.
+    Q("q_embed_truncate",
+      """WITH t AS (SELECT vec_id, embedding[1:16] AS sub FROM embeddings),
+        |n AS (SELECT vec_id, sub,
+        |    list_sum(list_transform(sub, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm2
+        |  FROM t)
+        |SELECT vec_id,
+        |  CAST(floor(norm2 * 10000 + 0.5) AS BIGINT) AS norm2_fp,
+        |  CAST(len(sub) AS INT) AS dim,
+        |  CASE WHEN norm2 = 0 THEN 0.0
+        |       ELSE CAST(sub[1] AS DOUBLE) / sqrt(norm2) END AS u0
+        |FROM n""".stripMargin) { (s, d) =>
+      val sub = slice(col("embedding"), 1, 16)
+      val norm2 = aggregate(sub, lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+      Tables(s, d, "embeddings")
+        .select(col("vec_id"), sub.as("sub"), norm2.as("norm2"))
+        .select(col("vec_id"),
+          floor(col("norm2") * 10000 + 0.5).cast("long").as("norm2_fp"),
+          size(col("sub")).cast("int").as("dim"),
+          when(col("norm2") === 0, lit(0.0))
+            .otherwise(element_at(col("sub"), 1).cast("double") / sqrt(col("norm2")))
+            .as("u0"))
+    },
+
     // ---- recursive CTE (Spark 4 WITH RECURSIVE) ---------------------------
     // Iterative graph walks in pure SQL — the hierarchy/reachability
     // surface DataFrame loops (q_pagerank, q_bfs_hops) hand-roll. Each
