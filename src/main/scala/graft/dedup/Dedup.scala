@@ -656,6 +656,48 @@ object Dedup {
     materializeThenRelease(out, docs)
   }
 
+  /** DIRECTIONAL containment dedup: pairs where |grams(a) ∩ grams(b)| ≥
+    * `threshold`·|grams(a)| — the asymmetric metric that catches a
+    * document CONTAINED in a longer one (quote expansion, doc+appendix
+    * re-publication), which symmetric Jaccard misses whenever the size
+    * ratio is large (J = |A|/|B| → 0 while containment stays 1). Same
+    * machinery as [[textTopKSim]]: complete gram inverted index proposes
+    * candidates (MinHash banding estimates JACCARD and cannot bound
+    * containment; a production run caps posting lists via `maxDf`),
+    * native sorted-intersect confirms, and the ≥ test is an exact
+    * integer cross-multiplication (inter·den ≥ num·|A|). Output:
+    * (id_a, id_b, n_inter, n_a) for qualifying ordered pairs. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      kShingle: Int = 8, num: Int = 4, den: Int = 5,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"threshold must be a fraction in (0,1], got $num/$den")
+    val docs = graft.ops.Par.filterOnce(
+        withMinParallelism(df)
+          .select(col(idCol).as("_id"),
+            shingleHashes(col(textCol), kShingle).as("_sh")),
+        size(col("_sh")) > 0)
+      .persist()
+    val posts0 = docs.select(col("_id"), explode(col("_sh")).as("_g"))
+    val posts = if (maxDf == Long.MaxValue) posts0 else {
+      val keep = posts0.groupBy("_g").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDf).select("_g")
+      posts0.join(keep, "_g")
+    }
+    val cands = posts.select(col("_id").as("id_a"), col("_g"))
+      .join(posts.select(col("_id").as("id_b"), col("_g")), "_g")
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val out = cands
+      .join(docs.select(col("_id").as("id_a"), col("_sh").as("_sh_a")), "id_a")
+      .join(docs.select(col("_id").as("id_b"), col("_sh").as("_sh_b")), "id_b")
+      .withColumn("n_inter", sortedIntersectCount(col("_sh_a"), col("_sh_b")))
+      .withColumn("n_a", size(col("_sh_a")).cast("long"))
+      .filter(col("n_inter") * den >= col("n_a") * num)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"))
+    materializeThenRelease(out, docs)
+  }
+
   /** Exactness gate for [[nearDupSimhash]]: the 4×16-bit chunk banding is
     * provably lossless for Hamming ≤ 3 (pigeonhole: 3 flipped bits damage
     * at most 3 of 4 chunks), so the banded pair set must EQUAL the

@@ -76,6 +76,33 @@ object RetrievalOps {
       Dedup.spanStats(documents(s, d), "doc_id", "text", k = 8)
     },
 
+    // ---- DIRECTIONAL containment dedup (asymmetric near-dup) --------------
+    // Pairs where ≥80% of a's word-8-grams appear in b — the metric that
+    // catches a doc CONTAINED in a longer republication, which symmetric
+    // Jaccard misses as the size ratio grows. Complete gram inverted
+    // index proposes candidates (MinHash banding bounds Jaccard, not
+    // containment), native sorted-intersect confirms, and the threshold
+    // is an exact integer cross-multiplication. The oracle replays string
+    // grams; counts agree unless XXH64 collides (the q_dedup_span
+    // contract — a collision fails the compare, never passes).
+    Q("q_dedup_containment",
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |g AS (SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS g
+         |      FROM t, unnest(CASE WHEN len(toks) >= 8
+         |                     THEN generate_series(1, len(toks) - 7)
+         |                     ELSE [] END) AS u(i)),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      CAST(count(*) AS BIGINT) AS n_inter
+         |      FROM g a JOIN g b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_inter, n AS n_a
+         |FROM p JOIN sz ON sz.doc_id = id_a
+         |WHERE n_inter * 5 >= n * 4""".stripMargin) { (s, d) =>
+      Dedup.containmentPairs(documents(s, d), "doc_id", "text",
+        kShingle = 8, num = 4, den = 5)
+    },
+
     // ---- hybrid retrieval: BM25 ⊕ embedding cosine via RRF ----------------
     // Both legs are independently proven oracle-exact (q_bm25, the
     // q_ann_bruteforce cosine fold); the fusion adds only integer rank
