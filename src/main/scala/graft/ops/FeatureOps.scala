@@ -439,6 +439,37 @@ object FeatureOps {
           (nfc(col("s")) =!= col("s")).cast("int").as("changed"))
     },
 
+    // ---- per-source curation quality report -------------------------------
+    // The rollup a curation run publishes per ingest: volume, token mass,
+    // short-doc counts, language spread — ONE grouped pass over the
+    // corpus (token counts per row, map-side combined; no second scan per
+    // metric). Exact integers + the fixed-point mean; the blank-text
+    // token-count discrepancy (Spark tokens() → 0, DuckDB split → 1) is
+    // guarded on the oracle side.
+    Q("q_source_quality", {
+      val toks = """CASE WHEN trim(text) = '' THEN 0
+        | ELSE len(regexp_split_to_array(trim(text), '\s+')) END"""
+        .stripMargin.replace("\n", " ")
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum($toks) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN $toks < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  ${Tables.oAvg("n_chars")} AS avg_chars
+         |FROM documents GROUP BY source""".stripMargin
+    }) { (s, d) =>
+      val nTok = size(graft.text.TextFunctions.tokens(col("text"))).cast("long")
+      documents(s, d)
+        .select(col("source"), col("n_chars"), col("lang"), nTok.as("_t"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("_t")).as("total_tokens"),
+          sum(when(col("_t") < 10, 1L).otherwise(0L)).as("n_short"),
+          countDistinct(col("lang")).as("n_langs"),
+          Tables.davg(col("n_chars")).as("avg_chars"))
+    },
+
     // ---- Matryoshka embedding truncation (dim-reduction lever) ------------
     // MRL-style prefix truncation: keep the first 16 of 64 dims and
     // L2-renormalize — 4× less storage/bandwidth for ANN at a known
