@@ -85,6 +85,18 @@ class DedupHygieneSpec extends AnyFunSuite {
     assertCacheEmpty("lshTopK")
   }
 
+  test("containment pairs release their gram-set cache and find the exact dup") {
+    spark.sqlContext.clearCache()
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+      kShingle = 8, num = 4, den = 5).collect()
+    assertCacheEmpty("containmentPairs")
+    // docs 0 and 3 are verbatim-identical: containment 1.0 both directions
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)) && pairs.contains((3L, 0L)))
+    // every surviving pair satisfies the integer threshold it claims
+    assert(out.forall(r => r.getInt(2).toLong * 5 >= r.getLong(3) * 4))
+  }
+
   test("indexed delta probes leave the SQL cache empty") {
     spark.sqlContext.clearCache()
     val idx = java.nio.file.Files.createTempDirectory("graft_hyg_idx").toString
