@@ -470,6 +470,32 @@ object FeatureOps {
           Tables.davg(col("n_chars")).as("avg_chars"))
     },
 
+    // ---- per-label embedding centroids (class prototypes) -----------------
+    // The prototype vector per class — nearest-centroid classification,
+    // embedding-drift monitoring, and the semantic-coverage report all
+    // start here. posexplode spreads components, ONE (label, dim) grouped
+    // pass computes exact fixed-point component sums (the q_kmeans_embed
+    // Lloyd-update machinery, reused standalone); k×64 output rows.
+    Q("q_label_centroids",
+      """WITH c AS (SELECT label, i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS xf
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+        |a AS (SELECT label, dim, CAST(sum(xf) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM c GROUP BY 1, 2)
+        |SELECT label, CAST(dim AS INT) AS dim, s, n,
+        |  CAST(s AS DOUBLE) / 10000.0 / n AS mean_x
+        |FROM a""".stripMargin) { (s, d) =>
+      Tables(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("dim"),
+          floor(col("x").cast("double") * 10000 + 0.5).cast("long").as("xf"))
+        .groupBy("label", "dim")
+        .agg(sum(col("xf")).as("s"), count(lit(1)).as("n"))
+        .select(col("label"), col("dim").cast("int").as("dim"), col("s"),
+          col("n"), (col("s").cast("double") / 10000.0 / col("n")).as("mean_x"))
+    },
+
     // ---- Matryoshka embedding truncation (dim-reduction lever) ------------
     // MRL-style prefix truncation: keep the first 16 of 64 dims and
     // L2-renormalize — 4× less storage/bandwidth for ANN at a known
