@@ -787,6 +787,167 @@ object FeatureOps {
         .select(col("o_orderkey"), col("o_orderstatus"),
           (col("rk") - 1).as("pr_num"), (col("n") - 1).as("pr_den"),
           ((col("rk") - 1).cast("double") / (col("n") - 1)).as("pr"))
+    },
+
+    // ---- Count-Min sketch point-frequency estimates -----------------------
+    // The mergeable frequency sketch (Cormode-Muthukrishnan): 4×256
+    // counters estimate every key's count with est ≥ true, est ≤ true +
+    // N/width w.h.p. Unlike Misra-Gries (whose merge loses mass) CM is a
+    // LINEAR sketch — partials from any partitioning, day, or source add
+    // pointwise with zero error growth, which is the composition a 100 TB
+    // multi-tenant counter service needs. One scan builds the sketch
+    // (map-side partial aggregation to 8 KB of state); the probe side
+    // joins the 150-key user table against the broadcast 1-row sketch.
+    // The bucket hash is the portable md5 device (CountMin.bucket ==
+    // cmBucketSql), so the DuckDB oracle rebuilds every cell exactly and
+    // the estimates hash-match — including the deterministic one-sided
+    // guarantee bit carried per row.
+    Q("q_countmin", {
+      val h = "md5(CAST(user_id AS VARCHAR) || 'cm' || CAST(s AS VARCHAR))"
+      val b = (1 to 6)
+        .map(i => s"${nib(h, i)} * ${math.pow(16, 6 - i).toLong}")
+        .mkString("((", " + ", ") % 256)")
+      s"""WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+         |  FROM events GROUP BY 1),
+         |h AS (SELECT user_id, exact_cnt, s, $b AS b
+         |  FROM k CROSS JOIN (VALUES (0), (1), (2), (3)) t(s)),
+         |c AS (SELECT s, b, sum(exact_cnt) AS cell FROM h GROUP BY 1, 2)
+         |SELECT h.user_id, min(h.exact_cnt) AS exact_cnt,
+         |  CAST(min(c.cell) AS BIGINT) AS cms_est,
+         |  CAST(min(c.cell) >= min(h.exact_cnt) AS BOOLEAN) AS overestimate_ok
+         |FROM h JOIN c USING (s, b)
+         |GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.GraftBridge
+      val sketch = events(s, d).agg(GraftBridge.column(
+        graft.functions.CountMinAgg(
+          GraftBridge.expression(col("user_id")), 4, 256)).as("sk"))
+      val keys = events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("exact_cnt"))
+      val h = "md5(CAST(user_id AS STRING) || 'cm' || CAST(s AS STRING))"
+      val b = expr((1 to 6)
+        .map(i => s"${nib(h, i)} * ${math.pow(16, 6 - i).toLong}L")
+        .mkString("((", " + ", ") % 256L)"))
+      keys.crossJoin(broadcast(sketch))
+        .withColumn("s", explode(array((0 until 4).map(lit): _*)))
+        .withColumn("cell",
+          element_at(col("sk"), (col("s") * 256L + b + 1L).cast("int")))
+        .groupBy("user_id")
+        .agg(min(col("exact_cnt")).as("exact_cnt"),
+          min(col("cell")).as("cms_est"),
+          (min(col("cell")) >= min(col("exact_cnt"))).as("overestimate_ok"))
+    },
+
+    // ---- Poisson bootstrap (deterministic resampling) ---------------------
+    // Confidence intervals without collecting anything: each row draws an
+    // INDEPENDENT Poisson(1) replica weight (the classic n→∞ limit of
+    // multinomial resampling — Chamandy et al., "Estimating Uncertainty
+    // for Massive Data Streams", 2012), so B bootstrap replicas of a
+    // 100 TB aggregate are ONE scan with a B-way explode, no sampling
+    // coordination across partitions. Weights come from the md5-ppm
+    // uniform inverted through the Poisson(1) CDF (fixed ppm literals
+    // both engines compare identically), making every replica bit-
+    // reproducible: the oracle replays the exact resample.
+    Q("q_bootstrap", {
+      val oh = "md5(CAST(doc_id AS VARCHAR) || 'bs' || CAST(b AS VARCHAR))"
+      val u = (1 to 6)
+        .map(i => s"${nib(oh, i)} * ${math.pow(16, 6 - i).toLong}")
+        .mkString("((", " + ", ") % 1000000)")
+      s"""WITH r AS (SELECT doc_id, source, n_chars, b, $u AS u
+         |  FROM documents CROSS JOIN
+         |    (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(b)),
+         |w AS (SELECT source, b, n_chars,
+         |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+         |         WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+         |         WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+         |         WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7
+         |         ELSE 8 END AS wt
+         |  FROM r)
+         |SELECT source, CAST(b AS INT) AS replica,
+         |  CAST(sum(wt) AS BIGINT) AS n_eff,
+         |  CAST(sum(wt * n_chars) AS BIGINT) AS sum_chars,
+         |  CASE WHEN sum(wt) = 0 THEN NULL
+         |       ELSE CAST(sum(wt * n_chars) AS DOUBLE) / sum(wt)
+         |  END AS boot_mean_chars
+         |FROM w GROUP BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      val h = "md5(CAST(doc_id AS STRING) || 'bs' || CAST(b AS STRING))"
+      val u = expr((1 to 6)
+        .map(i => s"${nib(h, i)} * ${math.pow(16, 6 - i).toLong}L")
+        .mkString("((", " + ", ") % 1000000L)"))
+      val wt = when(u < 367879L, 0L).when(u < 735759L, 1L)
+        .when(u < 919699L, 2L).when(u < 981012L, 3L)
+        .when(u < 996340L, 4L).when(u < 999406L, 5L)
+        .when(u < 999917L, 6L).when(u < 999990L, 7L).otherwise(8L)
+      documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("b", explode(array((0 until 8).map(lit): _*)))
+        .withColumn("wt", wt)
+        .groupBy(col("source"), col("b").cast("int").as("replica"))
+        .agg(sum(col("wt")).as("n_eff"),
+          sum(col("wt") * col("n_chars")).as("sum_chars"),
+          when(sum(col("wt")) === 0, lit(null).cast("double"))
+            .otherwise(sum(col("wt") * col("n_chars")).cast("double") /
+              sum(col("wt"))).as("boot_mean_chars"))
+    },
+
+    // ---- URL normalization + per-domain rollup ----------------------------
+    // The first step of every web-corpus pipeline (C4, RefinedWeb,
+    // Dolma): canonicalize the crawl URL, strip the www prefix, extract
+    // the registered domain, and roll curation stats up per domain —
+    // domain-level quality decisions (allowlists, per-domain caps) all
+    // key off this. Spark-side extraction uses the REAL URL machinery
+    // (parse_url's HOST/PATH/QUERY:key paths — codegen'd, no UDF); the
+    // oracle reconstructs the same parts with string ops, so a hash
+    // match proves parse_url agrees with the spec on every row. The URL
+    // column itself is synthesized deterministically from documents
+    // columns (the testdata carries no raw URLs) — same expression both
+    // engines.
+    Q("q_url_parse",
+      """WITH u AS (SELECT doc_id, n_chars,
+        |    'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+        |      || lower(replace(source, '_', '-')) || '.example.com'
+        |      || '/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) || '.html'
+        |      || '?ref=r' || CAST(doc_id % 7 AS VARCHAR) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_chars,
+        |    split_part(split_part(url, '://', 2), '/', 1) AS host,
+        |    '/' || split_part(split_part(split_part(url, '://', 2), '?', 1),
+        |                      '/', 2)
+        |      || '/' || split_part(split_part(split_part(url, '://', 2),
+        |                                      '?', 1), '/', 3) AS path,
+        |    split_part(url, '?ref=', 2) AS ref
+        |  FROM u),
+        |n AS (SELECT doc_id, n_chars, host, path, ref,
+        |    CASE WHEN host LIKE 'www.%' THEN substr(host, 5) ELSE host END
+        |      AS domain
+        |  FROM p)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN host LIKE 'www.%' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_www,
+        |  CAST(count(DISTINCT ref) AS BIGINT) AS n_refs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(path) AS first_path
+        |FROM n GROUP BY 1""".stripMargin) { (s, d) =>
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        lower(regexp_replace(col("source"), "_", "-")), lit(".example.com"),
+        lit("/"), col("lang"), lit("/doc-"), col("doc_id").cast("string"),
+        lit(".html"), lit("?ref=r"), (col("doc_id") % 7).cast("string"))
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars"), url.as("url"))
+        .select(col("doc_id"), col("n_chars"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"))
+        .withColumn("domain", when(col("host").startsWith("www."),
+          expr("substr(host, 5)")).otherwise(col("host")))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("host").startsWith("www."), 1L).otherwise(0L))
+            .as("n_www"),
+          countDistinct(col("ref")).as("n_refs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("path")).as("first_path"))
     }
   )
 }

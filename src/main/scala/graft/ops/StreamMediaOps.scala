@@ -162,6 +162,24 @@ object StreamMediaOps {
           col("n"), col("total"))
     },
 
+    // ---- CHAINED streaming windows (two stateful ops, one query) ----------
+    // Minute pre-agg → hourly rollup inside a single streaming query
+    // (multi-stateful append mode). The batch oracle replays the same
+    // two-level bucket cascade; n_minutes (distinct non-empty minutes
+    // per hour) can only come out right if both layers really ran.
+    Q("q_stream_chained",
+      """WITH m AS (SELECT event_type,
+        |    time_bucket(INTERVAL 1 MINUTE, ts) AS mb,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  epoch_us(time_bucket(INTERVAL 1 HOUR, mb)) AS hour_start,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_minutes
+        |FROM m GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Streams.chainedWindowedAgg(s, d)
+    },
+
     // ---- custom state via transformWithState (the Spark 4 state API) ------
     // The successor to flatMapGroupsWithState: typed named state cells +
     // explicit event-time timers (RocksDB-only). Same bounded-state

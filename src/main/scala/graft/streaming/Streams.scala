@@ -132,6 +132,35 @@ object Streams {
         .writeStream
     }.filter(col("event_type") =!= SentinelType)
 
+  /** CHAINED streaming window aggregations — two stateful operators in
+    * ONE query (Spark 3.4+ multi-stateful support): a fine 1-minute
+    * window pre-aggregates per (minute, event_type), then an hourly
+    * window over `window_time` (the event-time column a finalized window
+    * carries, = window.end − 1µs) rolls minutes up. This is the
+    * streaming rollup cascade a 100 TB telemetry pipeline runs as one
+    * job instead of two chained topics: the minute operator's state is
+    * bounded by open minutes, the hour operator only ever sees
+    * MINUTE-grained rows (≤60 per hour per type — state and traffic
+    * shrink by the pre-aggregation factor before the expensive window),
+    * and the propagated watermark finalizes both layers in lock-step.
+    * `n_minutes` counts the distinct non-empty minutes feeding each
+    * hour — a value only the chained shape can produce, so the oracle
+    * match proves BOTH layers ran. */
+  def chainedWindowedAgg(spark: SparkSession, dir: String): DataFrame =
+    runToParquet(spark, statePartitions = 8) { (s, _) =>
+      stagedEventStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(window(window_time(col("window")), "1 hour"),
+          col("event_type"))
+        .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_minutes"))
+        .select(col("event_type"),
+          unix_micros(col("window.start")).as("hour_start"),
+          col("n_events"), col("n_minutes"))
+        .writeStream
+    }.filter(col("event_type") =!= SentinelType)
+
   /** Gap-based SESSION-window aggregation over the stream — the streaming
     * twin of `ops.Sessionize`: the native `session_window` state operator
     * merges events arriving within `gap` of the session's current end,

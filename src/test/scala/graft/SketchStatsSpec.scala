@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.{GraftBridge, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the statistics tranche: Count-Min sketch (guarantee +
+  * linearity + hash lock-step), ACF bounds, the CUSUM window identity
+  * vs the literal clamped recursion, life-table accounting, bootstrap
+  * determinism, URL parsing, and the chained streaming rollup vs its
+  * batch twin. */
+class SketchStatsSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def q(name: String) = {
+    val rows = SparkEntry.queries(name)(spark, sf)
+    val out = rows.collect()
+    spark.sqlContext.clearCache()
+    out
+  }
+
+  private def events = graft.ops.Tables.events(spark, sf)
+
+  test("CountMin.bucket matches the SQL md5 replay expression") {
+    import spark.implicits._
+    val keys = Seq(0L, 1L, 7L, 123456789L, -5L, Long.MaxValue)
+    val df = keys.toDF("k")
+      .withColumn("s", explode(array((0 until 4).map(lit): _*)))
+    val h = "md5(CAST(k AS STRING) || 'cm' || CAST(s AS STRING))"
+    val nib = (i: Int) => s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
+    val b = expr((1 to 6)
+      .map(i => s"${nib(i)} * ${math.pow(16, 6 - i).toLong}L")
+      .mkString("((", " + ", ") % 256L)"))
+    df.withColumn("b", b).collect().foreach { r =>
+      val (k, s, sqlB) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      assert(graft.functions.CountMin.bucket(k, s, 256) === sqlB,
+        s"JVM/SQL bucket hash diverged for key=$k row=$s")
+    }
+  }
+
+  test("count_min is linear: sketch(A ∪ B) == sketch(A) + sketch(B)") {
+    def sketchOf(pred: org.apache.spark.sql.Column): Array[Long] =
+      events.filter(pred).agg(GraftBridge.column(
+          graft.functions.CountMinAgg(
+            GraftBridge.expression(col("user_id")), 4, 256)).as("sk"))
+        .collect()(0).getSeq[Long](0).toArray
+    val whole = sketchOf(lit(true))
+    val even = sketchOf(col("event_id") % 2 === 0)
+    val odd = sketchOf(col("event_id") % 2 === 1)
+    assert(whole.toSeq === even.zip(odd).map { case (a, b) => a + b }.toSeq,
+      "pointwise sum of disjoint-stream sketches must equal the full sketch")
+  }
+
+  test("q_countmin honors the one-sided guarantee and total mass") {
+    val rows = q("q_countmin")
+    val n = events.count()
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CM underestimated user ${r.getLong(0)}")
+      assert(r.getBoolean(3))
+      assert(r.getLong(2) <= n, "estimate exceeds stream length")
+    }
+  }
+
+  test("q_acf values are correlations: |acf| <= 1, n_pairs consistent") {
+    val rows = q("q_acf")
+    assert(rows.nonEmpty)
+    val perUser = events.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (u, lag, n) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      assert(n === math.max(perUser(u) - lag, 0L))
+      if (!r.isNullAt(4)) {
+        val a = r.getDouble(4)
+        assert(a >= -1.0000001 && a <= 1.0000001, s"acf out of range: $a")
+      }
+    }
+  }
+
+  test("q_cusum window identity equals the literal clamped recursion") {
+    val rows = q("q_cusum").map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ev = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value").cast("double") * 100d + 0.5d).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime * 1000 + r.getTimestamp(2).getNanos / 1000 % 1000,
+        r.getLong(3)))
+    val tgt = ev.map(_._4).sum / ev.length // floor div == `sum div count`
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      var s = 0L
+      es.sortBy(e => (e._3, e._2)).toSeq.map { e =>
+        s = math.max(0L, s + (e._4 - tgt))
+        (u, e._2, s)
+      }
+    }.toSet
+    assert(rows.toSet === expected,
+      "S_t − min(0, runmin) must equal max(0, s + (v − tgt)) pointwise")
+  }
+
+  test("q_life_table accounting: users conserved, n_risk anchored, hazard <= 1") {
+    val rows = q("q_life_table").sortBy(_.getLong(0))
+    val users = events.select("user_id").distinct().count()
+    assert(rows.map(r => r.getLong(2) + r.getLong(3)).sum === users)
+    assert(rows.head.getLong(1) === users,
+      "n_risk at the smallest duration must cover every user")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // n_risk is the suffix-sum of exits: strictly decreasing over rows
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(1) > b.getLong(1))
+      case _ =>
+    }
+  }
+
+  test("q_bootstrap: 8 replicas per source, deterministic, plausible mass") {
+    val r1 = q("q_bootstrap")
+    val r2 = q("q_bootstrap")
+    assert(r1.map(_.toSeq).toSet === r2.map(_.toSeq).toSet,
+      "bootstrap replicas must be bit-reproducible")
+    val sources = graft.ops.Tables(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(r1.length === sources * 8)
+    val docs = graft.ops.Tables(spark, sf, "documents").count()
+    val meanEff = r1.map(_.getLong(2)).sum.toDouble / r1.length
+    val docsPerSource = docs.toDouble / sources
+    assert(math.abs(meanEff - docsPerSource) < docsPerSource * 0.5,
+      s"mean Poisson(1) replica mass $meanEff far from $docsPerSource")
+  }
+
+  test("q_url_parse: domain per source, www subset, absolute paths") {
+    val rows = q("q_url_parse")
+    val sources = graft.ops.Tables(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(rows.length === sources, "one registered domain per source")
+    rows.foreach { r =>
+      assert(!r.getString(0).startsWith("www."), "domain must be stripped")
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getString(5).startsWith("/"), "PATH must be absolute")
+    }
+  }
+
+  test("q_stream_chained equals the batch two-level rollup") {
+    val streaming = q("q_stream_chained").map(_.toSeq).toSet
+    val batch = events
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(col("w.start"), "1 hour"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_minutes"))
+      .select(col("event_type"), unix_micros(col("window.start")).as("hs"),
+        col("n_events"), col("n_minutes"))
+      .collect().map(_.toSeq).toSet
+    assert(streaming === batch)
+  }
+}
