@@ -545,6 +545,40 @@ object CoverageOps {
       Tables(s, d, "documents").select(col("doc_id"),
         when(size(toks) === 0, chosen.isNull)
           .otherwise(array_contains(toks, chosen)).as("chosen_ok"))
+    },
+
+    // ---- ordered string aggregation (LISTAGG / string_agg) ----------------
+    // The SQL:2023 LISTAGG surface: collapse a group to one delimited
+    // string in a DETERMINISTIC order — report rows, label lists, debug
+    // digests. Unordered collect is a correctness trap (partition order
+    // is nondeterministic), so the contract here is explicit: Spark
+    // sorts the collected array before joining (collect_list order is
+    // arbitrary; array_sort makes it canonical), DuckDB states
+    // `ORDER BY` inside string_agg — same canonical string. Bounded to
+    // each group's 12 smallest keys (window rank) so group size, not
+    // corpus size, caps string length — the cap a 100 TB deployment
+    // needs anyway.
+    Q("q_listagg",
+      """WITH r AS (SELECT o_orderstatus, o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderstatus, o_orderpriority
+        |      ORDER BY o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_listed,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+        |    AS key_list
+        |FROM r WHERE rn <= 12 GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")
+      Tables(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("o_orderkey"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 12)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_listed"),
+          array_join(transform(array_sort(collect_list(col("o_orderkey"))),
+            k => k.cast("string")), ",").as("key_list"))
     }
   )
 }

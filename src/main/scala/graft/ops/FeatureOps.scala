@@ -948,6 +948,91 @@ object FeatureOps {
           countDistinct(col("ref")).as("n_refs"),
           sum(col("n_chars")).as("sum_chars"),
           min(col("path")).as("first_path"))
+    },
+
+    // ---- differentially-private counts (geometric mechanism) --------------
+    // The release-side companion to the k-anonymity / l-diversity audits:
+    // per-source counts with two-sided geometric noise — the DISCRETE
+    // Laplace that gives ε-DP for integer counts (Ghosh-Roughgarden-
+    // Sundararajan 2009: the geometric mechanism is universally optimal
+    // for counts). ε=1 ⇒ α=e^(-1); noise is drawn by inverting the
+    // geometric CDF (fixed ppm literals, clamped to ±6 ≈ the 10⁻³ tail)
+    // over the md5-ppm uniform seeded per source — so the "random" draw
+    // is bit-reproducible and the oracle replays the exact release. A
+    // REAL deployment derives the seed from a secret salt; the mechanism,
+    // clamp, and post-processing (max 0) are exactly what it would run.
+    // Scale: noise is a per-GROUP map over the already-aggregated frame.
+    Q("q_dp_count", {
+      val oh = "md5(source || '|dp1')"
+      val u = (1 to 6)
+        .map(i => s"${nib(oh, i)} * ${math.pow(16, 6 - i).toLong}")
+        .mkString("((", " + ", ") % 1000000)")
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_true
+         |  FROM documents GROUP BY 1),
+         |z AS (SELECT source, n_true, $u AS u FROM c),
+         |k AS (SELECT source, n_true,
+         |    CASE WHEN u < 1813 THEN -6 WHEN u < 4927 THEN -5
+         |         WHEN u < 13393 THEN -4 WHEN u < 36402 THEN -3
+         |         WHEN u < 98940 THEN -2 WHEN u < 268941 THEN -1
+         |         WHEN u < 731059 THEN 0 WHEN u < 901077 THEN 1
+         |         WHEN u < 963627 THEN 2 WHEN u < 986638 THEN 3
+         |         WHEN u < 995104 THEN 4 WHEN u < 998218 THEN 5
+         |         ELSE 6 END AS noise
+         |  FROM z)
+         |SELECT source, n_true, CAST(noise AS BIGINT) AS noise,
+         |  CAST(greatest(n_true + noise, 0) AS BIGINT) AS n_released
+         |FROM k""".stripMargin
+    }) { (s, d) =>
+      val h = "md5(source || '|dp1')"
+      val u = expr((1 to 6)
+        .map(i => s"${nib(h, i)} * ${math.pow(16, 6 - i).toLong}L")
+        .mkString("((", " + ", ") % 1000000L)"))
+      val noise = when(u < 1813L, -6L).when(u < 4927L, -5L)
+        .when(u < 13393L, -4L).when(u < 36402L, -3L)
+        .when(u < 98940L, -2L).when(u < 268941L, -1L)
+        .when(u < 731059L, 0L).when(u < 901077L, 1L)
+        .when(u < 963627L, 2L).when(u < 986638L, 3L)
+        .when(u < 995104L, 4L).when(u < 998218L, 5L).otherwise(6L)
+      documents(s, d).groupBy("source").agg(count(lit(1)).as("n_true"))
+        .withColumn("noise", noise)
+        .select(col("source"), col("n_true"), col("noise"),
+          greatest(col("n_true") + col("noise"), lit(0L)).as("n_released"))
+    },
+
+    // ---- n-gram novelty (memorization-risk scoring) -----------------------
+    // What fraction of a document's 8-grams appears NOWHERE else in the
+    // corpus? Low novelty = boilerplate/duplication; high novelty on a
+    // "familiar" doc flags memorization-sensitive content worth auditing
+    // before training. Plan: the q_source_overlap gram device — native
+    // single-pass distinct shingle hashes, ONE shuffle on gram keys for
+    // document frequency, one doc-keyed agg back — never a doc×doc join.
+    // The oracle replays string grams; hashed and string gram COUNTS
+    // agree unless XXH64 collides (which would fail the compare loudly).
+    // Docs under 8 tokens carry no grams and are absent on both sides.
+    Q("q_ngram_novelty",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+        |    AS toks FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |    md5(array_to_string(toks[i:i+7], ' ')) AS g
+        |  FROM t, unnest(CASE WHEN len(toks) >= 8
+        |                 THEN generate_series(1, len(toks) - 7)
+        |                 ELSE [] END) AS u(i)),
+        |df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 10000
+        |       // count(*) AS BIGINT) AS novelty_bp
+        |FROM g JOIN df USING (g) GROUP BY 1""".stripMargin) { (s, d) =>
+      val g = documents(s, d).select(col("doc_id"),
+        explode(graft.dedup.Dedup.shingleHashes(col("text"), 8)).as("g"))
+      val df = g.groupBy("g").agg(count(lit(1)).as("df"))
+      g.join(df, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          expr("(n_novel * 10000) div n_grams").as("novelty_bp"))
     }
   )
 }

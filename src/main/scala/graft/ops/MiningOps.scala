@@ -380,6 +380,50 @@ object MiningOps {
             .as("cusum"),
           ((col("s_raw") - least(col("s_min"), lit(0L))) > 2000000L)
             .as("alarm"))
+    },
+
+    // ---- Gini coefficient (inequality / concentration metric) -------------
+    // How concentrated is order value per status? The rank-weighted
+    // identity G = (2·Σ rᵢxᵢ − (n+1)·Σx) / (n·Σx) over ascending ranks —
+    // ONE sort-window pass + one aggregation, no O(n²) |xᵢ−xⱼ| pair
+    // expansion (the textbook formula that cannot scale). Ties broken by
+    // orderkey so both engines rank identically; fixed-point values and
+    // decimal(38,0)/HUGEINT rank-products keep everything exact (r·x
+    // reaches ~10¹⁶ at sf1 — past 2^53, which is why the accumulator is
+    // decimal, not BIGINT-cast-to-double); gini is one IEEE division of
+    // two exact integers. The same shape yields Lorenz curves (emit the
+    // cumulative pairs) and per-domain token-concentration reports.
+    Q("q_gini",
+      """WITH f AS (SELECT o_orderstatus,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS r
+        |  FROM orders),
+        |a AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(CAST(r AS HUGEINT) * x) AS srx
+        |  FROM f GROUP BY 1)
+        |SELECT o_orderstatus, n, CAST(sx AS BIGINT) AS sum_fp,
+        |  CAST(2 * srx - (n + 1) * sx AS DOUBLE) /
+        |    CAST(n * sx AS DOUBLE) AS gini
+        |FROM a""".stripMargin) { (s, d) =>
+      // rank on the SAME keys as the oracle (price, then orderkey) so
+      // ties resolve identically on both engines
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice", "o_orderkey")
+      val f2 = orders(s, d).select(col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderkey"),
+          fp(col("o_totalprice"), 100d).as("x"))
+        .withColumn("r", row_number().over(w).cast("long"))
+      f2.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("r").cast("decimal(38,0)") * col("x")).as("srx"))
+        .select(col("o_orderstatus"), col("n"),
+          col("sx").cast("long").as("sum_fp"),
+          ((lit(2).cast("decimal(38,0)") * col("srx") -
+            (col("n") + 1).cast("decimal(38,0)") *
+              col("sx").cast("decimal(38,0)")).cast("double") /
+            (col("n").cast("decimal(38,0)") *
+              col("sx").cast("decimal(38,0)")).cast("double")).as("gini"))
     }
   )
 }

@@ -162,6 +162,23 @@ object StreamMediaOps {
           col("n"), col("total"))
     },
 
+    // ---- SLIDING streaming windows (1h / 15min slide) ---------------------
+    // Each event belongs to exactly 4 overlapping windows; the oracle
+    // replays the window assignment as an explicit 4-offset explode
+    // (window_start = 15-min bucket − k·15min always lies within (ts−1h,
+    // ts] for k=0..3, which is precisely Spark's assignment rule).
+    Q("q_stream_sliding",
+      """WITH a AS (SELECT event_type,
+        |    epoch_us(time_bucket(INTERVAL 15 MINUTE, ts))
+        |      - k * CAST(900000000 AS BIGINT) AS win_start,
+        |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vf
+        |  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) t(k))
+        |SELECT event_type, win_start, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(vf) AS BIGINT) AS v_fp
+        |FROM a GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Streams.slidingWindowAgg(s, d)
+    },
+
     // ---- CHAINED streaming windows (two stateful ops, one query) ----------
     // Minute pre-agg → hourly rollup inside a single streaming query
     // (multi-stateful append mode). The batch oracle replays the same

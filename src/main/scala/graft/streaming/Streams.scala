@@ -132,6 +132,28 @@ object Streams {
         .writeStream
     }.filter(col("event_type") =!= SentinelType)
 
+  /** SLIDING window aggregation over the stream: 1-hour windows sliding
+    * every 15 minutes, so each event lands in exactly 4 overlapping
+    * windows (the smoothing/rate-limiting shape tumbling windows cannot
+    * express). State holds the OPEN slide positions only — 4× the
+    * tumbling state for a 4× overlap factor, still bounded by the
+    * watermark; Spark assigns all 4 windows per row in one pass without
+    * materializing an explode. Output keys are (window_start, type). */
+  def slidingWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    runToParquet(spark, statePartitions = 8) { (s, _) =>
+      stagedEventStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value").cast("double") * 10000d + 0.5d)
+            .cast("long")).as("v_fp"))
+        .select(col("event_type"),
+          unix_micros(col("window.start")).as("win_start"),
+          col("n"), col("v_fp"))
+        .writeStream
+    }.filter(col("event_type") =!= SentinelType)
+
   /** CHAINED streaming window aggregations — two stateful operators in
     * ONE query (Spark 3.4+ multi-stateful support): a fine 1-minute
     * window pre-aggregates per (minute, event_type), then an hourly

@@ -153,6 +153,78 @@ class SketchStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_gini matches the O(n²) mean-absolute-difference definition") {
+    val rows = q("q_gini")
+    val byStatus = graft.ops.Tables(spark, sf, "orders")
+      .select(col("o_orderstatus"),
+        floor(col("o_totalprice").cast("double") * 100d + 0.5d).cast("long")
+          .as("x"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val xs = byStatus(r.getString(0)).map(_.getLong(1))
+      val n = xs.length.toLong
+      val sx = xs.map(BigInt(_)).sum
+      val mad = (for (a <- xs; b <- xs) yield (BigInt(a) - BigInt(b)).abs).sum
+      val expected = mad.toDouble / (BigInt(2) * n * n * sx).toDouble * n
+      assert(math.abs(r.getDouble(3) - expected) < 1e-9,
+        s"gini ${r.getDouble(3)} != naive $expected for ${r.getString(0)}")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
+    }
+  }
+
+  test("q_dp_count: clamped noise, non-negative release, deterministic") {
+    val r1 = q("q_dp_count")
+    val r2 = q("q_dp_count")
+    assert(r1.map(_.toSeq).toSet === r2.map(_.toSeq).toSet)
+    r1.foreach { r =>
+      assert(math.abs(r.getLong(2)) <= 6, "noise must clamp to ±6")
+      assert(r.getLong(3) >= 0, "post-processed release must be >= 0")
+      assert(r.getLong(3) === math.max(r.getLong(1) + r.getLong(2), 0L))
+    }
+    assert(r1.map(_.getLong(2)).distinct.length > 1,
+      "noise should vary across sources (not a constant)")
+  }
+
+  test("q_listagg emits ascending bounded lists") {
+    q("q_listagg").foreach { r =>
+      assert(r.getLong(2) <= 12)
+      val keys = r.getString(3).split(",").map(_.toLong)
+      assert(keys.length === r.getLong(2))
+      assert(keys.sorted.sameElements(keys), "key_list must be ascending")
+    }
+  }
+
+  test("q_ngram_novelty: ratios in range, duplicated docs score low") {
+    val rows = q("q_ngram_novelty")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000)
+    }
+    // any doc whose text appears verbatim in another doc has ZERO novel
+    // grams — check against exact-dup groups if the fixture has any
+    val dups = graft.ops.Tables(spark, sf, "documents")
+      .groupBy("text").agg(count(lit(1)).as("c"),
+        collect_list("doc_id").as("ids"))
+      .filter(col("c") > 1)
+      .select(explode(col("ids")).as("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    if (dups.nonEmpty) {
+      val novelOfDups = rows.filter(r => dups.contains(r.getLong(0)))
+      novelOfDups.foreach(r =>
+        assert(r.getLong(2) === 0, s"dup doc ${r.getLong(0)} has novel grams"))
+    }
+  }
+
+  test("q_stream_sliding covers each event exactly 4 times") {
+    val rows = q("q_stream_sliding")
+    val total = events.count()
+    assert(rows.map(_.getLong(2)).sum === total * 4,
+      "every event must land in exactly 4 sliding windows")
+    // window starts align to the 15-minute grid
+    rows.foreach(r => assert(r.getLong(1) % 900000000L === 0))
+  }
+
   test("q_stream_chained equals the batch two-level rollup") {
     val streaming = q("q_stream_chained").map(_.toSeq).toSet
     val batch = events
