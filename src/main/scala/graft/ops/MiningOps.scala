@@ -424,6 +424,124 @@ object MiningOps {
               col("sx").cast("decimal(38,0)")).cast("double") /
             (col("n").cast("decimal(38,0)") *
               col("sx").cast("decimal(38,0)")).cast("double")).as("gini"))
+    },
+
+    // ---- rolling z-score anomaly flags (integer-exact, no sqrt) -----------
+    // Is this observation >3σ from its user's trailing-20 baseline? The
+    // telemetry outlier gate, made EXACT: the test (v−μ)² > 9σ² over the
+    // trailing window (EXCLUDING the current row — a spike must not mask
+    // itself) cross-multiplies to (n·v − s1)² > 9·(n·s2 − s1²), which is
+    // all integer arithmetic on fixed-point moments — no float mean, no
+    // sqrt, no epsilon, so the boolean is bit-deterministic on both
+    // engines. One user-keyed window pass; warm-up rows (n < 8) are
+    // explicitly un-flagged. ×100 quantization bounds every product
+    // under 2^53 (trailing sums ≤ 20·49k·100).
+    Q("q_rolling_anomaly",
+      """WITH f AS (SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |w AS (SELECT user_id, event_id, v,
+        |    count(v) OVER tw AS n, sum(v) OVER tw AS s1,
+        |    sum(v * v) OVER tw AS s2
+        |  FROM f WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, CAST(coalesce(n, 0) AS BIGINT) AS n_win,
+        |  CAST(CASE WHEN n >= 8
+        |    THEN (n * v - s1) * (n * v - s1) ELSE NULL END AS BIGINT)
+        |    AS dev2,
+        |  CAST(CASE WHEN n >= 8
+        |    THEN 9 * (n * s2 - s1 * s1) ELSE NULL END AS BIGINT) AS thr,
+        |  CAST(CASE WHEN n >= 8 AND
+        |    (n * v - s1) * (n * v - s1) > 9 * (n * s2 - s1 * s1)
+        |    THEN TRUE ELSE FALSE END AS BOOLEAN) AS is_anomaly
+        |FROM w""".stripMargin) { (s, d) =>
+      val tw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+      val f = events(s, d).select(col("user_id"), col("event_id"), col("ts"),
+        fp(col("value"), 100d).as("v"))
+        .withColumn("n", count(col("v")).over(tw))
+        .withColumn("s1", sum(col("v")).over(tw))
+        .withColumn("s2", sum(col("v") * col("v")).over(tw))
+      val dev2 = (col("n") * col("v") - col("s1")) *
+        (col("n") * col("v") - col("s1"))
+      val thr = lit(9L) * (col("n") * col("s2") - col("s1") * col("s1"))
+      f.select(col("user_id"), col("event_id"),
+        coalesce(col("n"), lit(0L)).as("n_win"),
+        when(col("n") >= 8, dev2).otherwise(lit(null)).cast("long").as("dev2"),
+        when(col("n") >= 8, thr).otherwise(lit(null)).cast("long").as("thr"),
+        when(col("n") >= 8 && dev2 > thr, lit(true)).otherwise(lit(false))
+          .as("is_anomaly"))
+    },
+
+    // ---- weighted median (quantity-weighted price) ------------------------
+    // The robust center when rows carry unequal mass — importance-
+    // weighted quantiles for mixture calibration, shipment-weighted
+    // price levels here. Lower weighted median: smallest value whose
+    // cumulative weight reaches half the total. One sort-window builds
+    // the running weight, a tiny per-group agg picks the crossing —
+    // exact integers throughout (contrast interpolating percentile
+    // variants, which this anchors). Ties on price are ordered by the
+    // unique (orderkey, linenumber) so both engines accumulate in the
+    // same sequence.
+    Q("q_weighted_median",
+      """WITH f AS (SELECT l_returnflag AS flag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+        |    CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |r AS (SELECT flag, p, w,
+        |    sum(w) OVER (PARTITION BY flag ORDER BY p, l_orderkey,
+        |      l_linenumber ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    sum(w) OVER (PARTITION BY flag) AS totw
+        |  FROM f)
+        |SELECT flag, CAST(min(totw) AS BIGINT) AS total_weight,
+        |  CAST(min(CASE WHEN 2 * cumw >= totw THEN p END) AS BIGINT)
+        |    AS wmedian_fp
+        |FROM r GROUP BY 1""".stripMargin) { (s, d) =>
+      val wSort = Window.partitionBy("flag")
+        .orderBy("p", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("flag")
+      lineitem(s, d).select(col("l_returnflag").as("flag"),
+          fp(col("l_extendedprice"), 100d).as("p"),
+          col("l_quantity").cast("long").as("w"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("cumw", sum(col("w")).over(wSort))
+        .withColumn("totw", sum(col("w")).over(wAll))
+        .groupBy("flag")
+        .agg(min(col("totw")).as("total_weight"),
+          min(when(lit(2L) * col("cumw") >= col("totw"), col("p")))
+            .as("wmedian_fp"))
+    },
+
+    // ---- Simpson diversity index (log-free entropy analogue) --------------
+    // How concentrated is each user's event mix? Simpson's λ = Σnᵢ² over
+    // N² is the collision probability — the diversity story Shannon
+    // entropy tells, WITHOUT logarithms (whose last-ulp rounding is not
+    // portable across engines; λ is exact integers + one IEEE division
+    // chain stated identically on both sides). 1−λ/N² is the Gini-
+    // Simpson diversity; N²/λ is the effective number of types. Two
+    // cheap aggs on the same user key — no window, no sort.
+    Q("q_diversity_simpson",
+      """WITH c AS (SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_i
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT user_id, sum(n_i) AS n, sum(n_i * n_i) AS lam,
+        |    CAST(count(*) AS BIGINT) AS n_types
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n, n_types,
+        |  CAST(lam AS BIGINT) AS lambda_sum,
+        |  1.0 - CAST(lam AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |    AS simpson_diversity
+        |FROM a""".stripMargin) { (s, d) =>
+      events(s, d).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_i"))
+        .groupBy("user_id")
+        .agg(sum(col("n_i")).as("n"),
+          sum(col("n_i") * col("n_i")).as("lambda_sum"),
+          count(lit(1)).as("n_types"))
+        .select(col("user_id"), col("n"), col("n_types"), col("lambda_sum"),
+          (lit(1.0) - col("lambda_sum").cast("double") /
+            (col("n").cast("double") * col("n").cast("double")))
+            .as("simpson_diversity"))
     }
   )
 }

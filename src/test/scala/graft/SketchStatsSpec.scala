@@ -225,6 +225,65 @@ class SketchStatsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) % 900000000L === 0))
   }
 
+  test("q_rolling_anomaly matches a naive trailing-window replay") {
+    val rows = q("q_rolling_anomaly")
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(5))).toMap
+    val ev = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value").cast("double") * 100d + 0.5d).cast("long").as("v"))
+      .collect().map { r =>
+        val t = r.getTimestamp(2)
+        val us = t.getTime * 1000 + t.getNanos / 1000 % 1000
+        (r.getLong(0), r.getLong(1), (us, r.getLong(1)), r.getLong(3))
+      }
+    ev.groupBy(_._1).foreach { case (u, es) =>
+      val sorted = es.sortBy(e => e._3)
+      sorted.indices.foreach { i =>
+        val win = sorted.slice(math.max(0, i - 20), i).map(_._4)
+        val (n, s1, s2) =
+          (win.length.toLong, win.sum, win.map(x => x * x).sum)
+        val expectFlag = n >= 8 &&
+          { val d = n * sorted(i)._4 - s1; d * d > 9 * (n * s2 - s1 * s1) }
+        val (gotN, gotFlag) = rows((u, sorted(i)._2))
+        assert(gotN === n, s"window size mismatch at user $u idx $i")
+        assert(gotFlag === expectFlag, s"flag mismatch at user $u idx $i")
+      }
+    }
+  }
+
+  test("q_weighted_median halves the mass on each side") {
+    val rows = q("q_weighted_median")
+    val li = graft.ops.Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice").cast("double") * 100d + 0.5d)
+          .cast("long").as("p"),
+        col("l_quantity").cast("long").as("w"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val (flag, tot, med) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val xs = li(flag).map(x => (x.getLong(1), x.getLong(2)))
+      assert(tot === xs.map(_._2).sum)
+      val below = xs.filter(_._1 < med).map(_._2).sum
+      val upto = xs.filter(_._1 <= med).map(_._2).sum
+      assert(2 * below < tot, "mass strictly below median must be < half")
+      assert(2 * upto >= tot, "mass up to median must reach half")
+    }
+  }
+
+  test("q_diversity_simpson: bounds and degenerate cases") {
+    val rows = q("q_diversity_simpson")
+    rows.foreach { r =>
+      val (n, k, lam, div) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(lam >= n, "sum of squares must dominate the sum")
+      assert(div >= -1e-12 && div <= 1.0 - 1.0 / k + 1e-12,
+        s"diversity $div outside [0, 1-1/k] for k=$k")
+      if (k == 1) assert(math.abs(div) < 1e-12,
+        "single-type user must have zero diversity")
+    }
+  }
+
   test("q_stream_chained equals the batch two-level rollup") {
     val streaming = q("q_stream_chained").map(_.toSeq).toSet
     val batch = events
