@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CharNgramHashes, CosineSim, HyperplaneSig, MinHashSig, MisraGriesTopK, ShingleHashes, SimHash64, SortedIntersectCount, TokenStats, TopKByScore, WordListHits}
+import graft.functions.{CharNgramHashes, CosineSim, CountMinAgg, HyperplaneSig, MinHashSig, MisraGriesTopK, ShingleHashes, SimHash64, SortedIntersectCount, TokenStats, TopKByScore, WordListHits}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT simhash64(...)")`
@@ -104,6 +104,9 @@ object GraftExtensions {
       TopKByScore(args(0), args(1), intLit(args(2), "top_k_by_score")) }
     register("misra_gries") { args =>
       MisraGriesTopK(args(0), intLit(args(1), "misra_gries")) }
+    register("count_min") { args =>
+      CountMinAgg(args(0), intLit(args(1), "count_min"),
+        intLit(args(2), "count_min")) }
 
     out.result()
   }

@@ -31,7 +31,7 @@ object Verify {
     "q_audio_decode", "q_audio_resample", "q_pagerank", "q_triangle",
     "q_assoc_rules", "q_setsim_join", "q_dedup_span", "q_bfs_hops",
     "q_ann_int8_gate", "q_ann_int8", "q_stream_dedup_ingest",
-    "q_stream_chained",
+    "q_stream_chained", "q_stream_sliding",
     "q_stream_upsert", "q_stream_stream_join", "q_stream_left_join",
     "q_stream_session", "q_corpus_golden", "q_dedup_ngram",
     "q_zillow_golden", "q_flights_golden",

@@ -35,10 +35,18 @@ import org.apache.spark.sql.types._
   * Misra-Gries) for cardinality/frequency work at corpus scale.
   */
 object CountMin {
+  // One digest per thread, reset between calls — update() hashes depth
+  // times per input row, and MessageDigest.getInstance on every call
+  // would dominate the aggregate's hot path with provider lookups.
+  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
   /** Bucket of `key` in hash row `s` — must stay in lock-step with the
-    * SQL replay (see `FeatureOps.cmBucketSql`). */
+    * SQL replay (the md5-nibble expression in `FeatureOps.ppmUniform`
+    * style, `% width` over the first 6 hex nibbles). */
   def bucket(key: Long, s: Int, width: Int): Int = {
-    val md = MessageDigest.getInstance("MD5")
+    val md = md5.get()
+    md.reset()
     val h = md.digest(s"${key}cm$s".getBytes(StandardCharsets.UTF_8))
     val v = ((h(0) & 0xff) << 16) | ((h(1) & 0xff) << 8) | (h(2) & 0xff)
     v % width

@@ -33,6 +33,17 @@ object FeatureOps {
   private def nib(h: String, i: Int) =
     s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
 
+  /** Deterministic uniform in [0, modulus) from an md5 SQL expression:
+    * the first 6 hex nibbles decoded big-endian, mod `modulus` — ONE
+    * engine-neutral string both Spark and DuckDB evaluate identically
+    * (int arithmetic only; the 6-nibble value tops out at ~16.7M, far
+    * under 2^31). Every hash-randomized operator (rebalance, bootstrap,
+    * DP noise, Count-Min buckets) derives its "randomness" through this
+    * single spelling so the copies cannot drift apart. */
+  private def hexUniform(h: String, modulus: Long): String =
+    (1 to 6).map(i => s"${nib(h, i)} * ${math.pow(16, 6 - i).toLong}")
+      .mkString("((", " + ", s") % $modulus)")
+
   // Aggregate STATE for q_incr_agg, staged once per source dir: the
   // grouped (cnt, fixed-point sum) partials over the base partition
   // (o_orderdate < 1997-01-01), written to parquet exactly once. The
@@ -326,9 +337,7 @@ object FeatureOps {
     // oracle row set stays source-sized deterministic.
     Q("q_rebalance", {
       val oh = "md5(CAST(doc_id AS VARCHAR) || 'bal')"
-      val frac = (1 to 6)
-        .map(i => s"${nib(oh, i)} * ${math.pow(16, 6 - i).toLong}")
-        .mkString("((", " + ", ") % 1000000)")
+      val frac = hexUniform(oh, 1000000)
       s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
          |  FROM documents GROUP BY 1),
          |m AS (SELECT max(cnt) AS max_cnt FROM c),
@@ -346,9 +355,7 @@ object FeatureOps {
       // Spark spells the identical hash CAST(... AS STRING); DuckDB's
       // VARCHAR cast of a BIGINT renders the same digits
       val h = "md5(CAST(doc_id AS STRING) || 'bal')"
-      val frac = expr(
-        (1 to 6).map(i => s"${nib(h, i)} * ${math.pow(16, 6 - i).toLong}L")
-          .mkString("(", " + ", ") % 1000000L"))
+      val frac = expr(hexUniform(h, 1000000))
       documents(s, d).select(col("doc_id"), col("source"))
         .join(broadcast(f), "source")
         .select(col("doc_id"), col("source"),
@@ -804,9 +811,7 @@ object FeatureOps {
     // guarantee bit carried per row.
     Q("q_countmin", {
       val h = "md5(CAST(user_id AS VARCHAR) || 'cm' || CAST(s AS VARCHAR))"
-      val b = (1 to 6)
-        .map(i => s"${nib(h, i)} * ${math.pow(16, 6 - i).toLong}")
-        .mkString("((", " + ", ") % 256)")
+      val b = hexUniform(h, 256)
       s"""WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
          |  FROM events GROUP BY 1),
          |h AS (SELECT user_id, exact_cnt, s, $b AS b
@@ -825,9 +830,7 @@ object FeatureOps {
       val keys = events(s, d).groupBy("user_id")
         .agg(count(lit(1)).as("exact_cnt"))
       val h = "md5(CAST(user_id AS STRING) || 'cm' || CAST(s AS STRING))"
-      val b = expr((1 to 6)
-        .map(i => s"${nib(h, i)} * ${math.pow(16, 6 - i).toLong}L")
-        .mkString("((", " + ", ") % 256L)"))
+      val b = expr(hexUniform(h, 256))
       keys.crossJoin(broadcast(sketch))
         .withColumn("s", explode(array((0 until 4).map(lit): _*)))
         .withColumn("cell",
@@ -850,9 +853,7 @@ object FeatureOps {
     // reproducible: the oracle replays the exact resample.
     Q("q_bootstrap", {
       val oh = "md5(CAST(doc_id AS VARCHAR) || 'bs' || CAST(b AS VARCHAR))"
-      val u = (1 to 6)
-        .map(i => s"${nib(oh, i)} * ${math.pow(16, 6 - i).toLong}")
-        .mkString("((", " + ", ") % 1000000)")
+      val u = hexUniform(oh, 1000000)
       s"""WITH r AS (SELECT doc_id, source, n_chars, b, $u AS u
          |  FROM documents CROSS JOIN
          |    (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(b)),
@@ -872,9 +873,7 @@ object FeatureOps {
          |FROM w GROUP BY 1, 2""".stripMargin
     }) { (s, d) =>
       val h = "md5(CAST(doc_id AS STRING) || 'bs' || CAST(b AS STRING))"
-      val u = expr((1 to 6)
-        .map(i => s"${nib(h, i)} * ${math.pow(16, 6 - i).toLong}L")
-        .mkString("((", " + ", ") % 1000000L)"))
+      val u = expr(hexUniform(h, 1000000))
       val wt = when(u < 367879L, 0L).when(u < 735759L, 1L)
         .when(u < 919699L, 2L).when(u < 981012L, 3L)
         .when(u < 996340L, 4L).when(u < 999406L, 5L)
@@ -964,9 +963,7 @@ object FeatureOps {
     // Scale: noise is a per-GROUP map over the already-aggregated frame.
     Q("q_dp_count", {
       val oh = "md5(source || '|dp1')"
-      val u = (1 to 6)
-        .map(i => s"${nib(oh, i)} * ${math.pow(16, 6 - i).toLong}")
-        .mkString("((", " + ", ") % 1000000)")
+      val u = hexUniform(oh, 1000000)
       s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_true
          |  FROM documents GROUP BY 1),
          |z AS (SELECT source, n_true, $u AS u FROM c),
@@ -984,9 +981,7 @@ object FeatureOps {
          |FROM k""".stripMargin
     }) { (s, d) =>
       val h = "md5(source || '|dp1')"
-      val u = expr((1 to 6)
-        .map(i => s"${nib(h, i)} * ${math.pow(16, 6 - i).toLong}L")
-        .mkString("((", " + ", ") % 1000000L)"))
+      val u = expr(hexUniform(h, 1000000))
       val noise = when(u < 1813L, -6L).when(u < 4927L, -5L)
         .when(u < 13393L, -4L).when(u < 36402L, -3L)
         .when(u < 98940L, -2L).when(u < 268941L, -1L)

@@ -350,12 +350,12 @@ object MiningOps {
       """WITH f AS (SELECT user_id, event_id, ts,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
         |t AS (SELECT CAST(sum(v) // count(*) AS BIGINT) AS tgt FROM f),
-        |r AS (SELECT user_id, event_id, v, tgt,
+        |r AS (SELECT user_id, event_id, ts, v, tgt,
         |    sum(v - tgt) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS UNBOUNDED PRECEDING) AS s_raw
         |  FROM f CROSS JOIN t),
         |m AS (SELECT user_id, event_id, s_raw,
-        |    min(s_raw) OVER (PARTITION BY user_id ORDER BY event_id
+        |    min(s_raw) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS UNBOUNDED PRECEDING) AS s_min
         |  FROM r)
         |SELECT user_id, event_id,
@@ -369,10 +369,11 @@ object MiningOps {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val r = f.crossJoin(broadcast(t))
         .withColumn("s_raw", sum(col("v") - col("tgt")).over(w1))
-      // NOTE: the second window orders by event_id alone — (ts, event_id)
-      // is already a total order per user in this data, and the oracle
-      // mirrors the same spelling, so both engines scan identically.
-      val w2 = Window.partitionBy("user_id").orderBy("event_id")
+      // The running-min MUST scan in the same (ts, event_id) order the
+      // prefix sums were built in — ordering by event_id alone would
+      // silently break the identity on any drop where ids aren't
+      // time-ordered, and the oracle would mirror the same mistake.
+      val w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       r.withColumn("s_min", min(col("s_raw")).over(w2))
         .select(col("user_id"), col("event_id"),

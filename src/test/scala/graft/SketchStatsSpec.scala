@@ -63,6 +63,30 @@ class SketchStatsSpec extends AnyFunSuite {
       "pointwise sum of disjoint-stream sketches must equal the full sketch")
   }
 
+  test("count_min is callable from SQL via GraftExtensions") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s2.sparkContext.setLogLevel("ERROR")
+    import s2.implicits._
+    Seq(1L, 1L, 2L, 3L, 3L, 3L).toDF("k").createOrReplaceTempView("cm_t")
+    val sk = s2.sql("SELECT count_min(k, 4, 256) AS sk FROM cm_t")
+      .collect()(0).getSeq[Long](0)
+    assert(sk.length === 4 * 256)
+    assert(sk.sum === 4 * 6, "each row increments one cell per hash row")
+    // the sketch the SQL surface builds equals the Column-API one
+    val viaCol = s2.table("cm_t").agg(GraftBridge.column(
+        graft.functions.CountMinAgg(
+          GraftBridge.expression(col("k")), 4, 256)).as("sk"))
+      .collect()(0).getSeq[Long](0)
+    assert(sk === viaCol)
+  }
+
   test("q_countmin honors the one-sided guarantee and total mass") {
     val rows = q("q_countmin")
     val n = events.count()
