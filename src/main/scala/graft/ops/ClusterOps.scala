@@ -14,6 +14,9 @@ object ClusterOps {
 
   private val K = 8
   private val SemT = 0.42
+  // NOTE: must be declared BEFORE `all` — the Q oracle strings are built
+  // eagerly at object init, and a later-declared val would still be 0.
+  private val PcaIters = 8
 
   /** Left-to-right double cosine — textual mirror of [[KMeans.cosD]]. */
   private def oCos(a: String, b: String): String =
@@ -70,6 +73,52 @@ object ClusterOps {
          |SELECT a2.vec_id, a2.cid AS cluster, dr.vec_id IS NULL AS kept
          |FROM a2 LEFT JOIN dr USING (vec_id)""".stripMargin) { (s, d) =>
       KMeans.semDedup(Tables(s, d, "embeddings"), "vec_id", "embedding", K, SemT)
+    },
+
+    // ---- PCA first component (exact power iteration) ----------------------
+    // See graft.similarity.Pca: one dim²-bounded moment scan, a bounded
+    // BigInt power iteration driver-side, and a distributed exact dot-
+    // product projection. The oracle replays EVERYTHING — moments,
+    // covariance numerators, all unrolled requantized iterations, and
+    // the projections — in HUGEINT SQL, so a hash match certifies the
+    // whole pipeline, not just the final map.
+    Q("q_pca_project", PcaOracle(PcaIters)) { (s, d) =>
+      graft.similarity.Pca.topComponentProjections(s, d, PcaIters)
     }
   )
+
+  /** Unrolled power-iteration oracle: wk = C·v(k−1); mk = max|wk|;
+    * vk = sign(wk)·(|wk|·10⁶ // mk) — abs-then-divide so floor vs
+    * truncate on negatives cannot differ across engines. */
+  private def PcaOracle(iters: Int): String = {
+    val its = (1 to iters).map { k =>
+      s"""w$k AS (SELECT i AS d, sum(cij * vd) AS wd
+         |  FROM c JOIN v${k - 1} ON v${k - 1}.d = c.j GROUP BY 1),
+         |m$k AS (SELECT max(abs(wd)) AS m FROM w$k),
+         |v$k AS (SELECT d, CASE WHEN m = 0 THEN CAST(1000000 AS HUGEINT)
+         |    ELSE (CASE WHEN wd < 0 THEN -1 ELSE 1 END)
+         |         * ((abs(wd) * 1000000) // m) END AS vd
+         |  FROM w$k CROSS JOIN m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS (SELECT vec_id, label,
+       |    list_transform(embedding,
+       |      t -> CAST(floor(CAST(t AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+       |      AS xf
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, i - 1 AS d, xf[i] AS v
+       |  FROM x, unnest(generate_series(1, len(xf))) AS u(i)),
+       |s AS (SELECT d, sum(v) AS sd FROM e GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM x),
+       |p AS (SELECT a.d AS i, b.d AS j, sum(a.v * b.v) AS pij
+       |  FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2),
+       |c AS (SELECT i, j, n * pij - sa.sd * sb.sd AS cij
+       |  FROM p CROSS JOIN nn
+       |  JOIN s sa ON sa.d = p.i JOIN s sb ON sb.d = p.j),
+       |v0 AS (SELECT d, CAST(1000000 AS HUGEINT) AS vd FROM s),
+       |$its
+       |SELECT x.vec_id, x.label, CAST(pr.score AS BIGINT) AS score_fp
+       |FROM x JOIN (SELECT e.vec_id, sum(e.v * v$iters.vd) AS score
+       |  FROM e JOIN v$iters ON v$iters.d = e.d GROUP BY 1) pr
+       |  USING (vec_id)""".stripMargin
+  }
 }

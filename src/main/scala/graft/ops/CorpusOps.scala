@@ -443,6 +443,39 @@ object CorpusOps {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("doc_id", "token", "tf", "df", "rank")
+    },
+
+    // ---- template dedup (variable-span normalization) ---------------------
+    // Templated documents — receipts, log lines, boilerplate mail —
+    // differ only in numbers and spacing, so exact dedup misses them and
+    // MinHash wastes near-dup budget on them. Canonicalize FIRST (lower,
+    // digit runs → '0', whitespace runs → one space, trim), then
+    // exact-group on the md5 of the canonical form: one 16-byte-key
+    // shuffle, the q_dedup_exact scale shape, catching an entire
+    // duplicate class structural hashing gets for free. Both engines
+    // spell the same two regexes (global flag explicit in DuckDB, whose
+    // regexp_replace is first-match by default — the classic drift
+    // trap). Output: doc → canonical representative + template size.
+    Q("q_dedup_template",
+      """WITH c AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[0-9]+', '0', 'g'), '\s+', ' ', 'g'))) AS tkey
+        |  FROM documents),
+        |g AS (SELECT tkey, CAST(min(doc_id) AS BIGINT) AS canon_id,
+        |    CAST(count(*) AS BIGINT) AS n_in_template
+        |  FROM c GROUP BY 1)
+        |SELECT c.doc_id, g.canon_id, g.n_in_template,
+        |  CAST(c.doc_id = g.canon_id AS BOOLEAN) AS is_canonical
+        |FROM c JOIN g USING (tkey)""".stripMargin) { (s, d) =>
+      val tkey = md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[0-9]+", "0"), "\\s+", " ")))
+      val c = Tables(s, d, "documents").select(col("doc_id"), tkey.as("tkey"))
+      val g = c.groupBy("tkey")
+        .agg(min(col("doc_id")).as("canon_id"),
+          count(lit(1)).as("n_in_template"))
+      c.join(g, "tkey")
+        .select(col("doc_id"), col("canon_id"), col("n_in_template"),
+          (col("doc_id") === col("canon_id")).as("is_canonical"))
     }
   )
 }

@@ -180,6 +180,49 @@ object JourneyOps {
           col("o_orderstatus").as("status")))
     },
 
+    // ---- last-touch attribution (purchase ← most recent view) -------------
+    // The marketing-analytics join-free classic: every purchase is
+    // attributed to the user's most recent PRECEDING view within a
+    // 7-day lookback. One user-keyed window with an IGNORE NULLS
+    // last_value carry — no self-join, no per-purchase subquery (the
+    // O(n²) formulations that cannot scale); the lookback check is an
+    // exact µs comparison after the carry. Purchases with no qualifying
+    // view stay NULL-attributed (the "direct" bucket). Same plan shape
+    // as the SCD2 point-in-time lookup, reused on behavioral data.
+    Q("q_attribution",
+      """WITH w AS (SELECT user_id, event_id, event_type, ts,
+        |    last_value(CASE WHEN event_type = 'view'
+        |        THEN event_id END IGNORE NULLS)
+        |      OVER uw AS view_id,
+        |    last_value(CASE WHEN event_type = 'view'
+        |        THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER uw AS view_us
+        |  FROM events
+        |  WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id AS purchase_id,
+        |  CAST(CASE WHEN epoch_us(ts) - view_us <= 604800000000
+        |    THEN view_id END AS BIGINT) AS attributed_view,
+        |  CAST(CASE WHEN epoch_us(ts) - view_us <= 604800000000
+        |    THEN epoch_us(ts) - view_us END AS BIGINT) AS gap_us
+        |FROM w WHERE event_type = 'purchase'""".stripMargin) { (s, d) =>
+      val uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isView = col("event_type") === "view"
+      events(s, d)
+        .withColumn("view_id",
+          last(when(isView, col("event_id")), ignoreNulls = true).over(uw))
+        .withColumn("view_us",
+          last(when(isView, unix_micros(col("ts"))), ignoreNulls = true)
+            .over(uw))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          when(unix_micros(col("ts")) - col("view_us") <= 604800000000L,
+            col("view_id")).as("attributed_view"),
+          when(unix_micros(col("ts")) - col("view_us") <= 604800000000L,
+            unix_micros(col("ts")) - col("view_us")).as("gap_us"))
+    },
+
     // ---- life table / survival analysis (Kaplan-Meier counts) -------------
     // Churn measured the right way: each user's lifetime = days between
     // first and last event; a user whose last activity is within 7 days

@@ -308,6 +308,80 @@ class SketchStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_pca_project matches a from-scratch local power iteration") {
+    val got = q("q_pca_project")
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // independent local replay: collect vectors, build the covariance
+    // numerators DIRECTLY (not via the distributed moment identity),
+    // run the same iterate/requantize recursion, project
+    val vecs = graft.ops.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(f =>
+          BigInt(math.floor(f.toDouble * 10000 + 0.5).toLong)).toArray)
+    val dim = vecs.head._2.length
+    val n = BigInt(vecs.length)
+    val mean = Array.tabulate(dim)(d => vecs.map(_._2(d)).sum) // = S_d
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      // n²·Cov = n·Σxᵢxⱼ − SᵢSⱼ — same PSD matrix up to positive scale
+      n * vecs.map(v => v._2(i) * v._2(j)).sum - mean(i) * mean(j)
+    }
+    var v = Array.fill(dim)(BigInt(1000000))
+    (1 to 8).foreach { _ =>
+      val w = Array.tabulate(dim)(d =>
+        (0 until dim).map(j => cov(d)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      if (m != 0)
+        v = w.map(wd =>
+          (if (wd < 0) -BigInt(1) else BigInt(1)) * (wd.abs * 1000000 / m))
+    }
+    vecs.foreach { case (id, xf) =>
+      val proj = (0 until dim).map(d => xf(d) * v(d)).sum
+      assert(BigInt(got(id)) === proj, s"projection mismatch for vec $id")
+    }
+    // Rayleigh quotient must not have decreased from the start vector
+    def rayleigh(u: Array[BigInt]): BigDecimal = {
+      val num = (0 until dim).map(i =>
+        u(i) * (0 until dim).map(j => cov(i)(j) * u(j)).sum).sum
+      BigDecimal(num) / BigDecimal((0 until dim).map(i => u(i) * u(i)).sum)
+    }
+    assert(rayleigh(v) >= rayleigh(Array.fill(dim)(BigInt(1000000))),
+      "power iteration must not decrease the Rayleigh quotient")
+  }
+
+  test("q_attribution: views precede purchases within the lookback") {
+    val rows = q("q_attribution")
+    assert(rows.nonEmpty)
+    val evs = events.select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    rows.filter(r => !r.isNullAt(2)).foreach { r =>
+      val (view, gap) = (r.getLong(2), r.getLong(3))
+      assert(evs(view)._1 === "view")
+      assert(gap >= 0 && gap <= 604800000000L)
+      assert(evs(r.getLong(1))._2 - evs(view)._2 === gap)
+    }
+  }
+
+  test("q_dedup_template groups digit-variant copies together") {
+    import spark.implicits._
+    val rows = q("q_dedup_template")
+    rows.foreach(r => assert(r.getLong(1) <= r.getLong(0) ||
+      r.getLong(2) >= 1)) // canon is the min doc_id of its group
+    val canons = rows.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(rows.forall(r => canons.contains(r.getLong(1))))
+    // behavioural check on a synthetic frame: digit/spacing variants of
+    // one template collapse, a genuinely different text does not
+    val df = Seq((1L, "Order 123 shipped  on 2024"),
+        (2L, "order 99 SHIPPED on 0007"),
+        (3L, "totally different text")).toDF("doc_id", "text")
+    val tkey = md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[0-9]+", "0"), "\\s+", " ")))
+    val groups = df.select(tkey.as("k")).collect().map(_.getString(0))
+    assert(groups(0) === groups(1))
+    assert(groups(0) !== groups(2))
+  }
+
   test("q_stream_chained equals the batch two-level rollup") {
     val streaming = q("q_stream_chained").map(_.toSeq).toSet
     val batch = events
