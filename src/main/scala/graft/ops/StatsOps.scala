@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hypothesis-test / distribution-audit tranche: chi-square independence
+  * (with Cramér's V), the two-sample Kolmogorov-Smirnov statistic, and a
+  * Benford first-digit audit. The classical formulations are float-heavy
+  * (divisions inside sums, logs); each is restated here so every
+  * accumulation is over exact integers — per-cell and per-point terms are
+  * fixed-point-quantized by INTEGER division BEFORE summing, so partial-
+  * aggregation order cannot perturb the result and the DuckDB oracle
+  * replays it bit-for-bit. At scale each test is one or two grouped
+  * passes over a key no wider than the contingency grid / distinct-value
+  * set.
+  */
+object StatsOps {
+
+  private def events(s: SparkSession, d: String) = Tables(s, d, "events")
+  private def orders(s: SparkSession, d: String) = Tables(s, d, "orders")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- chi-square test of independence + Cramér's V ---------------------
+    // Is event mix independent of weekday? Contingency = event_type ×
+    // day-of-week (Spark's dayofweek is 1-based Sunday-first; the oracle
+    // shifts DuckDB's 0-based to match). χ² = Σ (n·O − r·c)²/(n·r·c),
+    // with each CELL term quantized to micro-units by integer division
+    // before the sum — exact decimal/HUGEINT cross-products (the (n·O −
+    // r·c)² numerator clears 2^63 at sf0.1 already), so the statistic is
+    // deterministic. Cramér's V = sqrt(χ²/(n·(min(R,C)−1))) is one IEEE
+    // chain on the exact integers, stated identically on both sides.
+    // Scale shape: one grid-sized aggregation; row/col margins join back
+    // on grid-sized frames.
+    Q("q_chi_square",
+      """WITH o AS (SELECT event_type, dayofweek(ts) + 1 AS dow,
+        |    CAST(count(*) AS BIGINT) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, sum(obs) AS rm FROM o GROUP BY 1),
+        |c AS (SELECT dow, sum(obs) AS cm FROM o GROUP BY 1),
+        |nn AS (SELECT CAST(sum(obs) AS HUGEINT) AS n,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+        |    CAST(count(DISTINCT dow) AS BIGINT) AS nc
+        |  FROM o),
+        |t AS (SELECT
+        |    ((n * obs - rm * cm) * (n * obs - rm * cm) * 1000000)
+        |      // (n * rm * cm) AS term, n, nr, nc
+        |  FROM o JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN nn)
+        |SELECT CAST(min(n) AS BIGINT) AS n,
+        |  CAST(sum(term) AS BIGINT) AS chi2_micro,
+        |  CAST((min(nr) - 1) * (min(nc) - 1) AS BIGINT) AS dof,
+        |  sqrt(CAST(sum(term) AS DOUBLE) / 1000000.0 /
+        |       (CAST(min(n) AS DOUBLE) * (least(min(nr), min(nc)) - 1)))
+        |    AS cramers_v
+        |FROM t""".stripMargin) { (s, d) =>
+      val o = events(s, d)
+        .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("obs"))
+      val r = o.groupBy("event_type").agg(sum(col("obs")).as("rm"))
+      val c = o.groupBy("dow").agg(sum(col("obs")).as("cm"))
+      val nn = o.agg(sum(col("obs")).cast("decimal(38,0)").as("n"),
+        countDistinct(col("event_type")).as("nr"),
+        countDistinct(col("dow")).as("nc"))
+      o.join(r, "event_type").join(c, "dow").crossJoin(broadcast(nn))
+        .select(expr(
+          "((n*obs - rm*cm) * (n*obs - rm*cm) * 1000000) div (n*rm*cm)")
+          .as("term"), col("n"), col("nr"), col("nc"))
+        .agg(min(col("n")).cast("long").as("n"),
+          sum(col("term")).cast("long").as("chi2_micro"),
+          ((min(col("nr")) - 1) * (min(col("nc")) - 1)).as("dof"),
+          sqrt(sum(col("term")).cast("double") / 1000000.0 /
+            (min(col("n")).cast("double") *
+              (least(min(col("nr")), min(col("nc"))) - 1)))
+            .as("cramers_v"))
+    },
+
+    // ---- two-sample Kolmogorov-Smirnov statistic ---------------------------
+    // Do 'view' and 'purchase' draw their values from the same
+    // distribution? D = max_x |F_A(x) − F_B(x)| cross-multiplied to the
+    // integer max |cumA·nB − cumB·nA| so there is NO float CDF: group by
+    // distinct value (ties collapse, which is exactly how an empirical
+    // CDF treats them), one sorted window accumulates both cumulative
+    // counts, the max is over exact integers, and the reported ks_stat
+    // is one final division. Scale: distinct-value-keyed agg + one sort;
+    // at 100 TB pre-bin values to the fixed-point grid they already
+    // live on.
+    Q("q_ks_test",
+      """WITH f AS (SELECT CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |g AS (SELECT v, sum(a) AS na, sum(b) AS nb FROM f GROUP BY 1),
+        |w AS (SELECT v,
+        |    sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+        |    sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+        |  FROM g),
+        |t AS (SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT)
+        |    AS tb FROM f)
+        |SELECT ta AS n_a, tb AS n_b,
+        |  CAST(max(abs(ca * tb - cb * ta)) AS BIGINT) AS ks_num,
+        |  CAST(max(abs(ca * tb - cb * ta)) AS DOUBLE) / (ta * tb) AS ks_stat
+        |FROM w CROSS JOIN t GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val f = events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(floor(col("value").cast("double") * 10000d + 0.5d)
+            .cast("long").as("v"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("a"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("b"))
+      val g = f.groupBy("v").agg(sum(col("a")).as("na"),
+        sum(col("b")).as("nb"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val t = f.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+      g.withColumn("ca", sum(col("na")).over(w))
+        .withColumn("cb", sum(col("nb")).over(w))
+        .crossJoin(broadcast(t))
+        .groupBy(col("ta").as("n_a"), col("tb").as("n_b"))
+        .agg(max(abs(col("ca") * col("tb") - col("cb") * col("ta")))
+            .as("ks_num"),
+          (max(abs(col("ca") * col("tb") - col("cb") * col("ta")))
+            .cast("double") / (col("ta") * col("tb"))).as("ks_stat"))
+    },
+
+    // ---- Benford first-digit audit -----------------------------------------
+    // The forensic data-quality screen: does the leading digit of
+    // o_totalprice follow log10(1+1/d)? Expected counts come from fixed
+    // ppm literals of the Benford law (floor division — identical on
+    // both sides), and each digit's deviation is quantized to micro-χ²
+    // units by integer division, so the audit is exact whatever the
+    // verdict. (TPC-H prices are roughly uniform on a band, so they
+    // FAIL Benford — the point is the deterministic measurement, not
+    // the pass.) One digit-keyed aggregation; the 9-row margins join is
+    // grid-sized.
+    Q("q_benford",
+      """WITH d AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS obs FROM d
+        |  GROUP BY 1),
+        |nn AS (SELECT sum(obs) AS n FROM o),
+        |e AS (SELECT * FROM (VALUES ('1', 301030), ('2', 176091),
+        |    ('3', 124939), ('4', 96910), ('5', 79181), ('6', 66947),
+        |    ('7', 57992), ('8', 51153), ('9', 45757))
+        |    t(digit, benford_ppm))
+        |SELECT e.digit, coalesce(o.obs, 0) AS obs,
+        |  CAST((n * benford_ppm) // 1000000 AS BIGINT) AS expected,
+        |  CAST(((coalesce(o.obs, 0) - (n * benford_ppm) // 1000000)
+        |        * (coalesce(o.obs, 0) - (n * benford_ppm) // 1000000)
+        |        * 1000000)
+        |      // greatest((n * benford_ppm) // 1000000, 1) AS BIGINT)
+        |    AS dev_micro
+        |FROM e LEFT JOIN o USING (digit) CROSS JOIN nn""".stripMargin) {
+      (s, d) =>
+      val dg = orders(s, d).filter(col("o_totalprice") >= 1)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("obs"))
+      val nn = dg.agg(sum(col("obs")).as("n"))
+      val ppm = Seq("1" -> 301030L, "2" -> 176091L, "3" -> 124939L,
+        "4" -> 96910L, "5" -> 79181L, "6" -> 66947L, "7" -> 57992L,
+        "8" -> 51153L, "9" -> 45757L)
+      val e = s.createDataFrame(ppm.map(p => (p._1, p._2)))
+        .toDF("digit", "benford_ppm")
+      val exp = expr("(n * benford_ppm) div 1000000")
+      val obs = coalesce(col("obs"), lit(0L))
+      e.join(dg, Seq("digit"), "left").crossJoin(broadcast(nn))
+        .select(col("digit"), obs.as("obs"), exp.cast("long").as("expected"),
+          expr("""((coalesce(obs, 0) - (n * benford_ppm) div 1000000)
+                 | * (coalesce(obs, 0) - (n * benford_ppm) div 1000000)
+                 | * 1000000)
+                 | div greatest((n * benford_ppm) div 1000000, 1)"""
+            .stripMargin).cast("long").as("dev_micro"))
+    }
+  )
+}

@@ -382,6 +382,63 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(groups(0) !== groups(2))
   }
 
+  test("q_chi_square is within quantization error of the float formula") {
+    val r = q("q_chi_square")(0)
+    val (n, chi2Micro, dof) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val cells = events
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .count().collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getLong(2)))
+    val rowM = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val colM = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val total = cells.map(_._3).sum
+    assert(n === total)
+    assert(dof === (rowM.size - 1).toLong * (colM.size - 1))
+    val naive = cells.map { case (et, dw, o) =>
+      val e = rowM(et).toDouble * colM(dw) / total
+      (o - e) * (o - e) / e
+    }.sum
+    // each of the |cells| terms is floor-truncated to micro-units
+    assert(math.abs(chi2Micro / 1e6 - naive) < cells.length / 1e6 + 1e-6,
+      s"chi2 ${chi2Micro / 1e6} vs naive $naive")
+    assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1.0)
+  }
+
+  test("q_ks_test equals the naive two-sample KS statistic") {
+    val r = q("q_ks_test")(0)
+    val (na, nb, num) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val samples = events
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"),
+        floor(col("value").cast("double") * 10000d + 0.5d).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val a = samples.filter(_._1 == "view").map(_._2).sorted
+    val b = samples.filter(_._1 == "purchase").map(_._2).sorted
+    assert(na === a.length.toLong && nb === b.length.toLong)
+    val points = (a ++ b).distinct.sorted
+    val naiveNum = points.map { x =>
+      math.abs(a.count(_ <= x).toLong * nb - b.count(_ <= x).toLong * na)
+    }.max
+    assert(num === naiveNum)
+    assert(math.abs(r.getDouble(3) - naiveNum.toDouble / (na * nb)) < 1e-15)
+  }
+
+  test("q_benford conserves counts and quantizes expectations correctly") {
+    val rows = q("q_benford")
+    assert(rows.length === 9)
+    val total = graft.ops.Tables(spark, sf, "orders")
+      .filter(col("o_totalprice") >= 1).count()
+    assert(rows.map(_.getLong(1)).sum === total,
+      "observed digit counts must conserve the row count")
+    val ppm = Map("1" -> 301030L, "2" -> 176091L, "3" -> 124939L,
+      "4" -> 96910L, "5" -> 79181L, "6" -> 66947L, "7" -> 57992L,
+      "8" -> 51153L, "9" -> 45757L)
+    rows.foreach { r =>
+      assert(r.getLong(2) === total * ppm(r.getString(0)) / 1000000L)
+      assert(r.getLong(3) >= 0)
+    }
+  }
+
   test("q_stream_chained equals the batch two-level rollup") {
     val streaming = q("q_stream_chained").map(_.toSeq).toSet
     val batch = events
