@@ -938,6 +938,58 @@ object PipelineOps {
         .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("total"))
     },
 
+    // ---- skew-salted two-phase aggregation == plain aggregation -----------
+    // The aggregation twin of q_salted_join: the hot key's rows spread
+    // over 16 (key, salt) partials, then combine — equal to the direct
+    // group-by because (count, fixed-point sum) partials are
+    // associative. See Scale.saltedCountSum for when this two-shuffle
+    // shape beats map-side combine.
+    Q("q_salted_agg",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS s_fp
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      Scale.saltedCountSum(
+        Tables(s, d, "events").select("event_type", "event_id", "value"),
+        "event_type", "event_id",
+        expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)"), salts = 16)
+        .select(col("event_type"), col("n"), col("s_fp"))
+    },
+
+    // ---- OOV rate vs the corpus top-256 vocabulary ------------------------
+    // Tokenizer-fit diagnostic: what share of each document's tokens
+    // fall outside the corpus's 256 most frequent types? High OOV docs
+    // are the ones a fixed vocab (or a small BPE) will fragment. Plan:
+    // one token-keyed count (the q_vocab shuffle), a 256-row broadcast
+    // membership join, one doc-keyed agg. Rank ties break on the token
+    // string so the vocab cut is deterministic on both engines.
+    Q("q_oov_rate",
+      s"""WITH w AS (SELECT doc_id, unnest($oToks) AS tok FROM documents),
+         |cf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM w GROUP BY 1),
+         |v AS (SELECT tok FROM (SELECT tok,
+         |      row_number() OVER (ORDER BY cf DESC, tok) AS rn FROM cf)
+         |  WHERE rn <= 256)
+         |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 10000
+         |       // count(*) AS BIGINT) AS oov_bp
+         |FROM w LEFT JOIN v USING (tok) GROUP BY 1""".stripMargin) { (s, d) =>
+      val w = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val cf = w.groupBy("tok").agg(count(lit(1)).as("cf"))
+      val rw = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cf").desc, col("tok"))
+      val v = cf.withColumn("rn", row_number().over(rw))
+        .filter(col("rn") <= 256).select(col("tok"), lit(1).as("_inv"))
+      w.join(broadcast(v), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tok"), col("n_oov"),
+          expr("(n_oov * 10000) div n_tok").as("oov_bp"))
+    },
+
     // ---- small-file compaction (streaming-sink hygiene) -------------------
     // A 64-small-file layout (what a micro-batching sink leaves behind)
     // bin-packs to 4 files; the oracle recomputes the row count and the

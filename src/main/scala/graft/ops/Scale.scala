@@ -341,4 +341,24 @@ object Scale {
       .withColumn("seq_id_last",
         expr(s"(tok_offset + greatest(n_tok, 1L) - 1L) div ${seqLen}L"))
   }
+
+  /** Two-phase salted aggregation: a hot GROUP BY key is spread across
+    * `salts` sub-keys (deterministic hash of `idCol`), partially
+    * aggregated, then combined — (count, exact fixed-point sum) partials
+    * are associative, so the result EQUALS the direct aggregation while
+    * no single reducer ever owns a hot key's full row stream. For plain
+    * algebraic aggregates Spark's map-side combine usually suffices; the
+    * two-shuffle shape is the one that matters when per-key reducer
+    * STATE is the bottleneck (collect-style, exact-distinct, sketch
+    * merges) or when AQE's skew handling is unavailable mid-pipeline —
+    * this entry keeps the pattern verified and plan-checkable. */
+  def saltedCountSum(df: DataFrame, key: String, idCol: String,
+      valueFp: Column, salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    df.withColumn("_salt", pmod(xxhash64(col(idCol)), lit(salts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_n"), sum(valueFp).as("_s"))
+      .groupBy(col(key))
+      .agg(sum(col("_n")).as("n"), sum(col("_s")).as("s_fp"))
+  }
 }

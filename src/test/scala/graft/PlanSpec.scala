@@ -173,4 +173,15 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("salted aggregation runs two distinct aggregation phases") {
+    val p = planOf("q_salted_agg")
+    // phase 1 keys on (event_type, _salt), phase 2 on event_type alone —
+    // both must appear as separate hash aggregates with an exchange
+    // between them (the skew-spreading point of the pattern)
+    assert(p.contains("_salt"), "salt key missing from the plan")
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 4, // 2 logical phases × (partial + final) each
+      s"expected two full aggregation phases, saw $aggs HashAggregates")
+  }
 }

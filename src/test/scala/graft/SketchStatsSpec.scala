@@ -439,6 +439,34 @@ class SketchStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_salted_agg equals the direct aggregation") {
+    val salted = q("q_salted_agg").map(_.toSeq).toSet
+    val direct = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value").cast("double") * 10000d + 0.5d).cast("long"))
+          .as("s_fp"))
+      .collect().map(_.toSeq).toSet
+    assert(salted === direct)
+  }
+
+  test("q_oov_rate: exactly 256 in-vocab types, rates bounded") {
+    val rows = q("q_oov_rate")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000)
+    }
+    // distinct in-vocab types across all docs can't exceed the 256 cut
+    val docs = graft.ops.Tables(spark, sf, "documents")
+    val toks = docs.select(explode(
+      graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+    val types = toks.distinct().count()
+    val totalToks = toks.count()
+    val oovToks = rows.map(_.getLong(2)).sum
+    if (types <= 256) assert(oovToks === 0L,
+      "a vocab covering every type must yield zero OOV")
+    else assert(oovToks > 0L && oovToks < totalToks)
+  }
+
   test("q_stream_chained equals the batch two-level rollup") {
     val streaming = q("q_stream_chained").map(_.toSeq).toSet
     val batch = events
