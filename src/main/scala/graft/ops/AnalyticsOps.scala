@@ -536,6 +536,80 @@ object AnalyticsOps {
         .groupBy(col("pr.s").as("s"), col("pr.d").as("d"))
         .agg(count(lit(1)).as("w"))
       triangleCounts(topKAffinity(co, k = 8))
+    },
+
+    // ---- bitmap audience intersections ------------------------------------
+    // The audience-engine pattern: per-segment user sets compressed to
+    // bitmap WORDS (user_id div 32 → word index, bit_or of 1<<bit — 32
+    // bits per word so the shift can never hit a BIGINT sign bit, which
+    // DuckDB rejects), so segment-pair overlap is a word-keyed join of
+    // bitmap fragments + popcount — the shuffle carries |users|/32
+    // words per segment instead of every (user, segment) row, and
+    // AND/OR/NOT compose audiences without ever re-touching the fact
+    // table. The oracle computes the same overlaps INDEPENDENTLY via
+    // distinct-user self-join — a semantic check, not a replay.
+    Q("q_bitmap_audience",
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+        |  CAST((SELECT count(*) FROM u x WHERE x.event_type = a.event_type)
+        |    AS BIGINT) AS n_a,
+        |  CAST((SELECT count(*) FROM u x WHERE x.event_type = b.event_type)
+        |    AS BIGINT) AS n_b,
+        |  CAST(count(*) AS BIGINT) AS n_common
+        |FROM u a JOIN u b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val words = events(s, d)
+        .select(col("event_type"), col("user_id"))
+        .groupBy(col("event_type"), expr("user_id div 32").as("w"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT)," +
+          " CAST(user_id % 32 AS INT)))").as("bits"))
+      val sizes = words.groupBy("event_type")
+        .agg(sum(bit_count(col("bits"))).as("n_users"))
+      val a = words.select(col("event_type").as("seg_a"), col("w"),
+        col("bits").as("ba"))
+      val b = words.select(col("event_type").as("seg_b"), col("w"),
+        col("bits").as("bb"))
+      a.join(b, Seq("w")).filter(col("seg_a") < col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(sum(bit_count(expr("ba & bb"))).as("n_common"))
+        .join(broadcast(sizes.select(col("event_type").as("seg_a"),
+          col("n_users").as("n_a"))), "seg_a")
+        .join(broadcast(sizes.select(col("event_type").as("seg_b"),
+          col("n_users").as("n_b"))), "seg_b")
+        .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+          col("n_common"))
+    },
+
+    // ---- time-decayed engagement score ------------------------------------
+    // Recency-weighted activity with a 1-day half-life, kept EXACT: the
+    // weight 2^(−days_ago) in ppm is an integer floor-division by a
+    // power of two (1000000 div 1<<days; days ≥ 20 truncates to 0 — the
+    // same on both engines by the same spelling), so scores are exact
+    // integer sums — no pow(), no float decay drift between engines.
+    // One user-keyed aggregation after a 1-row broadcast of the corpus
+    // horizon.
+    Q("q_decay_engagement",
+      """WITH h AS (SELECT max(ts) AS ref FROM events),
+        |e AS (SELECT user_id,
+        |    (epoch_us(ref) - epoch_us(ts)) // 86400000000 AS days_ago
+        |  FROM events CROSS JOIN h)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN days_ago < 20
+        |      THEN 1000000 // (CAST(1 AS BIGINT) << CAST(days_ago AS INT))
+        |      ELSE 0 END) AS BIGINT) AS decay_score_ppm
+        |FROM e GROUP BY 1""".stripMargin) { (s, d) =>
+      val h = events(s, d).agg(max(col("ts")).as("ref"))
+      events(s, d).crossJoin(broadcast(h))
+        .select(col("user_id"),
+          expr("(unix_micros(ref) - unix_micros(ts)) div 86400000000")
+            .as("days_ago"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("days_ago") < 20,
+            expr("1000000L div shiftleft(CAST(1 AS BIGINT)," +
+              " CAST(days_ago AS INT))")).otherwise(0L))
+            .as("decay_score_ppm"))
     }
   )
 }

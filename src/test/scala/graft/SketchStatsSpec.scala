@@ -467,6 +467,43 @@ class SketchStatsSpec extends AnyFunSuite {
     else assert(oovToks > 0L && oovToks < totalToks)
   }
 
+  test("q_bitmap_audience matches set-algebra bounds and exact overlaps") {
+    val rows = q("q_bitmap_audience")
+    val sets = events.select("event_type", "user_id").distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      .toMap
+    assert(rows.length === sets.size * (sets.size - 1) / 2,
+      "one row per unordered segment pair")
+    rows.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) === sets(sa).size.toLong)
+      assert(r.getLong(3) === sets(sb).size.toLong)
+      assert(r.getLong(4) === (sets(sa) & sets(sb)).size.toLong,
+        s"bitmap intersection wrong for ($sa, $sb)")
+    }
+  }
+
+  test("q_decay_engagement: halving weights, bounded scores") {
+    val rows = q("q_decay_engagement")
+    rows.foreach { r =>
+      // each event weighs at most 1.0 (today) in ppm
+      assert(r.getLong(2) <= r.getLong(1) * 1000000L)
+      assert(r.getLong(2) >= 0)
+    }
+    // a user's most recent event alone can't exceed the full score
+    val maxUs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val top = events
+      .select(col("user_id"),
+        expr(s"(${maxUs}L - unix_micros(ts)) div 86400000000").as("dago"))
+      .groupBy("user_id").agg(min(col("dago")).as("freshest"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byUser = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    top.foreach { case (u, freshest) =>
+      val w = if (freshest < 20) 1000000L >> freshest else 0L
+      assert(byUser(u) >= w, s"score below the freshest event's weight for $u")
+    }
+  }
+
   test("q_stream_chained equals the batch two-level rollup") {
     val streaming = q("q_stream_chained").map(_.toSeq).toSet
     val batch = events
