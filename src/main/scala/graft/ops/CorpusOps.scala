@@ -476,6 +476,36 @@ object CorpusOps {
       c.join(g, "tkey")
         .select(col("doc_id"), col("canon_id"), col("n_in_template"),
           (col("doc_id") === col("canon_id")).as("is_canonical"))
+    },
+
+    // ---- bag-of-words dedup (order-insensitive exact) ---------------------
+    // Shuffled-sentence / reordered-list duplicates: same token MULTISET,
+    // different order — invisible to exact dedup, expensive for MinHash
+    // (identical shingle profiles only if order matches). Key = md5 of
+    // the sorted token sequence; same 16-byte-key shuffle as exact
+    // dedup. Both engines sort with plain string collation over
+    // whitespace tokens.
+    Q("q_dedup_bow",
+      """WITH c AS (SELECT doc_id,
+        |    md5(array_to_string(list_sort(
+        |      regexp_split_to_array(trim(text), '\s+')), ' ')) AS bkey
+        |  FROM documents),
+        |g AS (SELECT bkey, CAST(min(doc_id) AS BIGINT) AS canon_id,
+        |    CAST(count(*) AS BIGINT) AS n_in_group
+        |  FROM c GROUP BY 1)
+        |SELECT c.doc_id, g.canon_id, g.n_in_group,
+        |  CAST(c.doc_id = g.canon_id AS BOOLEAN) AS is_canonical
+        |FROM c JOIN g USING (bkey)""".stripMargin) { (s, d) =>
+      val bkey = md5(concat_ws(" ",
+        array_sort(split(trim(col("text")), "\\s+"))))
+      val c = Tables(s, d, "documents")
+        .select(col("doc_id"), bkey.as("bkey"))
+      val g = c.groupBy("bkey")
+        .agg(min(col("doc_id")).as("canon_id"),
+          count(lit(1)).as("n_in_group"))
+      c.join(g, "bkey")
+        .select(col("doc_id"), col("canon_id"), col("n_in_group"),
+          (col("doc_id") === col("canon_id")).as("is_canonical"))
     }
   )
 }

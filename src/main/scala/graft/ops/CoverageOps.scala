@@ -579,6 +579,31 @@ object CoverageOps {
         .agg(count(lit(1)).as("n_listed"),
           array_join(transform(array_sort(collect_list(col("o_orderkey"))),
             k => k.cast("string")), ",").as("key_list"))
+    },
+
+    // ---- ntile + cume_dist (the remaining ranking-window surface) ---------
+    // Quartile assignment needs a TOTAL order (the orderkey tiebreak
+    // makes tile boundaries deterministic); cume_dist deliberately
+    // orders by price alone so TIES share a value — peers count toward
+    // each other's cumulative fraction, which is the semantic
+    // difference from percent_rank (q_percent_rank) this entry pins
+    // down. cume_dist is one rational (#rows ≤ current / n) evaluated
+    // as the same single division by both engines.
+    Q("q_ntile_cume",
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile,
+        |  cume_dist() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice) AS cume
+        |FROM orders""".stripMargin) { (s, d) =>
+      val wTotal = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+      val wTies = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus").orderBy("o_totalprice")
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(wTotal).cast("int").as("quartile"),
+          cume_dist().over(wTies).as("cume"))
     }
   )
 }

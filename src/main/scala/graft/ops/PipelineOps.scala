@@ -990,6 +990,56 @@ object PipelineOps {
           expr("(n_oov * 10000) div n_tok").as("oov_bp"))
     },
 
+    // ---- pairwise-similarity histogram (threshold tuning report) ----------
+    // Before picking a near-dup threshold you need the corpus's actual
+    // similarity DISTRIBUTION: pairs sharing ≥1 8-gram, bucketed by
+    // exact Jaccard decile ((inter·10) div union — all integer). The
+    // pair generation is the inverted-index blocking of q_setsim_join;
+    // the exact confirm is the native sorted-intersect kernel. This is
+    // the validation/tuning tier (gram-blocked all-pairs) — run it on a
+    // SAMPLE at 100 TB, read the histogram, then set the production
+    // LSH/banding threshold where the dup mass actually separates.
+    // Hashed and string grams agree on counts unless XXH64 collides
+    // (which would fail the compare loudly — the q_source_overlap
+    // contract).
+    Q("q_sim_histogram",
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |g AS (SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS g
+         |      FROM t, unnest(CASE WHEN len(toks) >= 8
+         |                     THEN generate_series(1, len(toks) - 7)
+         |                     ELSE [] END) AS u(i)),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+         |p AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |      FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |iv AS (SELECT p.ida, p.idb, CAST(count(*) AS BIGINT) AS inter
+         |       FROM p JOIN g ga ON ga.doc_id = p.ida
+         |       JOIN g gb ON gb.doc_id = p.idb AND gb.g = ga.g
+         |       GROUP BY 1, 2),
+         |j AS (SELECT (inter * 10) // (sa.n + sb.n - inter) AS bucket
+         |      FROM iv JOIN sz sa ON sa.doc_id = iv.ida
+         |      JOIN sz sb ON sb.doc_id = iv.idb)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM j GROUP BY 1""".stripMargin) { (s, d) =>
+      val g = Tables(s, d, "documents").select(col("doc_id"),
+        graft.dedup.Dedup.shingleHashes(col("text"), 8).as("hs"))
+      val inv = g.select(col("doc_id"), explode(col("hs")).as("h"))
+      val p = inv.as("a").join(inv.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+        .distinct()
+      val withSets = p
+        .join(g.select(col("doc_id").as("ida"), col("hs").as("ha")), "ida")
+        .join(g.select(col("doc_id").as("idb"), col("hs").as("hb")), "idb")
+      val inter = graft.dedup.Dedup
+        .sortedIntersectCount(col("ha"), col("hb")).cast("long")
+      withSets
+        .select(inter.as("inter"),
+          (size(col("ha")).cast("long") + size(col("hb")) - inter).as("uni"))
+        .select(expr("(inter * 10) div uni").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+    },
+
     // ---- small-file compaction (streaming-sink hygiene) -------------------
     // A 64-small-file layout (what a micro-batching sink leaves behind)
     // bin-packs to 4 files; the oracle recomputes the row count and the

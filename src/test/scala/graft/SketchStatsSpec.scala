@@ -504,6 +504,50 @@ class SketchStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_bow collapses reordered tokens, not different ones") {
+    import spark.implicits._
+    val rows = q("q_dedup_bow")
+    val canons = rows.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(rows.forall(r => canons.contains(r.getLong(1))))
+    rows.foreach(r => assert(r.getLong(1) <= r.getLong(0) ||
+      r.getBoolean(3) == (r.getLong(0) == r.getLong(1))))
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val keys = df.select(md5(concat_ws(" ",
+        array_sort(split(trim(col("text")), "\\s+")))).as("k"))
+      .collect().map(_.getString(0))
+    assert(keys(0) === keys(1))
+    assert(keys(0) !== keys(2))
+  }
+
+  test("q_sim_histogram: valid deciles, exact dups land in bucket 10") {
+    val rows = q("q_sim_histogram")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 10)
+      assert(r.getLong(1) > 0)
+    }
+    // exact-dup docs (same text, >= 8 tokens) have identical gram sets
+    val dupPairs = graft.ops.Tables(spark, sf, "documents")
+      .filter(size(split(trim(col("text")), "\\s+")) >= 8)
+      .groupBy("text").count().filter(col("count") > 1).count()
+    if (dupPairs > 0)
+      assert(rows.exists(r => r.getLong(0) == 10L),
+        "identical docs must produce bucket-10 pairs")
+  }
+
+  test("q_ntile_cume: balanced quartiles, cume_dist reaches 1") {
+    val rows = q("q_ntile_cume")
+    rows.groupBy(_.getString(1)).foreach { case (st, rs) =>
+      val tiles = rs.groupBy(_.getInt(2)).view.mapValues(_.size)
+      assert(tiles.keySet.subsetOf(Set(1, 2, 3, 4)))
+      assert(tiles.values.max - tiles.values.min <= 1,
+        s"ntile must balance within 1 for $st")
+      val cds = rs.map(_.getDouble(3))
+      assert(cds.forall(c => c > 0 && c <= 1.0))
+      assert(math.abs(cds.max - 1.0) < 1e-12)
+    }
+  }
+
   test("q_stream_chained equals the batch two-level rollup") {
     val streaming = q("q_stream_chained").map(_.toSeq).toSet
     val batch = events
