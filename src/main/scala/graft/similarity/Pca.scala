@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
   *
   *  1. ONE distributed scan computes the exact moment matrix: per-dim
   *     sums S_d and the dim×dim product sums P_ij over ×10⁴ fixed-point
-  *     components. The explode is dim²-bounded PER ROW (the Gram-matrix
-  *     shape); the shuffle carries only dim² + dim groups with map-side
-  *     partial aggregation — at 100 TB the reduce state is still 4096
-  *     cells.
+  *     components, via the native `GramMatrixAgg` buffer — dim²
+  *     multiply-adds per row in a tight loop, one dim²+dim+1 partial
+  *     vector per partition, partials adding pointwise. At 100 TB the
+  *     reduce state is still ~4096 cells; no per-row explode exists.
   *  2. The covariance NUMERATORS C_ij = n·P_ij − S_i·S_j and the power
   *     iteration v ← requantize(C·v) run driver-side over exact BigInt —
   *     a documented bounded fit (dim² = 4096 integers, like the IVF
@@ -43,28 +43,21 @@ object Pca {
              |  t -> CAST(floor(CAST(t AS DOUBLE) * 10000 + 0.5) AS BIGINT))"""
         .stripMargin).as("xf"))
 
-    val pairs = x.select(explode(expr(
-        """flatten(transform(sequence(0, size(xf) - 1), i ->
-          |  transform(sequence(0, size(xf) - 1), j ->
-          |    named_struct('i', i, 'j', j,
-          |      'pr', element_at(xf, i + 1) * element_at(xf, j + 1)))))"""
-          .stripMargin)).as("p"))
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-      .agg(sum(col("p.pr")).as("pij"))
-      .collect()
-    val sums = x.select(posexplode(col("xf")).as(Seq("d", "v")))
-      .groupBy("d").agg(sum(col("v")).as("sd"), count(lit(1)).as("cnt"))
-      .collect()
-
-    val dim = sums.length
-    val n = BigInt(sums.head.getLong(2))
-    val sd = new Array[BigInt](dim)
-    sums.foreach(r => sd(r.getInt(0)) = BigInt(r.getLong(1)))
-    val c = Array.ofDim[BigInt](dim, dim)
-    pairs.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      c(i)(j) = n * BigInt(r.getLong(2)) - sd(i) * sd(j)
+    // ONE aggregation for all moments — the native Gram-matrix buffer
+    // does the dim² multiply-adds per row in a tight loop and ships a
+    // single dim²+dim+1 vector per partition; no dim²-per-row explode
+    // ever materializes (measured at sf0.1: 5.1 s → sub-second)
+    val dim = x.select(size(col("xf"))).first().getInt(0)
+    val m = {
+      import org.apache.spark.sql.GraftBridge
+      x.agg(GraftBridge.column(graft.functions.GramMatrixAgg(
+          GraftBridge.expression(col("xf")), dim)).as("m"))
+        .first().getSeq[Long](0)
     }
+    val n = BigInt(m(dim * dim + dim))
+    val sd = Array.tabulate(dim)(d => BigInt(m(dim * dim + d)))
+    val c = Array.tabulate(dim, dim)((i, j) =>
+      n * BigInt(m(i * dim + j)) - sd(i) * sd(j))
 
     val scale = BigInt(1000000)
     var v = Array.fill(dim)(scale)
