@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.similarity.KMeans
@@ -73,6 +74,173 @@ object ClusterOps {
          |SELECT a2.vec_id, a2.cid AS cluster, dr.vec_id IS NULL AS kept
          |FROM a2 LEFT JOIN dr USING (vec_id)""".stripMargin) { (s, d) =>
       KMeans.semDedup(Tables(s, d, "embeddings"), "vec_id", "embedding", K, SemT)
+    },
+
+    // ---- Fisher score per embedding dimension (feature selection) ---------
+    // Which dimensions separate the classes? F_d = between-class /
+    // within-class variance, with BOTH variance sums built from exact
+    // per-(label, dim) moments and each label's term quantized to
+    // micro-units by integer division BEFORE summing (the StatsOps
+    // device) — no float accumulation across labels, so the ranking is
+    // engine-exact. One (label, dim)-keyed pass; everything after is
+    // grid-sized. At 100 TB this is how you pick the 16-of-64 dims
+    // worth keeping before a Matryoshka truncation (q_embed_truncate).
+    Q("q_fisher_score",
+      """WITH x AS (SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      t -> CAST(floor(CAST(t AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+        |      AS xf
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, label, i - 1 AS d, xf[i] AS v
+        |  FROM x, unnest(generate_series(1, len(xf))) AS u(i)),
+        |gl AS (SELECT label, d, sum(v) AS s, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v AS HUGEINT) * v) AS q
+        |  FROM e GROUP BY 1, 2),
+        |tot AS (SELECT d, sum(s) AS st, sum(n) AS nt FROM gl GROUP BY 1),
+        |terms AS (SELECT gl.d,
+        |    ((nt * s - n * st) * (nt * s - n * st) * 1000000)
+        |      // (n * nt * nt) AS btw,
+        |    ((n * q - s * s) * 1000000) // n AS wth
+        |  FROM gl JOIN tot USING (d))
+        |SELECT CAST(d AS INT) AS dim,
+        |  CAST(sum(btw) AS BIGINT) AS between_micro,
+        |  CAST(sum(wth) AS BIGINT) AS within_micro,
+        |  CASE WHEN sum(wth) = 0 THEN NULL
+        |       ELSE CAST(sum(btw) AS DOUBLE) / CAST(sum(wth) AS DOUBLE)
+        |  END AS fisher
+        |FROM terms GROUP BY 1""".stripMargin) { (s, d) =>
+      val e = Tables(s, d, "embeddings").select(col("label"),
+          expr("transform(embedding, t -> CAST(floor(CAST(t AS DOUBLE)" +
+            " * 10000 + 0.5) AS BIGINT))").as("xf"))
+        .select(col("label"), posexplode(col("xf")).as(Seq("d", "v")))
+      val gl = e.groupBy("label", "d")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(38,0)") * col("v")).as("q"))
+      val tot = gl.groupBy("d")
+        .agg(sum(col("s")).as("st"), sum(col("n")).as("nt"))
+      gl.join(tot, "d")
+        .select(col("d"),
+          expr("""((CAST(nt AS DECIMAL(38,0)) * s - CAST(n AS DECIMAL(38,0)) * st)
+                 | * (CAST(nt AS DECIMAL(38,0)) * s - CAST(n AS DECIMAL(38,0)) * st)
+                 | * 1000000) div (CAST(n AS DECIMAL(38,0)) * nt * nt)"""
+            .stripMargin).as("btw"),
+          expr("((CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s)" +
+            " * 1000000) div CAST(n AS DECIMAL(38,0))").as("wth"))
+        .groupBy(col("d").cast("int").as("dim"))
+        .agg(sum(col("btw")).cast("long").as("between_micro"),
+          sum(col("wth")).cast("long").as("within_micro"),
+          when(sum(col("wth")) === 0, lit(null).cast("double"))
+            .otherwise(sum(col("btw")).cast("double") /
+              sum(col("wth")).cast("double")).as("fisher"))
+    },
+
+    // ---- nearest-centroid classification + confusion matrix ---------------
+    // The embedding-quality eval: classify every vector by its nearest
+    // class centroid and cross-tabulate against the true label. The
+    // per-candidate distance is the EXACT integer n_l²·d² = Σ(n_l·x −
+    // S_l)²; candidates have different n_l, so the argmin compares
+    // d² = A/n_l² as the same two IEEE divisions on both engines
+    // (identical doubles → identical ordering), label tiebreak. Scale:
+    // a k-row broadcast of centroid sum-vectors against one corpus
+    // scan — the standard classifier-probe shape.
+    Q("q_nn_centroid_confusion",
+      """WITH x AS (SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      t -> CAST(floor(CAST(t AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+        |      AS xf
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, label, i - 1 AS d, xf[i] AS v
+        |  FROM x, unnest(generate_series(1, len(xf))) AS u(i)),
+        |cl AS (SELECT label, d, sum(v) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |a AS (SELECT e.vec_id, cl.label AS cand,
+        |    sum(CAST(cl.n * e.v - cl.s AS HUGEINT) * (cl.n * e.v - cl.s))
+        |      AS a2,
+        |    min(cl.n) AS nl
+        |  FROM e JOIN cl ON cl.d = e.d GROUP BY 1, 2),
+        |p AS (SELECT vec_id, cand, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY CAST(a2 AS DOUBLE) / nl / nl, cand) AS rn FROM a)
+        |SELECT x.label AS true_label, p.cand AS pred_label,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM p JOIN x USING (vec_id) WHERE rn = 1
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val x = Tables(s, d, "embeddings").select(col("vec_id"), col("label"),
+        expr("transform(embedding, t -> CAST(floor(CAST(t AS DOUBLE)" +
+          " * 10000 + 0.5) AS BIGINT))").as("xf"))
+      val e = x.select(col("vec_id"), col("label"),
+        posexplode(col("xf")).as(Seq("d", "v")))
+      val cent = e.groupBy(col("label").as("cand"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .groupBy("cand")
+        .agg(max(col("n")).as("nl"),
+          expr("transform(sort_array(collect_list(struct(d, s))), p -> p.s)")
+            .as("sarr"))
+      val a2 = expr(
+        """aggregate(zip_with(xf, sarr,
+          |    (xv, sv) -> CAST(nl AS DECIMAL(38,0)) * xv - sv),
+          |  CAST(0 AS DECIMAL(38,0)), (acc, t) -> acc + t * t)""".stripMargin)
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("a2").cast("double") / col("nl") / col("nl"),
+          col("cand"))
+      x.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("cand"), col("nl"),
+          a2.as("a2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("label").as("true_label"),
+          col("cand").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- centroid-distance outliers (mislabeled-sample screen) ------------
+    // The 10 vectors FURTHEST from their own class centroid, per class:
+    // the candidates a labeling audit reviews first. Within one label
+    // the n_l² scale is shared, so the integer A = Σ(n_l·x − S_l)²
+    // ranks EXACTLY (no division at all); vec_id tiebreak.
+    Q("q_centroid_outliers",
+      """WITH x AS (SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      t -> CAST(floor(CAST(t AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+        |      AS xf
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, label, i - 1 AS d, xf[i] AS v
+        |  FROM x, unnest(generate_series(1, len(xf))) AS u(i)),
+        |cl AS (SELECT label, d, sum(v) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |a AS (SELECT e.vec_id, e.label,
+        |    sum(CAST(cl.n * e.v - cl.s AS HUGEINT) * (cl.n * e.v - cl.s))
+        |      AS a2
+        |  FROM e JOIN cl ON cl.label = e.label AND cl.d = e.d
+        |  GROUP BY 1, 2),
+        |r AS (SELECT vec_id, label, CAST(a2 AS BIGINT) AS n2d2,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY a2 DESC, vec_id) AS rk
+        |  FROM a)
+        |SELECT label, vec_id, n2d2, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 10""".stripMargin) { (s, d) =>
+      val x = Tables(s, d, "embeddings").select(col("vec_id"), col("label"),
+        expr("transform(embedding, t -> CAST(floor(CAST(t AS DOUBLE)" +
+          " * 10000 + 0.5) AS BIGINT))").as("xf"))
+      val e = x.select(col("vec_id"), col("label"),
+        posexplode(col("xf")).as(Seq("d", "v")))
+      val cent = e.groupBy(col("label"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(max(col("n")).as("nl"),
+          expr("transform(sort_array(collect_list(struct(d, s))), p -> p.s)")
+            .as("sarr"))
+      val a2 = expr(
+        """aggregate(zip_with(xf, sarr,
+          |    (xv, sv) -> CAST(nl AS DECIMAL(38,0)) * xv - sv),
+          |  CAST(0 AS DECIMAL(38,0)), (acc, t) -> acc + t * t)""".stripMargin)
+      val w = Window.partitionBy("label")
+        .orderBy(col("a2").desc, col("vec_id"))
+      x.join(broadcast(cent), "label")
+        .select(col("vec_id"), col("label"), a2.as("a2"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("label"), col("vec_id"),
+          col("a2").cast("long").as("n2d2"), col("rk").cast("int").as("rk"))
     },
 
     // ---- PCA first component (exact power iteration) ----------------------

@@ -548,6 +548,80 @@ class SketchStatsSpec extends AnyFunSuite {
     }
   }
 
+  private def embFixed: Array[(Long, Int, Array[BigInt])] =
+    graft.ops.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(f =>
+          BigInt(math.floor(f.toDouble * 10000 + 0.5).toLong)).toArray))
+
+  test("q_fisher_score tracks the float Fisher ratio per dimension") {
+    val rows = q("q_fisher_score")
+    assert(rows.length === embFixed.head._3.length)
+    val byLabel = embFixed.groupBy(_._2)
+    val k = byLabel.size
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      assert(r.getLong(1) >= 0 && r.getLong(2) >= 0)
+      val all = embFixed.map(_._3(d).toDouble / 10000)
+      val mu = all.sum / all.length
+      val btw = byLabel.values.map { vs =>
+        val m = vs.map(_._3(d).toDouble / 10000).sum / vs.length
+        vs.length * (m - mu) * (m - mu)
+      }.sum
+      val wth = byLabel.values.map { vs =>
+        val m = vs.map(_._3(d).toDouble / 10000).sum / vs.length
+        vs.map(v => math.pow(v._3(d).toDouble / 10000 - m, 2)).sum
+      }.sum
+      // micro-quantized per label ⇒ k/1e6 absolute slack on each sum
+      // (both sums are in fixed-point² units = 1e8 × float units)
+      assert(math.abs(r.getLong(1) / 1e6 / 1e8 - btw) < k / 1e6 + 1e-6,
+        s"between mismatch at dim $d")
+      assert(math.abs(r.getLong(2) / 1e6 / 1e8 - wth) < k / 1e6 + 1e-6,
+        s"within mismatch at dim $d")
+    }
+  }
+
+  test("q_nn_centroid_confusion conserves vectors and beats chance") {
+    val rows = q("q_nn_centroid_confusion")
+    val total = embFixed.length.toLong
+    assert(rows.map(_.getLong(2)).sum === total)
+    val labels = embFixed.map(_._2.toLong).toSet
+    rows.foreach { r =>
+      assert(labels.contains(r.getInt(0).toLong) ||
+        labels.contains(r.getLong(0)))
+    }
+    val correct = rows.filter(r => r.get(0) == r.get(1))
+      .map(_.getLong(2)).sum
+    assert(correct.toDouble / total > 1.0 / labels.size,
+      "nearest-centroid should beat uniform guessing")
+  }
+
+  test("q_centroid_outliers ranks exact integer distances") {
+    val rows = q("q_centroid_outliers")
+    val byLabel = embFixed.groupBy(_._2)
+    rows.groupBy(_.getInt(0)).foreach { case (lbl, rs) =>
+      assert(rs.length <= 10)
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to rs.length))
+      // descending distances down the rank
+      assert(sorted.map(_.getLong(2)).toSeq ===
+        sorted.map(_.getLong(2)).sortBy(x => -x).toSeq)
+      // top outlier matches the naive n²·d² computation
+      val vs = byLabel(lbl)
+      val nl = BigInt(vs.length)
+      val dims = vs.head._3.indices
+      val s = dims.map(d => vs.map(_._3(d)).sum)
+      val worst = vs.map { v =>
+        v._1 -> dims.map { d =>
+          val t = nl * v._3(d) - s(d); t * t
+        }.sum
+      }.maxBy { case (id, a2) => (a2, -id) }
+      assert(sorted.head.getLong(1) === worst._1)
+      assert(BigInt(sorted.head.getLong(2)) === worst._2)
+    }
+  }
+
   test("q_stream_chained equals the batch two-level rollup") {
     val streaming = q("q_stream_chained").map(_.toSeq).toSet
     val batch = events
