@@ -76,6 +76,86 @@ object ClusterOps {
       KMeans.semDedup(Tables(s, d, "embeddings"), "vec_id", "embedding", K, SemT)
     },
 
+    // ---- k-means cluster quality report (cohesion + separation) -----------
+    // After q_kmeans_embed assigns clusters, the questions that matter:
+    // how TIGHT is each cluster (mean squared distance to its centroid)
+    // and how FAR is its nearest neighbour centroid? Both come from the
+    // per-(cluster, dim) moment frame alone: cohesion's Σd²(x,μ) =
+    // (n·ΣQ − ΣS²)/n needs no second data pass, and centroid-pair
+    // separation Σ(S_a/n_a − S_b/n_b)² cross-multiplies to the exact
+    // integer Σ(n_b·S_a − n_a·S_b)² over a k²-row grid. The only floats
+    // are final division chains spelled identically on both engines.
+    // The oracle replays the Lloyd assignment via the shared KmeansCtes
+    // and rebuilds the same moments in HUGEINT.
+    Q("q_cluster_quality",
+      s"""WITH $KmeansCtes,
+         |m AS (SELECT a2.cid, i - 1 AS d,
+         |      CAST(floor(e.v[i] * 10000 + 0.5) AS BIGINT) AS xv
+         |  FROM e JOIN a2 USING (vec_id),
+         |    unnest(generate_series(1, len(e.v))) AS t(i)),
+         |mom AS (SELECT cid, d, sum(xv) AS s,
+         |    sum(CAST(xv AS HUGEINT) * xv) AS qq,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM m GROUP BY 1, 2),
+         |cl AS (SELECT cid, min(n) AS n, sum(qq) AS sq,
+         |    sum(CAST(s AS HUGEINT) * s) AS ss
+         |  FROM mom GROUP BY 1),
+         |sep AS (SELECT ma.cid AS ca, mb.cid AS cb,
+         |    min(ma.n) AS na, min(mb.n) AS nb,
+         |    sum(CAST(mb.n * ma.s - ma.n * mb.s AS HUGEINT)
+         |        * (mb.n * ma.s - ma.n * mb.s)) AS sepv
+         |  FROM mom ma JOIN mom mb ON ma.d = mb.d AND ma.cid <> mb.cid
+         |  GROUP BY 1, 2),
+         |near AS (SELECT ca, cb, na, nb, sepv,
+         |    row_number() OVER (PARTITION BY ca
+         |      ORDER BY CAST(sepv AS DOUBLE) / na / na / nb / nb, cb) AS rn
+         |  FROM sep)
+         |SELECT cl.cid AS cluster, cl.n,
+         |  CAST(cl.n * cl.sq - cl.ss AS DOUBLE) / cl.n / cl.n AS cohesion,
+         |  near.cb AS nearest_cluster,
+         |  CAST(near.sepv AS DOUBLE) / near.na / near.na / near.nb / near.nb
+         |    AS separation
+         |FROM cl JOIN near ON near.ca = cl.cid AND near.rn = 1""".stripMargin) {
+      (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val asg = KMeans.assignClusters(emb, "vec_id", "embedding", K)
+      val e2 = emb.join(asg, "vec_id")
+        .select(col("cluster").as("cid"),
+          expr("transform(embedding, t -> CAST(floor(CAST(t AS DOUBLE)" +
+            " * 10000 + 0.5) AS BIGINT))").as("xf"))
+        .select(col("cid"), posexplode(col("xf")).as(Seq("d", "xv")))
+      val mom = e2.groupBy("cid", "d")
+        .agg(sum(col("xv")).as("s"),
+          sum(col("xv").cast("decimal(38,0)") * col("xv")).as("qq"),
+          count(lit(1)).as("n"))
+      val cl = mom.groupBy("cid")
+        .agg(min(col("n")).as("n"), sum(col("qq")).as("sq"),
+          sum(col("s").cast("decimal(38,0)") * col("s")).as("ss"))
+      val ma = mom.select(col("cid").as("ca"), col("d"), col("s").as("sa"),
+        col("n").as("na"))
+      val mb = mom.select(col("cid").as("cb"), col("d"), col("s").as("sb"),
+        col("n").as("nb"))
+      val sep = ma.join(mb, Seq("d")).filter(col("ca") =!= col("cb"))
+        .groupBy("ca", "cb")
+        .agg(min(col("na")).as("na"), min(col("nb")).as("nb"),
+          sum((col("nb").cast("decimal(38,0)") * col("sa") -
+            col("na").cast("decimal(38,0)") * col("sb")) *
+            (col("nb").cast("decimal(38,0)") * col("sa") -
+              col("na").cast("decimal(38,0)") * col("sb"))).as("sepv"))
+      val w = Window.partitionBy("ca").orderBy(
+        col("sepv").cast("double") / col("na") / col("na") /
+          col("nb") / col("nb"), col("cb"))
+      val near = sep.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      cl.join(near, cl("cid") === near("ca"))
+        .select(col("cid").as("cluster"), cl("n"),
+          ((cl("n").cast("decimal(38,0)") * col("sq") - col("ss"))
+            .cast("double") / cl("n") / cl("n")).as("cohesion"),
+          col("cb").as("nearest_cluster"),
+          (col("sepv").cast("double") / col("na") / col("na") /
+            col("nb") / col("nb")).as("separation"))
+    },
+
     // ---- Fisher score per embedding dimension (feature selection) ---------
     // Which dimensions separate the classes? F_d = between-class /
     // within-class variance, with BOTH variance sums built from exact

@@ -122,6 +122,79 @@ object StatsOps {
             .cast("double") / (col("ta") * col("tb"))).as("ks_stat"))
     },
 
+    // ---- A/B test decision (two-proportion via 2×2 chi-square) ------------
+    // The experimentation primitive end to end: deterministic 50/50
+    // assignment (user_id parity — a real system hashes a salt, same
+    // shape), per-user conversion (≥15 purchases), exact 2×2 chi-square
+    // in micro-units (zero margins contribute zero — the degenerate-
+    // table guard), integer basis-point lift, and the significance
+    // DECISION against the χ²₀.₉₅,₁ = 3.841459 literal. Everything the
+    // dashboard shows is an exact integer or a single division.
+    Q("q_ab_test",
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY 1),
+        |o AS (SELECT variant, conv, CAST(count(*) AS BIGINT) AS obs
+        |  FROM u GROUP BY 1, 2),
+        |r AS (SELECT variant, sum(obs) AS rm FROM o GROUP BY 1),
+        |c AS (SELECT conv, sum(obs) AS cm FROM o GROUP BY 1),
+        |nn AS (SELECT CAST(sum(obs) AS HUGEINT) AS n FROM o),
+        |t AS (SELECT CAST(sum(CASE WHEN rm * cm = 0 THEN 0
+        |    ELSE ((n * obs - rm * cm) * (n * obs - rm * cm) * 1000000)
+        |         // (n * rm * cm) END) AS BIGINT) AS chi2_micro
+        |  FROM o JOIN r USING (variant) JOIN c USING (conv) CROSS JOIN nn),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN variant = 'A' THEN obs ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN variant = 'A' AND conv = 1 THEN obs ELSE 0
+        |      END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN obs ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN variant = 'B' AND conv = 1 THEN obs ELSE 0
+        |      END) AS BIGINT) AS conv_b
+        |  FROM o)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CAST(CASE WHEN conv_a = 0 OR n_b = 0 THEN NULL
+        |    ELSE (conv_b * n_a * 10000) // (n_b * conv_a) - 10000
+        |  END AS BIGINT) AS lift_bp,
+        |  chi2_micro,
+        |  CAST(chi2_micro > 3841459 AS BOOLEAN) AS significant
+        |FROM m CROSS JOIN t""".stripMargin) { (s, d) =>
+      val u = events(s, d).groupBy("user_id")
+        .agg((sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          >= 15).cast("int").as("conv"))
+        .select(when(col("user_id") % 2 === 0, "A").otherwise("B")
+          .as("variant"), col("conv"))
+      val o = u.groupBy("variant", "conv").agg(count(lit(1)).as("obs"))
+      val r = o.groupBy("variant").agg(sum(col("obs")).as("rm"))
+      val c = o.groupBy("conv").agg(sum(col("obs")).as("cm"))
+      val nn = o.agg(sum(col("obs")).cast("decimal(38,0)").as("n"))
+      val chi2 = o.join(r, "variant").join(c, "conv").crossJoin(broadcast(nn))
+        .agg(sum(expr(
+          """CASE WHEN rm * cm = 0 THEN 0
+            | ELSE ((n*obs - rm*cm) * (n*obs - rm*cm) * 1000000)
+            |      div (n*rm*cm) END""".stripMargin))
+          .cast("long").as("chi2_micro"))
+      val m = o.agg(
+        sum(when(col("variant") === "A", col("obs")).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "A" && col("conv") === 1, col("obs"))
+          .otherwise(0L)).as("conv_a"),
+        sum(when(col("variant") === "B", col("obs")).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === "B" && col("conv") === 1, col("obs"))
+          .otherwise(0L)).as("conv_b"))
+      m.crossJoin(chi2)
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          when(col("conv_a") === 0 || col("n_b") === 0,
+            lit(null).cast("long"))
+            .otherwise(expr(
+              "(conv_b * n_a * 10000) div (n_b * conv_a) - 10000"))
+            .as("lift_bp"),
+          col("chi2_micro"),
+          (col("chi2_micro") > 3841459L).as("significant"))
+    },
+
     // ---- Benford first-digit audit -----------------------------------------
     // The forensic data-quality screen: does the leading digit of
     // o_totalprice follow log10(1+1/d)? Expected counts come from fixed

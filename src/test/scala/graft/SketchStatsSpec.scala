@@ -622,6 +622,42 @@ class SketchStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ab_test: conserves users, decision consistent with statistic") {
+    val r = q("q_ab_test")(0)
+    val users = events.select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(2) === users)
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(3) <= r.getLong(2))
+    assert(r.getLong(5) >= 0)
+    assert(r.getBoolean(6) === (r.getLong(5) > 3841459L))
+    assert(q("q_ab_test")(0).toSeq === r.toSeq, "must be deterministic")
+  }
+
+  test("q_cluster_quality: naive cohesion replay, sane geometry") {
+    val rows = q("q_cluster_quality")
+    val asg = graft.similarity.KMeans.assignClusters(
+        graft.ops.Tables(spark, sf, "embeddings"), "vec_id", "embedding", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = embFixed.groupBy(v => asg(v._1))
+    rows.foreach { r =>
+      val (cid, n) = (r.getLong(0), r.getLong(1))
+      assert(byCluster(cid).size.toLong === n)
+      assert(r.getDouble(2) >= 0, "cohesion is a squared distance")
+      assert(r.getDouble(4) > 0, "distinct centroids must separate")
+      assert(r.getLong(3) !== cid)
+      // naive Σ‖x−μ‖² in fixed-point² units: (n·ΣQ − ΣS²)/n² replayed
+      // directly from vectors
+      val vs = byCluster(cid).map(_._3)
+      val dims = vs.head.indices
+      val bn = BigInt(n)
+      val num = bn * vs.map(v => dims.map(d => v(d) * v(d)).sum).sum -
+        dims.map { d => val s = vs.map(_(d)).sum; s * s }.sum
+      val expected = num.toDouble / n / n
+      assert(math.abs(r.getDouble(2) - expected) <=
+        math.abs(expected) * 1e-12 + 1e-9,
+        s"cohesion mismatch for cluster $cid")
+    }
+  }
+
   test("q_stream_chained equals the batch two-level rollup") {
     val streaming = q("q_stream_chained").map(_.toSeq).toSet
     val batch = events
