@@ -42,8 +42,9 @@ object CountMin {
     MessageDigest.getInstance("MD5"))
 
   /** Bucket of `key` in hash row `s` — must stay in lock-step with the
-    * SQL replay (the md5-nibble expression in `FeatureOps.ppmUniform`
-    * style, `% width` over the first 6 hex nibbles). */
+    * SQL replay: `FeatureOps.hexUniform(h, width)` over
+    * `md5(CAST(k AS STRING) || 'cm' || s)` (first 6 hex nibbles,
+    * big-endian, mod width). Change either side only with the other. */
   def bucket(key: Long, s: Int, width: Int): Int = {
     val md = md5.get()
     md.reset()

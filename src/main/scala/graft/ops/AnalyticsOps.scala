@@ -573,6 +573,11 @@ object AnalyticsOps {
       a.join(b, Seq("w")).filter(col("seg_a") < col("seg_b"))
         .groupBy("seg_a", "seg_b")
         .agg(sum(bit_count(expr("ba & bb"))).as("n_common"))
+        // pairs sharing a 32-user WORD but zero actual users would emit
+        // n_common = 0 here while the oracle's user-level join emits no
+        // row at all — drop them so both engines report overlapping
+        // pairs only
+        .filter(col("n_common") > 0)
         .join(broadcast(sizes.select(col("event_type").as("seg_a"),
           col("n_users").as("n_a"))), "seg_a")
         .join(broadcast(sizes.select(col("event_type").as("seg_b"),

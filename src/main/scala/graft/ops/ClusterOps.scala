@@ -121,8 +121,7 @@ object ClusterOps {
       val asg = KMeans.assignClusters(emb, "vec_id", "embedding", K)
       val e2 = emb.join(asg, "vec_id")
         .select(col("cluster").as("cid"),
-          expr("transform(embedding, t -> CAST(floor(CAST(t AS DOUBLE)" +
-            " * 10000 + 0.5) AS BIGINT))").as("xf"))
+          expr(Tables.fpVecSpark).as("xf"))
         .select(col("cid"), posexplode(col("xf")).as(Seq("d", "xv")))
       val mom = e2.groupBy("cid", "d")
         .agg(sum(col("xv")).as("s"),
@@ -166,10 +165,8 @@ object ClusterOps {
     // grid-sized. At 100 TB this is how you pick the 16-of-64 dims
     // worth keeping before a Matryoshka truncation (q_embed_truncate).
     Q("q_fisher_score",
-      """WITH x AS (SELECT vec_id, label,
-        |    list_transform(embedding,
-        |      t -> CAST(floor(CAST(t AS DOUBLE) * 10000 + 0.5) AS BIGINT))
-        |      AS xf
+      s"""WITH x AS (SELECT vec_id, label,
+        |    ${Tables.fpVecDuck} AS xf
         |  FROM embeddings),
         |e AS (SELECT vec_id, label, i - 1 AS d, xf[i] AS v
         |  FROM x, unnest(generate_series(1, len(xf))) AS u(i)),
@@ -190,8 +187,7 @@ object ClusterOps {
         |  END AS fisher
         |FROM terms GROUP BY 1""".stripMargin) { (s, d) =>
       val e = Tables(s, d, "embeddings").select(col("label"),
-          expr("transform(embedding, t -> CAST(floor(CAST(t AS DOUBLE)" +
-            " * 10000 + 0.5) AS BIGINT))").as("xf"))
+          expr(Tables.fpVecSpark).as("xf"))
         .select(col("label"), posexplode(col("xf")).as(Seq("d", "v")))
       val gl = e.groupBy("label", "d")
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"),
@@ -224,10 +220,8 @@ object ClusterOps {
     // a k-row broadcast of centroid sum-vectors against one corpus
     // scan — the standard classifier-probe shape.
     Q("q_nn_centroid_confusion",
-      """WITH x AS (SELECT vec_id, label,
-        |    list_transform(embedding,
-        |      t -> CAST(floor(CAST(t AS DOUBLE) * 10000 + 0.5) AS BIGINT))
-        |      AS xf
+      s"""WITH x AS (SELECT vec_id, label,
+        |    ${Tables.fpVecDuck} AS xf
         |  FROM embeddings),
         |e AS (SELECT vec_id, label, i - 1 AS d, xf[i] AS v
         |  FROM x, unnest(generate_series(1, len(xf))) AS u(i)),
@@ -245,14 +239,16 @@ object ClusterOps {
         |FROM p JOIN x USING (vec_id) WHERE rn = 1
         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
       val x = Tables(s, d, "embeddings").select(col("vec_id"), col("label"),
-        expr("transform(embedding, t -> CAST(floor(CAST(t AS DOUBLE)" +
-          " * 10000 + 0.5) AS BIGINT))").as("xf"))
+        expr(Tables.fpVecSpark).as("xf"))
       val e = x.select(col("vec_id"), col("label"),
         posexplode(col("xf")).as(Seq("d", "v")))
       val cent = e.groupBy(col("label").as("cand"), col("d"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
         .groupBy("cand")
-        .agg(max(col("n")).as("nl"),
+        // min(n) — matches the oracle; n is uniform across dims because
+        // embeddings are fixed-width (jagged rows would fail loudly in
+        // GramMatrixAgg on the PCA path, the canary for this family)
+        .agg(min(col("n")).as("nl"),
           expr("transform(sort_array(collect_list(struct(d, s))), p -> p.s)")
             .as("sarr"))
       val a2 = expr(
@@ -278,10 +274,8 @@ object ClusterOps {
     // the n_l² scale is shared, so the integer A = Σ(n_l·x − S_l)²
     // ranks EXACTLY (no division at all); vec_id tiebreak.
     Q("q_centroid_outliers",
-      """WITH x AS (SELECT vec_id, label,
-        |    list_transform(embedding,
-        |      t -> CAST(floor(CAST(t AS DOUBLE) * 10000 + 0.5) AS BIGINT))
-        |      AS xf
+      s"""WITH x AS (SELECT vec_id, label,
+        |    ${Tables.fpVecDuck} AS xf
         |  FROM embeddings),
         |e AS (SELECT vec_id, label, i - 1 AS d, xf[i] AS v
         |  FROM x, unnest(generate_series(1, len(xf))) AS u(i)),
@@ -299,14 +293,13 @@ object ClusterOps {
         |SELECT label, vec_id, n2d2, CAST(rk AS INT) AS rk
         |FROM r WHERE rk <= 10""".stripMargin) { (s, d) =>
       val x = Tables(s, d, "embeddings").select(col("vec_id"), col("label"),
-        expr("transform(embedding, t -> CAST(floor(CAST(t AS DOUBLE)" +
-          " * 10000 + 0.5) AS BIGINT))").as("xf"))
+        expr(Tables.fpVecSpark).as("xf"))
       val e = x.select(col("vec_id"), col("label"),
         posexplode(col("xf")).as(Seq("d", "v")))
       val cent = e.groupBy(col("label"), col("d"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
         .groupBy("label")
-        .agg(max(col("n")).as("nl"),
+        .agg(min(col("n")).as("nl"),
           expr("transform(sort_array(collect_list(struct(d, s))), p -> p.s)")
             .as("sarr"))
       val a2 = expr(
@@ -349,9 +342,7 @@ object ClusterOps {
          |  FROM w$k CROSS JOIN m$k)""".stripMargin
     }.mkString(",\n")
     s"""WITH x AS (SELECT vec_id, label,
-       |    list_transform(embedding,
-       |      t -> CAST(floor(CAST(t AS DOUBLE) * 10000 + 0.5) AS BIGINT))
-       |      AS xf
+       |    ${Tables.fpVecDuck} AS xf
        |  FROM embeddings),
        |e AS (SELECT vec_id, i - 1 AS d, xf[i] AS v
        |  FROM x, unnest(generate_series(1, len(xf))) AS u(i)),

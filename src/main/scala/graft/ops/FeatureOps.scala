@@ -806,7 +806,7 @@ object FeatureOps {
     // (map-side partial aggregation to 8 KB of state); the probe side
     // joins the 150-key user table against the broadcast 1-row sketch.
     // The bucket hash is the portable md5 device (CountMin.bucket ==
-    // cmBucketSql), so the DuckDB oracle rebuilds every cell exactly and
+    // hexUniform), so the DuckDB oracle rebuilds every cell exactly and
     // the estimates hash-match — including the deterministic one-sided
     // guarantee bit carried per row.
     Q("q_countmin", {

@@ -975,8 +975,13 @@ object PipelineOps {
          |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 10000
          |       // count(*) AS BIGINT) AS oov_bp
          |FROM w LEFT JOIN v USING (tok) GROUP BY 1""".stripMargin) { (s, d) =>
+      // raw split (NOT TextFunctions.tokens): an empty/whitespace-only
+      // text must yield the same [''] single token the oracle's
+      // regexp_split_to_array produces, so the doc appears on both
+      // sides — tokens() would drop it from the Spark side only
       val w = Tables(s, d, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
       val cf = w.groupBy("tok").agg(count(lit(1)).as("cf"))
       val rw = org.apache.spark.sql.expressions.Window
         .orderBy(col("cf").desc, col("tok"))

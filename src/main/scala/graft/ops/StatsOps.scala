@@ -44,7 +44,8 @@ object StatsOps {
         |    CAST(count(DISTINCT dow) AS BIGINT) AS nc
         |  FROM o),
         |t AS (SELECT
-        |    ((n * obs - rm * cm) * (n * obs - rm * cm) * 1000000)
+        |    ((n * obs - CAST(rm AS HUGEINT) * cm)
+        |     * (n * obs - CAST(rm AS HUGEINT) * cm) * 1000000)
         |      // (n * rm * cm) AS term, n, nr, nc
         |  FROM o JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN nn)
         |SELECT CAST(min(n) AS BIGINT) AS n,
@@ -64,7 +65,9 @@ object StatsOps {
         countDistinct(col("dow")).as("nc"))
       o.join(r, "event_type").join(c, "dow").crossJoin(broadcast(nn))
         .select(expr(
-          "((n*obs - rm*cm) * (n*obs - rm*cm) * 1000000) div (n*rm*cm)")
+          """((n*obs - CAST(rm AS DECIMAL(38,0))*cm)
+            | * (n*obs - CAST(rm AS DECIMAL(38,0))*cm)
+            | * 1000000) div (n*rm*cm)""".stripMargin)
           .as("term"), col("n"), col("nr"), col("nc"))
         .agg(min(col("n")).cast("long").as("n"),
           sum(col("term")).cast("long").as("chi2_micro"),
@@ -98,8 +101,10 @@ object StatsOps {
         |t AS (SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT)
         |    AS tb FROM f)
         |SELECT ta AS n_a, tb AS n_b,
-        |  CAST(max(abs(ca * tb - cb * ta)) AS BIGINT) AS ks_num,
-        |  CAST(max(abs(ca * tb - cb * ta)) AS DOUBLE) / (ta * tb) AS ks_stat
+        |  CAST(max(abs(CAST(ca AS HUGEINT) * tb - CAST(cb AS HUGEINT) * ta))
+        |    AS BIGINT) AS ks_num,
+        |  CAST(max(abs(CAST(ca AS HUGEINT) * tb - CAST(cb AS HUGEINT) * ta))
+        |    AS DOUBLE) / (CAST(ta AS HUGEINT) * tb) AS ks_stat
         |FROM w CROSS JOIN t GROUP BY 1, 2""".stripMargin) { (s, d) =>
       val f = events(s, d)
         .filter(col("event_type").isin("view", "purchase"))
@@ -112,14 +117,16 @@ object StatsOps {
       val w = Window.orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val t = f.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+      val gap = abs(col("ca").cast("decimal(38,0)") * col("tb") -
+        col("cb").cast("decimal(38,0)") * col("ta"))
       g.withColumn("ca", sum(col("na")).over(w))
         .withColumn("cb", sum(col("nb")).over(w))
         .crossJoin(broadcast(t))
         .groupBy(col("ta").as("n_a"), col("tb").as("n_b"))
-        .agg(max(abs(col("ca") * col("tb") - col("cb") * col("ta")))
-            .as("ks_num"),
-          (max(abs(col("ca") * col("tb") - col("cb") * col("ta")))
-            .cast("double") / (col("ta") * col("tb"))).as("ks_stat"))
+        .agg(max(gap).cast("long").as("ks_num"),
+          (max(gap).cast("double") /
+            (col("ta").cast("decimal(38,0)") * col("tb")).cast("double"))
+            .as("ks_stat"))
     },
 
     // ---- A/B test decision (two-proportion via 2×2 chi-square) ------------
@@ -142,7 +149,8 @@ object StatsOps {
         |c AS (SELECT conv, sum(obs) AS cm FROM o GROUP BY 1),
         |nn AS (SELECT CAST(sum(obs) AS HUGEINT) AS n FROM o),
         |t AS (SELECT CAST(sum(CASE WHEN rm * cm = 0 THEN 0
-        |    ELSE ((n * obs - rm * cm) * (n * obs - rm * cm) * 1000000)
+        |    ELSE ((n * obs - CAST(rm AS HUGEINT) * cm)
+        |          * (n * obs - CAST(rm AS HUGEINT) * cm) * 1000000)
         |         // (n * rm * cm) END) AS BIGINT) AS chi2_micro
         |  FROM o JOIN r USING (variant) JOIN c USING (conv) CROSS JOIN nn),
         |m AS (SELECT
@@ -157,7 +165,8 @@ object StatsOps {
         |  FROM o)
         |SELECT n_a, conv_a, n_b, conv_b,
         |  CAST(CASE WHEN conv_a = 0 OR n_b = 0 THEN NULL
-        |    ELSE (conv_b * n_a * 10000) // (n_b * conv_a) - 10000
+        |    ELSE (CAST(conv_b AS HUGEINT) * n_a * 10000)
+        |         // (CAST(n_b AS HUGEINT) * conv_a) - 10000
         |  END AS BIGINT) AS lift_bp,
         |  chi2_micro,
         |  CAST(chi2_micro > 3841459 AS BOOLEAN) AS significant
@@ -174,7 +183,8 @@ object StatsOps {
       val chi2 = o.join(r, "variant").join(c, "conv").crossJoin(broadcast(nn))
         .agg(sum(expr(
           """CASE WHEN rm * cm = 0 THEN 0
-            | ELSE ((n*obs - rm*cm) * (n*obs - rm*cm) * 1000000)
+            | ELSE ((n*obs - CAST(rm AS DECIMAL(38,0))*cm)
+            |       * (n*obs - CAST(rm AS DECIMAL(38,0))*cm) * 1000000)
             |      div (n*rm*cm) END""".stripMargin))
           .cast("long").as("chi2_micro"))
       val m = o.agg(
@@ -189,7 +199,9 @@ object StatsOps {
           when(col("conv_a") === 0 || col("n_b") === 0,
             lit(null).cast("long"))
             .otherwise(expr(
-              "(conv_b * n_a * 10000) div (n_b * conv_a) - 10000"))
+              """(CAST(conv_b AS DECIMAL(38,0)) * n_a * 10000)
+                | div (CAST(n_b AS DECIMAL(38,0)) * conv_a) - 10000"""
+                .stripMargin))
             .as("lift_bp"),
           col("chi2_micro"),
           (col("chi2_micro") > 3841459L).as("significant"))
@@ -218,8 +230,10 @@ object StatsOps {
         |    t(digit, benford_ppm))
         |SELECT e.digit, coalesce(o.obs, 0) AS obs,
         |  CAST((n * benford_ppm) // 1000000 AS BIGINT) AS expected,
-        |  CAST(((coalesce(o.obs, 0) - (n * benford_ppm) // 1000000)
-        |        * (coalesce(o.obs, 0) - (n * benford_ppm) // 1000000)
+        |  CAST(((CAST(coalesce(o.obs, 0) AS HUGEINT)
+        |          - (n * benford_ppm) // 1000000)
+        |        * (CAST(coalesce(o.obs, 0) AS HUGEINT)
+        |          - (n * benford_ppm) // 1000000)
         |        * 1000000)
         |      // greatest((n * benford_ppm) // 1000000, 1) AS BIGINT)
         |    AS dev_micro
@@ -235,14 +249,17 @@ object StatsOps {
         "8" -> 51153L, "9" -> 45757L)
       val e = s.createDataFrame(ppm.map(p => (p._1, p._2)))
         .toDF("digit", "benford_ppm")
-      val exp = expr("(n * benford_ppm) div 1000000")
+      val exp = expr("(CAST(n AS DECIMAL(38,0)) * benford_ppm) div 1000000")
       val obs = coalesce(col("obs"), lit(0L))
       e.join(dg, Seq("digit"), "left").crossJoin(broadcast(nn))
         .select(col("digit"), obs.as("obs"), exp.cast("long").as("expected"),
-          expr("""((coalesce(obs, 0) - (n * benford_ppm) div 1000000)
-                 | * (coalesce(obs, 0) - (n * benford_ppm) div 1000000)
+          expr("""((CAST(coalesce(obs, 0) AS DECIMAL(38,0))
+                 |   - (CAST(n AS DECIMAL(38,0)) * benford_ppm) div 1000000)
+                 | * (CAST(coalesce(obs, 0) AS DECIMAL(38,0))
+                 |   - (CAST(n AS DECIMAL(38,0)) * benford_ppm) div 1000000)
                  | * 1000000)
-                 | div greatest((n * benford_ppm) div 1000000, 1)"""
+                 | div greatest((CAST(n AS DECIMAL(38,0)) * benford_ppm)
+                 |              div 1000000, 1)"""
             .stripMargin).cast("long").as("dev_micro"))
     }
   )

@@ -51,6 +51,15 @@ object Tables {
     * divisions on identical operands on both sides. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
+  /** THE ×10⁴ fixed-point embedding-vector spelling — every query that
+    * quantizes `embedding` must use these two strings (Spark / DuckDB)
+    * so the cross-engine rounding can never drift between call sites
+    * (the hexUniform lesson, applied to vectors). */
+  val fpVecSpark: String =
+    "transform(embedding, t -> CAST(floor(CAST(t AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+  val fpVecDuck: String =
+    "list_transform(embedding, t -> CAST(floor(CAST(t AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+
   /** Oracle-side (DuckDB) equivalents of dsum/davg. */
   def oSum(x: String): String =
     s"CAST(SUM(CAST(floor(CAST(($x) AS DOUBLE) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS DOUBLE)"

@@ -39,9 +39,7 @@ object Pca {
       iters: Int): DataFrame = {
     val x = graft.ops.Tables(s, dir, "embeddings").select(
       col("vec_id"), col("label"),
-      expr("""transform(embedding,
-             |  t -> CAST(floor(CAST(t AS DOUBLE) * 10000 + 0.5) AS BIGINT))"""
-        .stripMargin).as("xf"))
+      expr(graft.ops.Tables.fpVecSpark).as("xf"))
 
     // ONE aggregation for all moments — the native Gram-matrix buffer
     // does the dim² multiply-adds per row in a tight loop and ships a
@@ -70,8 +68,12 @@ object Pca {
         acc
       }
       val m = w.map(_.abs).max
-      if (m != 0)
-        v = w.map(wd => (if (wd < 0) -BigInt(1) else BigInt(1)) *
+      // zero iterate (v in the null space of C): RESET to the start
+      // vector — the oracle's CASE WHEN m = 0 spells exactly this, and
+      // the two replays must agree even on the degenerate branch
+      v =
+        if (m == 0) Array.fill(dim)(scale)
+        else w.map(wd => (if (wd < 0) -BigInt(1) else BigInt(1)) *
           (wd.abs * scale / m))
       it += 1
     }

@@ -366,8 +366,12 @@ class SketchStatsSpec extends AnyFunSuite {
   test("q_dedup_template groups digit-variant copies together") {
     import spark.implicits._
     val rows = q("q_dedup_template")
-    rows.foreach(r => assert(r.getLong(1) <= r.getLong(0) ||
-      r.getLong(2) >= 1)) // canon is the min doc_id of its group
+    // the canonical representative IS the min doc_id of its group
+    rows.groupBy(_.getLong(1)).foreach { case (canon, grp) =>
+      assert(canon === grp.map(_.getLong(0)).min,
+        s"canon $canon is not the group minimum")
+      assert(grp.forall(_.getLong(2) === grp.length.toLong))
+    }
     val canons = rows.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
     assert(rows.forall(r => canons.contains(r.getLong(1))))
     // behavioural check on a synthetic frame: digit/spacing variants of
@@ -509,8 +513,10 @@ class SketchStatsSpec extends AnyFunSuite {
     val rows = q("q_dedup_bow")
     val canons = rows.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
     assert(rows.forall(r => canons.contains(r.getLong(1))))
-    rows.foreach(r => assert(r.getLong(1) <= r.getLong(0) ||
-      r.getBoolean(3) == (r.getLong(0) == r.getLong(1))))
+    rows.groupBy(_.getLong(1)).foreach { case (canon, grp) =>
+      assert(canon === grp.map(_.getLong(0)).min,
+        s"canon $canon is not the group minimum")
+    }
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"),
       (3L, "alpha beta delta")).toDF("doc_id", "text")
     val keys = df.select(md5(concat_ws(" ",
