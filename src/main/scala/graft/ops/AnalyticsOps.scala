@@ -538,6 +538,53 @@ object AnalyticsOps {
       triangleCounts(topKAffinity(co, k = 8))
     },
 
+    // ---- key-skew audit (the evidence before salting) ---------------------
+    // The report you read BEFORE reaching for q_salted_join/q_salted_agg:
+    // the per-key group-size distribution of a join/aggregation key —
+    // hottest key's share, exact lower-median and p99 group size, and
+    // their ratio. All integers (share/ratio in basis points by floor
+    // division); the median/p99 picks use the exact row_number device on
+    // the key-size frame, which is CARDINALITY-sized, not corpus-sized —
+    // the audit costs one group-by even at 100 TB.
+    Q("q_skew_report",
+      """WITH sz AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, o_custkey)
+        |    AS rn FROM sz),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(max(cnt) AS BIGINT) AS max_cnt FROM sz)
+        |SELECT st.n_keys, st.n_rows, st.max_cnt,
+        |  CAST((st.max_cnt * 10000) // st.n_rows AS BIGINT)
+        |    AS top_share_bp,
+        |  CAST((SELECT cnt FROM r WHERE rn = (st.n_keys + 1) // 2)
+        |    AS BIGINT) AS p50_cnt,
+        |  CAST((SELECT cnt FROM r WHERE rn =
+        |      greatest((st.n_keys * 99) // 100, 1)) AS BIGINT) AS p99_cnt,
+        |  CAST(((SELECT cnt FROM r WHERE rn =
+        |      greatest((st.n_keys * 99) // 100, 1)) * 10000)
+        |    // (SELECT cnt FROM r WHERE rn = (st.n_keys + 1) // 2)
+        |    AS BIGINT) AS skew_ratio_bp
+        |FROM st""".stripMargin) { (s, d) =>
+      val sz = Tables(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"))
+      val r = sz.withColumn("rn", row_number().over(
+        Window.orderBy(col("cnt"), col("o_custkey"))))
+      val st = sz.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"))
+      val p50 = r.crossJoin(broadcast(st))
+        .filter(col("rn") === expr("(n_keys + 1) div 2"))
+        .select(col("cnt").as("p50_cnt"))
+      val p99 = r.crossJoin(broadcast(st))
+        .filter(col("rn") === expr("greatest((n_keys * 99) div 100, 1L)"))
+        .select(col("cnt").as("p99_cnt"))
+      st.crossJoin(broadcast(p50)).crossJoin(broadcast(p99))
+        .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+          expr("(max_cnt * 10000) div n_rows").as("top_share_bp"),
+          col("p50_cnt"), col("p99_cnt"),
+          expr("(p99_cnt * 10000) div p50_cnt").as("skew_ratio_bp"))
+    },
+
     // ---- bitmap audience intersections ------------------------------------
     // The audience-engine pattern: per-segment user sets compressed to
     // bitmap WORDS (user_id div 32 → word index, bit_or of 1<<bit — 32

@@ -223,6 +223,86 @@ object JourneyOps {
             unix_micros(col("ts")) - col("view_us")).as("gap_us"))
     },
 
+    // ---- peak concurrency (sweep line over sessions) ----------------------
+    // Capacity planning's first question: how many 30-min-gap sessions
+    // were ever OPEN at once, and when did the peak first occur? The
+    // sweep line restated without a global single-partition window:
+    // aggregate start/end counts per DISTINCT microsecond (a unique,
+    // orderable key), then conc(u) = prefix(starts−ends) + starts(u) —
+    // inclusive-start / strict-end, so touching sessions overlap — where
+    // the prefix comes from Scale.prefixSum's two-pass distributed
+    // accumulation (no driver-side sweep, no one-reducer sort). The
+    // oracle states the same identity with window SQL. Peak is reported
+    // with the first instant attaining it.
+    Q("q_max_concurrency",
+      """WITH o AS (SELECT user_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |b AS (SELECT user_id, us,
+        |    CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |sn AS (SELECT user_id, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b),
+        |sess AS (SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+        |  FROM sn GROUP BY 1, 2),
+        |ev AS (SELECT s_us AS us, CAST(count(*) AS BIGINT) AS s_cnt,
+        |    CAST(0 AS BIGINT) AS e_cnt FROM sess GROUP BY 1
+        |  UNION ALL
+        |  SELECT e_us, 0, CAST(count(*) AS BIGINT) FROM sess GROUP BY 1),
+        |g AS (SELECT us, sum(s_cnt) AS s_cnt, sum(e_cnt) AS e_cnt
+        |  FROM ev GROUP BY 1),
+        |c AS (SELECT us,
+        |    coalesce(sum(s_cnt - e_cnt) OVER (ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + s_cnt AS conc
+        |  FROM g)
+        |SELECT CAST((SELECT count(*) FROM sess) AS BIGINT) AS n_sessions,
+        |  CAST(max(conc) AS BIGINT) AS max_concurrency,
+        |  CAST(min(CASE WHEN conc = (SELECT max(conc) FROM c) THEN us END)
+        |    AS BIGINT) AS peak_first_us
+        |FROM c""".stripMargin) { (s, d) =>
+      val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val o = events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag(unix_micros(col("ts")), 1).over(wUser))
+        .withColumn("brk", when(col("prev").isNull ||
+          col("us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+      val wSid = Window.partitionBy("user_id").orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = o.withColumn("sid", sum(col("brk")).over(wSid))
+        .groupBy("user_id", "sid")
+        .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+      val ev = sess.groupBy(col("s_us").as("us"))
+        .agg(count(lit(1)).as("s_cnt")).withColumn("e_cnt", lit(0L))
+        .unionByName(sess.groupBy(col("e_us").as("us"))
+          .agg(count(lit(1)).as("e_cnt")).withColumn("s_cnt", lit(0L)))
+      val g = ev.groupBy("us")
+        .agg(sum(col("s_cnt")).as("s_cnt"), sum(col("e_cnt")).as("e_cnt"))
+        .withColumn("net", col("s_cnt") - col("e_cnt"))
+      // localCheckpoint: c is consumed twice (max + argmin); prefixSum's
+      // range partitioning must not be re-sampled between the two reads
+      // (offsets were computed for ONE partitioning), so pin the rows.
+      // prefixSum emits only (us, net, pfx) — join s_cnt back on the
+      // unique us key.
+      val c = Scale.prefixSum(g.select(col("us"), col("net")),
+          "us", "net", prefixCol = "pfx")
+        .join(g.select(col("us"), col("s_cnt")), "us")
+        .withColumn("conc", col("pfx") + col("s_cnt"))
+        .localCheckpoint()
+      val nSessions = broadcast(sess.agg(count(lit(1)).as("n_sessions")))
+      val mx = broadcast(c.agg(max(col("conc")).as("mx")))
+      c.crossJoin(mx).filter(col("conc") === col("mx"))
+        .agg(min(col("mx")).as("max_concurrency"),
+          min(col("us")).as("peak_first_us"))
+        .crossJoin(nSessions)
+        .select(col("n_sessions"), col("max_concurrency"),
+          col("peak_first_us"))
+    },
+
     // ---- life table / survival analysis (Kaplan-Meier counts) -------------
     // Churn measured the right way: each user's lifetime = days between
     // first and last event; a user whose last activity is within 7 days

@@ -664,6 +664,46 @@ class SketchStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_max_concurrency equals a naive in-memory sweep") {
+    val r = q("q_max_concurrency")(0)
+    val ev = events.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3)).map(_._2)
+      val breaks = sorted.zip(0L +: sorted.dropRight(1)).zipWithIndex
+        .collect { case ((us, prev), i) if i == 0 || us - prev > 1800000000L => i }
+        .toList
+      (breaks :+ sorted.length).sliding(2).collect {
+        case List(a, b) => (sorted(a), sorted(b - 1))
+      }.toSeq
+    }
+    assert(r.getLong(0) === sessions.length.toLong)
+    val conc = sessions.map(_._1).distinct.map { u =>
+      u -> sessions.count(s => s._1 <= u && s._2 >= u).toLong
+    }
+    val mx = conc.map(_._2).max
+    assert(r.getLong(1) === mx)
+    assert(r.getLong(2) === conc.filter(_._2 == mx).map(_._1).min)
+  }
+
+  test("q_skew_report fields match an in-memory replay") {
+    val r = q("q_skew_report")(0)
+    val sizes = graft.ops.Tables(spark, sf, "orders")
+      .groupBy("o_custkey").count().collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val nKeys = sizes.length.toLong
+    val nRows = sizes.map(_._2).sum
+    val sorted = sizes.sortBy(x => (x._2, x._1)).map(_._2)
+    assert(r.getLong(0) === nKeys && r.getLong(1) === nRows)
+    assert(r.getLong(2) === sorted.last)
+    assert(r.getLong(3) === sorted.last * 10000 / nRows)
+    assert(r.getLong(4) === sorted(((nKeys + 1) / 2 - 1).toInt))
+    val p99 = sorted((math.max(nKeys * 99 / 100, 1) - 1).toInt)
+    assert(r.getLong(5) === p99)
+    assert(r.getLong(6) === p99 * 10000 / r.getLong(4))
+  }
+
   test("q_stream_chained equals the batch two-level rollup") {
     val streaming = q("q_stream_chained").map(_.toSeq).toSet
     val batch = events
