@@ -538,6 +538,30 @@ object AnalyticsOps {
       triangleCounts(topKAffinity(co, k = 8))
     },
 
+    // ---- power-of-two size histogram --------------------------------------
+    // Log-scale size distributions (document lengths here; file sizes,
+    // group sizes, payload bytes in production) without any float log:
+    // bucket = length(bin(x)) = ⌊log₂ x⌋ + 1, a STRING-length of the
+    // binary rendering both engines define identically for positive
+    // integers. One group-by on a ≤64-value key.
+    Q("q_size_histogram",
+      """WITH b AS (SELECT length(bin(n_chars)) AS bucket, n_chars
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT CAST(bucket AS INT) AS log2_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM b GROUP BY 1""".stripMargin) { (s, d) =>
+      documents(s, d).filter(col("n_chars") > 0)
+        .select(length(bin(col("n_chars"))).cast("int").as("log2_bucket"),
+          col("n_chars"))
+        .groupBy("log2_bucket")
+        .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).as("sum_chars"))
+    },
+
     // ---- key-skew audit (the evidence before salting) ---------------------
     // The report you read BEFORE reaching for q_salted_join/q_salted_agg:
     // the per-key group-size distribution of a join/aggregation key —

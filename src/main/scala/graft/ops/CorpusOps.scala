@@ -506,6 +506,42 @@ object CorpusOps {
       c.join(g, "bkey")
         .select(col("doc_id"), col("canon_id"), col("n_in_group"),
           (col("doc_id") === col("canon_id")).as("is_canonical"))
+    },
+
+    // ---- PPS sampling (probability proportional to size) ------------------
+    // Length-biased corpus subsampling with unbiased reweighting: each
+    // document's inclusion probability is p = n_chars / max_chars (ppm
+    // integer, so a long doc is certain, a short one rare), the draw is
+    // the deterministic md5-ppm uniform, and the Horvitz-Thompson
+    // weight 10⁶/p (ppm, floor) is emitted so downstream totals stay
+    // unbiased: Σ included·ht·x estimates Σ x. Pure map over a 1-row
+    // broadcast — no sampling coordination between partitions, stable
+    // under corpus growth except through max_chars. Bit-reproducible:
+    // the oracle replays the exact draw.
+    Q("q_pps_sample", {
+      val u = Tables.hexUniform("md5(CAST(doc_id AS VARCHAR) || 'pps')", 1000000)
+      s"""WITH m AS (SELECT max(n_chars) AS mx FROM documents),
+         |p AS (SELECT doc_id, source, n_chars,
+         |    least(1000000, (n_chars * 1000000) // mx) AS p_ppm, $u AS u
+         |  FROM documents CROSS JOIN m)
+         |SELECT doc_id, source, CAST(p_ppm AS BIGINT) AS p_ppm,
+         |  CAST(u < p_ppm AS BOOLEAN) AS included,
+         |  CAST(CASE WHEN p_ppm = 0 THEN NULL
+         |    ELSE (CAST(1000000 AS BIGINT) * 1000000) // p_ppm
+         |  END AS BIGINT) AS ht_ppm
+         |FROM p""".stripMargin
+    }) { (s, d) =>
+      val u = expr(
+        Tables.hexUniform("md5(CAST(doc_id AS STRING) || 'pps')", 1000000))
+      val m = Tables(s, d, "documents").agg(max(col("n_chars")).as("mx"))
+      Tables(s, d, "documents").crossJoin(broadcast(m))
+        .select(col("doc_id"), col("source"),
+          least(lit(1000000L), expr("(n_chars * 1000000L) div mx"))
+            .as("p_ppm"), u.as("u"))
+        .select(col("doc_id"), col("source"), col("p_ppm"),
+          (col("u") < col("p_ppm")).as("included"),
+          when(col("p_ppm") === 0, lit(null).cast("long"))
+            .otherwise(expr("(1000000L * 1000000L) div p_ppm")).as("ht_ppm"))
     }
   )
 }

@@ -41,8 +41,7 @@ object FeatureOps {
     * DP noise, Count-Min buckets) derives its "randomness" through this
     * single spelling so the copies cannot drift apart. */
   private def hexUniform(h: String, modulus: Long): String =
-    (1 to 6).map(i => s"${nib(h, i)} * ${math.pow(16, 6 - i).toLong}")
-      .mkString("((", " + ", s") % $modulus)")
+    Tables.hexUniform(h, modulus)
 
   // Aggregate STATE for q_incr_agg, staged once per source dir: the
   // grouped (cnt, fixed-point sum) partials over the base partition

@@ -32,6 +32,12 @@ object MiningOps {
   private def fp(c: Column, scale: Double): Column =
     floor(c.cast("double") * scale + lit(0.5d)).cast("long")
 
+  /** 3-row (lag 0,1,2) frame for the cross-correlation join. */
+  private def explodeLags(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(0, 1, 2).toDF("lag")
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- FULL OUTER join (completes the join-type matrix) -----------------
@@ -381,6 +387,67 @@ object MiningOps {
             .as("cusum"),
           ((col("s_raw") - least(col("s_min"), lit(0L))) > 2000000L)
             .as("alarm"))
+    },
+
+    // ---- lagged cross-correlation between event-type series ---------------
+    // Does purchase volume FOLLOW view volume? Daily counts of the two
+    // types correlated at day lags 0..2 — the leading-indicator
+    // diagnostic (ACF's two-series sibling). Counts are already exact
+    // integers; the five moments accumulate in decimal/HUGEINT and the
+    // final num/√(d1·d2) is the identical IEEE chain both engines run.
+    // Series alignment is an equi-join on (day + lag) over the tiny
+    // per-day frame.
+    Q("q_cross_corr",
+      """WITH dx AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |dy AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |p AS (SELECT k.lag AS lag, dx.x, dy.y
+        |  FROM (VALUES (0), (1), (2)) k(lag)
+        |  JOIN dx ON true
+        |  JOIN dy ON dy.day = dx.day + CAST(k.lag AS INT)),
+        |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM p GROUP BY 1)
+        |SELECT CAST(lag AS INT) AS lag, n,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |    THEN NULL
+        |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+        |         sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |              CAST(n * syy - sy * sy AS DOUBLE))
+        |  END AS xcorr
+        |FROM m""".stripMargin) { (s, d) =>
+      val dx = events(s, d).filter(col("event_type") === "view")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val dy = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("dy_day"))
+        .agg(count(lit(1)).as("y"))
+      val p = dx.crossJoin(explodeLags(s))
+        .join(dy, expr("dy_day = date_add(day, lag)"))
+      val m = p.groupBy("lag")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+      val num = col("n") * col("sxy") - col("sx").cast("decimal(38,0)") *
+        col("sy")
+      val d1 = col("n") * col("sxx") - col("sx").cast("decimal(38,0)") *
+        col("sx")
+      val d2 = col("n") * col("syy") - col("sy").cast("decimal(38,0)") *
+        col("sy")
+      m.select(col("lag").cast("int").as("lag"), col("n"),
+        num.cast("long").as("num"),
+        when(d1 === 0 || d2 === 0, lit(null).cast("double"))
+          .otherwise(num.cast("double") /
+            sqrt(d1.cast("double") * d2.cast("double"))).as("xcorr"))
     },
 
     // ---- Gini coefficient (inequality / concentration metric) -------------

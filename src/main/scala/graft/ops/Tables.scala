@@ -60,6 +60,18 @@ object Tables {
   val fpVecDuck: String =
     "list_transform(embedding, t -> CAST(floor(CAST(t AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
 
+  /** Deterministic uniform in [0, modulus) from an md5 SQL expression:
+    * first 6 hex nibbles decoded big-endian, mod `modulus` — ONE
+    * engine-neutral string Spark and DuckDB evaluate identically (int
+    * arithmetic; the 6-nibble value tops out at ~16.7M). Every
+    * hash-randomized operator derives its "randomness" through this
+    * single spelling so call sites cannot drift. */
+  def hexUniform(h: String, modulus: Long): String =
+    (1 to 6)
+      .map(i =>
+        s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
+      .mkString("((", " + ", s") % $modulus)")
+
   /** Oracle-side (DuckDB) equivalents of dsum/davg. */
   def oSum(x: String): String =
     s"CAST(SUM(CAST(floor(CAST(($x) AS DOUBLE) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS DOUBLE)"

@@ -704,6 +704,66 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(r.getLong(6) === p99 * 10000 / r.getLong(4))
   }
 
+  test("q_size_histogram buckets by bit length and conserves mass") {
+    val rows = q("q_size_histogram")
+    val docs = graft.ops.Tables(spark, sf, "documents")
+      .filter(col("n_chars") > 0).select("n_chars").collect()
+      .map(_.getLong(0))
+    assert(rows.map(_.getLong(1)).sum === docs.length.toLong)
+    assert(rows.map(_.getLong(4)).sum === docs.sum)
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      assert(java.lang.Long.toBinaryString(r.getLong(2)).length === b)
+      assert(java.lang.Long.toBinaryString(r.getLong(3)).length === b)
+    }
+  }
+
+  test("q_pps_sample: probability rule and certain inclusion at max") {
+    val rows = q("q_pps_sample")
+    val mx = graft.ops.Tables(spark, sf, "documents")
+      .agg(max(col("n_chars"))).collect()(0).getLong(0)
+    val byDoc = graft.ops.Tables(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val p = math.min(1000000L, byDoc(r.getLong(0)) * 1000000L / mx)
+      assert(r.getLong(2) === p)
+      if (p == 1000000L) assert(r.getBoolean(3),
+        "the longest doc draws u < 1e6 with certainty")
+      if (p > 0) assert(r.getLong(4) === 1000000L * 1000000L / p)
+    }
+    assert(rows.count(_.getBoolean(3)) > 0)
+    assert(q("q_pps_sample").map(_.toSeq).toSet === rows.map(_.toSeq).toSet)
+  }
+
+  test("q_cross_corr equals a naive per-lag Pearson on daily counts") {
+    val rows = q("q_cross_corr")
+    val days = events.filter(col("event_type").isin("view", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type")).count()
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getString(1), r.getLong(2)))
+    val vx = days.filter(_._2 == "view").map(t => t._1 -> t._3).toMap
+    val vy = days.filter(_._2 == "purchase").map(t => t._1 -> t._3).toMap
+    rows.foreach { r =>
+      val lag = r.getInt(0)
+      val pairs = vx.toSeq.flatMap { case (day, x) =>
+        vy.get(day.plusDays(lag)).map(y => (x.toDouble, y.toDouble))
+      }
+      assert(r.getLong(1) === pairs.length.toLong)
+      if (!r.isNullAt(3)) {
+        val n = pairs.length
+        val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val naive = (n * sxy - sx * sy) /
+          math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        assert(math.abs(r.getDouble(3) - naive) < 1e-9)
+        assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-12)
+      }
+    }
+  }
+
   test("q_stream_chained equals the batch two-level rollup") {
     val streaming = q("q_stream_chained").map(_.toSeq).toSet
     val batch = events
