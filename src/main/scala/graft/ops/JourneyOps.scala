@@ -283,24 +283,20 @@ object JourneyOps {
       val g = ev.groupBy("us")
         .agg(sum(col("s_cnt")).as("s_cnt"), sum(col("e_cnt")).as("e_cnt"))
         .withColumn("net", col("s_cnt") - col("e_cnt"))
-      // localCheckpoint: c is consumed twice (max + argmin); prefixSum's
-      // range partitioning must not be re-sampled between the two reads
-      // (offsets were computed for ONE partitioning), so pin the rows.
       // prefixSum emits only (us, net, pfx) — join s_cnt back on the
-      // unique us key.
+      // unique us key. ONE struct-max then reads the sweep exactly once:
+      // max (conc, −us) is lexicographic, so the peak's FIRST instant
+      // rides along for free — no second pass, no pinned checkpoint.
       val c = Scale.prefixSum(g.select(col("us"), col("net")),
           "us", "net", prefixCol = "pfx")
         .join(g.select(col("us"), col("s_cnt")), "us")
         .withColumn("conc", col("pfx") + col("s_cnt"))
-        .localCheckpoint()
       val nSessions = broadcast(sess.agg(count(lit(1)).as("n_sessions")))
-      val mx = broadcast(c.agg(max(col("conc")).as("mx")))
-      c.crossJoin(mx).filter(col("conc") === col("mx"))
-        .agg(min(col("mx")).as("max_concurrency"),
-          min(col("us")).as("peak_first_us"))
+      c.agg(max(struct(col("conc"), (-col("us")).as("nus"))).as("pk"))
         .crossJoin(nSessions)
-        .select(col("n_sessions"), col("max_concurrency"),
-          col("peak_first_us"))
+        .select(col("n_sessions"),
+          col("pk.conc").as("max_concurrency"),
+          (-col("pk.nus")).as("peak_first_us"))
     },
 
     // ---- life table / survival analysis (Kaplan-Meier counts) -------------
