@@ -508,6 +508,84 @@ object CorpusOps {
           (col("doc_id") === col("canon_id")).as("is_canonical"))
     },
 
+    // ---- the full dedup cascade as ONE pipeline (golden) ------------------
+    // How production dedup actually runs: cheap exact stages first, the
+    // expensive near-dup pass LAST over the already-thinned survivors —
+    // exact (md5 text) → template (digit/space-normalized) → bag-of-
+    // words (sorted multiset) → MinHash-LSH near-dup (J ≥ 0.8, exact-
+    // confirmed). Each stage keeps the min-id representative; the funnel
+    // report (n_in → n_out per stage) is what a curation run publishes.
+    // Ordering is the scale lever: every 16-byte-key stage shrinks the
+    // candidate set before the banding join pays its shuffle. The
+    // oracle replays all four stages as chained CTEs, with stage 4 on
+    // TRUE all-pairs Jaccard (the q_dedup_minhash recall contract).
+    Q("q_dedup_golden",
+      """WITH d0 AS (SELECT doc_id, text FROM documents),
+        |e1 AS (SELECT doc_id, text, md5(text) AS k FROM d0),
+        |s1 AS (SELECT min(doc_id) AS doc_id FROM e1 GROUP BY k),
+        |d1 AS (SELECT e1.doc_id, e1.text FROM e1 JOIN s1 USING (doc_id)),
+        |e2 AS (SELECT doc_id, text,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[0-9]+', '0', 'g'), '\s+', ' ', 'g'))) AS k FROM d1),
+        |s2 AS (SELECT min(doc_id) AS doc_id FROM e2 GROUP BY k),
+        |d2 AS (SELECT e2.doc_id, e2.text FROM e2 JOIN s2 USING (doc_id)),
+        |e3 AS (SELECT doc_id, text, md5(array_to_string(list_sort(
+        |    regexp_split_to_array(trim(text), '\s+')), ' ')) AS k FROM d2),
+        |s3 AS (SELECT min(doc_id) AS doc_id FROM e3 GROUP BY k),
+        |d3 AS (SELECT e3.doc_id, e3.text FROM e3 JOIN s3 USING (doc_id)),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1,
+        |      greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
+        |    i -> array_to_string(
+        |      regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS g
+        |  FROM d3),
+        |p AS (SELECT b.doc_id AS id_b FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+        |      >= 0.8),
+        |dr AS (SELECT DISTINCT id_b FROM p)
+        |SELECT t.stage, t.n_in, t.n_out, t.n_in - t.n_out AS n_removed
+        |FROM (VALUES
+        |  ('1_exact', (SELECT count(*) FROM d0), (SELECT count(*) FROM d1)),
+        |  ('2_template', (SELECT count(*) FROM d1),
+        |    (SELECT count(*) FROM d2)),
+        |  ('3_bow', (SELECT count(*) FROM d2), (SELECT count(*) FROM d3)),
+        |  ('4_neardup', (SELECT count(*) FROM d3),
+        |    (SELECT count(*) FROM d3) - (SELECT count(*) FROM dr)))
+        |  t(stage, n_in, n_out)""".stripMargin) { (s, d) =>
+      val d0 = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      def keep(df: org.apache.spark.sql.DataFrame,
+          key: org.apache.spark.sql.Column) = {
+        val surv = df.select(col("doc_id"), key.as("k"))
+          .groupBy("k").agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        df.join(surv, "doc_id")
+      }
+      val d1 = keep(d0, md5(col("text")))
+      val d2 = keep(d1, md5(trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[0-9]+", "0"), "\\s+", " "))))
+      val d3 = keep(d2, md5(concat_ws(" ",
+        array_sort(split(trim(col("text")), "\\s+")))))
+      val drop = graft.dedup.Dedup
+        .nearDupMinhash(d3, "doc_id", "text",
+          threshold = 0.8, k = 3, numHashes = 64, bands = 16)
+        .select(col("id_b").as("doc_id")).distinct()
+      val d4 = d3.join(drop, Seq("doc_id"), "left_anti")
+      val counts = d0.agg(count(lit(1)).as("n0"))
+        .crossJoin(d1.agg(count(lit(1)).as("n1")))
+        .crossJoin(d2.agg(count(lit(1)).as("n2")))
+        .crossJoin(d3.agg(count(lit(1)).as("n3")))
+        .crossJoin(d4.agg(count(lit(1)).as("n4")))
+      counts.select(expr(
+        """stack(4,
+          |  '1_exact', n0, n1,
+          |  '2_template', n1, n2,
+          |  '3_bow', n2, n3,
+          |  '4_neardup', n3, n4) AS (stage, n_in, n_out)""".stripMargin))
+        .withColumn("n_removed", col("n_in") - col("n_out"))
+    },
+
     // ---- PPS sampling (probability proportional to size) ------------------
     // Length-biased corpus subsampling with unbiased reweighting: each
     // document's inclusion probability is p = n_chars / max_chars (ppm

@@ -764,6 +764,27 @@ class SketchStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_golden: monotone funnel consistent with the stage queries") {
+    val rows = q("q_dedup_golden").sortBy(_.getString(0))
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("1_exact", "2_template", "3_bow", "4_neardup"))
+    // chained: each stage's input is the previous stage's output
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) === b.getLong(1))
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) === r.getLong(1) - r.getLong(2))
+    }
+    val docs = graft.ops.Tables(spark, sf, "documents").count()
+    assert(rows.head.getLong(1) === docs)
+    // stage-1 removals must equal the standalone exact-dup count
+    val exactDups = docs - graft.ops.Tables(spark, sf, "documents")
+      .select(md5(col("text"))).distinct().count()
+    assert(rows.head.getLong(3) === exactDups)
+  }
+
   test("q_stream_chained equals the batch two-level rollup") {
     val streaming = q("q_stream_chained").map(_.toSeq).toSet
     val batch = events
