@@ -450,6 +450,74 @@ object MiningOps {
             sqrt(d1.cast("double") * d2.cast("double"))).as("xcorr"))
     },
 
+    // ---- rolling OLS trend (trailing 20-event slope) ----------------------
+    // Is this metric drifting RIGHT NOW? Per-event least-squares slope of
+    // value against time over the trailing 20 events — the local trend
+    // behind every "metric creeping up" alert. Exactness device: the
+    // regression is origin-shifted to the window's FIRST timestamp, and
+    // every shifted moment unfolds into FRAME SUMS of (us, us², y, us·y)
+    // plus that first value — Σ(us−f)y = Σus·y − f·Σy, etc. — so one
+    // window pass yields exact decimal/HUGEINT numerators and the slope
+    // is a single identical division chain (scaled to per-hour). Windows
+    // under 5 points emit NULL. Same user-keyed single-sort shape as
+    // q_rolling_anomaly.
+    Q("q_rolling_trend",
+      """WITH f AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y FROM events),
+        |w AS (SELECT user_id, event_id,
+        |    CAST(count(*) OVER tw AS BIGINT) AS n,
+        |    first_value(us) OVER tw AS f0,
+        |    sum(CAST(us AS HUGEINT)) OVER tw AS su,
+        |    sum(CAST(us AS HUGEINT) * us) OVER tw AS suu,
+        |    sum(CAST(y AS HUGEINT)) OVER tw AS sy,
+        |    sum(CAST(us AS HUGEINT) * y) OVER tw AS suy
+        |  FROM f WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT user_id, event_id, n,
+        |    su - n * CAST(f0 AS HUGEINT) AS sx,
+        |    suu - 2 * CAST(f0 AS HUGEINT) * su
+        |      + n * CAST(f0 AS HUGEINT) * CAST(f0 AS HUGEINT) AS sxx,
+        |    sy, suy - CAST(f0 AS HUGEINT) * sy AS sxy
+        |  FROM w)
+        |SELECT user_id, event_id, n AS n_win,
+        |  CAST(CASE WHEN n < 5 OR n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+        |         * ((abs(n * sxy - sx * sy) * 36000000000000)
+        |            // (n * sxx - sx * sx))
+        |  END AS BIGINT) AS slope_micro_per_hour
+        |FROM m""".stripMargin) { (s, d) =>
+      val tw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+      val f = events(s, d).select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"), fp(col("value"), 100d).as("y"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val w = f.select(col("user_id"), col("event_id"),
+        count(lit(1)).over(tw).as("n"),
+        first(col("us")).over(tw).as("f0"),
+        sum(dec(col("us"))).over(tw).as("su"),
+        sum(dec(col("us")) * col("us")).over(tw).as("suu"),
+        sum(dec(col("y"))).over(tw).as("sy"),
+        sum(dec(col("us")) * col("y")).over(tw).as("suy"))
+      val sx = col("su") - dec(col("n")) * col("f0")
+      val sxx = col("suu") - lit(2) * dec(col("f0")) * col("su") +
+        dec(col("n")) * col("f0") * col("f0")
+      val sxy = col("suy") - dec(col("f0")) * col("sy")
+      val num = dec(col("n")) * sxy - sx * col("sy")
+      val den = dec(col("n")) * sxx - sx * sx
+      // the slope is QUANTIZED to exact micro-value-units/hour by integer
+      // division (abs-then-sign — floor vs truncate differs on negative
+      // numerators across engines; den is a variance, always > 0):
+      // HUGEINT→DOUBLE conversion above 2^53 is not correctly rounded in
+      // every engine, so a float slope could drift by an ulp
+      w.withColumn("num", num).withColumn("den", den)
+        .select(col("user_id"), col("event_id"), col("n").as("n_win"),
+          when(col("n") < 5 || col("den") === 0, lit(null).cast("long"))
+            .otherwise(
+              when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
+                expr("(abs(num) * 36000000000000L) div den"))
+            .as("slope_micro_per_hour"))
+    },
+
     // ---- Gini coefficient (inequality / concentration metric) -------------
     // How concentrated is order value per status? The rank-weighted
     // identity G = (2·Σ rᵢxᵢ − (n+1)·Σx) / (n·Σx) over ascending ranks —

@@ -785,6 +785,40 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(rows.head.getLong(3) === exactDups)
   }
 
+  test("q_rolling_trend matches a naive BigInt windowed regression") {
+    val rows = q("q_rolling_trend")
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    val ev = events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value").cast("double") * 100d + 0.5d).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    ev.groupBy(_._1).foreach { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      sorted.indices.foreach { i =>
+        val win = sorted.slice(math.max(0, i - 19), i + 1)
+        val n = BigInt(win.length)
+        val f0 = BigInt(win.head._3)
+        val xs = win.map(e => BigInt(e._3) - f0)
+        val ys = win.map(e => BigInt(e._4))
+        val (sx, sy) = (xs.sum, ys.sum)
+        val sxx = xs.map(x => x * x).sum
+        val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+        val num = n * sxy - sx * sy
+        val den = n * sxx - sx * sx
+        val expect =
+          if (n < 5 || den == 0) None
+          else Some(((if (num < 0) BigInt(-1) else BigInt(1)) *
+            (num.abs * BigInt(36000000000000L) / den)).toLong)
+        val (gotN, gotSlope) = rows((u, sorted(i)._2))
+        assert(gotN === n.toLong)
+        assert(gotSlope === expect, s"slope mismatch at user $u idx $i")
+      }
+    }
+  }
+
   test("q_stream_chained equals the batch two-level rollup") {
     val streaming = q("q_stream_chained").map(_.toSeq).toSet
     val batch = events
