@@ -223,6 +223,95 @@ object JourneyOps {
             unix_micros(col("ts")) - col("view_us")).as("gap_us"))
     },
 
+    // ---- new vs returning users per day ------------------------------------
+    // The growth dashboard's first row: each active day splits into
+    // users seen for the FIRST time ever vs returners. Per-user first
+    // day comes from one user-keyed aggregation; the daily split is a
+    // (day)-keyed count over distinct (user, day) pairs — two shuffles,
+    // both on natural keys. All exact integers.
+    Q("q_new_returning",
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |fu AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(sum(CASE WHEN day = first_day THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_returning
+        |FROM ud JOIN fu USING (user_id)
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val ud = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val fu = ud.groupBy("user_id").agg(min(col("day")).as("first_day"))
+      ud.join(fu, "user_id")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("n_new"),
+          sum(when(col("day") === col("first_day"), 0L).otherwise(1L))
+            .as("n_returning"))
+    },
+
+    // ---- power-user curve (activity concentration by decile) --------------
+    // "The top 10% of users produce X% of events" — the engagement
+    // concentration report. Users rank into deciles by activity (total
+    // order via the user_id tiebreak so decile boundaries are
+    // deterministic); per decile: users, events, and the share of all
+    // events in basis points by integer division. The Gini number
+    // (q_gini) summarizes this curve; the curve itself is what the
+    // dashboard plots.
+    Q("q_power_curve",
+      """WITH uc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT user_id, n,
+        |    ntile(10) OVER (ORDER BY n DESC, user_id) AS decile
+        |  FROM uc),
+        |t AS (SELECT sum(n) AS total FROM uc)
+        |SELECT CAST(decile AS INT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST((sum(n) * 10000) // total AS BIGINT) AS share_bp
+        |FROM r CROSS JOIN t GROUP BY decile, total""".stripMargin) { (s, d) =>
+      val uc = events(s, d).groupBy("user_id").agg(count(lit(1)).as("n"))
+      val r = uc.withColumn("decile", ntile(10).over(
+        Window.orderBy(col("n").desc, col("user_id"))))
+      val t = uc.agg(sum(col("n")).as("total"))
+      r.crossJoin(broadcast(t))
+        .groupBy(col("decile").cast("int").as("decile"), col("total"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+        .select(col("decile"), col("n_users"), col("n_events"),
+          expr("(n_events * 10000) div total").as("share_bp"))
+    },
+
+    // ---- stickiness (DAU/MAU) ---------------------------------------------
+    // How much of the monthly audience shows up daily? Mean daily
+    // actives over the observed span against the span's total distinct
+    // users, in ppm by integer division — the retention-quality scalar
+    // product teams track. Numerator Σ(daily distinct) and denominator
+    // days·MAU are exact; no calendar assumptions beyond the day cast.
+    Q("q_stickiness",
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud
+        |  GROUP BY 1),
+        |m AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |  FROM ud)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(dau) AS BIGINT) AS sum_dau, m.mau,
+        |  CAST((sum(dau) * 1000000) // (count(*) * m.mau) AS BIGINT)
+        |    AS stickiness_ppm
+        |FROM dau CROSS JOIN m GROUP BY m.mau""".stripMargin) { (s, d) =>
+      val ud = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val m = ud.agg(countDistinct(col("user_id")).as("mau"))
+      dau.crossJoin(broadcast(m))
+        .groupBy("mau")
+        .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+        .select(col("n_days"), col("sum_dau"), col("mau"),
+          expr("(sum_dau * 1000000) div (n_days * mau)").as("stickiness_ppm"))
+    },
+
     // ---- peak concurrency (sweep line over sessions) ----------------------
     // Capacity planning's first question: how many 30-min-gap sessions
     // were ever OPEN at once, and when did the peak first occur? The

@@ -819,6 +819,29 @@ class SketchStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("growth trio: conservation across new/returning, deciles, stickiness") {
+    val nr = q("q_new_returning")
+    val users = events.select("user_id").distinct().count()
+    // every user is new exactly once
+    assert(nr.map(_.getLong(2)).sum === users)
+    nr.foreach(r => assert(r.getLong(1) === r.getLong(2) + r.getLong(3)))
+
+    val pc = q("q_power_curve").sortBy(_.getInt(0))
+    val total = events.count()
+    assert(pc.map(_.getLong(2)).sum === total)
+    assert(pc.map(_.getLong(1)).sum === users)
+    // deciles ordered by activity: non-increasing event mass
+    assert(pc.map(_.getLong(2)).toSeq ===
+      pc.map(_.getLong(2)).sortBy(x => -x).toSeq)
+    pc.foreach(r => assert(r.getLong(3) === r.getLong(2) * 10000 / total))
+
+    val st = q("q_stickiness")(0)
+    assert(st.getLong(2) === users)
+    assert(st.getLong(3) ===
+      st.getLong(1) * 1000000 / (st.getLong(0) * st.getLong(2)))
+    assert(st.getLong(3) <= 1000000)
+  }
+
   test("q_stream_chained equals the batch two-level rollup") {
     val streaming = q("q_stream_chained").map(_.toSeq).toSet
     val batch = events
