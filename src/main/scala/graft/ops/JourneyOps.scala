@@ -223,6 +223,98 @@ object JourneyOps {
             unix_micros(col("ts")) - col("view_us")).as("gap_us"))
     },
 
+    // ---- load profile (day-of-week × hour heatmap) -------------------------
+    // Capacity planning's second question (after peak concurrency): WHEN
+    // does load arrive? The dow×hour activity matrix with each cell's
+    // share and its ratio against a uniform spread — vs_uniform_bp > 10⁴
+    // marks hot cells. One grid-keyed aggregation; the dow spelling is
+    // pinned to Spark's 1-based Sunday-first (oracle shifts DuckDB's
+    // 0-based). All integers by floor division.
+    Q("q_load_profile",
+      """WITH g AS (SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT sum(n) AS total, CAST(count(*) AS BIGINT) AS n_cells
+        |  FROM g)
+        |SELECT CAST(dow AS INT) AS dow, CAST(hr AS INT) AS hr, n,
+        |  CAST((n * 10000) // total AS BIGINT) AS share_bp,
+        |  CAST((n * n_cells * 10000) // total AS BIGINT) AS vs_uniform_bp
+        |FROM g CROSS JOIN t""".stripMargin) { (s, d) =>
+      val g = events(s, d)
+        .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val t = g.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("n_cells"))
+      g.crossJoin(broadcast(t))
+        .select(col("dow").cast("int").as("dow"),
+          col("hr").cast("int").as("hr"), col("n"),
+          expr("(n * 10000) div total").as("share_bp"),
+          expr("(n * n_cells * 10000) div total").as("vs_uniform_bp"))
+    },
+
+    // ---- inter-arrival distribution + Fano burstiness ----------------------
+    // Are a user's events paced or bursty? Per user: exact median and
+    // p90 of inter-event gaps (row_number picks over the user's own
+    // ordered gaps — deterministic ties by event_id), and the Fano
+    // factor variance/mean in micro-units by integer division — the
+    // burstiness scalar WITHOUT the square root the classical
+    // burstiness coefficient needs (Fano > mean ⇒ bursty, < ⇒ regular,
+    // scale-free either way). One user-keyed window pass for gaps, one
+    // more for the rank picks.
+    Q("q_interarrival",
+      """WITH g AS (SELECT user_id, event_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+        |  FROM events WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id)),
+        |f AS (SELECT user_id, event_id, gap FROM g WHERE gap IS NOT NULL),
+        |r AS (SELECT user_id, gap,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY gap, event_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM f),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    sum(CAST(gap AS HUGEINT)) AS sg,
+        |    sum(CAST(gap AS HUGEINT) * gap) AS sgg
+        |  FROM f GROUP BY 1)
+        |SELECT m.user_id, m.n_gaps,
+        |  CAST(p50.gap AS BIGINT) AS median_gap_us,
+        |  CAST(p90.gap AS BIGINT) AS p90_gap_us,
+        |  CAST(CASE WHEN m.n_gaps < 2 OR m.sg = 0 THEN NULL
+        |    ELSE ((m.n_gaps * m.sgg - m.sg * m.sg) * 1000000)
+        |         // (m.n_gaps * m.sg) END AS BIGINT) AS fano_micro_us
+        |FROM m
+        |JOIN r p50 ON p50.user_id = m.user_id
+        |  AND p50.rn = (p50.n + 1) // 2
+        |JOIN r p90 ON p90.user_id = m.user_id
+        |  AND p90.rn = greatest((p90.n * 90) // 100, 1)""".stripMargin) {
+      (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val f = events(s, d).select(col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) -
+            lag(unix_micros(col("ts")), 1).over(w)).as("gap"))
+        .filter(col("gap").isNotNull)
+      val r = f.select(col("user_id"), col("gap"),
+        row_number().over(Window.partitionBy("user_id")
+          .orderBy("gap", "event_id")).as("rn"),
+        count(lit(1)).over(Window.partitionBy("user_id")).as("n"))
+      val m = f.groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap").cast("decimal(38,0)")).as("sg"),
+          sum(col("gap").cast("decimal(38,0)") * col("gap")).as("sgg"))
+      val p50 = r.filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("user_id"), col("gap").as("median_gap_us"))
+      val p90 = r.filter(col("rn") === expr("greatest((n * 90) div 100, 1L)"))
+        .select(col("user_id"), col("gap").as("p90_gap_us"))
+      m.join(p50, "user_id").join(p90, "user_id")
+        .select(col("user_id"), col("n_gaps"), col("median_gap_us"),
+          col("p90_gap_us"),
+          when(col("n_gaps") < 2 || col("sg") === 0,
+            lit(null).cast("long"))
+            .otherwise(expr(
+              "((n_gaps * sgg - sg * sg) * 1000000) div (n_gaps * sg)"))
+            .cast("long").as("fano_micro_us"))
+    },
+
     // ---- new vs returning users per day ------------------------------------
     // The growth dashboard's first row: each active day splits into
     // users seen for the FIRST time ever vs returners. Per-user first

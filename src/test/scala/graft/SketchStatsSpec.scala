@@ -842,6 +842,47 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(st.getLong(3) <= 1000000)
   }
 
+  test("q_load_profile covers the grid and conserves shares") {
+    val rows = q("q_load_profile")
+    val total = events.count()
+    assert(rows.map(_.getLong(2)).sum === total)
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 1 && r.getInt(0) <= 7)
+      assert(r.getInt(1) >= 0 && r.getInt(1) <= 23)
+      assert(r.getLong(3) === r.getLong(2) * 10000 / total)
+      assert(r.getLong(4) ===
+        r.getLong(2) * rows.length * 10000 / total)
+    }
+  }
+
+  test("q_interarrival: rank picks and Fano replayed naively") {
+    val rows = q("q_interarrival")
+      .map(r => r.getLong(0) -> r).toMap
+    val ev = events.select(col("user_id"), unix_micros(col("ts")),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    ev.groupBy(_._1).foreach { case (u, es) =>
+      val times = es.sortBy(e => (e._2, e._3))
+      val gapsWithId = times.sliding(2).collect {
+        case Array(a, b) => (b._2 - a._2, b._3)
+      }.toSeq
+      if (gapsWithId.nonEmpty) {
+        val r = rows(u)
+        assert(r.getLong(1) === gapsWithId.length.toLong)
+        val byRank = gapsWithId.sortBy(g => (g._1, g._2)).map(_._1)
+        val n = byRank.length
+        assert(r.getLong(2) === byRank((n + 1) / 2 - 1))
+        assert(r.getLong(3) === byRank(math.max(n * 90 / 100, 1) - 1))
+        if (n >= 2) {
+          val sg = byRank.map(BigInt(_)).sum
+          val sgg = byRank.map(g => BigInt(g) * g).sum
+          val fano = (BigInt(n) * sgg - sg * sg) * 1000000 / (BigInt(n) * sg)
+          assert(BigInt(r.getLong(4)) === fano, s"fano mismatch for $u")
+        }
+      }
+    }
+  }
+
   test("q_stream_chained equals the batch two-level rollup") {
     val streaming = q("q_stream_chained").map(_.toSeq).toSet
     val batch = events
