@@ -596,13 +596,16 @@ object AnalyticsOps {
         Window.orderBy(col("cnt"), col("o_custkey"))))
       val st = sz.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
         max(col("cnt")).as("max_cnt"))
-      val p50 = r.crossJoin(broadcast(st))
-        .filter(col("rn") === expr("(n_keys + 1) div 2"))
-        .select(col("cnt").as("p50_cnt"))
-      val p99 = r.crossJoin(broadcast(st))
-        .filter(col("rn") === expr("greatest((n_keys * 99) div 100, 1L)"))
-        .select(col("cnt").as("p99_cnt"))
-      st.crossJoin(broadcast(p50)).crossJoin(broadcast(p99))
+      // ONE pass over the ranked frame picks both percentiles (p50 may
+      // equal p99 on tiny key sets — the two whens then read one row)
+      val picks = r.crossJoin(broadcast(st))
+        .filter(col("rn") === expr("(n_keys + 1) div 2") ||
+          col("rn") === expr("greatest((n_keys * 99) div 100, 1L)"))
+        .agg(min(when(col("rn") === expr("(n_keys + 1) div 2"),
+            col("cnt"))).as("p50_cnt"),
+          min(when(col("rn") === expr("greatest((n_keys * 99) div 100, 1L)"),
+            col("cnt"))).as("p99_cnt"))
+      st.crossJoin(broadcast(picks))
         .select(col("n_keys"), col("n_rows"), col("max_cnt"),
           expr("(max_cnt * 10000) div n_rows").as("top_share_bp"),
           col("p50_cnt"), col("p99_cnt"),

@@ -518,7 +518,12 @@ object CorpusOps {
     // Ordering is the scale lever: every 16-byte-key stage shrinks the
     // candidate set before the banding join pays its shuffle. The
     // oracle replays all four stages as chained CTEs, with stage 4 on
-    // TRUE all-pairs Jaccard (the q_dedup_minhash recall contract).
+    // TRUE all-pairs Jaccard — deliberately inheriting q_dedup_minhash's
+    // recall contract (64 hashes × 16 bands leaves ~2e-4 miss odds per
+    // threshold-0.8 pair; empty shingle sets are excluded on BOTH sides
+    // so sub-3-token docs can never pair). At corpora where the expected
+    // miss count approaches 1, verify the funnel against a banding
+    // REPLAY instead of ground truth.
     Q("q_dedup_golden",
       """WITH d0 AS (SELECT doc_id, text FROM documents),
         |e1 AS (SELECT doc_id, text, md5(text) AS k FROM d0),
@@ -541,6 +546,7 @@ object CorpusOps {
         |  FROM d3),
         |p AS (SELECT b.doc_id AS id_b FROM sh a, sh b
         |  WHERE a.doc_id < b.doc_id
+        |    AND len(a.g) > 0 AND len(b.g) > 0
         |    AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
         |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
         |      >= 0.8),
@@ -562,11 +568,17 @@ object CorpusOps {
           .select("doc_id")
         df.join(surv, "doc_id")
       }
-      val d1 = keep(d0, md5(col("text")))
+      // each stage feeds BOTH the next stage and its own funnel count
+      // (and d3 additionally feeds the banding join) — pin each once as
+      // a GC-managed local checkpoint so the md5/regex normalizations
+      // and groupBys run once, not once per downstream count
+      val d1 = keep(d0, md5(col("text"))).localCheckpoint()
       val d2 = keep(d1, md5(trim(regexp_replace(regexp_replace(
         lower(col("text")), "[0-9]+", "0"), "\\s+", " "))))
+        .localCheckpoint()
       val d3 = keep(d2, md5(concat_ws(" ",
         array_sort(split(trim(col("text")), "\\s+")))))
+        .localCheckpoint()
       val drop = graft.dedup.Dedup
         .nearDupMinhash(d3, "doc_id", "text",
           threshold = 0.8, k = 3, numHashes = 64, bands = 16)
@@ -587,39 +599,40 @@ object CorpusOps {
     },
 
     // ---- PPS sampling (probability proportional to size) ------------------
-    // Length-biased corpus subsampling with unbiased reweighting: each
-    // document's inclusion probability is p = n_chars / max_chars (ppm
-    // integer, so a long doc is certain, a short one rare), the draw is
-    // the deterministic md5-ppm uniform, and the Horvitz-Thompson
-    // weight 10⁶/p (ppm, floor) is emitted so downstream totals stay
-    // unbiased: Σ included·ht·x estimates Σ x. Pure map over a 1-row
-    // broadcast — no sampling coordination between partitions, stable
-    // under corpus growth except through max_chars. Bit-reproducible:
-    // the oracle replays the exact draw.
+    // Length-biased corpus subsampling with unbiased reweighting. The
+    // inclusion scale is 2^20 (1048576), which DIVIDES the 6-nibble hash
+    // space 2^24 — so the md5 draw is EXACTLY uniform over [0, 2^20) and
+    // the stated inclusion probability p/2^20 is the true one (a 10^6
+    // modulus would carry a ~6% residue bias; the same divisibility rule
+    // Scale.shardShuffle enforces for shards). p is floored at 1 so every
+    // document is reachable — Horvitz-Thompson requires p > 0 — and the
+    // HT weight 2^20/p is emitted in ppm by floor division. Pure map
+    // over a 1-row broadcast; bit-reproducible: the oracle replays the
+    // exact draw.
     Q("q_pps_sample", {
-      val u = Tables.hexUniform("md5(CAST(doc_id AS VARCHAR) || 'pps')", 1000000)
+      val u = Tables.hexUniform("md5(CAST(doc_id AS VARCHAR) || 'pps')",
+        1048576L)
       s"""WITH m AS (SELECT max(n_chars) AS mx FROM documents),
          |p AS (SELECT doc_id, source, n_chars,
-         |    least(1000000, (n_chars * 1000000) // mx) AS p_ppm, $u AS u
+         |    greatest(1, least(1048576, (n_chars * 1048576) // mx))
+         |      AS p_meg, $u AS u
          |  FROM documents CROSS JOIN m)
-         |SELECT doc_id, source, CAST(p_ppm AS BIGINT) AS p_ppm,
-         |  CAST(u < p_ppm AS BOOLEAN) AS included,
-         |  CAST(CASE WHEN p_ppm = 0 THEN NULL
-         |    ELSE (CAST(1000000 AS BIGINT) * 1000000) // p_ppm
-         |  END AS BIGINT) AS ht_ppm
+         |SELECT doc_id, source, CAST(p_meg AS BIGINT) AS p_meg,
+         |  CAST(u < p_meg AS BOOLEAN) AS included,
+         |  CAST((CAST(1048576 AS BIGINT) * 1000000) // p_meg AS BIGINT)
+         |    AS ht_ppm
          |FROM p""".stripMargin
     }) { (s, d) =>
       val u = expr(
-        Tables.hexUniform("md5(CAST(doc_id AS STRING) || 'pps')", 1000000))
+        Tables.hexUniform("md5(CAST(doc_id AS STRING) || 'pps')", 1048576L))
       val m = Tables(s, d, "documents").agg(max(col("n_chars")).as("mx"))
       Tables(s, d, "documents").crossJoin(broadcast(m))
         .select(col("doc_id"), col("source"),
-          least(lit(1000000L), expr("(n_chars * 1000000L) div mx"))
-            .as("p_ppm"), u.as("u"))
-        .select(col("doc_id"), col("source"), col("p_ppm"),
-          (col("u") < col("p_ppm")).as("included"),
-          when(col("p_ppm") === 0, lit(null).cast("long"))
-            .otherwise(expr("(1000000L * 1000000L) div p_ppm")).as("ht_ppm"))
+          greatest(lit(1L), least(lit(1048576L),
+            expr("(n_chars * 1048576L) div mx"))).as("p_meg"), u.as("u"))
+        .select(col("doc_id"), col("source"), col("p_meg"),
+          (col("u") < col("p_meg")).as("included"),
+          expr("(1048576L * 1000000L) div p_meg").as("ht_ppm"))
     }
   )
 }

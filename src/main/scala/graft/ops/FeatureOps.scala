@@ -30,8 +30,7 @@ object FeatureOps {
 
   /** Portable md5-nibble hex decode (the q_shard_shuffle / q_table_checksum
     * device): one SQL string both engines evaluate verbatim. */
-  private def nib(h: String, i: Int) =
-    s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
+  private def nib(h: String, i: Int) = Tables.nib(h, i)
 
   /** Deterministic uniform in [0, modulus) from an md5 SQL expression:
     * the first 6 hex nibbles decoded big-endian, mod `modulus` — ONE

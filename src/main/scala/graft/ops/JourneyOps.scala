@@ -416,16 +416,16 @@ object JourneyOps {
     // oracle states the same identity with window SQL. Peak is reported
     // with the first instant attaining it.
     Q("q_max_concurrency",
-      """WITH o AS (SELECT user_id, ts, epoch_us(ts) AS us,
+      """WITH o AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us,
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id) AS prev
         |  FROM events),
-        |b AS (SELECT user_id, us,
+        |b AS (SELECT user_id, us, event_id,
         |    CASE WHEN prev IS NULL OR us - prev > 1800000000
         |      THEN 1 ELSE 0 END AS brk
         |  FROM o),
         |sn AS (SELECT user_id, us,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
         |      ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM b),
         |sess AS (SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
@@ -452,7 +452,9 @@ object JourneyOps {
         .withColumn("prev", lag(unix_micros(col("ts")), 1).over(wUser))
         .withColumn("brk", when(col("prev").isNull ||
           col("us") - col("prev") > 1800000000L, 1L).otherwise(0L))
-      val wSid = Window.partitionBy("user_id").orderBy("us")
+      // (us, event_id) — two same-microsecond events straddling a break
+      // would otherwise assign sessions in a nondeterministic tie order
+      val wSid = Window.partitionBy("user_id").orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val sess = o.withColumn("sid", sum(col("brk")).over(wSid))
         .groupBy("user_id", "sid")

@@ -66,10 +66,12 @@ object Tables {
     * arithmetic; the 6-nibble value tops out at ~16.7M). Every
     * hash-randomized operator derives its "randomness" through this
     * single spelling so call sites cannot drift. */
+  def nib(h: String, i: Int): String =
+    s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
+
   def hexUniform(h: String, modulus: Long): String =
     (1 to 6)
-      .map(i =>
-        s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
+      .map(i => s"${nib(h, i)} * ${math.pow(16, 6 - i).toLong}")
       .mkString("((", " + ", s") % $modulus)")
 
   /** Oracle-side (DuckDB) equivalents of dsum/davg. */

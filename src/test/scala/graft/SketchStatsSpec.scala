@@ -718,7 +718,7 @@ class SketchStatsSpec extends AnyFunSuite {
     }
   }
 
-  test("q_pps_sample: probability rule and certain inclusion at max") {
+  test("q_pps_sample: probability rule, p > 0 everywhere, certain at max") {
     val rows = q("q_pps_sample")
     val mx = graft.ops.Tables(spark, sf, "documents")
       .agg(max(col("n_chars"))).collect()(0).getLong(0)
@@ -726,11 +726,13 @@ class SketchStatsSpec extends AnyFunSuite {
       .select("doc_id", "n_chars").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
-      val p = math.min(1000000L, byDoc(r.getLong(0)) * 1000000L / mx)
+      val p = math.max(1L,
+        math.min(1048576L, byDoc(r.getLong(0)) * 1048576L / mx))
       assert(r.getLong(2) === p)
-      if (p == 1000000L) assert(r.getBoolean(3),
-        "the longest doc draws u < 1e6 with certainty")
-      if (p > 0) assert(r.getLong(4) === 1000000L * 1000000L / p)
+      assert(p > 0, "HT requires every inclusion probability > 0")
+      if (p == 1048576L) assert(r.getBoolean(3),
+        "the longest doc draws u < 2^20 with certainty")
+      assert(r.getLong(4) === 1048576L * 1000000L / p)
     }
     assert(rows.count(_.getBoolean(3)) > 0)
     assert(q("q_pps_sample").map(_.toSeq).toSet === rows.map(_.toSeq).toSet)
