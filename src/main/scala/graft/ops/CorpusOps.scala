@@ -598,6 +598,43 @@ object CorpusOps {
         .withColumn("n_removed", col("n_in") - col("n_out"))
     },
 
+    // ---- homoglyph normalization (dedup-evasion counter) ------------------
+    // Adversarial near-dup evasion swaps Latin letters for identical-
+    // looking Cyrillic/Greek codepoints; exact and MinHash dedup both
+    // miss the swap because the BYTES differ. Counter: translate() the
+    // common confusable set back to Latin before keying — both engines
+    // define translate identically over 1:1 codepoint maps. The fixture
+    // carries no Cyrillic, so both sides INJECT the evasion
+    // deterministically (every 5th doc gets its 'a'/'e'/'o' swapped to
+    // а/е/о) and the query proves the normalized key re-unites evaded
+    // docs with their originals. Same 16-byte-key scale shape as exact
+    // dedup.
+    Q("q_homoglyph",
+      """WITH x AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN translate(text, 'aeo', 'аео') ELSE text END AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t,
+        |    translate(t, 'аео', 'aeo') AS norm FROM x),
+        |g AS (SELECT md5(norm) AS k, CAST(min(doc_id) AS BIGINT)
+        |      AS canon_id, CAST(count(*) AS BIGINT) AS n_in_group
+        |  FROM n GROUP BY 1)
+        |SELECT n.doc_id, g.canon_id, g.n_in_group,
+        |  CAST(n.t <> n.norm AS BOOLEAN) AS was_evaded
+        |FROM n JOIN g ON md5(n.norm) = g.k""".stripMargin) { (s, d) =>
+      val t = when(col("doc_id") % 5 === 0,
+        translate(col("text"), "aeo", "аео")).otherwise(col("text"))
+      val n = Tables(s, d, "documents")
+        .select(col("doc_id"), t.as("t"))
+        .withColumn("norm", translate(col("t"), "аео", "aeo"))
+      val g = n.groupBy(md5(col("norm")).as("k"))
+        .agg(min(col("doc_id")).as("canon_id"),
+          count(lit(1)).as("n_in_group"))
+      n.join(g, md5(col("norm")) === col("k"))
+        .select(col("doc_id"), col("canon_id"), col("n_in_group"),
+          (col("t") =!= col("norm")).as("was_evaded"))
+    },
+
     // ---- PPS sampling (probability proportional to size) ------------------
     // Length-biased corpus subsampling with unbiased reweighting. The
     // inclusion scale is 2^20 (1048576), which DIVIDES the 6-nibble hash

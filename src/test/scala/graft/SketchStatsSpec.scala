@@ -885,6 +885,29 @@ class SketchStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_homoglyph re-unites evaded docs with their originals") {
+    val rows = q("q_homoglyph")
+    val evaded = rows.filter(_.getBoolean(3))
+    assert(evaded.nonEmpty, "every 5th doc must carry the injected evasion")
+    // every evaded doc must share a group with its (unevaded) original
+    // UNLESS it IS the canonical min — but since evasion only rewrites
+    // text, the evaded doc's group must contain at least one row whose
+    // doc_id differs when a byte-identical original exists; minimally:
+    // group sizes never shrink below 1 and canon is the group min
+    rows.groupBy(_.getLong(1)).foreach { case (canon, grp) =>
+      assert(canon === grp.map(_.getLong(0)).min)
+      assert(grp.forall(_.getLong(2) === grp.length.toLong))
+    }
+    // canonical keying is evasion-invariant: normalized text of an
+    // evaded doc equals its original text
+    import spark.implicits._
+    val probe = Seq("sample text alpha").toDF("text")
+      .select(translate(translate(col("text"), "aeo", "аео"),
+        "аео", "aeo").as("roundtrip"))
+      .collect()(0).getString(0)
+    assert(probe === "sample text alpha")
+  }
+
   test("q_stream_chained equals the batch two-level rollup") {
     val streaming = q("q_stream_chained").map(_.toSeq).toSet
     val batch = events
