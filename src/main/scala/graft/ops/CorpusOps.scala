@@ -598,6 +598,86 @@ object CorpusOps {
         .withColumn("n_removed", col("n_in") - col("n_out"))
     },
 
+    // ---- per-source language composition ----------------------------------
+    // The corpus-mix report a multilingual pipeline publishes per ingest:
+    // how many languages each source carries and which dominates (mode
+    // with lexicographic tiebreak — deterministic, never hash luck),
+    // with the dominant share in basis points. Grid-sized aggregation
+    // throughout.
+    Q("q_lang_mix",
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, sum(n) AS total,
+        |    CAST(count(*) AS BIGINT) AS n_langs FROM c GROUP BY 1),
+        |r AS (SELECT source, lang, n,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n DESC, lang) AS rn FROM c)
+        |SELECT t.source, CAST(t.total AS BIGINT) AS n_docs, t.n_langs,
+        |  r.lang AS top_lang,
+        |  CAST((r.n * 10000) // t.total AS BIGINT) AS top_share_bp
+        |FROM t JOIN r ON r.source = t.source AND r.rn = 1""".stripMargin) {
+      (s, d) =>
+      val c = Tables(s, d, "documents").groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"))
+      val t = c.groupBy("source")
+        .agg(sum(col("n")).as("total"), count(lit(1)).as("n_langs"))
+      val r = c.withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("n").desc, col("lang"))))
+        .filter(col("rn") === 1)
+      t.join(r, "source")
+        .select(col("source"), col("total").cast("long").as("n_docs"),
+          col("n_langs"), col("lang").as("top_lang"),
+          expr("(n * 10000) div total").as("top_share_bp"))
+    },
+
+    // ---- type-token ratio (lexical richness) ------------------------------
+    // Distinct-token share per document in basis points — low TTR flags
+    // repetitive/templated text (the cheap cousin of the Gopher
+    // repetition gate), high TTR at short length flags word salad. Both
+    // engines split identically; the ratio is one floor division.
+    Q("q_ttr",
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+         |  CAST(CASE WHEN len(toks) = 0 THEN NULL
+         |    ELSE (len(list_distinct(toks)) * 10000) // len(toks)
+         |  END AS BIGINT) AS ttr_bp
+         |FROM t""".stripMargin) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          split(trim(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_types"))
+        .withColumn("ttr_bp",
+          when(col("n_tokens") === 0, lit(null).cast("long"))
+            .otherwise(expr("(n_types * 10000) div n_tokens")))
+    },
+
+    // ---- per-source duplication rate ---------------------------------------
+    // Which ingest sources are polluting the corpus with copies? Exact
+    // text-dup rate segmented by source: docs, distinct texts, and the
+    // redundancy in basis points — the report that decides which feeds
+    // get a dedup pass FIRST. One (source, md5) aggregation.
+    Q("q_dup_by_source",
+      """WITH g AS (SELECT source, md5(text) AS k,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(((sum(n) - count(*)) * 10000) // sum(n) AS BIGINT)
+        |    AS dup_rate_bp
+        |FROM g GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables(s, d, "documents")
+        .groupBy(col("source"), md5(col("text")).as("k"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_unique"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          expr("((n_docs - n_unique) * 10000) div n_docs")
+            .as("dup_rate_bp"))
+    },
+
     // ---- homoglyph normalization (dedup-evasion counter) ------------------
     // Adversarial near-dup evasion swaps Latin letters for identical-
     // looking Cyrillic/Greek codepoints; exact and MinHash dedup both

@@ -908,6 +908,32 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(probe === "sample text alpha")
   }
 
+  test("corpus composition trio: mass conservation and bounds") {
+    val docs = graft.ops.Tables(spark, sf, "documents")
+    val total = docs.count()
+
+    val lm = q("q_lang_mix")
+    assert(lm.map(_.getLong(1)).sum === total)
+    lm.foreach { r =>
+      assert(r.getLong(4) >= 10000 / math.max(r.getLong(2), 1),
+        "dominant share can't fall below the uniform floor")
+      assert(r.getLong(4) <= 10000)
+    }
+
+    val ttr = q("q_ttr")
+    assert(ttr.length === total)
+    ttr.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) === r.getLong(2) * 10000 / r.getLong(1))
+    }
+
+    val dup = q("q_dup_by_source")
+    assert(dup.map(_.getLong(1)).sum === total)
+    val uniqueTotal = docs.groupBy("source", "text").count().count()
+    assert(dup.map(_.getLong(2)).sum === uniqueTotal)
+    dup.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(3) < 10000))
+  }
+
   test("q_stream_chained equals the batch two-level rollup") {
     val streaming = q("q_stream_chained").map(_.toSeq).toSet
     val batch = events
