@@ -25,6 +25,8 @@ object Relational {
   private def supplier(s: SparkSession, d: String) = Tables(s, d, "supplier")
   private def events(s: SparkSession, d: String)   = Tables(s, d, "events")
 
+  private val oToks = "regexp_split_to_array(trim(text), '\\s+')"
+
   val all: Seq[Q] = Seq(
 
     // ---- aggregateByKey capability: grouped aggregation (TPC-H Q1 shape) --
@@ -660,6 +662,69 @@ object Relational {
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
           (col("rev_fp") / 10000.0).cast("double").as("total_revenue"))
+    },
+
+    // ---- null-safe equi join (<=> / IS NOT DISTINCT FROM) ------------------
+    // The join-surface pin standard `=` silently gets wrong: NULL keys
+    // never match themselves under `=`, so rows with unknown keys vanish
+    // from an inner join. The null-safe operator (Spark `<=>`, SQL
+    // `IS NOT DISTINCT FROM`) matches NULL to NULL — the semantics a
+    // reconciliation join on incomplete dimensions needs. Both engines
+    // derive the same nullable key (every 7th doc's lang nulled), join
+    // against the distinct key domain, and count per bucket — the NULL
+    // bucket's survival is the behavior under test.
+    Q("q_nullsafe_join",
+      """WITH k AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lk
+        |  FROM documents),
+        |dim AS (SELECT DISTINCT lk FROM k)
+        |SELECT coalesce(k.lk, '<null>') AS key_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM k JOIN dim ON k.lk IS NOT DISTINCT FROM dim.lk
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val k = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")).as("lk"))
+      val dim = k.select(col("lk").as("dlk")).distinct()
+      k.join(dim, col("lk") <=> col("dlk"))
+        .groupBy(coalesce(col("lk"), lit("<null>")).as("key_bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
+    // ---- explode vs explode_outer (empty-collection semantics pin) --------
+    // explode DROPS a row whose array is empty; explode_outer keeps it
+    // with a NULL element — the difference between silently losing every
+    // short document downstream of a shingle pipeline and keeping it.
+    // Docs under 3 tokens have empty 3-gram arrays here; the oracle
+    // emulates OUTER with a CASE-to-[NULL] (DuckDB's unnest of an empty
+    // list yields no rows, exactly Spark's inner explode). Output keeps
+    // BOTH counts so the pinned difference is visible in the result.
+    Q("q_explode_outer",
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+         |      THEN list_transform(generate_series(1, len(toks) - 2),
+         |        i -> array_to_string(toks[i:i+2], ' '))
+         |      ELSE [] END AS grams
+         |  FROM t),
+         |outer_g AS (SELECT doc_id, unnest(CASE WHEN len(grams) = 0
+         |      THEN [NULL] ELSE grams END) AS gram
+         |  FROM g)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rows_outer,
+         |  CAST(count(gram) AS BIGINT) AS n_grams
+         |FROM outer_g GROUP BY 1""".stripMargin) { (s, d) =>
+      val toks = split(trim(col("text")), "\\s+")
+      val grams = expr(
+        """CASE WHEN size(toks) >= 3
+          |  THEN transform(sequence(1, size(toks) - 2),
+          |    i -> concat_ws(' ', slice(toks, i, 3)))
+          |  ELSE array() END""".stripMargin)
+      Tables(s, d, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), explode_outer(grams).as("gram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_rows_outer"),
+          count(col("gram")).as("n_grams"))
     }
   )
 }

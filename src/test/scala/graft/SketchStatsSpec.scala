@@ -934,6 +934,26 @@ class SketchStatsSpec extends AnyFunSuite {
     dup.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(3) < 10000))
   }
 
+  test("semantics pins: null bucket survives, empty arrays keep their row") {
+    val nj = q("q_nullsafe_join")
+    val docs = graft.ops.Tables(spark, sf, "documents")
+    assert(nj.map(_.getLong(1)).sum === docs.count(),
+      "null-safe join must keep every row, including NULL keys")
+    val nullBucket = nj.find(_.getString(0) == "<null>")
+    assert(nullBucket.isDefined, "the NULL bucket must survive the join")
+    assert(nullBucket.get.getLong(1) ===
+      docs.filter(col("doc_id") % 7 === 0).count())
+
+    val eo = q("q_explode_outer")
+    assert(eo.length === docs.count().toInt,
+      "explode_outer must keep every document")
+    eo.foreach { r =>
+      if (r.getLong(2) == 0) assert(r.getLong(1) === 1,
+        "an empty gram array must still yield exactly one NULL row")
+      else assert(r.getLong(1) === r.getLong(2))
+    }
+  }
+
   test("q_stream_chained equals the batch two-level rollup") {
     val streaming = q("q_stream_chained").map(_.toSeq).toSet
     val batch = events
