@@ -411,12 +411,19 @@ final class DataSet private (
         "ignore() must directly follow a UDF operator (or another resolve/ignore)")
   }
 
-  /** Exception-class → count of unresolved rows (`dataset.py:706-715`). */
-  def exceptionCounts: Map[String, Long] =
-    bad.flatMap { b =>
-      b.rows.groupBy(col(ErrCls)).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1))
-    }.groupMapReduce(_._1)(_._2)(_ + _)
+  /** Exception-class → count of unresolved rows (`dataset.py:706-715`).
+    * ONE Spark job regardless of how many failable operators contributed
+    * batches: each batch's single-column `(ErrCls)` projection is
+    * unioned, then one groupBy+count+collect — a pipeline with N
+    * failable ops previously paid N jobs for one dict. */
+  def exceptionCounts: Map[String, Long] = bad match {
+    case Nil => Map.empty
+    case batches =>
+      batches.map(_.rows.select(col(ErrCls)))
+        .reduce(_ unionAll _)
+        .groupBy(col(ErrCls)).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 
   // --------------------------------------------- joins (dataset.py §2.3)
 

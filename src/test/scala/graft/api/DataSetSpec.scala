@@ -50,6 +50,44 @@ class DataSetSpec extends AnyFunSuite {
     assert(res.exceptionCounts.isEmpty)
   }
 
+  test("exceptionCounts over a 3-failable-op pipeline is ONE Spark job") {
+    import spark.implicits._
+    val ds = ctx.parallelize(Seq(-2, 0, 3, 7, 10), Seq("x"))
+      .withColumnUdf[Int, Int]("a", col("x"))(x => 10 / x)                  // fails x=0
+      .withColumnUdf[Int, Int]("b", col("x")) { x =>
+        if (x < 0) throw new IllegalStateException("neg") else x + 1 }      // fails x=-2
+      .withColumnUdf[Int, Int]("c", col("x")) { x =>
+        if (x == 7) throw new IllegalArgumentException("seven") else x }    // fails x=7
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE (on by default) materializes the groupBy's shuffle stage as its
+    // own job, which would read as 2 here regardless of batching — turn
+    // it off so the assertion counts exactly what it claims: one action
+    // for N bad batches instead of the old N actions.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val counts = ds.exceptionCounts
+      // listener events are async; a short bounded wait lets the job-start
+      // event land before the assertion (private listenerBus is sealed off)
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(200) // allow any EXTRA job-start events to land too
+      assert(counts == Map(
+        "java.lang.ArithmeticException" -> 1L,
+        "java.lang.IllegalStateException" -> 1L,
+        "java.lang.IllegalArgumentException" -> 1L))
+      assert(jobs.get() == 1, s"expected ONE job for 3 bad batches, saw ${jobs.get()}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("ignore drops matching error rows") {
     import spark.implicits._
     val ds = ctx.parallelize(Seq(1, 0, 4), Seq("x"))
