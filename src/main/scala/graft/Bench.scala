@@ -37,8 +37,11 @@ object Bench {
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run — an iteration aid; the
     // driver never sets it, so official runs always measure everything
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // validation gates (ground-truth/recall checks) are Verify-only:
+    // they time the deliberately-quadratic oracle, not an operator
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+      .filterNot(SparkEntry.validationOnly)
     // per-query timeout + job-group cancel (shared harness): a hanging
     // query must not stall the whole benchmark
     def once(name: String): Double = {

@@ -28,6 +28,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 
+  /** Validation gates: all-pairs ground-truth / recall-check queries that
+    * certify an approximate operator's quality (LSH vs exact cosine,
+    * int8 vs float scores, simhash banding losslessness). They stay in
+    * the Verify registry — they ARE correctness evidence — but Bench
+    * excludes them: they measure the deliberately-quadratic ground
+    * truth, not an operator a production pipeline would run. */
+  val validationOnly: Set[String] =
+    Set("q_dedup_embed_groundtruth", "q_ann_int8_gate", "q_dedup_simhash")
+
   /** Dark-channel lever (round 6): five rounds of empty official
     * correctness artifacts with a proven-clean Verify stdout contract —
     * if the driver's verify leg launches `runMain graft.SparkEntry`

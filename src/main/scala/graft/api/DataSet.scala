@@ -584,19 +584,50 @@ final class DataSet private (
     }
   }
 
+  /** Translate a byte-based part size into a record cap using an
+    * average-rendered-row-bytes estimate from a BOUNDED sample (first
+    * 1024 rows — driver-side, documented license; the reference's
+    * `part_size`, `dataset.py:504`, sizes parts in bytes too). The
+    * estimate is textual (CSV rendering: fields + separators + newline),
+    * so it is accurate for text sinks and a rough upper bound for
+    * columnar ones. */
+  private def recordsForPartBytes(partSizeBytes: Long, nullValue: String): Long = {
+    require(partSizeBytes > 0, s"partSizeBytes must be > 0, got $partSizeBytes")
+    val sample = toDF.limit(1024).collect()
+    if (sample.isEmpty) 1L
+    else {
+      val totalBytes = sample.iterator.map { r =>
+        var n = r.length // N-1 separators + newline
+        var i = 0
+        while (i < r.length) {
+          n += (if (r.isNullAt(i)) nullValue.length else r.get(i).toString.length)
+          i += 1
+        }
+        n
+      }.sum.toDouble
+      math.max(1L, math.round(partSizeBytes / math.max(totalBytes / sample.length, 1.0)))
+    }
+  }
+
   def tocsv(path: String, numParts: Int = 0, numRows: Long = 0,
       header: Boolean = true, nullValue: String = "",
-      maxRecordsPerPart: Long = 0,
+      maxRecordsPerPart: Long = 0, partSizeBytes: Long = 0,
       partNameGenerator: Option[Int => String] = None): Unit = {
-    writer(numParts, numRows, maxRecordsPerPart)
+    val cap = if (partSizeBytes > 0) recordsForPartBytes(partSizeBytes, nullValue)
+              else maxRecordsPerPart
+    writer(numParts, numRows, cap)
       .option("header", header.toString)
       .option("nullValue", nullValue).mode("overwrite").csv(path)
     partNameGenerator.foreach(renameParts(path, _))
   }
 
   def toorc(path: String, numParts: Int = 0, numRows: Long = 0,
+      partSizeBytes: Long = 0,
       partNameGenerator: Option[Int => String] = None): Unit = {
-    writer(numParts, numRows).mode("overwrite").orc(path)
+    // byte-based sizing reuses the textual row estimate — an UPPER bound
+    // for a compressed columnar sink (parts land at or under target)
+    val cap = if (partSizeBytes > 0) recordsForPartBytes(partSizeBytes, "") else 0L
+    writer(numParts, numRows, cap).mode("overwrite").orc(path)
     partNameGenerator.foreach(renameParts(path, _))
   }
 

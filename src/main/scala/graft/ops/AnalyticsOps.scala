@@ -633,11 +633,18 @@ object AnalyticsOps {
         |FROM u a JOIN u b
         |  ON a.user_id = b.user_id AND a.event_type < b.event_type
         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      // pmod + floor-consistent word index: `%` would hand shiftleft a
+      // NEGATIVE bit position for user_id < 0 and truncating `div` would
+      // misalign that row's word. pmod keeps the bit in [0, 32) and
+      // `(id - pmod(id, 32)) div 32` is floor(id/32) for any sign, so the
+      // (word, bit) decomposition stays a bijection over all BIGINT ids
+      // (identical to the old spelling for the fixture's id >= 0).
       val words = events(s, d)
         .select(col("event_type"), col("user_id"))
-        .groupBy(col("event_type"), expr("user_id div 32").as("w"))
+        .groupBy(col("event_type"),
+          expr("(user_id - pmod(user_id, 32)) div 32").as("w"))
         .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT)," +
-          " CAST(user_id % 32 AS INT)))").as("bits"))
+          " CAST(pmod(user_id, 32) AS INT)))").as("bits"))
       val sizes = words.groupBy("event_type")
         .agg(sum(bit_count(col("bits"))).as("n_users"))
       val a = words.select(col("event_type").as("seg_a"), col("w"),

@@ -194,6 +194,17 @@ object ClusterOps {
           sum(col("v").cast("decimal(38,0)") * col("v")).as("q"))
       val tot = gl.groupBy("d")
         .agg(sum(col("s")).as("st"), sum(col("n")).as("nt"))
+      // SCALE CEILING (and its failure mode): `div` here is Spark's
+      // IntegralDivide — DECIMAL(38,0) operands but a BIGINT result, so a
+      // per-term quotient past 2^63 cannot be represented, while DuckDB's
+      // HUGEINT `//` keeps going. Numerator magnitude is
+      // ~(nt·s)²·10⁶ ≲ (n_vecs·10⁴·|v_fp|)²·10⁶, which stays under 2^63
+      // up to ~10¹¹ vectors per label at the ×10⁴ fixed-point range —
+      // far past any fixture and most corpora. If a corpus ever crosses
+      // it, this fails LOUDLY (ANSI mode, Spark 4 default, throws
+      // ARITHMETIC_OVERFLOW on the cast) rather than nulling silently.
+      // The same ceiling note applies to the q_skew_report/q_interarrival
+      // ratio terms.
       gl.join(tot, "d")
         .select(col("d"),
           expr("""((CAST(nt AS DECIMAL(38,0)) * s - CAST(n AS DECIMAL(38,0)) * st)

@@ -370,7 +370,13 @@ object MiningOps {
         |FROM m""".stripMargin) { (s, d) =>
       val f = events(s, d).select(col("user_id"), col("event_id"), col("ts"),
         fp(col("value"), 100d).as("v"))
-      val t = f.agg(expr("CAST(sum(v) div count(*) AS BIGINT)").as("tgt"))
+      // FLOOR division spelled exactly: DuckDB's `//` floors while Spark's
+      // `div` truncates toward zero — they differ whenever the global sum
+      // is negative. `(a - pmod(a, n)) div n` is floor(a/n) for any sign
+      // of a (pmod's remainder is always in [0, n)), so the two replays
+      // agree even on an all-negative value column.
+      val t = f.agg(expr(
+        "CAST((sum(v) - pmod(sum(v), count(*))) div count(*) AS BIGINT)").as("tgt"))
       val w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val r = f.crossJoin(broadcast(t))

@@ -45,17 +45,20 @@ object Pca {
     // does the dim² multiply-adds per row in a tight loop and ships a
     // single dim²+dim+1 vector per partition; no dim²-per-row explode
     // ever materializes (measured at sf0.1: 5.1 s → sub-second)
-    val dim = x.select(size(col("xf"))).first().getInt(0)
-    val m = {
+    val dim = x.select(size(col("xf"))).limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "Pca.topComponentProjections: embeddings table is empty — no dimension to infer"))
+    val moments = {
       import org.apache.spark.sql.GraftBridge
       x.agg(GraftBridge.column(graft.functions.GramMatrixAgg(
           GraftBridge.expression(col("xf")), dim)).as("m"))
         .first().getSeq[Long](0)
     }
-    val n = BigInt(m(dim * dim + dim))
-    val sd = Array.tabulate(dim)(d => BigInt(m(dim * dim + d)))
+    val n = BigInt(moments(dim * dim + dim))
+    val sd = Array.tabulate(dim)(d => BigInt(moments(dim * dim + d)))
     val c = Array.tabulate(dim, dim)((i, j) =>
-      n * BigInt(m(i * dim + j)) - sd(i) * sd(j))
+      n * BigInt(moments(i * dim + j)) - sd(i) * sd(j))
 
     val scale = BigInt(1000000)
     var v = Array.fill(dim)(scale)

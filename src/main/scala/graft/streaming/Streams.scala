@@ -107,6 +107,13 @@ object Streams {
     if (rocksDbState) spark.conf.set(
       "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Trigger choice was A/B-measured (round 6): Trigger.AvailableNow()
+    // + awaitTermination — the obvious "bounded drain" candidate — was
+    // ~8% SLOWER over the 15-query stream tier at sf0.1 (27.3 s vs
+    // 25.1 s isolated; answers identical, selfcheck-hash-verified): its
+    // up-front batch planning and end-of-stream bookkeeping cost more
+    // than processAllAvailable()'s poll. Default trigger + explicit
+    // drain stays.
     val q = build(spark, root)
       .outputMode(OutputMode.Append())
       .format("parquet").option("path", s"$root/data")

@@ -340,6 +340,25 @@ class DataSetSpec extends AnyFunSuite {
     assert(ctx.csv(s"$dir/out/chunk_*.csv").count() == 10)
   }
 
+  test("tocsv byte-based part sizing lands parts within 2x of target") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_psz").toString
+    // 2000 fixed-width rows (~16 bytes rendered each), 8 KiB parts
+    val target = 8192L
+    ctx.parallelize((1 to 2000).map(i => (f"$i%06d", f"v$i%07d")), Seq("k", "v"))
+      .tocsv(s"$dir/out", numParts = 1, header = false, partSizeBytes = target)
+    val parts = new java.io.File(s"$dir/out").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+    assert(parts.length > 1, "byte cap did not split the single partition")
+    parts.foreach(p => assert(p.length <= 2 * target,
+      s"${p.getName} is ${p.length} B — over 2x the $target B target"))
+    // all but the trailing remainder should be at least half the target
+    val sizes = parts.map(_.length).sorted.reverse
+    sizes.dropRight(1).foreach(s =>
+      assert(s >= target / 2, s"non-final part only $s B for $target B target"))
+    assert(ctx.csv(s"$dir/out/part-*.csv", header = Some(false)).count() == 2000)
+  }
+
   test("nested flatMapRows keeps lexicographic expansion order; resolve slots in place") {
     import spark.implicits._
     val out = StructType(Seq(StructField("y", IntegerType)))
