@@ -349,11 +349,12 @@ object AnalyticsOps {
     * classic two-join: paths (a→b→c) ⋈ closing edge (a→c). Both joins
     * are hash equi-joins; feed a bounded-degree graph ([[topKAffinity]])
     * so the path fan-out stays linear in nodes, not Σdeg². The edge set
-    * is persisted across its three uses (released by the harness's
-    * clearCache, like the PageRank edge frame).
+    * is materialized ONCE as an eager local checkpoint for its three
+    * uses — blocks outside the SQL cache, freed on GC, cacheManager
+    * stays empty in library use (GraphHygieneSpec contract).
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.persist()
+    val e = edges.localCheckpoint(true)
     val paths = e.as("e1").join(e.as("e2"), col("e1.d") === col("e2.s"))
       .select(col("e1.s").as("a"), col("e1.d").as("b"), col("e2.d").as("c"))
     val tri = paths.join(e.as("e3"), col("a") === col("e3.s") && col("c") === col("e3.d"))

@@ -47,6 +47,18 @@ class GraphHygieneSpec extends AnyFunSuite {
     assert(total > 999999990000L && total <= 1000000000000L, s"mass=$total")
   }
 
+  test("triangleCounts leaves the SQL cache empty and counts each triangle once") {
+    spark.sqlContext.clearCache()
+    import spark.implicits._
+    // oriented low->high edges: triangle {1,2,3} + pendant edge 3->4
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d")
+    val t = graft.ops.AnalyticsOps.triangleCounts(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "triangleCounts left entries in the SQL cache manager")
+    assert(t == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("bfsHops leaves the SQL cache empty and returns exact hop minima") {
     spark.sqlContext.clearCache()
     import spark.implicits._
