@@ -479,6 +479,28 @@ object Dedup {
         col("_best.text_len").as("text_len"),
         col("n_copies"))
 
+  /** Near-dup cluster CANONICAL SELECTION — the step that actually
+    * shrinks a corpus: [[dedupClusters]] labels every doc with its
+    * near-dup cluster; this keeps ONE representative per cluster
+    * (longest text, ties to the smallest id — [[keepBest]]'s policy
+    * lifted from exact-hash groups to LSH clusters) and reports the
+    * per-cluster member/char counts a dedup run publishes for audit.
+    * Selection is one max(struct) aggregate on the cluster key — no
+    * window, no second shuffle. Output: (cluster, keep_id, keep_len,
+    * n_members, total_chars). */
+  def clusterKeepBest(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val cl = dedupClusters(df, idCol, textCol, threshold, k, numHashes, bands)
+    df.select(col(idCol).as("doc_id"), length(col(textCol)).cast("long").as("tl"))
+      .join(cl.toDF("doc_id", "cluster"), "doc_id")
+      .groupBy("cluster")
+      .agg(max(struct(col("tl").as("keep_len"), (-col("doc_id")).as("neg_id"))).as("_best"),
+        count(lit(1)).as("n_members"), sum(col("tl")).as("total_chars"))
+      .select(col("cluster"), (-col("_best.neg_id")).as("keep_id"),
+        col("_best.keep_len").as("keep_len"), col("n_members"), col("total_chars"))
+  }
+
   /** Connected components over an undirected pair list by iterative
     * min-label propagation: every vertex starts labeled with itself; each
     * round, a vertex adopts the minimum label among itself and its

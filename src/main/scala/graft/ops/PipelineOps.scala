@@ -443,6 +443,125 @@ object PipelineOps {
         threshold = 0.8, k = 3, numHashes = 64, bands = 16)
     },
 
+    // ---- near-dup cluster CANONICAL SELECTION: clusters → one keeper ------
+    // The step that actually shrinks a corpus: after clustering, keep ONE
+    // representative per near-dup cluster (longest text, ties to the
+    // smallest id — the q_dedup_keep_best policy lifted from exact-hash
+    // groups to LSH clusters). Selection is a single max(struct) agg per
+    // cluster — no window, no second shuffle beyond the cluster key; the
+    // survivors table + per-cluster member/char counts is the audit a
+    // dedup run publishes. Oracle = the cluster recursive CTE + the same
+    // deterministic rank pick.
+    Q("q_dedup_cluster_keep_best",
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
+        |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS g
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |reach(id, label) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT e.v, reach.label FROM reach JOIN e ON reach.id = e.u),
+        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+        |cl AS (SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS cluster,
+        |    length(d.text) AS tl
+        |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+        |r AS (SELECT cluster, doc_id, tl,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY tl DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY cluster) AS n_members,
+        |    sum(tl) OVER (PARTITION BY cluster) AS total_chars
+        |  FROM cl)
+        |SELECT cluster, doc_id AS keep_id, CAST(tl AS BIGINT) AS keep_len,
+        |  CAST(n_members AS BIGINT) AS n_members,
+        |  CAST(total_chars AS BIGINT) AS total_chars
+        |FROM r WHERE rn = 1""".stripMargin) { (s, d) =>
+      Dedup.clusterKeepBest(Tables(s, d, "documents"), "doc_id", "text",
+        threshold = 0.8, k = 3, numHashes = 64, bands = 16)
+    },
+
+    // ---- per-language quality gate (CCNet-shape): median cut by lang ------
+    // Quality thresholds are NOT comparable across languages (stopword
+    // density, script, tokenization all shift the distribution), so the
+    // production filter buckets per language and cuts at a per-language
+    // statistic — here the exact LOWER MEDIAN of an integer stopword-
+    // density score (basis points; the value at rank ceil(n/2) is
+    // order-independent even with ties). Report per language: doc count,
+    // survivors at score >= median, surviving mass, and the cut used.
+    // Two shuffles total (per-doc score is map-side; median pick + final
+    // rollup key on `lang`). At 100 TB the median comes from the same
+    // exact rank pick over a per-language sort — or approx_percentile if
+    // a 1e-3 cut tolerance is acceptable.
+    Q("q_lang_quality_filter",
+      s"""WITH q AS (SELECT doc_id, lang, length(text) AS nc,
+         |    CAST((len(list_filter($oToks, t -> t IN ${inList(StopwordsEn)})) * 10000)
+         |      // greatest(len($oToks), 1) AS BIGINT) AS score_bp
+         |  FROM documents),
+         |m AS (SELECT lang, score_bp AS med_bp FROM (
+         |    SELECT lang, score_bp,
+         |      row_number() OVER (PARTITION BY lang ORDER BY score_bp, doc_id) AS rn,
+         |      count(*) OVER (PARTITION BY lang) AS n
+         |    FROM q) WHERE rn = (n + 1) // 2)
+         |SELECT q.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN score_bp >= med_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN score_bp >= med_bp THEN nc ELSE 0 END) AS BIGINT) AS kept_chars,
+         |  CAST(min(med_bp) AS BIGINT) AS med_bp
+         |FROM q JOIN m ON q.lang = m.lang GROUP BY q.lang""".stripMargin) { (s, d) =>
+      val q = Tables(s, d, "documents").select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("nc"),
+        (wordListHits(col("text"), StopwordsEn).cast("long") * 10000L).as("_hits_sc"),
+        greatest(tokenCount(col("text")).cast("long"), lit(1L)).as("_ntok"))
+        .select(col("doc_id"), col("lang"), col("nc"),
+          expr("CAST(_hits_sc div _ntok AS BIGINT)").as("score_bp"))
+      val wMed = Window.partitionBy("lang").orderBy("score_bp", "doc_id")
+      val m = q.withColumn("rn", row_number().over(wMed))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+        .where(col("rn") === expr("(n + 1) div 2")) // lower median rank, exact
+        .select(col("lang"), col("score_bp").as("med_bp"))
+      q.join(m, "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score_bp") >= col("med_bp"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("score_bp") >= col("med_bp"), col("nc")).otherwise(0L)).as("kept_chars"),
+          min(col("med_bp")).as("med_bp"))
+    },
+
+    // ---- sequence-packing efficiency: naive vs packed, per source ---------
+    // The budgeting report before a packing run (q_seq_pack does the
+    // packing itself): per source, how many 256-subword training
+    // sequences does naive one-doc-per-sequence padding cost vs
+    // concat-and-chunk packing, and the ppm saved. Pure per-doc map +
+    // one groupBy(source) — integer ceilings only.
+    Q("q_pack_efficiency",
+      s"""WITH t AS (SELECT source,
+         |    coalesce(list_sum(list_transform($oToks,
+         |      t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INT)))), 0) AS sw
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(sw) AS BIGINT) AS total_subwords,
+         |  CAST(sum((sw + 255) // 256) AS BIGINT) AS naive_seqs,
+         |  CAST((sum(sw) + 255) // 256 AS BIGINT) AS packed_seqs,
+         |  CAST(((sum((sw + 255) // 256) - (sum(sw) + 255) // 256) * 1000000)
+         |    // sum((sw + 255) // 256) AS BIGINT) AS saved_ppm
+         |FROM t GROUP BY source""".stripMargin) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("source"),
+          coalesce(subwordCount(col("text")).cast("long"), lit(0L)).as("sw"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("sw")).as("total_subwords"),
+          sum(expr("(sw + 255) div 256")).as("naive_seqs"),
+          expr("(sum(sw) + 255) div 256").as("packed_seqs"))
+        .withColumn("saved_ppm",
+          expr("((naive_seqs - packed_seqs) * 1000000) div naive_seqs"))
+    },
+
     // ---- SimHash near-dup: banding is provably lossless at Hamming≤3, so
     // the check is set EQUALITY against the all-pairs ground truth --------
     Q("q_dedup_simhash",

@@ -85,6 +85,19 @@ class DedupHygieneSpec extends AnyFunSuite {
     assertCacheEmpty("lshTopK")
   }
 
+  test("clusterKeepBest keeps the longest member per cluster, cache stays empty") {
+    spark.sqlContext.clearCache()
+    val out = Dedup.clusterKeepBest(docs, "doc_id", "text", threshold = 0.8).collect()
+    assertCacheEmpty("clusterKeepBest")
+    // (cluster, keep_id, keep_len, n_members, total_chars)
+    val byCluster = out.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // docs {0,1,3} near-dup (jaccard 10/12): keeper is doc 1 ("tonight" —
+    // the longest text); 2 and 4 are singletons keeping themselves
+    assert(byCluster(0L) == ((1L, 3L)), s"got $byCluster")
+    assert(byCluster(2L) == ((2L, 1L)) && byCluster(4L) == ((4L, 1L)))
+    assert(out.length == 3)
+  }
+
   test("containment pairs release their gram-set cache and find the exact dup") {
     spark.sqlContext.clearCache()
     val out = Dedup.containmentPairs(docs, "doc_id", "text",
