@@ -3,9 +3,11 @@ package graft.ops
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.text.Corpus
 import graft.text.Corpus._
-import graft.text.TextFunctions.{langId, LangWordlists}
+import graft.text.TextFunctions.{langId, tokenCount, tokenCharCount,
+  wordListHits, LangWordlists, StopwordsEn}
 
 /** Corpus-curation registry queries: repetition-based quality signals,
   * PII redaction, deterministic split/mix, and benchmark decontamination
@@ -77,6 +79,119 @@ object CorpusOps {
           col("r.n_ngrams").cast("long").as("n_bigrams"),
           col("r.n_uniq_ngrams").cast("long").as("n_uniq_bigrams"),
           col("r.top_count").cast("long").as("top_count"))
+    },
+
+    // ---- Gopher-style rule battery: per-source pass/fail report -----------
+    // The classic pre-filter a crawl corpus runs before anything
+    // expensive: token-count bounds, mean-word-length bounds, a minimum
+    // stopword signal (natural-language evidence), and a top-bigram
+    // repetition cap — all INTEGER predicates over one-pass token stats
+    // (cross-multiplied, no division), rolled up per source with
+    // per-rule failure counts so curation can see WHY a feed loses mass.
+    // One doc-local map + one groupBy(source). Thresholds are engine
+    // config (20..100k tokens, mean word length 3..10 via
+    // 3n ≤ chars ≤ 10n, ≥2 stopword hits, top bigram ≤ 20% once ≥10
+    // bigrams exist).
+    Q("q_gopher_rules",
+      s"""WITH t AS (SELECT doc_id, source, $oToks AS toks FROM documents),
+         |s AS (SELECT doc_id, source,
+         |    len(toks) AS ntok,
+         |    coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS ntc,
+         |    len(list_filter(toks, t -> t IN ${inList(StopwordsEn)})) AS nstop
+         |  FROM t),
+         |b AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+         |      FROM t WHERE len(toks) >= 2),
+         |g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg FROM b),
+         |c AS (SELECT doc_id, bg, count(*) AS n FROM g GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nbg,
+         |        CAST(max(n) AS BIGINT) AS topc FROM c GROUP BY doc_id),
+         |j AS (SELECT s.*, coalesce(a.nbg, 0) AS nbg, coalesce(a.topc, 0) AS topc
+         |  FROM s LEFT JOIN a USING (doc_id)),
+         |r AS (SELECT source,
+         |    (ntok BETWEEN 20 AND 100000) AS ok_len,
+         |    (3 * ntok <= ntc AND ntc <= 10 * ntok) AS ok_wordlen,
+         |    (nstop >= 2) AS ok_stop,
+         |    (nbg < 10 OR topc * 5 <= nbg) AS ok_rep
+         |  FROM j)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN ok_len AND ok_wordlen AND ok_stop AND ok_rep
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(sum(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+         |  CAST(sum(CASE WHEN NOT ok_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
+         |  CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+         |  CAST(sum(CASE WHEN NOT ok_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_rep
+         |FROM r GROUP BY source""".stripMargin) { (s, d) =>
+      val stats = Tables(s, d, "documents").select(col("source"),
+        tokenCount(col("text")).cast("long").as("ntok"),
+        tokenCharCount(col("text")).cast("long").as("ntc"),
+        wordListHits(col("text"), StopwordsEn).cast("long").as("nstop"),
+        repetitionStats(col("text"), 2).as("r"))
+        .select(col("source"), col("ntok"), col("ntc"), col("nstop"),
+          col("r.n_ngrams").cast("long").as("nbg"),
+          col("r.top_count").cast("long").as("topc"))
+      val okLen = col("ntok").between(20L, 100000L)
+      val okWordlen = lit(3L) * col("ntok") <= col("ntc") &&
+        col("ntc") <= lit(10L) * col("ntok")
+      val okStop = col("nstop") >= 2L
+      val okRep = col("nbg") < 10L || col("topc") * 5L <= col("nbg")
+      stats.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(okLen && okWordlen && okStop && okRep, 1L).otherwise(0L)).as("n_pass"),
+        sum(when(!okLen, 1L).otherwise(0L)).as("n_fail_len"),
+        sum(when(!okWordlen, 1L).otherwise(0L)).as("n_fail_wordlen"),
+        sum(when(!okStop, 1L).otherwise(0L)).as("n_fail_stop"),
+        sum(when(!okRep, 1L).otherwise(0L)).as("n_fail_rep"))
+    },
+
+    // ---- cross-split near-dup LEAKAGE audit --------------------------------
+    // The QA step after splitting: near-duplicate pairs straddling the
+    // train/val/test boundary leak training signal into evaluation. The
+    // ground-truth near-dup pairs (the q_dedup_minhash relation) join to
+    // the deterministic md5-bucket split labels; pairs group by their
+    // NORMALIZED split pair (least/greatest) with is_leak marking
+    // cross-split groups. At 100 TB the pair side comes from the LSH
+    // path and the split label is a map-side hash — one pair-sized join,
+    // never a corpus-sized one.
+    Q("q_split_leakage", {
+      val cases = Corpus.splitBounds(Splits)
+        .map { case (l, hx) => s"WHEN ${oBucket("doc_id", "")} < '$hx' THEN '$l'" }
+        .mkString(" ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len($oToks) - 2, 0)),
+         |    i -> array_to_string(($oToks)[i:i+2], ' '))) AS g
+         |  FROM documents),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8),
+         |sp AS (SELECT doc_id,
+         |    CASE $cases ELSE '${Splits.last._1}' END AS split
+         |  FROM documents)
+         |SELECT least(sa.split, sb.split) AS split_a,
+         |  greatest(sa.split, sb.split) AS split_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  (least(sa.split, sb.split) <> greatest(sa.split, sb.split)) AS is_leak
+         |FROM p JOIN sp sa ON p.id_a = sa.doc_id
+         |       JOIN sp sb ON p.id_b = sb.doc_id
+         |GROUP BY 1, 2, 4""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text",
+        threshold = 0.8, k = 3, numHashes = 64, bands = 16)
+        .select("id_a", "id_b")
+      val sp = docs.select(col("doc_id"),
+        splitAssign(col("doc_id"), Splits).as("split"))
+      pairs
+        .join(sp.toDF("id_a", "split_a0"), "id_a")
+        .join(sp.toDF("id_b", "split_b0"), "id_b")
+        .select(least(col("split_a0"), col("split_b0")).as("split_a"),
+          greatest(col("split_a0"), col("split_b0")).as("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("is_leak", col("split_a") =!= col("split_b"))
     },
 
     // ---- PII redaction ----------------------------------------------------
@@ -326,6 +441,97 @@ object CorpusOps {
         .groupBy("doc_id")
         .agg(sum(coalesce(col("c"), lit(0L))).as("fluency"),
           count(when(col("c").isNull, 1)).as("oov_bigrams"))
+    },
+
+    // ---- CCNet-style head/middle/tail LM-quality buckets ------------------
+    // The CCNet recipe: score documents with a cheap LM, rank within a
+    // stratum, and cut the corpus into head (most fluent) / middle /
+    // tail thirds — training mixes then oversample the head. Here the
+    // count-LM fluency (q_lm_score's train/held-out split) normalizes to
+    // an integer per-bigram ppm score; exact rank tertiles per source
+    // ((3·(rn−1)) div n over a deterministic (score, doc_id) order — no
+    // ntile, whose tie behavior differs across engines); report mass per
+    // (source, bucket). Scale shape: one bigram shuffle for the LM, one
+    // vocabulary-sized join, one source-keyed window.
+    Q("q_ccnet_buckets",
+      s"""WITH t AS (SELECT doc_id, source, $oToks AS toks FROM documents),
+         |b AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+         |      FROM t WHERE len(toks) >= 2),
+         |g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg FROM b),
+         |train AS (SELECT bg, CAST(count(*) AS BIGINT) AS c
+         |          FROM g WHERE doc_id % 10 <> 0 GROUP BY 1),
+         |held AS (SELECT g.doc_id,
+         |    CAST(sum(coalesce(train.c, 0)) AS BIGINT) AS fluency,
+         |    CAST(count(*) AS BIGINT) AS nbg
+         |  FROM g LEFT JOIN train ON g.bg = train.bg
+         |  WHERE g.doc_id % 10 = 0 GROUP BY g.doc_id),
+         |sc AS (SELECT t.source, held.doc_id,
+         |    CAST((fluency * 1000000) // greatest(nbg, 1) AS BIGINT) AS score_ppm,
+         |    len(t.toks) AS ntok
+         |  FROM held JOIN t ON held.doc_id = t.doc_id),
+         |rk AS (SELECT source, doc_id, score_ppm, ntok,
+         |    row_number() OVER (PARTITION BY source ORDER BY score_ppm, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM sc)
+         |SELECT source,
+         |  CASE (3 * (rn - 1)) // n WHEN 2 THEN 'head' WHEN 1 THEN 'middle'
+         |    ELSE 'tail' END AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  CAST(min(score_ppm) AS BIGINT) AS min_ppm,
+         |  CAST(max(score_ppm) AS BIGINT) AS max_ppm
+         |FROM rk GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"), split(trim(col("text")), "\\s+").as("toks"))
+      val grams = Par.filterOnce(t.select(col("doc_id"), col("toks")),
+          size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .as("bg"))
+      val train = grams.filter(col("doc_id") % 10 =!= 0)
+        .groupBy("bg").agg(count(lit(1)).as("c"))
+      val held = grams.filter(col("doc_id") % 10 === 0)
+        .join(train, Seq("bg"), "left")
+        .groupBy("doc_id")
+        .agg(sum(coalesce(col("c"), lit(0L))).as("fluency"),
+          count(lit(1)).as("nbg"))
+      val sc = held.join(t.select(col("doc_id"), col("source"),
+          size(col("toks")).cast("long").as("ntok")), "doc_id")
+        .select(col("source"), col("doc_id"), col("ntok"),
+          expr("CAST((fluency * 1000000) div greatest(nbg, 1) AS BIGINT)").as("score_ppm"))
+      val w = Window.partitionBy("source").orderBy("score_ppm", "doc_id")
+      sc.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        .withColumn("bucket", expr(
+          "CASE (3 * (rn - 1)) div n WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+          min(col("score_ppm")).as("min_ppm"), max(col("score_ppm")).as("max_ppm"))
+    },
+
+    // ---- tokenizer fertility by language ----------------------------------
+    // Subwords-per-token (ppm) per language — THE multilingual tokenizer
+    // diagnostic: high fertility means a language pays more sequence
+    // budget per word (and trains worse at a fixed context). Pure
+    // map-side per-doc stats + one lang-keyed rollup.
+    Q("q_tok_fertility",
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len($oToks)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(coalesce(list_sum(list_transform($oToks,
+         |    t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INT)))), 0)) AS BIGINT) AS n_subwords,
+         |  CAST((sum(coalesce(list_sum(list_transform($oToks,
+         |    t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INT)))), 0)) * 1000000)
+         |    // greatest(sum(len($oToks)), 1) AS BIGINT) AS fertility_ppm
+         |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("lang"), tokenCount(col("text")).cast("long").as("ntok"),
+          coalesce(graft.text.TextFunctions.subwordCount(col("text")).cast("long"),
+            lit(0L)).as("nsw"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+          sum(col("nsw")).as("n_subwords"))
+        .withColumn("fertility_ppm",
+          expr("CAST((n_subwords * 1000000) div greatest(n_tokens, 1) AS BIGINT)"))
     },
 
     // ---- collocation extraction (PMI lift, restated log-free) -------------
