@@ -24,6 +24,32 @@ import org.apache.spark.sql.types._
   * unnecessary — the operators are identical. */
 object Streams {
 
+  /** Scratch root for stream staging/checkpoint/sink dirs. Streaming's
+    * per-query fixed cost is dominated by per-batch metadata fsyncs
+    * (offset log, commit log, state-store deltas, sink metadata — each
+    * micro-batch is several small synchronous writes), so scratch
+    * placement is a deployment knob: RAM-backed when available
+    * (/dev/shm here; a production cluster points this at its fast local
+    * volume or object store per its durability needs — the operators are
+    * identical either way). `SPARK_GRAFT_STREAM_SCRATCH` overrides. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val pick = sys.env.get("SPARK_GRAFT_STREAM_SCRATCH")
+      .orElse(Some("/dev/shm").filter(p => new java.io.File(p).canWrite))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val d = Paths.get(pick, "graft_stream_scratch")
+    Files.createDirectories(d)
+    // RAM-backed scratch is precious: reclaim everything on JVM exit
+    // (staged inputs are memoized for the session, so cleanup must not
+    // happen earlier; per-query sinks are read back lazily by callers).
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try new scala.reflect.io.Directory(d.toFile).deleteRecursively(): Unit
+      catch { case _: Throwable => () }))
+    d
+  }
+
+  private def scratchDir(prefix: String): java.nio.file.Path =
+    Files.createTempDirectory(scratchRoot, prefix)
+
   /** Group key / event_type marking the watermark-advancing sentinel. */
   private val SentinelType = "_g_sentinel"
   private val SentinelUs = 4102444800L * 1000000L // 2100-01-01T00:00Z, µs
@@ -58,7 +84,7 @@ object Streams {
   private def stagedEventStream(spark: SparkSession, dir: String,
       replays: Int = 1, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val watch = stagedDirs.computeIfAbsent((dir, replays), _ => {
-      val w = Files.createTempDirectory("graft_stream_in")
+      val w = scratchDir("graft_stream_in")
       // One normalizing rewrite instead of a raw file copy: the source
       // parquet's ts flavor varies by data drop (nanos vs micros — see
       // Tables.events), so stage µs-longs and every downstream stream
@@ -97,7 +123,7 @@ object Streams {
   private def runToParquet(spark0: SparkSession, statePartitions: Int,
       rocksDbState: Boolean = false)(
       build: (SparkSession, String) => org.apache.spark.sql.streaming.DataStreamWriter[_]): DataFrame = {
-    val root = Files.createTempDirectory("graft_stream_out").toString
+    val root = scratchDir("graft_stream_out").toString
     val spark = spark0.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     // RocksDB state store: the production provider once state outgrows the
@@ -405,7 +431,7 @@ object Streams {
     * checkpoint's batch ids. */
   def upsertStream(spark: SparkSession, dir: String, keyCols: Seq[String],
       replays: Int = 2): DataFrame = {
-    val root = Files.createTempDirectory("graft_stream_upsert").toString
+    val root = scratchDir("graft_stream_upsert").toString
     val tbl = s"$root/table"
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -559,16 +585,16 @@ object Streams {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val (idxPath, watch) = ingestAssets.computeIfAbsent(dir, _ => {
-      val idx = Files.createTempDirectory("graft_ingest_idx").toString
+      val idx = scratchDir("graft_ingest_idx").toString
       val docs = s.read.parquet(s"$dir/documents.parquet")
       Dedup.buildCorpusIndex(docs.filter(col("doc_id") % 3 =!= 0),
         "doc_id", "text", idx)
-      val w = Files.createTempDirectory("graft_ingest_in").toString
+      val w = scratchDir("graft_ingest_in").toString
       docs.repartitionByRange(4, col("doc_id"))
         .write.mode("overwrite").parquet(w)
       (idx, w)
     })
-    val root = Files.createTempDirectory("graft_ingest_run").toString
+    val root = scratchDir("graft_ingest_run").toString
     val tbl = s"$root/table"
     val docSchema = s.read.parquet(watch).schema
     val q = s.readStream.schema(docSchema)
