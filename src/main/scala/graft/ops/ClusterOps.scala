@@ -52,6 +52,43 @@ object ClusterOps {
 
   val all: Seq[Q] = Seq(
 
+    // ---- embedding-table QA audit: norms, zeros, constants, per label -----
+    // The ingest gate an embedding pipeline runs before ANY ANN/cluster
+    // work: count vectors whose ×10⁴ fixed-point norm² is zero (dead
+    // encoder outputs), whose components are all equal (collapsed /
+    // padding rows), and the exact norm² mass per label — all integer
+    // (norm² of fp components; no sqrt crosses the engine boundary).
+    // One map-side pass + one label-keyed rollup; at 100 TB this is a
+    // single scan with a 256-row result.
+    Q("q_embed_norm_audit",
+      s"""WITH x AS (SELECT label, ${Tables.fpVecDuck} AS xf FROM embeddings),
+         |s AS (SELECT label,
+         |    coalesce(list_sum(list_transform(xf, v -> v * v)), 0) AS n2,
+         |    CASE WHEN len(list_distinct(xf)) <= 1 THEN 1 ELSE 0 END AS is_const
+         |  FROM x)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  CAST(sum(is_const) AS BIGINT) AS n_const,
+         |  CAST(sum(n2) AS BIGINT) AS sum_norm2_fp,
+         |  CAST(min(n2) AS BIGINT) AS min_norm2_fp,
+         |  CAST(max(n2) AS BIGINT) AS max_norm2_fp
+         |FROM s GROUP BY label""".stripMargin) { (s, d) =>
+      Tables(s, d, "embeddings")
+        .select(col("label"), expr(Tables.fpVecSpark).as("xf"))
+        .select(col("label"),
+          coalesce(expr("aggregate(xf, CAST(0 AS BIGINT), (a, v) -> a + v * v)"),
+            lit(0L)).as("n2"),
+          expr("CASE WHEN size(array_distinct(xf)) <= 1 THEN 1 ELSE 0 END")
+            .cast("long").as("is_const"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          sum(col("is_const")).as("n_const"),
+          sum(col("n2")).as("sum_norm2_fp"),
+          min(col("n2")).as("min_norm2_fp"),
+          max(col("n2")).as("max_norm2_fp"))
+    },
+
     // ---- k-means clustering of embeddings ---------------------------------
     Q("q_kmeans_embed",
       s"WITH $KmeansCtes\nSELECT vec_id, cid AS cluster FROM a2") { (s, d) =>

@@ -509,6 +509,49 @@ object CorpusOps {
           min(col("score_ppm")).as("min_ppm"), max(col("score_ppm")).as("max_ppm"))
     },
 
+    // ---- per-source length profile: exact p10/p50/p90 token counts --------
+    // The first chart any curation review asks for — are a feed's
+    // documents the right SIZE? Exact rank picks ((n·q) div 100 with a
+    // (ntok, doc_id) total order — the q_interarrival device, immune to
+    // engine percentile-interpolation differences), one source-keyed
+    // window + rollup.
+    Q("q_length_profile",
+      s"""WITH t AS (SELECT doc_id, source, len($oToks) AS ntok FROM documents),
+         |r AS (SELECT source, doc_id, ntok,
+         |    row_number() OVER (PARTITION BY source ORDER BY ntok, doc_id) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM t),
+         |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(ntok) AS BIGINT) AS total_tokens FROM t GROUP BY 1)
+         |SELECT m.source, m.n_docs, m.total_tokens,
+         |  CAST(p10.ntok AS BIGINT) AS p10_tokens,
+         |  CAST(p50.ntok AS BIGINT) AS p50_tokens,
+         |  CAST(p90.ntok AS BIGINT) AS p90_tokens
+         |FROM m
+         |JOIN r p10 ON p10.source = m.source
+         |  AND p10.rn = greatest((p10.n * 10) // 100, 1)
+         |JOIN r p50 ON p50.source = m.source AND p50.rn = (p50.n + 1) // 2
+         |JOIN r p90 ON p90.source = m.source
+         |  AND p90.rn = greatest((p90.n * 90) // 100, 1)""".stripMargin) { (s, d) =>
+      val t = Tables(s, d, "documents").select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("ntok"))
+      val r = t.select(col("source"), col("doc_id"), col("ntok"),
+        row_number().over(Window.partitionBy("source")
+          .orderBy("ntok", "doc_id")).as("rn"),
+        count(lit(1)).over(Window.partitionBy("source")).as("n"))
+      val m = t.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"))
+      val p10 = r.filter(col("rn") === expr("greatest((n * 10) div 100, 1L)"))
+        .select(col("source"), col("ntok").as("p10_tokens"))
+      val p50 = r.filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("source"), col("ntok").as("p50_tokens"))
+      val p90 = r.filter(col("rn") === expr("greatest((n * 90) div 100, 1L)"))
+        .select(col("source"), col("ntok").as("p90_tokens"))
+      m.join(p10, "source").join(p50, "source").join(p90, "source")
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("p10_tokens"), col("p50_tokens"), col("p90_tokens"))
+    },
+
     // ---- tokenizer fertility by language ----------------------------------
     // Subwords-per-token (ppm) per language — THE multilingual tokenizer
     // diagnostic: high fertility means a language pays more sequence

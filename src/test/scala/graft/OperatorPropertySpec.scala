@@ -210,6 +210,57 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(inline == indexed)
   }
 
+  test("clusterKeepBest conserves membership and keeps only real members") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // Random corpus with planted duplicate families: base sentences plus
+    // verbatim copies and single-word-perturbed near-copies.
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val bases = Seq.tabulate(12)(i =>
+      Seq.fill(10 + rnd.nextInt(6))(words(rnd.nextInt(words.length))).mkString(" "))
+    val docs0 = bases.zipWithIndex.flatMap { case (t, i) =>
+      val copies = Seq.tabulate(rnd.nextInt(3)) { c =>
+        if (c == 0) t else t + " " + words(rnd.nextInt(words.length))
+      }
+      (t +: copies)
+    }.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+    val docs = docs0.toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.clusterKeepBest(docs, "doc_id", "text",
+      threshold = 0.8).collect()
+    // conservation: every doc counted exactly once across clusters
+    assert(out.map(_.getLong(3)).sum == docs0.length)
+    assert(out.map(_.getLong(4)).sum == docs0.map(_._2.length.toLong).sum)
+    // keeper is a member with the cluster's maximal length
+    val byId = docs0.toMap
+    out.foreach { r =>
+      val (keepId, keepLen) = (r.getLong(1), r.getLong(2))
+      assert(byId(keepId).length.toLong == keepLen)
+    }
+    // exact-duplicate family: the verbatim copy of bases(0) must share a
+    // cluster with its original (ids 0 and any copy-of-0 map together)
+    val cl = graft.dedup.Dedup.dedupClusters(docs, "doc_id", "text", 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs0.groupBy(_._2).values.filter(_.size > 1).foreach { grp =>
+      val cs = grp.map(g => cl(g._1)).distinct
+      assert(cs.size == 1, s"verbatim copies split across clusters: $grp")
+    }
+  }
+
+  test("prefixSum equals the sequential fold on random integers") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = rnd.shuffle((0 until 500).toList)
+      .map(k => (k.toLong, rnd.nextLong(2000) - 1000))
+    val df = rows.toDF("ord", "v").repartition(7)
+    val got = Scale.prefixSum(df, "ord", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    var acc = 0L
+    rows.sortBy(_._1).foreach { case (k, v) =>
+      assert(got(k) == acc, s"ord=$k"); acc += v
+    }
+  }
+
   test("Unicode normalization laws: idempotence, accent-free fixpoint, length order") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Prop.forAll
