@@ -38,10 +38,13 @@ object Bench {
     // driver never sets it, so official runs always measure everything
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // validation gates (ground-truth/recall checks) are Verify-only:
-    // they time the deliberately-quadratic oracle, not an operator
+    // they time the deliberately-quadratic oracle, not an operator.
+    // An EXPLICIT SPARK_GRAFT_ONLY request overrides the exclusion —
+    // asking to time one gate and silently benching nothing would be
+    // worse than timing it.
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-      .filterNot(SparkEntry.validationOnly)
+      .filterNot(n => only.isEmpty && SparkEntry.validationOnly(n))
     // per-query timeout + job-group cancel (shared harness): a hanging
     // query must not stall the whole benchmark
     def once(name: String): Double = {

@@ -596,8 +596,10 @@ final class DataSet private (
     val sample = toDF.limit(1024).collect()
     if (sample.isEmpty) 1L
     else {
+      // Long accumulation: 1024 multi-MB text rows overflow an Int sum,
+      // which would clamp the average to ~1 byte and explode the cap.
       val totalBytes = sample.iterator.map { r =>
-        var n = r.length // N-1 separators + newline
+        var n = r.length.toLong // N-1 separators + newline
         var i = 0
         while (i < r.length) {
           n += (if (r.isNullAt(i)) nullValue.length else r.get(i).toString.length)

@@ -94,7 +94,12 @@ object GraphOps {
   private val bridgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def tradeBridge(s: SparkSession, d: String): DataFrame =
-    bridgeCache.computeIfAbsent(d, _ =>
+    // Key includes the application id: a checkpointed DataFrame is bound
+    // to its SparkContext, so an entry must not outlive the context that
+    // built it (stop session A, open session B → A's entry is dead).
+    // Stale entries from stopped contexts stay in the map but are
+    // node-sized and their blocks die with their context.
+    bridgeCache.computeIfAbsent(s"${s.sparkContext.applicationId}|$d", _ =>
       lineitem(s, d).select("l_orderkey", "l_suppkey")
         .join(orders(s, d).select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))

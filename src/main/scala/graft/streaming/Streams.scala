@@ -36,9 +36,14 @@ object Streams {
     val pick = sys.env.get("SPARK_GRAFT_STREAM_SCRATCH")
       .orElse(Some("/dev/shm").filter(p => new java.io.File(p).canWrite))
       .getOrElse(System.getProperty("java.io.tmpdir"))
-    val d = Paths.get(pick, "graft_stream_scratch")
-    Files.createDirectories(d)
-    // RAM-backed scratch is precious: reclaim everything on JVM exit
+    val base = Paths.get(pick, "graft_stream_scratch")
+    Files.createDirectories(base)
+    // PER-JVM subdirectory: concurrent graft JVMs (sbt test beside a
+    // Verify run) must not share a deletable root — a shared root's
+    // shutdown hook would destroy the other JVM's live checkpoints and
+    // staged inputs.
+    val d = Files.createTempDirectory(base, "jvm_")
+    // RAM-backed scratch is precious: reclaim THIS JVM's subtree on exit
     // (staged inputs are memoized for the session, so cleanup must not
     // happen earlier; per-query sinks are read back lazily by callers).
     Runtime.getRuntime.addShutdownHook(new Thread(() =>

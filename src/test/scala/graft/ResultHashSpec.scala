@@ -55,6 +55,27 @@ class ResultHashSpec extends AnyFunSuite {
     assert(z1 == z2)
   }
 
+  test("hash of temporal columns is JVM-default-timezone invariant") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789"),
+        java.sql.Date.valueOf("2024-03-01")),
+      (2L, java.sql.Timestamp.valueOf("1999-12-31 23:59:59.999"),
+        java.sql.Date.valueOf("1999-12-31"))
+    ).toDF("id", "ts", "d")
+    val tz0 = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
+      val h1 = ResultHash.of(df)
+      // java.sql.Timestamp.toString renders in the default TZ — the hash
+      // must NOT (committed expected hashes travel across machines)
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("America/Los_Angeles"))
+      val h2 = ResultHash.of(df)
+      assert(h1 == h2, "temporal hash depends on JVM default timezone")
+    } finally java.util.TimeZone.setDefault(tz0)
+  }
+
   test("hash survives a parquet round-trip (what Verify actually hashes)") {
     val df = allTypes
     val dir = java.nio.file.Files.createTempDirectory("graft_rh").toString
