@@ -54,6 +54,32 @@ object CorpusOps {
       |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8""".stripMargin
 
+  /** Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003)
+    * over a `(doc_id, text)` frame: k=3-token gram hashes (first 8 md5
+    * hex digits), window w=4, rightmost-min-per-window selection.
+    * Returns `(doc_id, n_grams, fps)` where each fingerprint packs
+    * hash·10⁷ + (10⁷−1−pos) into one BIGINT (so min-key ≡ min-hash with
+    * rightmost tie-break; docs bounded at 10M tokens, keys < 2^63).
+    * Doc-local higher-order functions only — a map-only pass with ZERO
+    * shuffles at any corpus scale. sequence(1, 0) DESCENDS in Spark
+    * (DuckDB's generate_series is empty), hence the CASE guards. */
+  def winnowing(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      graft.text.TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("keys", expr(
+        """CASE WHEN size(toks) >= 3 THEN
+          |  transform(sequence(1, size(toks) - 2), i ->
+          |    cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 3))), 1, 8),
+          |              16, 10) as bigint)
+          |      * 10000000L + (9999999L - i))
+          |ELSE CAST(array() AS array<bigint>) END""".stripMargin))
+      .withColumn("fps", expr(
+        """array_distinct(CASE WHEN size(keys) >= 4 THEN
+          |  transform(sequence(4, size(keys)), i -> array_min(slice(keys, i - 3, 4)))
+          |ELSE CAST(array() AS array<bigint>) END)""".stripMargin))
+      .select(col("doc_id"), size(col("keys")).cast("long").as("n_grams"),
+        col("fps"))
+
   val all: Seq[Q] = Seq(
 
     // ---- Gopher-style repetition quality signals --------------------------
@@ -999,6 +1025,157 @@ object CorpusOps {
         .select(col("doc_id"), col("source"), col("p_meg"),
           (col("u") < col("p_meg")).as("included"),
           expr("(1048576L * 1000000L) div p_meg").as("ht_ppm"))
+    },
+
+    // ---- winnowing fingerprints (Schleimer et al., SIGMOD 2003) -----------
+    // The MOSS document-fingerprinting guarantee the rolling-hash picks
+    // of q_fingerprint lack: every shared substring of >= w+k-1 tokens
+    // is DETECTED (some fingerprint of it is selected in both copies),
+    // yet only ~2/(w+1) of gram hashes survive — a provable
+    // detect-vs-store tradeoff. k=3-token grams, window w=4, rightmost
+    // min per window. The hash (first 8 md5 hex digits as an integer)
+    // and the argmin are engine-identical: each gram packs into ONE
+    // BIGINT  h·10^7 + (10^7-1-pos)  so "min key" IS "min hash, ties to
+    // the RIGHTMOST position" — no struct comparisons, no floats. The
+    // 10^7 position base bounds docs at 10M tokens (far beyond any
+    // training document; keys stay < 2^63). Entirely doc-local
+    // higher-order functions: ZERO shuffles at any corpus scale — the
+    // ideal 100 TB shape (a map-only pass), unlike a posexplode+window
+    // formulation that would shuffle every gram on doc_id.
+    Q("q_winnowing",
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |k AS (SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+         |      i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8)) AS BIGINT)
+         |             * 10000000 + (9999999 - i)) AS keys
+         |  FROM t),
+         |w AS (SELECT doc_id, CAST(len(keys) AS BIGINT) AS n_grams,
+         |    list_distinct(list_transform(generate_series(4, len(keys)),
+         |      i -> list_min(keys[i-3:i]))) AS fps
+         |  FROM k)
+         |SELECT doc_id, n_grams, CAST(len(fps) AS BIGINT) AS n_fp,
+         |  CAST(coalesce(list_sum(list_transform(fps, x -> x // 10000000)), 0)
+         |    AS BIGINT) AS fp_hash_sum
+         |FROM w""".stripMargin) { (s, d) =>
+      winnowing(Tables(s, d, "documents"))
+        .select(col("doc_id"), col("n_grams"),
+          size(col("fps")).cast("long").as("n_fp"),
+          expr("aggregate(fps, 0L, (acc, x) -> acc + x div 10000000L)")
+            .as("fp_hash_sum"))
+    },
+
+    // ---- winnowing near-dup candidates (MOSS-style overlap join) ----------
+    // The dedup operator winnowing exists FOR: docs sharing >= 3
+    // selected fingerprint HASHES are near-dup/plagiarism candidates,
+    // scored by shared count and containment ppm against the smaller
+    // side. Selection already shrinks each doc to ~2/(w+1) of its grams,
+    // and a document-frequency cap (df <= 20) drops stop-fingerprints
+    // BEFORE the pair join — the same posting-cap device as the inverted
+    // index, keeping the hash-keyed equi-join linear at 100 TB (a hot
+    // trigram never fans out). All counts integer; non-negative `div`.
+    Q("q_winnow_dedup",
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |k AS (SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+         |      i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8)) AS BIGINT)
+         |             * 10000000 + (9999999 - i)) AS keys
+         |  FROM t),
+         |w AS (SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      list_distinct(list_transform(generate_series(4, len(keys)),
+         |        i -> list_min(keys[i-3:i]))), x -> x // 10000000)) AS hs
+         |  FROM k),
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM w),
+         |df AS (SELECT h, count(*) AS c FROM e GROUP BY h),
+         |e2 AS (SELECT e.doc_id, e.h FROM e JOIN df USING (h) WHERE df.c <= 20),
+         |sz AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS nh FROM w),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM e2 a JOIN e2 b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT a_id, b_id, n_shared, sa.nh AS nh_a, sb.nh AS nh_b,
+         |  CAST((n_shared * 1000000) // least(sa.nh, sb.nh) AS BIGINT) AS overlap_ppm
+         |FROM p JOIN sz sa ON a_id = sa.doc_id
+         |       JOIN sz sb ON b_id = sb.doc_id""".stripMargin) { (s, d) =>
+      val hs = winnowing(Tables(s, d, "documents"))
+        .select(col("doc_id"),
+          expr("array_distinct(transform(fps, x -> x div 10000000L))").as("hs"))
+      val e = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+      val df = e.groupBy("h").agg(count(lit(1)).as("c"))
+      val e2 = e.join(df.where(col("c") <= 20L), "h").select("doc_id", "h")
+      val sz = hs.select(col("doc_id"), size(col("hs")).cast("long").as("nh"))
+      val p = e2.as("a").join(e2.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 3L)
+      p.join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("nh", "nh_a"), "a_id")
+        .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("nh", "nh_b"), "b_id")
+        .select(col("a_id"), col("b_id"), col("n_shared"), col("nh_a"), col("nh_b"),
+          expr("(n_shared * 1000000L) div least(nh_a, nh_b)").as("overlap_ppm"))
+    },
+
+    // ---- model-based quality gate: fixed linear classifier head -----------
+    // The FineWeb/DCLM-style companion to q_gopher_rules' hard rules: a
+    // WEIGHTED score over the same one-pass signals (stopword density,
+    // top-bigram repetition, mean-word-length deviation, capped length),
+    // gated at a threshold, reported per source with the exact score
+    // range. Every feature is an exact integer ratio (ppm / centi-deci
+    // fixed point, non-negative numerators so Spark `div` ≡ DuckDB `//`)
+    // and the head is an integer dot product — bit-identical across
+    // engines, no sigmoid needed for a threshold gate. One map-side pass
+    // + one source-keyed rollup; at 100 TB the score is free on top of
+    // the token stats the battery already computes.
+    Q("q_quality_ensemble",
+      s"""WITH t AS (SELECT doc_id, source, $oToks AS toks FROM documents),
+         |s AS (SELECT doc_id, source, len(toks) AS ntok,
+         |    coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS ntc,
+         |    len(list_filter(toks, t -> t IN ${inList(StopwordsEn)})) AS nstop
+         |  FROM t),
+         |b AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+         |      FROM t WHERE len(toks) >= 2),
+         |g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg FROM b),
+         |c AS (SELECT doc_id, bg, count(*) AS n FROM g GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nbg,
+         |        CAST(max(n) AS BIGINT) AS topc FROM c GROUP BY doc_id),
+         |j AS (SELECT s.*, coalesce(a.nbg, 0) AS nbg, coalesce(a.topc, 0) AS topc
+         |  FROM s LEFT JOIN a USING (doc_id)),
+         |f AS (SELECT source,
+         |    2 * ((nstop * 1000000) // greatest(ntok, 1))
+         |  - 3 * ((topc * 1000000) // greatest(nbg, 1))
+         |  - 400 * abs((ntc * 100) // greatest(ntok, 1) - 500)
+         |  + 1000 * least(ntok, 500) AS score
+         |  FROM j)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN score >= 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST((sum(CASE WHEN score >= 50000 THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) AS pass_ppm,
+         |  CAST(min(score) AS BIGINT) AS score_min,
+         |  CAST(max(score) AS BIGINT) AS score_max,
+         |  CAST(sum(score) AS BIGINT) AS score_sum
+         |FROM f GROUP BY source""".stripMargin) { (s, d) =>
+      val stats = Tables(s, d, "documents").select(col("source"),
+        tokenCount(col("text")).cast("long").as("ntok"),
+        tokenCharCount(col("text")).cast("long").as("ntc"),
+        wordListHits(col("text"), StopwordsEn).cast("long").as("nstop"),
+        repetitionStats(col("text"), 2).as("r"))
+        .select(col("source"), col("ntok"), col("ntc"), col("nstop"),
+          col("r.n_ngrams").cast("long").as("nbg"),
+          col("r.top_count").cast("long").as("topc"))
+      val scored = stats.withColumn("score", expr(
+        """  2L * ((nstop * 1000000L) div greatest(ntok, 1L))
+          |- 3L * ((topc * 1000000L) div greatest(nbg, 1L))
+          |- 400L * abs((ntc * 100L) div greatest(ntok, 1L) - 500L)
+          |+ 1000L * least(ntok, 500L)""".stripMargin))
+      scored.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= 50000L, 1L).otherwise(0L)).as("n_pass"),
+        min(col("score")).as("score_min"),
+        max(col("score")).as("score_max"),
+        sum(col("score")).as("score_sum"))
+        .withColumn("pass_ppm", expr("(n_pass * 1000000L) div n_docs"))
+        .select(col("source"), col("n_docs"), col("n_pass"), col("pass_ppm"),
+          col("score_min"), col("score_max"), col("score_sum"))
     }
   )
 }

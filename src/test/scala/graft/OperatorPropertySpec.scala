@@ -289,4 +289,36 @@ class OperatorPropertySpec extends AnyFunSuite {
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("winnowing detection guarantee: shared >= w+k-1 token runs share a fingerprint") {
+    import spark.implicits._
+    // Seeded random docs; half the pairs get a common 6..12-token run
+    // planted at random offsets. Schleimer et al.'s theorem: with k=3,
+    // w=4, any shared substring of >= w+k-1 = 6 tokens is detected — the
+    // two documents select at least one identical gram HASH (positions
+    // differ, so compare the hash part of the packed key only).
+    val rnd = new scala.util.Random(41)
+    def words(n: Int): Seq[String] = Seq.fill(n)("w" + rnd.nextInt(50))
+    val shared = Seq.tabulate(20)(i => words(6 + rnd.nextInt(7)))
+    val docs = shared.zipWithIndex.flatMap { case (run, i) =>
+      Seq(
+        (2L * i, (words(rnd.nextInt(20)) ++ run ++ words(rnd.nextInt(20))).mkString(" ")),
+        (2L * i + 1, (words(rnd.nextInt(20)) ++ run ++ words(rnd.nextInt(20))).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val fps = graft.ops.CorpusOps.winnowing(docs)
+      .select(col("doc_id"), expr("transform(fps, x -> x div 10000000L)").as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    for (i <- shared.indices) {
+      val (a, b) = (fps(2L * i), fps(2L * i + 1))
+      assert((a & b).nonEmpty, s"pair $i shares a ${shared(i).size}-token run but no fingerprint")
+    }
+    // Density sanity: expected fraction of selected grams is ~2/(w+1) = 0.4;
+    // allow a generous band (tiny docs, boundary effects).
+    val stats = graft.ops.CorpusOps.winnowing(docs)
+      .agg(sum(size(col("fps"))).cast("double").as("fp"),
+        sum(col("n_grams")).cast("double").as("g"))
+      .head()
+    val density = stats.getDouble(0) / stats.getDouble(1)
+    assert(density > 0.25 && density < 0.6, s"winnowing density $density out of band")
+  }
 }
