@@ -358,6 +358,44 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL audio QA gate: decode and report the exact integer clipping
+    * count (|sample| >= `clipAt`), DC offset numerator (Σ samples — a
+    * nonzero-mean recording), and peak — the ingest checks an audio
+    * corpus runs before any feature extraction. `ok` cross-multiplies
+    * the clipping RATE against `maxClipPpm` (n_clipped·10⁶ ≤ ppm·n), so
+    * no division anywhere. Batched map-only decode like [[wavProbe]];
+    * zero shuffles at any corpus scale. */
+  def wavQuality(df: DataFrame, idCol: String, payloadCol: String,
+      clipAt: Long, maxClipPpm: Long, batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_samples", LongType),
+      StructField("n_clipped", LongType),
+      StructField("peak", LongType),
+      StructField("dc_sum", LongType),
+      StructField("ok", BooleanType)))
+    val pre = df.select(col(idCol).cast("long"), col(payloadCol))
+    pre.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (_, s) = parseWav(r.getAs[Array[Byte]](1))
+          var peak = 0L; var clipped = 0L; var dc = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            if (a >= clipAt) clipped += 1
+            dc += v
+            i += 1
+          }
+          Row(r.getLong(0), s.length.toLong, clipped, peak, dc,
+            clipped * 1000000L <= maxClipPpm * s.length)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** REAL audio downsample by integer decimation: keep every `factor`-th
     * PCM frame and re-emit a VALID WAV at rate/factor (header rewritten,
     * frames re-packed) — an actual signal transform, not a metadata
@@ -581,6 +619,47 @@ object Multimodal {
               }
               Row(r.getLong(0), fi / stride, w, h,
                 f(0).toLong, f(w * h - 1).toLong, s0)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL shot-boundary (scene-cut) detection: decode consecutive frame
+    * pairs and compute the exact integer sum of per-channel absolute
+    * pixel differences — the classic pre-sampling signal a vision
+    * pipeline uses to pick one representative frame per shot instead of
+    * a blind stride. A pair is a cut when the MEAN per-pixel difference
+    * reaches `thrPerPixel` (cross-multiplied: diff_sum >= thr·w·h, no
+    * division). One output row per consecutive pair; all-integer →
+    * bit-exact cross-engine. Batched map-only pass like [[aviProbe]] —
+    * zero shuffles at any corpus scale. */
+  def aviSceneCuts(df: DataFrame, idCol: String, payloadCol: String,
+      thrPerPixel: Long, batchSize: Int = 64): DataFrame = {
+    require(thrPerPixel >= 0, s"threshold must be >= 0, got $thrPerPixel")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_id", IntegerType),
+      StructField("n_px", LongType),
+      StructField("diff_sum", LongType),
+      StructField("is_cut", BooleanType)))
+    val pre = df.select(col(idCol).cast("long"), col(payloadCol))
+    pre.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val (w, h, frames) = parseAvi(r.getAs[Array[Byte]](1))
+          val nPx = w.toLong * h
+          (1 until frames.length).iterator.map { fi =>
+            val f0 = frames(fi - 1); val f1 = frames(fi)
+            var s0 = 0L; var i = 0
+            while (i < f1.length) {
+              val a = f0(i); val b = f1(i)
+              s0 += math.abs(((b >> 16) & 0xFF) - ((a >> 16) & 0xFF)) +
+                math.abs(((b >> 8) & 0xFF) - ((a >> 8) & 0xFF)) +
+                math.abs((b & 0xFF) - (a & 0xFF))
+              i += 1
+            }
+            Row(r.getLong(0), fi, nPx, s0, s0 >= thrPerPixel * nPx)
           }
         }
       }

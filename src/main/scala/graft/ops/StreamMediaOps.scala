@@ -410,6 +410,60 @@ object StreamMediaOps {
         "doc_id", "payload")
     },
 
+    // ---- REAL audio QA gate: clipping / DC offset / peak -------------------
+    // The ingest check an audio corpus runs before feature extraction:
+    // exact count of near-full-scale samples (|v| >= 32700), the DC
+    // offset numerator Σv, and a clip-rate gate at 2000 ppm
+    // (cross-multiplied). The oracle replays the fixture PCM formula, so
+    // a match re-proves the RIFF decode AND the per-sample arithmetic.
+    Q("q_audio_quality",
+      """WITH d AS (SELECT doc_id, doc_id * 2654435761 AS seed,
+        |    256 + doc_id % 512 AS n FROM documents),
+        |s AS (SELECT doc_id, n, ((seed + i * 40503) % 65536) - 32768 AS v
+        |  FROM d, unnest(generate_series(0, n - 1)) AS u(i))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(CASE WHEN abs(v) >= 32700 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak,
+        |  CAST(sum(v) AS BIGINT) AS dc_sum,
+        |  sum(CASE WHEN abs(v) >= 32700 THEN 1 ELSE 0 END) * 1000000
+        |    <= 2000 * count(*) AS ok
+        |FROM s GROUP BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.wavQuality(wavFixture(s, d), "doc_id", "payload",
+        clipAt = 32700L, maxClipPpm = 2000L)
+    },
+
+    // ---- REAL video scene-cut detection (shot boundaries) -----------------
+    // Per consecutive decoded frame pair, the exact integer sum of
+    // per-channel absolute pixel differences; a pair is a cut when the
+    // mean per-pixel difference reaches 110 (cross-multiplied, no
+    // division). The oracle replays the fixture pixel formula for BOTH
+    // frames of every pair, so a match proves pairwise frame alignment
+    // on top of the demux/decode the probe already proves. This is the
+    // shot-sampling signal a vision-preproc stage uses to pick one
+    // frame per scene instead of a blind stride.
+    Q("q_video_scene_cut",
+      """WITH d AS (SELECT doc_id, doc_id * 2654435761 AS seed,
+        |    2 + doc_id % 4 AS n FROM documents),
+        |f AS (SELECT doc_id, seed, i AS fi FROM d,
+        |      unnest(generate_series(1, n - 1)) AS t(i)),
+        |p AS (SELECT doc_id, fi,
+        |    (seed + 31 * x + 17 * y + 73 * fi) % 16777216 AS v1,
+        |    (seed + 31 * x + 17 * y + 73 * (fi - 1)) % 16777216 AS v0
+        |  FROM f, unnest(generate_series(0, 9)) AS tx(x),
+        |       unnest(generate_series(0, 7)) AS ty(y)),
+        |s AS (SELECT doc_id, CAST(fi AS INT) AS frame_id,
+        |    CAST(sum(abs(v1 // 65536 - v0 // 65536)
+        |      + abs((v1 // 256) % 256 - (v0 // 256) % 256)
+        |      + abs(v1 % 256 - v0 % 256)) AS BIGINT) AS diff_sum
+        |  FROM p GROUP BY 1, 2)
+        |SELECT doc_id, frame_id, CAST(80 AS BIGINT) AS n_px, diff_sum,
+        |  diff_sum >= 110 * 80 AS is_cut
+        |FROM s""".stripMargin) { (s, d) =>
+      Multimodal.aviSceneCuts(aviFixture(s, d), "doc_id", "payload",
+        thrPerPixel = 110L)
+    },
+
     // ---- REAL image crop + horizontal flip (augmentation pair) ------------
     // Each fixture PNG (min 8x8) is cropped to the 6x5 region at (1, 2)
     // and mirrored left-right, then re-encoded; the probe re-decodes and
