@@ -1,14 +1,15 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
-import graft.ops.{AnalyticsOps, Tables}
+import graft.ops.{CorpusOps, Tables}
 
 /** Scratch profiling main (dev only, not part of the library surface).
-  * Current focus: attribute q_triangle / q_pagerank cost across their
-  * stages (round-5 slow-tier pass; both sit at ~4.2-4.5 s in BENCH while
-  * every other batch query is under 3 s). */
+  * Current focus: attribute the q_winnow_dedup sf0.1 timeout across its
+  * stages (round-6: verify shows >300 s while q_winnowing alone is 0.1 s
+  * and the DuckDB-measured candidate fan-out is only ~346k pairs).
+  */
 object Prof {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -22,41 +23,29 @@ object Prof {
     val s = spark
 
     def time[T](label: String)(f: => T): Unit = {
-      (1 to 3).foreach { i =>
+      (1 to 2).foreach { i =>
         spark.sqlContext.clearCache()
         val t0 = System.nanoTime(); f
         println(f"PROF $label#$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
 
-    def lineitem = Tables(s, d, "lineitem")
-    def orders   = Tables(s, d, "orders")
-
-    // ---- q_triangle stages ----
-    def co = lineitem
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS s, y AS d))))"))
-        .as("pr"))
-      .groupBy(col("pr.s").as("s"), col("pr.d").as("d"))
-      .agg(count(lit(1)).as("w"))
-    time("T1 co-graph")   { co.count() }
-    time("T2 sparsify")   { AnalyticsOps.topKAffinity(co, 8).count() }
-    time("T3 triangles")  { AnalyticsOps.triangleCounts(AnalyticsOps.topKAffinity(co, 8)).count() }
-    time("T4 full")       { SparkEntry.queries("q_triangle")(s, d).count() }
-
-    // ---- q_pagerank stages ----
-    def g = lineitem.select("l_orderkey", "l_suppkey")
-      .join(orders.select("o_orderkey", "o_custkey"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .agg(count(lit(1)).as("w"))
-    def edges = g.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"), col("w"))
-      .unionAll(g.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"), col("w")))
-    time("P1 edges")      { edges.count() }
-    time("P2 full")       { SparkEntry.queries("q_pagerank")(s, d).count() }
+    val hs = CorpusOps.winnowing(Tables(s, d, "documents"))
+      .select(col("doc_id"),
+        expr("array_distinct(transform(fps, x -> x div 10000000L))").as("hs"))
+    time("W1 hs")  { hs.count() }
+    val e = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+    time("W2 explode")  { e.count() }
+    val df = e.groupBy("h").agg(count(lit(1)).as("c"))
+    time("W3 df")  { df.count() }
+    val e2 = e.join(df.where(col("c") <= 20L), "h").select("doc_id", "h")
+    time("W4 e2")  { e2.count() }
+    val p = e2.as("a").join(e2.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 3L)
+    time("W5 pairs")  { p.count() }
     spark.stop()
   }
 }

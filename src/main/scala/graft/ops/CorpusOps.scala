@@ -66,18 +66,26 @@ object CorpusOps {
   def winnowing(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"),
       graft.text.TextFunctions.tokens(col("text")).as("toks"))
-      .withColumn("keys", expr(
-        """CASE WHEN size(toks) >= 3 THEN
-          |  transform(sequence(1, size(toks) - 2), i ->
-          |    cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 3))), 1, 8),
-          |              16, 10) as bigint)
-          |      * 10000000L + (9999999L - i))
-          |ELSE CAST(array() AS array<bigint>) END""".stripMargin))
+      // The gram-key array is LET-BOUND via transform(array(keys), ks ->
+      // …)[0]: a lambda variable evaluates exactly once, so no optimizer
+      // rearrangement (CollapseProject inlining a single-reference alias
+      // into the window lambda) can ever re-evaluate the O(n) key build
+      // per window — that inline is O(n²) md5 calls per document and
+      // took q_winnow_dedup from 0.1 s to a 300 s timeout at sf0.1.
       .withColumn("fps", expr(
-        """array_distinct(CASE WHEN size(keys) >= 4 THEN
-          |  transform(sequence(4, size(keys)), i -> array_min(slice(keys, i - 3, 4)))
-          |ELSE CAST(array() AS array<bigint>) END)""".stripMargin))
-      .select(col("doc_id"), size(col("keys")).cast("long").as("n_grams"),
+        """transform(array(
+          |  CASE WHEN size(toks) >= 3 THEN
+          |    transform(sequence(1, size(toks) - 2), i ->
+          |      cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 3))), 1, 8),
+          |                16, 10) as bigint)
+          |        * 10000000L + (9999999L - i))
+          |  ELSE CAST(array() AS array<bigint>) END),
+          |ks -> array_distinct(
+          |  CASE WHEN size(ks) >= 4 THEN
+          |    transform(sequence(4, size(ks)), i -> array_min(slice(ks, i - 3, 4)))
+          |  ELSE CAST(array() AS array<bigint>) END))[0]""".stripMargin))
+      .select(col("doc_id"),
+        greatest(size(col("toks")) - 2, lit(0)).cast("long").as("n_grams"),
         col("fps"))
 
   val all: Seq[Q] = Seq(
@@ -1097,9 +1105,14 @@ object CorpusOps {
          |  CAST((n_shared * 1000000) // least(sa.nh, sb.nh) AS BIGINT) AS overlap_ppm
          |FROM p JOIN sz sa ON a_id = sa.doc_id
          |       JOIN sz sb ON b_id = sb.doc_id""".stripMargin) { (s, d) =>
+      // The fingerprint frame feeds FIVE consumers (df counts, both join
+      // sides, both size lookups) — persist it for the call so the md5
+      // kernel runs once, release before return (result survives as a
+      // GC-managed local checkpoint; the setSimJoin hygiene contract).
       val hs = winnowing(Tables(s, d, "documents"))
         .select(col("doc_id"),
           expr("array_distinct(transform(fps, x -> x div 10000000L))").as("hs"))
+        .persist()
       val e = hs.select(col("doc_id"), explode(col("hs")).as("h"))
       val df = e.groupBy("h").agg(count(lit(1)).as("c"))
       val e2 = e.join(df.where(col("c") <= 20L), "h").select("doc_id", "h")
@@ -1109,10 +1122,14 @@ object CorpusOps {
         .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .agg(count(lit(1)).as("n_shared"))
         .where(col("n_shared") >= 3L)
-      p.join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("nh", "nh_a"), "a_id")
+      val out = p
+        .join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("nh", "nh_a"), "a_id")
         .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("nh", "nh_b"), "b_id")
         .select(col("a_id"), col("b_id"), col("n_shared"), col("nh_a"), col("nh_b"),
           expr("(n_shared * 1000000L) div least(nh_a, nh_b)").as("overlap_ppm"))
+        .localCheckpoint(true)
+      hs.unpersist()
+      out
     },
 
     // ---- model-based quality gate: fixed linear classifier head -----------

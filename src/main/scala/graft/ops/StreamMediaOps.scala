@@ -410,6 +410,56 @@ object StreamMediaOps {
         "doc_id", "payload")
     },
 
+    // ---- REAL image near-dup pairs: dHash + lossless hamming banding ------
+    // The visual dedup stage of a multimodal pipeline, promoted to a
+    // first-class oracle'd query: dHash each decoded PNG (9x8 integer
+    // luma grid, cross-multiplied neighbour compares — no floats), then
+    // find all pairs within hamming distance 3 via the lossless 4x16-bit
+    // pigeonhole banding (chunk-keyed equi-join + exact bit_count(xor)
+    // confirm — never an all-pairs compare; ~210k candidates from 12.5M
+    // possible pairs at sf0.1). The oracle replays the ENTIRE hash from
+    // the fixture pixel formula — grid geometry, BT.601 luma sums,
+    // cross-multiplied bits — then does the exact all-pairs hamming
+    // count (fine at oracle scale), so a match proves decode, hash and
+    // banding end to end.
+    Q("q_image_neardup",
+      """WITH d AS (SELECT doc_id, doc_id * 2654435761 AS seed,
+        |    8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h FROM documents),
+        |cell AS (
+        |  SELECT doc_id, cy, cx,
+        |    (cx * w) // 9 AS x0,
+        |    least(greatest(((cx + 1) * w) // 9, (cx * w) // 9 + 1), w) AS x1,
+        |    (cy * h) // 8 AS y0,
+        |    least(greatest(((cy + 1) * h) // 8, (cy * h) // 8 + 1), h) AS y1,
+        |    seed
+        |  FROM d, unnest(generate_series(0, 7)) AS t1(cy),
+        |       unnest(generate_series(0, 8)) AS t2(cx)),
+        |cs AS (
+        |  SELECT doc_id, cy, cx,
+        |    CAST(sum(299 * (((seed + 31*x + 17*y) % 16777216) // 65536)
+        |       + 587 * ((((seed + 31*x + 17*y) % 16777216) // 256) % 256)
+        |       + 114 * (((seed + 31*x + 17*y) % 16777216) % 256)) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM cell, unnest(generate_series(0, 30)) AS tx(x),
+        |       unnest(generate_series(0, 22)) AS ty(y)
+        |  WHERE x >= x0 AND x < x1 AND y >= y0 AND y < y1
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy * 8 + a.cx AS bit, (a.s * b.c > b.s * a.c) AS bv
+        |  FROM cs a JOIN cs b ON a.doc_id = b.doc_id AND a.cy = b.cy
+        |    AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8),
+        |v AS (SELECT doc_id, list(bv ORDER BY bit) AS bs FROM bits GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_filter(generate_series(1, 64),
+        |      i -> a.bs[i] <> b.bs[i])) AS BIGINT) AS hamming
+        |  FROM v a JOIN v b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3""".stripMargin) { (s, d) =>
+      Multimodal.imageNearDupDHash(pngFixture(s, d), "doc_id", "payload",
+        maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    },
+
     // ---- REAL audio QA gate: clipping / DC offset / peak -------------------
     // The ingest check an audio corpus runs before feature extraction:
     // exact count of near-full-scale samples (|v| >= 32700), the DC
