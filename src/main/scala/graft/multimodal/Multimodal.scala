@@ -832,7 +832,14 @@ object Multimodal {
     * released eagerly — no cache left behind). Output:
     * (id_a, id_b, hamming), id_a < id_b. */
   def imageNearDupDHash(df: DataFrame, idCol: String, payloadCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    imageNearDupDHash(df, idCol, payloadCol, maxHamming, checkpoint = true)
+
+  /** `checkpoint = false` keeps the logical pipeline inspectable (plan
+    * tests); production callers use the checkpointing overload so the
+    * hash cache releases eagerly. */
+  private[graft] def imageNearDupDHash(df: DataFrame, idCol: String,
+      payloadCol: String, maxHamming: Int, checkpoint: Boolean): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit banding is lossless only for maxHamming <= 3, got $maxHamming")
     val fp = imageDHash(df, idCol, payloadCol).persist()
@@ -850,6 +857,7 @@ object Multimodal {
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    if (!checkpoint) { fp.unpersist(); return pairs }
     val out = pairs.localCheckpoint(true)
     fp.unpersist()
     out

@@ -88,6 +88,39 @@ object CorpusOps {
         greatest(size(col("toks")) - 2, lit(0)).cast("long").as("n_grams"),
         col("fps"))
 
+  /** MOSS-style winnowing overlap join (the q_winnow_dedup body): docs
+    * sharing >= `minShared` selected fingerprint HASHES, with a
+    * stop-fingerprint df cap pruning hot trigrams BEFORE the pair join.
+    * `checkpoint = false` keeps the logical pipeline inspectable for
+    * plan tests; production callers checkpoint so the fingerprint cache
+    * releases eagerly. */
+  private[graft] def winnowOverlapPairs(docs: org.apache.spark.sql.DataFrame,
+      dfCap: Long, minShared: Long,
+      checkpoint: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val hs = winnowing(docs)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(fps, x -> x div 10000000L))").as("hs"))
+      .persist()
+    val e = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+    val df = e.groupBy("h").agg(count(lit(1)).as("c"))
+    val e2 = e.join(df.where(col("c") <= dfCap), "h").select("doc_id", "h")
+    val sz = hs.select(col("doc_id"), size(col("hs")).cast("long").as("nh"))
+    val p = e2.as("a").join(e2.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    val joined = p
+      .join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("nh", "nh_a"), "a_id")
+      .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("nh", "nh_b"), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_shared"), col("nh_a"), col("nh_b"),
+        expr("(n_shared * 1000000L) div least(nh_a, nh_b)").as("overlap_ppm"))
+    if (!checkpoint) { hs.unpersist(); return joined }
+    val out = joined.localCheckpoint(true)
+    hs.unpersist()
+    out
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- Gopher-style repetition quality signals --------------------------
@@ -1105,31 +1138,7 @@ object CorpusOps {
          |  CAST((n_shared * 1000000) // least(sa.nh, sb.nh) AS BIGINT) AS overlap_ppm
          |FROM p JOIN sz sa ON a_id = sa.doc_id
          |       JOIN sz sb ON b_id = sb.doc_id""".stripMargin) { (s, d) =>
-      // The fingerprint frame feeds FIVE consumers (df counts, both join
-      // sides, both size lookups) — persist it for the call so the md5
-      // kernel runs once, release before return (result survives as a
-      // GC-managed local checkpoint; the setSimJoin hygiene contract).
-      val hs = winnowing(Tables(s, d, "documents"))
-        .select(col("doc_id"),
-          expr("array_distinct(transform(fps, x -> x div 10000000L))").as("hs"))
-        .persist()
-      val e = hs.select(col("doc_id"), explode(col("hs")).as("h"))
-      val df = e.groupBy("h").agg(count(lit(1)).as("c"))
-      val e2 = e.join(df.where(col("c") <= 20L), "h").select("doc_id", "h")
-      val sz = hs.select(col("doc_id"), size(col("hs")).cast("long").as("nh"))
-      val p = e2.as("a").join(e2.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("n_shared"))
-        .where(col("n_shared") >= 3L)
-      val out = p
-        .join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("nh", "nh_a"), "a_id")
-        .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("nh", "nh_b"), "b_id")
-        .select(col("a_id"), col("b_id"), col("n_shared"), col("nh_a"), col("nh_b"),
-          expr("(n_shared * 1000000L) div least(nh_a, nh_b)").as("overlap_ppm"))
-        .localCheckpoint(true)
-      hs.unpersist()
-      out
+      winnowOverlapPairs(Tables(s, d, "documents"), dfCap = 20L, minShared = 3L)
     },
 
     // ---- model-based quality gate: fixed linear classifier head -----------

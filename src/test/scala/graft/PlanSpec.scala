@@ -184,4 +184,40 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs >= 4, // 2 logical phases × (partial + final) each
       s"expected two full aggregation phases, saw $aggs HashAggregates")
   }
+
+  test("winnowing fingerprint build stays a map-only pass: no exchange") {
+    val qe = graft.ops.CorpusOps
+      .winnowing(graft.ops.Tables(spark, dir, "documents")).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("Exchange"), s"winnowing must not shuffle:\n${p.take(1500)}")
+    // the let-binding guard: the gram-key build (the md5 transform) must
+    // appear exactly once in the plan — an optimizer inline into the
+    // window-selection lambda re-evaluates it per window, O(n²) per doc
+    // (the q_winnow_dedup sf0.1 timeout)
+    val md5s = "md5".r.findAllIn(qe.optimizedPlan.toString).size
+    assert(md5s == 1, s"gram-key kernel duplicated: $md5s md5 sites in plan")
+  }
+
+  // Both near-dup pipelines end in localCheckpoint (cache-hygiene
+  // contract), which collapses the executed plan to a LogicalRDD — so
+  // these two assert on the checkpoint-free overloads, the real plans.
+  test("winnow dedup joins by fingerprint equi-keys, never nested-loop") {
+    val qe = graft.ops.CorpusOps.winnowOverlapPairs(
+      graft.ops.Tables(spark, dir, "documents"), dfCap = 20L, minShared = 3L,
+      checkpoint = false).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"pair generation must be an equi-join:\n${p.take(1500)}")
+  }
+
+  test("image near-dup joins on banded chunks with bit_count confirm") {
+    val imgs = graft.multimodal.Multimodal.withPngPayload(
+      graft.ops.Tables(spark, dir, "documents").select("doc_id").limit(50), "doc_id")
+    val qe = graft.multimodal.Multimodal.imageNearDupDHash(
+      imgs, "doc_id", "payload", maxHamming = 3, checkpoint = false).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"dHash banding must be an equi-join:\n${p.take(1500)}")
+    assert(p.contains("bit_count"), "exact hamming confirm missing")
+  }
 }
