@@ -460,6 +460,36 @@ object CoverageOps {
         col("c_mktsegment").rlike("^[A-Za-z]+$").cast("int").as("isalpha"))
     },
 
+    // ---- string tranche 4: printf-style %-formatting, zfill, just ---------
+    // Python's `"%s=%05d" % (k, v)` / str.format family: Spark's
+    // format_string (java.util.Formatter) and DuckDB's printf share the
+    // C conversion semantics for %s/%d/zero-pad/width/left-align/%x/%o
+    // (floats are deliberately EXCLUDED — %f rounding is half-up in Java
+    // vs half-even in C, a real engine divergence, same reason the math
+    // tranche pins its IEEE-exact subset). zfill/rjust/ljust map to
+    // lpad/rpad in both engines.
+    Q("q_string_funcs4",
+      """SELECT c_custkey,
+        |  printf('%s=%05d|%x|%o', c_mktsegment, c_custkey, c_custkey, c_custkey)
+        |    AS fmt,
+        |  printf('[%10s][%-10s]', c_mktsegment, c_mktsegment) AS just,
+        |  lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS zfill,
+        |  lpad(c_mktsegment, 12, ' ') AS rjust,
+        |  rpad(c_mktsegment, 12, '.') AS ljust,
+        |  reverse(c_name) AS rev
+        |FROM customer""".stripMargin) { (s, d) =>
+      Tables(s, d, "customer").select(
+        col("c_custkey"),
+        format_string("%s=%05d|%x|%o", col("c_mktsegment"), col("c_custkey"),
+          col("c_custkey"), col("c_custkey")).as("fmt"),
+        format_string("[%10s][%-10s]", col("c_mktsegment"), col("c_mktsegment"))
+          .as("just"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("zfill"),
+        lpad(col("c_mktsegment"), 12, " ").as("rjust"),
+        rpad(col("c_mktsegment"), 12, ".").as("ljust"),
+        reverse(col("c_name")).as("rev"))
+    },
+
     // ---- typed Dataset[T] path: case-class encoder, typed filter/map ------
     Q("q_typed",
       """SELECT o_orderkey AS order_id, o_totalprice / 2 AS half
