@@ -27,7 +27,7 @@ object MinHashUtil {
   /** ASCII-space-only trim, matching Spark's `trim()` and DuckDB's `trim()`
     * (Java `String.trim` also strips \t/\n/\r, which would diverge from
     * the oracle on texts with leading control whitespace). */
-  private def trimSpaces(s: String): String = {
+  private[functions] def trimSpaces(s: String): String = {
     var from = 0
     var to = s.length
     while (from < to && s.charAt(from) == ' ') from += 1

@@ -64,29 +64,16 @@ object CorpusOps {
     * shuffles at any corpus scale. sequence(1, 0) DESCENDS in Spark
     * (DuckDB's generate_series is empty), hence the CASE guards. */
   def winnowing(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    // Native kernel (functions/Winnowing.scala) — one md5 + long
+    // arithmetic per gram inside WholeStageCodegen. The HOF spelling it
+    // replaced needed a let-bound lambda to dodge an O(n²) optimizer
+    // inline and still ran its per-element lambdas interpreted; the
+    // committed expected hashes pin the two spellings bit-identical.
     docs.select(col("doc_id"),
-      graft.text.TextFunctions.tokens(col("text")).as("toks"))
-      // The gram-key array is LET-BOUND via transform(array(keys), ks ->
-      // …)[0]: a lambda variable evaluates exactly once, so no optimizer
-      // rearrangement (CollapseProject inlining a single-reference alias
-      // into the window lambda) can ever re-evaluate the O(n) key build
-      // per window — that inline is O(n²) md5 calls per document and
-      // took q_winnow_dedup from 0.1 s to a 300 s timeout at sf0.1.
-      .withColumn("fps", expr(
-        """transform(array(
-          |  CASE WHEN size(toks) >= 3 THEN
-          |    transform(sequence(1, size(toks) - 2), i ->
-          |      cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 3))), 1, 8),
-          |                16, 10) as bigint)
-          |        * 10000000L + (9999999L - i))
-          |  ELSE CAST(array() AS array<bigint>) END),
-          |ks -> array_distinct(
-          |  CASE WHEN size(ks) >= 4 THEN
-          |    transform(sequence(4, size(ks)), i -> array_min(slice(ks, i - 3, 4)))
-          |  ELSE CAST(array() AS array<bigint>) END))[0]""".stripMargin))
-      .select(col("doc_id"),
-        greatest(size(col("toks")) - 2, lit(0)).cast("long").as("n_grams"),
-        col("fps"))
+      greatest(graft.text.TextFunctions.tokenCount(col("text")) - 2, lit(0))
+        .cast("long").as("n_grams"),
+      org.apache.spark.sql.GraftBridge.column(graft.functions.WinnowingFps(
+        org.apache.spark.sql.GraftBridge.expression(col("text")))).as("fps"))
 
   /** MOSS-style winnowing overlap join (the q_winnow_dedup body): docs
     * sharing >= `minShared` selected fingerprint HASHES, with a

@@ -190,12 +190,14 @@ class PlanSpec extends AnyFunSuite {
       .winnowing(graft.ops.Tables(spark, dir, "documents")).queryExecution
     val p = qe.executedPlan.toString
     assert(!p.contains("Exchange"), s"winnowing must not shuffle:\n${p.take(1500)}")
-    // the let-binding guard: the gram-key build (the md5 transform) must
-    // appear exactly once in the plan — an optimizer inline into the
-    // window-selection lambda re-evaluates it per window, O(n²) per doc
-    // (the q_winnow_dedup sf0.1 timeout)
-    val md5s = "md5".r.findAllIn(qe.optimizedPlan.toString).size
-    assert(md5s == 1, s"gram-key kernel duplicated: $md5s md5 sites in plan")
+    // native kernel, exactly once, inside codegen — no interpreted
+    // lambda chain (the HOF spelling this replaced needed a let-binding
+    // to dodge an O(n²) optimizer inline: the q_winnow_dedup sf0.1
+    // timeout)
+    val kernels = "winnowing_fps".r.findAllIn(qe.optimizedPlan.toString).size
+    assert(kernels == 1, s"expected one winnowing_fps kernel, saw $kernels")
+    assert(!qe.optimizedPlan.toString.contains("lambdafunction"),
+      "winnowing must not fall back to interpreted lambdas")
   }
 
   // Both near-dup pipelines end in localCheckpoint (cache-hygiene
