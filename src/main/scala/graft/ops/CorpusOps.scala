@@ -60,9 +60,8 @@ object CorpusOps {
     * Returns `(doc_id, n_grams, fps)` where each fingerprint packs
     * hash·10⁷ + (10⁷−1−pos) into one BIGINT (so min-key ≡ min-hash with
     * rightmost tie-break; docs bounded at 10M tokens, keys < 2^63).
-    * Doc-local higher-order functions only — a map-only pass with ZERO
-    * shuffles at any corpus scale. sequence(1, 0) DESCENDS in Spark
-    * (DuckDB's generate_series is empty), hence the CASE guards. */
+    * One native kernel call per doc — a map-only pass with ZERO
+    * shuffles at any corpus scale. */
   def winnowing(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     // Native kernel (functions/Winnowing.scala) — one md5 + long
     // arithmetic per gram inside WholeStageCodegen. The HOF spelling it
@@ -107,6 +106,67 @@ object CorpusOps {
     hs.unpersist()
     out
   }
+
+  /** Persist the corpus side of incremental winnowing dedup at `path`:
+    * `postings/` = (doc_id, h) fingerprint postings with stop-
+    * fingerprints (corpus df > `dfCap`) pruned at BUILD time and rows
+    * clustered by h so probe joins read hash-clustered files; `sizes/` =
+    * (doc_id, nh) for containment scoring. The 100 TB amortization of
+    * the LSH-index family applied to the winnowing family: the corpus is
+    * fingerprinted ONCE; every delta ingest pays only its own map-only
+    * winnowing plus a postings-sized equi-join — never a corpus rescan. */
+  def buildWinnowIndex(corpus: org.apache.spark.sql.DataFrame, path: String,
+      dfCap: Long): Unit = {
+    val hs = winnowing(corpus)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(fps, x -> x div 10000000L))").as("hs"))
+      .persist()
+    val post = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+    val cdf = post.groupBy("h").agg(count(lit(1)).as("c"))
+    post.join(cdf.where(col("c") <= dfCap), "h").select("doc_id", "h")
+      .repartition(col("h"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    hs.select(col("doc_id"), size(col("hs")).cast("long").as("nh"))
+      .write.mode("overwrite").parquet(s"$path/sizes")
+    hs.unpersist()
+  }
+
+  /** Probe a [[buildWinnowIndex]] output with a delta batch: map-only
+    * winnowing of the delta, one hash-keyed equi-join against the
+    * persisted postings (index-sized I/O), shared-count gate at
+    * `minShared`, containment ppm against the smaller side. */
+  def winnowProbeIndexed(delta: org.apache.spark.sql.DataFrame, path: String,
+      minShared: Long): org.apache.spark.sql.DataFrame = {
+    val spark = delta.sparkSession
+    val hs = winnowing(delta)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(fps, x -> x div 10000000L))").as("hs"))
+      .persist()
+    val dpost = hs.select(col("doc_id").as("delta_id"), explode(col("hs")).as("h"))
+    val cpost = spark.read.parquet(s"$path/postings")
+      .select(col("doc_id").as("corpus_id"), col("h"))
+    val csz = spark.read.parquet(s"$path/sizes")
+      .select(col("doc_id").as("corpus_id"), col("nh").as("nh_corpus"))
+    val dsz = hs.select(col("doc_id").as("delta_id"),
+      size(col("hs")).cast("long").as("nh_delta"))
+    val out = dpost.join(cpost, "h")
+      .groupBy("delta_id", "corpus_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .join(dsz, "delta_id")
+      .join(csz, "corpus_id")
+      .select(col("delta_id"), col("corpus_id"), col("n_shared"),
+        col("nh_delta"), col("nh_corpus"),
+        expr("(n_shared * 1000000L) div least(nh_delta, nh_corpus)")
+          .as("overlap_ppm"))
+      .localCheckpoint(true)
+    hs.unpersist()
+    out
+  }
+
+  /** Versioned index dirs for q_winnow_index, staged once per dir. */
+  private val winnowIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   val all: Seq[Q] = Seq(
 
@@ -1126,6 +1186,53 @@ object CorpusOps {
          |FROM p JOIN sz sa ON a_id = sa.doc_id
          |       JOIN sz sb ON b_id = sb.doc_id""".stripMargin) { (s, d) =>
       winnowOverlapPairs(Tables(s, d, "documents"), dfCap = 20L, minShared = 3L)
+    },
+
+    // ---- persisted winnowing fingerprint index: build once, probe delta ---
+    // The incremental-ingest shape of q_winnow_dedup: the %10≠0 corpus
+    // is fingerprinted and df-capped ONCE into a persisted postings
+    // index; the %10=0 delta pays only its own map-only winnowing plus
+    // one hash-keyed join against the index — zero corpus rescans at any
+    // scale. The oracle recomputes the whole relation from scratch
+    // (corpus df cap on the corpus side only), so a match proves the
+    // index round-trip loses nothing.
+    Q("q_winnow_index",
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |k AS (SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+         |      i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8)) AS BIGINT)
+         |             * 10000000 + (9999999 - i)) AS keys
+         |  FROM t),
+         |w AS (SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      list_distinct(list_transform(generate_series(4, len(keys)),
+         |        i -> list_min(keys[i-3:i]))), x -> x // 10000000)) AS hs
+         |  FROM k),
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM w),
+         |cdf AS (SELECT h, count(*) AS c FROM e WHERE doc_id % 10 <> 0 GROUP BY h),
+         |cpost AS (SELECT e.doc_id, e.h FROM e JOIN cdf USING (h)
+         |  WHERE e.doc_id % 10 <> 0 AND cdf.c <= 20),
+         |dpost AS (SELECT doc_id, h FROM e WHERE doc_id % 10 = 0),
+         |sz AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS nh FROM w),
+         |p AS (SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM dpost d JOIN cpost c ON d.h = c.h GROUP BY 1, 2
+         |  HAVING count(*) >= 3)
+         |SELECT delta_id, corpus_id, n_shared,
+         |  sd.nh AS nh_delta, sc.nh AS nh_corpus,
+         |  CAST((n_shared * 1000000) // least(sd.nh, sc.nh) AS BIGINT)
+         |    AS overlap_ppm
+         |FROM p JOIN sz sd ON delta_id = sd.doc_id
+         |       JOIN sz sc ON corpus_id = sc.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val path = winnowIndexDirs.computeIfAbsent(d, _ => {
+        val w = java.nio.file.Files.createTempDirectory("graft_widx").toString
+        buildWinnowIndex(docs.filter(col("doc_id") % 10 =!= 0), s"$w/v1",
+          dfCap = 20L)
+        s"$w/v1"
+      })
+      winnowProbeIndexed(docs.filter(col("doc_id") % 10 === 0), path,
+        minShared = 3L)
     },
 
     // ---- model-based quality gate: fixed linear classifier head -----------
