@@ -149,4 +149,27 @@ class DedupHygieneSpec extends AnyFunSuite {
     assert(filterLines.nonEmpty && filterLines.forall(_.contains("*(")),
       s"bloom filter outside WholeStageCodegen:\n$p")
   }
+
+  test("winnowing overlap and indexed probe leave the SQL cache empty") {
+    spark.sqlContext.clearCache()
+    val pairs = graft.ops.CorpusOps.winnowOverlapPairs(docs, dfCap = 20L,
+      minShared = 1L).collect()
+    assertCacheEmpty("winnowOverlapPairs")
+    // docs 0 and 3 are byte-identical — every fingerprint is shared
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 3L &&
+      r.getAs[Long]("overlap_ppm") == 1000000L),
+      s"exact duplicate pair not found: ${pairs.mkString(";")}")
+    val idx = java.nio.file.Files.createTempDirectory("graft_widx_spec").toString
+    graft.ops.CorpusOps.buildWinnowIndex(docs.filter(col("doc_id") =!= 0L),
+      s"$idx/v1", dfCap = 20L)
+    assertCacheEmpty("buildWinnowIndex")
+    val probe = graft.ops.CorpusOps.winnowProbeIndexed(
+      docs.filter(col("doc_id") === 0L), s"$idx/v1", minShared = 1L).collect()
+    assertCacheEmpty("winnowProbeIndexed")
+    // the delta (doc 0) must hit its exact twin (doc 3) through the index
+    assert(probe.exists(r => r.getAs[Long]("delta_id") == 0L &&
+      r.getAs[Long]("corpus_id") == 3L &&
+      r.getAs[Long]("overlap_ppm") == 1000000L),
+      s"indexed probe missed the exact duplicate: ${probe.mkString(";")}")
+  }
 }
