@@ -332,6 +332,39 @@ object PipelineOps {
         col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
     },
 
+    // ---- language-ID confusion matrix vs the metadata label ---------------
+    // The evaluation report for the n-gram classifier above: per (true
+    // lang, predicted lang) cell counts and the cell's share of its true
+    // language in ppm — the matrix a curation run reads before trusting
+    // lang-ID routing (which languages bleed into which, how much 'und'
+    // each produces). Same oracle-side argmax spelling as q_lang_id, one
+    // tiny-key groupBy + a label-sized totals join.
+    Q("q_langid_confusion", {
+      val hits = LangWordlists.map { case (l, ws) =>
+        s"len(list_filter($oToks, t -> t IN ${inList(ws)})) AS hits_$l"
+      }.mkString(", ")
+      val langs = LangWordlists.map(_._1)
+      val m = s"greatest(${langs.map("hits_" + _).mkString(", ")})"
+      val firstMax = langs.map(l => s"WHEN hits_$l = $m THEN '$l'").mkString(" ")
+      s"""WITH p AS (SELECT doc_id, lang,
+         |    CASE WHEN $m = 0 THEN 'und' $firstMax END AS lang_pred
+         |  FROM (SELECT doc_id, lang, $hits FROM documents)),
+         |c AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM p GROUP BY 1, 2),
+         |t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang FROM c GROUP BY 1)
+         |SELECT c.lang, c.lang_pred, c.n_docs, t.n_lang,
+         |  CAST((c.n_docs * 1000000) // t.n_lang AS BIGINT) AS cell_ppm
+         |FROM c JOIN t USING (lang)""".stripMargin
+    }) { (s, d) =>
+      val p = Tables(s, d, "documents").select(
+        col("lang"), langId(col("text")).as("lang_pred"))
+      val c = p.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+      val t = c.groupBy("lang").agg(sum(col("n_docs")).as("n_lang"))
+      c.join(broadcast(t), "lang")
+        .select(col("lang"), col("lang_pred"), col("n_docs"), col("n_lang"),
+          expr("(n_docs * 1000000L) div n_lang").as("cell_ppm"))
+    },
+
     // ---- document fingerprint: xxhash64 digests have no DuckDB
     //      equivalent, but their PURITY contract does — every distinct
     //      text maps to exactly one (fingerprint, simhash) pair ------------
