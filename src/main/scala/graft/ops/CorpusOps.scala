@@ -1188,6 +1188,64 @@ object CorpusOps {
       winnowOverlapPairs(Tables(s, d, "documents"), dfCap = 20L, minShared = 3L)
     },
 
+    // ---- content-defined chunking: storage-dedup savings report -----------
+    // The FastCDC/LBFS primitive at word granularity: a chunk boundary
+    // falls AFTER any token whose hash ≡ 0 (mod 16) — boundaries depend
+    // only on LOCAL content, so an insertion re-chunks one neighborhood
+    // instead of shifting every fixed-size block (the whole point vs
+    // fixed windows). Chunks keyed by md5; each ckey's first occurrence
+    // (doc_id, seg order) is stored, later ones are dedup savings.
+    // Report per source: chunk counts, duplicate chunks, token mass and
+    // saved ppm. Shape: one doc-keyed window for segment ids, one chunk
+    // groupBy, one ckey window — all 16-byte-ish keys; the segment pass
+    // could go fully map-side with a per-doc fold when the explode ever
+    // dominates.
+    Q("q_cdc_chunking",
+      s"""WITH t AS (SELECT doc_id, source, $oToks AS toks FROM documents),
+         |w AS (SELECT doc_id, source, i, toks[i] AS tok,
+         |    CASE WHEN CAST(('0x' || substr(md5(toks[i]), 1, 8)) AS BIGINT) % 16 = 0
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+         |s AS (SELECT doc_id, source, i, tok,
+         |    coalesce(sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+         |  FROM w),
+         |c AS (SELECT doc_id, source, seg,
+         |    md5(string_agg(tok, ' ' ORDER BY i)) AS ckey,
+         |    CAST(count(*) AS BIGINT) AS n_tok
+         |  FROM s GROUP BY 1, 2, 3),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY ckey
+         |    ORDER BY doc_id, seg) AS rn FROM c)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |  CAST(sum(n_tok) AS BIGINT) AS tok_total,
+         |  CAST(sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_dup,
+         |  CAST((sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) * 1000000)
+         |    // sum(n_tok) AS BIGINT) AS saved_ppm
+         |FROM r GROUP BY source""".stripMargin) { (s, d) =>
+      val t = Tables(s, d, "documents").select(col("doc_id"), col("source"),
+        posexplode(graft.text.TextFunctions.tokens(col("text"))).as(Seq("i0", "tok")))
+        .select(col("doc_id"), col("source"), (col("i0") + 1).as("i"), col("tok"),
+          when(expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % 16 = 0"),
+            1L).otherwise(0L).as("brk"))
+      val wSeg = Window.partitionBy("doc_id").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val seg = t.withColumn("seg", coalesce(sum(col("brk")).over(wSeg), lit(0L)))
+      val c = seg.groupBy("doc_id", "source", "seg")
+        .agg(md5(concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(i, tok))), x -> x.tok)"))
+          .cast("binary")).as("ckey"),
+          count(lit(1)).as("n_tok"))
+      val r = c.withColumn("rn", row_number().over(
+        Window.partitionBy("ckey").orderBy("doc_id", "seg")))
+      r.groupBy("source").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("n_tok")).as("tok_total"),
+        sum(when(col("rn") > 1, col("n_tok")).otherwise(0L)).as("tok_dup"))
+        .withColumn("saved_ppm", expr("(tok_dup * 1000000L) div tok_total"))
+    },
+
     // ---- persisted winnowing fingerprint index: build once, probe delta ---
     // The incremental-ingest shape of q_winnow_dedup: the %10≠0 corpus
     // is fingerprinted and df-capped ONCE into a persisted postings
