@@ -695,6 +695,50 @@ object PipelineOps {
         .select("query_id", "rank", "neighbor_id")
     },
 
+    // ---- filtered vector search: label-constrained top-k ------------------
+    // The vector-DB "metadata filter" semantics: each query retrieves
+    // only among candidates with ITS OWN label (same-language /
+    // same-tenant retrieval). The filter is an equi-join key, so it
+    // prunes the candidate stream BEFORE any dot product — at 100 TB
+    // this turns a corpus scan per query into a label-partition scan
+    // (and composes with the IVF cell pruning the indexed path uses).
+    // Output ids only (float-robust, the q_ann_bruteforce device).
+    Q("q_ann_filtered",
+      """WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 8),
+        |pairs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    q.embedding AS qe, c.embedding AS ce
+        |  FROM q, embeddings c WHERE c.label = q.label AND c.vec_id <> q.vec_id),
+        |dots AS (SELECT qid, nid,
+        |  list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE))) AS dot,
+        |  list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE))) AS qq,
+        |  list_sum(list_transform(generate_series(1, len(ce)), i -> CAST(ce[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE))) AS cc
+        |  FROM pairs)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT qid AS query_id, nid AS neighbor_id,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, nid) AS rank
+        |  FROM dots)
+        |WHERE rank <= 5""".stripMargin) { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label"))
+      val pairs = emb.select(col("vec_id").as("nid"),
+          col("embedding").as("ce"), col("label"))
+        .join(broadcast(q), "label")
+        .filter(col("nid") =!= col("qid"))
+      val scored = pairs.select(col("qid"), col("nid"),
+        expr("""aggregate(zip_with(qe, ce,
+              |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, e) -> a + e)
+              |/ (sqrt(aggregate(qe, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+              | * sqrt(aggregate(ce, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
+          .stripMargin).as("cos"))
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+        .where(col("rank") <= 5)
+        .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
+          col("nid").as("neighbor_id"))
+    },
+
     // ---- embedding int8 quantization: per-vector symmetric codes ----------
     // The 4x compression lever for an embedding corpus. Emitted as exact
     // integer code statistics (sum, squared norm, saturation count) plus
