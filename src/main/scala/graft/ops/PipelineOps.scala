@@ -149,6 +149,33 @@ object PipelineOps {
         Seq("doc_id"))
     },
 
+    // ---- CDC-log replay with deletes (the other half of MERGE) ------------
+    // The events stream read as a change log: op = delete for
+    // event_id % 10 = 9, upsert otherwise; keys replay in (ts, event_id)
+    // order, last writer wins, and a key whose final op is a delete
+    // drops out of the snapshot. ONE key-partitioned window, no join —
+    // the Debezium/Delta CDC snapshot-compaction shape.
+    Q("q_cdc_apply",
+      """WITH l AS (SELECT user_id, event_id, ts, event_type, value,
+        |    CASE WHEN event_id % 10 = 9 THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+        |  FROM l)
+        |SELECT user_id, event_type AS last_type, value AS last_value,
+        |  n_ops, epoch_us(ts) AS last_us
+        |FROM r WHERE rn = 1 AND op = 'U'""".stripMargin) { (s, d) =>
+      val log = Tables(s, d, "events").select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"),
+        when(col("event_id") % 10 === 9, "D").otherwise("U").as("op"))
+      Scale.applyCdcLog(log, Seq("user_id"), "op", "D", Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"), col("n_ops"),
+          unix_micros(col("ts")).as("last_us"))
+    },
+
     // ---- data-quality expectation suite (Deequ-style, one scan) -----------
     // Five constraint kinds over orders; metrics are exact count ratios so
     // the double division is reproducible bit-for-bit in both engines.

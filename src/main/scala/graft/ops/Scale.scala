@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scale-out helpers: the shuffle-shaping tools a 100 TB deployment needs
@@ -233,6 +234,27 @@ object Scale {
     * at scale this is exactly the shuffle a Delta/Iceberg MERGE pays,
     * minus the transaction log. `base` and `updates` must share the
     * schema; non-key columns are taken whole-row from the winning side. */
+  /** Ordered CDC-log replay with deletes — the half of `MERGE INTO`
+    * [[mergeUpsert]] doesn't cover: the log carries upserts AND deletes
+    * per key, ordered by `orderCols`; the final table state is
+    * last-writer-wins, and a key whose LAST op is a delete is absent.
+    * One key-partitioned window (no join at all): at scale this is the
+    * standard snapshot-compaction shape a Debezium/Delta CDC sink runs,
+    * and it composes with [[mergeUpsert]] for snapshot+log layouts.
+    * `n_ops` (every applied op, deletes included) rides along for audit. */
+  def applyCdcLog(log: DataFrame, keyCols: Seq[String], opCol: String,
+      deleteOp: String, orderCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty,
+      "applyCdcLog needs key and order columns")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    log.withColumn("_rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(wAll))
+      .where(col("_rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("_rn", opCol)
+  }
+
   def mergeUpsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
     val dataCols = base.columns.filterNot(keyCols.contains).toSeq

@@ -135,6 +135,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(m(4L) == ((Some("d"), "inserted")))
   }
 
+  test("applyCdcLog: last writer wins, trailing delete drops the key, resurrect works") {
+    import spark.implicits._
+    // key 1: U,U            -> survives with the later value
+    // key 2: U,D            -> absent (trailing delete)
+    // key 3: U,D,U          -> resurrected by the post-delete upsert
+    // key 4: D              -> absent (delete of a never-seen key is a no-op)
+    val log = Seq(
+      (1L, 1L, "U", "a"), (1L, 2L, "U", "b"),
+      (2L, 3L, "U", "x"), (2L, 4L, "D", "x"),
+      (3L, 5L, "U", "p"), (3L, 6L, "D", "p"), (3L, 7L, "U", "q"),
+      (4L, 8L, "D", "z")
+    ).toDF("k", "seq", "op", "v")
+    val snap = Scale.applyCdcLog(log, Seq("k"), "op", "D", Seq("seq"))
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[String]("v"), r.getAs[Long]("n_ops")))).toMap
+    assert(snap.keySet == Set(1L, 3L))
+    assert(snap(1L) == (("b", 2L)), "later seq must win")
+    assert(snap(3L) == (("q", 3L)), "an upsert after a delete must resurrect; n_ops counts the delete too")
+  }
+
   test("snapshotDiff: delta-only output, null-safe change detection") {
     import spark.implicits._
     val oldS = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),
