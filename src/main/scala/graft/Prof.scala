@@ -2,13 +2,13 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
-
-import graft.ops.{CorpusOps, Tables}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
 
 /** Scratch profiling main (dev only, not part of the library surface).
-  * Current focus: attribute the q_winnow_dedup sf0.1 timeout across its
-  * stages (round-6: verify shows >300 s while q_winnowing alone is 0.1 s
-  * and the DuckDB-measured candidate fan-out is only ~346k pairs).
+  * Current focus: break down the streaming tier's ~1.0-2.2 s per-query
+  * fixed cost at sf0.1 (round-6 task: q_stream_* total ≤15 s) — how much
+  * is query start, batch execution, no-data flush, stop, read-back.
   */
 object Prof {
   def main(args: Array[String]): Unit = {
@@ -20,32 +20,64 @@ object Prof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    val s = spark
 
-    def time[T](label: String)(f: => T): Unit = {
-      (1 to 2).foreach { i =>
-        spark.sqlContext.clearCache()
-        val t0 = System.nanoTime(); f
-        println(f"PROF $label#$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      }
+    def ms(t0: Long): Long = (System.nanoTime() - t0) / 1000000L
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+    // stage once (memoized in real Streams)
+    val watch = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "prof_in").toString
+    val ev = graft.ops.Tables.events(spark, d)
+      .withColumn("ts", unix_micros(col("ts"))).coalesce(1)
+    ev.write.mode("append").parquet(watch)
+    import spark.implicits._
+    Seq((-1L, 4102444800L * 1000000L, -1L, "_g_sentinel", 0.0, null: String))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(watch)
+
+    for (sp <- Seq(8, 4, 2, 1); i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", sp.toString)
+      println(s"PROF sp=$sp run=$i")
+      val root = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), "prof_out").toString
+      println(s"PROF#$i session+dir: ${ms(t0)} ms")
+
+      var t = System.nanoTime()
+      val src = s.readStream.schema(schema).parquet(watch)
+        .withColumn("ts", timestamp_micros(col("ts")))
+      val q = src
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet").option("path", s"$root/data")
+        .option("checkpointLocation", s"$root/chk")
+        .start()
+      println(s"PROF#$i start(): ${ms(t)} ms")
+
+      t = System.nanoTime()
+      q.processAllAvailable()
+      println(s"PROF#$i drain: ${ms(t)} ms  batches=${q.recentProgress.length}")
+      q.recentProgress.foreach(p => println(
+        s"PROF#$i   batch ${p.batchId}: rows=${p.numInputRows} " +
+        s"durationMs=${p.durationMs}"))
+
+      t = System.nanoTime()
+      q.stop()
+      println(s"PROF#$i stop(): ${ms(t)} ms")
+
+      t = System.nanoTime()
+      val n = spark.read.parquet(s"$root/data")
+        .filter(col("event_type") =!= "_g_sentinel").count()
+      println(s"PROF#$i readback: ${ms(t)} ms rows=$n  total=${ms(t0)} ms")
     }
-
-    val hs = CorpusOps.winnowing(Tables(s, d, "documents"))
-      .select(col("doc_id"),
-        expr("array_distinct(transform(fps, x -> x div 10000000L))").as("hs"))
-    time("W1 hs")  { hs.count() }
-    val e = hs.select(col("doc_id"), explode(col("hs")).as("h"))
-    time("W2 explode")  { e.count() }
-    val df = e.groupBy("h").agg(count(lit(1)).as("c"))
-    time("W3 df")  { df.count() }
-    val e2 = e.join(df.where(col("c") <= 20L), "h").select("doc_id", "h")
-    time("W4 e2")  { e2.count() }
-    val p = e2.as("a").join(e2.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= 3L)
-    time("W5 pairs")  { p.count() }
     spark.stop()
   }
 }

@@ -114,14 +114,15 @@ object Streams {
     * each state partition costs a store instance + commit + checkpoint
     * files EVERY batch (including no-data flush batches), so a
     * low-cardinality grouping (e.g. window × event_type) should not pay
-    * for the session-wide shuffle width. Round-5 A/B at sf0.1: an
-    * isolated cold-ish run favored 2 partitions (commit overhead), but
-    * the full warmed bench protocol favored 8 (batch processing wants
-    * the parallelism once JIT-warm: 13.6 s vs 15.7 s over the 7-query
-    * streaming tier) — 8/4 is the measured optimum under the protocol
-    * that counts. At production keyspaces this sizes UP with state
-    * volume; the knob is per-query for exactly that reason. The override
-    * lives on a CLONED
+    * for the session-wide shuffle width. Round-5's warmed A/B favored 8
+    * over 2 — but that predated the RAM-backed scratch (round 6): with
+    * checkpoint fsyncs no longer the bottleneck, the per-partition fixed
+    * cost (a state store instance + sink file PER BATCH each) dominates
+    * at these keyspaces, and the warmed JIT-steady re-measure now favors
+    * 2 (window-agg shape: 1.35 s at 8 → 1.06 s at 2 per query; the
+    * no-data flush batch and sink commit shrink with the file count).
+    * At production keyspaces this sizes UP with state volume; the knob
+    * is per-query for exactly that reason. The override lives on a CLONED
     * session (`newSession()` shares the SparkContext but owns its
     * SQLConf), so concurrent streaming queries — Verify runs the registry
     * in parallel — never race on a session-global mutate. */
@@ -161,7 +162,7 @@ object Streams {
     * `aggs` maps output column name → aggregate over the window group. */
   def runWindowedAgg(spark: SparkSession, dir: String, windowDur: String,
       aggs: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
-    runToParquet(spark, statePartitions = 8) { (s, _) =>
+    runToParquet(spark, statePartitions = 2) { (s, _) =>
       stagedEventStream(s, dir)
         .withWatermark("ts", "0 seconds")
         .groupBy(window(col("ts"), windowDur), col("event_type"))
@@ -178,7 +179,7 @@ object Streams {
     * watermark; Spark assigns all 4 windows per row in one pass without
     * materializing an explode. Output keys are (window_start, type). */
   def slidingWindowAgg(spark: SparkSession, dir: String): DataFrame =
-    runToParquet(spark, statePartitions = 8) { (s, _) =>
+    runToParquet(spark, statePartitions = 2) { (s, _) =>
       stagedEventStream(s, dir)
         .withWatermark("ts", "0 seconds")
         .groupBy(window(col("ts"), "1 hour", "15 minutes"),
@@ -233,7 +234,7 @@ object Streams {
     * session_start, session_end, n_events) in epoch micros. */
   def sessionWindowAgg(spark: SparkSession, dir: String,
       gap: String): DataFrame =
-    runToParquet(spark, statePartitions = 8) { (s, _) =>
+    runToParquet(spark, statePartitions = 4) { (s, _) =>
       stagedEventStream(s, dir)
         .withWatermark("ts", "0 seconds")
         .groupBy(session_window(col("ts"), gap), col("user_id"))
@@ -255,7 +256,7 @@ object Streams {
     * through at the watermark horizon). */
   def dedupStream(spark: SparkSession, dir: String, keyCols: Seq[String],
       watermark: String = "1 day", replays: Int = 1): DataFrame =
-    runToParquet(spark, statePartitions = 8) { (s, _) =>
+    runToParquet(spark, statePartitions = 2) { (s, _) =>
       stagedEventStream(s, dir, replays)
         .withWatermark("ts", watermark)
         .dropDuplicates(keyCols :+ "ts")
@@ -276,7 +277,7 @@ object Streams {
   def dedupWithinWatermarkStream(spark: SparkSession, dir: String,
       keyCols: Seq[String], watermark: String = "1 day",
       replays: Int = 2): DataFrame =
-    runToParquet(spark, statePartitions = 8) { (s, _) =>
+    runToParquet(spark, statePartitions = 2) { (s, _) =>
       stagedEventStream(s, dir, replays)
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(keyCols)
@@ -292,7 +293,7 @@ object Streams {
     * identically on the production backend. */
   def windowedAggRocksDb(spark: SparkSession, dir: String, windowDur: String,
       aggs: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
-    runToParquet(spark, statePartitions = 8, rocksDbState = true) { (s, _) =>
+    runToParquet(spark, statePartitions = 2, rocksDbState = true) { (s, _) =>
       stagedEventStream(s, dir)
         .withWatermark("ts", "0 seconds")
         .groupBy(window(col("ts"), windowDur), col("event_type"))
@@ -313,7 +314,7 @@ object Streams {
   def streamStaticWindowedAgg(spark: SparkSession, dir: String,
       dim: DataFrame, streamKey: String, dimKey: String, dimCol: String,
       windowDur: String, aggs: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
-    runToParquet(spark, statePartitions = 8) { (s, _) =>
+    runToParquet(spark, statePartitions = 2) { (s, _) =>
       stagedEventStream(s, dir)
         .withWatermark("ts", "0 seconds")
         .join(broadcast(dim), col(streamKey) === col(dimKey), "inner")
@@ -332,11 +333,11 @@ object Streams {
     * after the drain. Output: (event_id, event_type, value). */
   def streamStreamJoin(spark: SparkSession, dir: String,
       band: String = "1 minute"): DataFrame =
-    // 4 state partitions, not 8: a stream-stream join keeps FOUR state
-    // stores per partition (left/right × keyToNumValues/keyWithIndexToValue),
-    // so checkpoint small-file I/O scales 4× faster in partition count
-    // than single-store operators — size DOWN accordingly at this keyspace
-    // (A/B at sf0.1: 3.15 s vs 3.58 s under the isolated 6-stream bench)
+    // A stream-stream join keeps FOUR state stores per partition
+    // (left/right × keyToNumValues/keyWithIndexToValue), so per-partition
+    // fixed cost scales 4× faster in partition count than single-store
+    // operators — it sized down to 4 before single-store ops did, and the
+    // round-6 RAM-scratch retune takes both to 2 at this keyspace.
     runToParquet(spark, statePartitions = 4) { (s, _) =>
       val l = stagedEventStream(s, dir)
         .select(col("event_id").as("l_id"), col("ts").as("l_ts"),
@@ -453,7 +454,7 @@ object Streams {
             fresh.join(cur.select(keyCols.map(col): _*), keyCols, "left_anti"))
         } else fresh
         val tmp = s"$root/swap"
-        merged.coalesce(4).write.mode("overwrite").parquet(tmp)
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         // atomic-enough swap for a local dir; a table format's MERGE
         // replaces this block wholesale in production. Files.move throws
         // on failure — renameTo returns false silently (e.g. across
@@ -479,7 +480,7 @@ object Streams {
     * custom per-key aggregation at scale (vs mapGroupsWithState + Update,
     * which cannot feed a file sink and never retires state). */
   def userEventCounts(spark: SparkSession, dir: String): DataFrame = {
-    val counts = runToParquet(spark, statePartitions = 8) { (s, _) =>
+    val counts = runToParquet(spark, statePartitions = 2) { (s, _) =>
       import s.implicits._
       stagedEventStream(s, dir)
         .withWatermark("ts", "0 seconds")
@@ -525,7 +526,7 @@ object Streams {
     * setTimeoutTimestamp, which replaces), so the previous timer is
     * deleted explicitly — the one behavioral trap in the migration. */
   def userEventCountsTws(spark: SparkSession, dir: String): DataFrame = {
-    val counts = runToParquet(spark, statePartitions = 8, rocksDbState = true) { (s, _) =>
+    val counts = runToParquet(spark, statePartitions = 2, rocksDbState = true) { (s, _) =>
       import s.implicits._
       import org.apache.spark.sql.streaming.{StatefulProcessor, TTLConfig, TimeMode, TimerValues, ExpiredTimerInfo, ValueState}
       val processor = new StatefulProcessor[Long, (Long, java.sql.Timestamp), (Long, Long)] {
@@ -618,7 +619,7 @@ object Streams {
           (if (tblDir.exists()) s.read.parquet(tbl).unionByName(fresh) else fresh)
             .groupBy("content_hash").agg(min(col("doc_id")).as("doc_id"))
         val tmp = s"$root/swap"
-        merged.coalesce(4).write.mode("overwrite").parquet(tmp)
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         val old = new java.io.File(s"$root/old")
         if (tblDir.exists()) Files.move(tblDir.toPath, old.toPath)
         Files.move(new java.io.File(tmp).toPath, tblDir.toPath)
