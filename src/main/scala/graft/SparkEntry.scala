@@ -13,7 +13,8 @@ object SparkEntry {
     Relational.all ++ TpchOps.all ++ ApiOps.all ++ PipelineOps.all ++ StreamMediaOps.all ++
       CoverageOps.all ++ ZillowOps.all ++ CorpusOps.all ++ LogsOps.all ++
       ClusterOps.all ++ RetrievalOps.all ++ GraphOps.all ++ AnalyticsOps.all ++
-      JourneyOps.all ++ MiningOps.all ++ FeatureOps.all ++ StatsOps.all
+      JourneyOps.all ++ MiningOps.all ++ FeatureOps.all ++ StatsOps.all ++
+      SpatialOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

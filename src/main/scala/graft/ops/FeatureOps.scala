@@ -1026,6 +1026,53 @@ object FeatureOps {
           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
         .select(col("doc_id"), col("n_grams"), col("n_novel"),
           expr("(n_novel * 10000) div n_grams").as("novelty_bp"))
+    },
+
+    // ---- DSIR-style importance selection ----------------------------------
+    // Data Selection via Importance Resampling (Xie et al. 2023) in its
+    // integer-exact form: score each candidate document by how target-like
+    // its hashed-feature profile is. Features are the same vocabulary-free
+    // 256-bucket hashed tokens as q_feature_hash; a bucket's importance
+    // ratio is ((tgt_w+1)·10⁶) div (all_w+1) (add-one smoothed, scaled,
+    // floor-divided — exact on both engines), and a doc's score is the
+    // count-weighted sum of its buckets' ratios. The scale shape is the
+    // whole point: the ratio table is ≤256 rows (BROADCAST back onto the
+    // per-doc counts — candidates never shuffle on anything wider than
+    // (doc_id, bucket)), corpus statistics are two bounded aggregations,
+    // and the top-k is a sort of doc-count rows. Target = src13 docs;
+    // candidates = everything else; top 100 by (score, doc_id).
+    Q("q_dsir_select", {
+      val bucket = s"(${nib("md5(tok)", 1)} * 16 + ${nib("md5(tok)", 2)})"
+      s"""WITH t AS (SELECT doc_id, source,
+         |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      x -> length(x) > 0)) AS tok
+         |  FROM documents),
+         |b AS (SELECT doc_id, source, CAST($bucket AS INT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM t GROUP BY 1, 2, 3),
+         |r AS (SELECT bucket,
+         |    (sum(CASE WHEN source = 'src13' THEN cnt ELSE 0 END) + 1)
+         |      * 1000000 // (sum(cnt) + 1) AS ratio
+         |  FROM b GROUP BY 1)
+         |SELECT doc_id, CAST(sum(cnt * ratio) AS BIGINT) AS score
+         |FROM b JOIN r USING (bucket) WHERE source <> 'src13'
+         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
+    }) { (s, d) =>
+      val bucket = s"(${nib("md5(tok)", 1)} * 16 + ${nib("md5(tok)", 2)})"
+      val b = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("source"),
+          expr(bucket).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val ratios = b.groupBy("bucket")
+        .agg(((sum(when(col("source") === "src13", col("cnt")).otherwise(0L)) + 1L)
+          * 1000000L).as("num"), (sum(col("cnt")) + 1L).as("den"))
+        .select(col("bucket"), expr("num div den").as("ratio"))
+      b.where(col("source") =!= "src13")
+        .join(broadcast(ratios), Seq("bucket"))
+        .groupBy("doc_id").agg(sum(col("cnt") * col("ratio")).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(100)
     }
   )
 }

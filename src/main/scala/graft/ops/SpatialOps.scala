@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spatial radius joins via grid-cell bucketing — the equi-join
+  * reformulation of "all pairs within distance r". Every coordinate is
+  * derived INTEGER arithmetic and every distance an integer square, so
+  * the DuckDB oracle can be the naive quadratic definition while the
+  * Spark side runs the shape that survives 100 TB:
+  *
+  *   - cell size = r, so a point's true neighbors can only live in its
+  *     3×3 cell neighborhood: explode ONE side to its 9 candidate cells,
+  *     keep the other side at its home cell, and the candidate search is
+  *     a plain hash EQUI-JOIN on (cx, cy) — no cross product, no
+  *     BroadcastNestedLoop, and the shuffle keys are cell ids whose
+  *     cardinality (domain/r)² the caller controls.
+  *   - each true pair is produced EXACTLY once (the 9-cell neighborhood
+  *     contains the partner's home cell exactly once), so no distinct is
+  *     needed after the confirm — the same no-dedup license the LSH
+  *     band joins rely on.
+  *   - the exact `d² ≤ r²` confirm runs map-side on the join output;
+  *     skewed cells (urban hotspots at production density) fall to the
+  *     same salting/AQE machinery as any hot join key ([[Scale]]).
+  *
+  * Points are synthesized from TPC-H keys through the repo's
+  * hash-randomness device ([[Tables.hexUniform]] over a salted md5 —
+  * an LCG lattice was tried first and its 1-D point structure produced
+  * ZERO near pairs at sf0.001): two salts give independent uniform
+  * (x, y) in [0, 100000)², identical on both engines; a production
+  * deployment feeds real (x, y) in any integer unit (micro-degrees,
+  * metres) and nothing else changes. */
+object SpatialOps {
+
+  private def customer(s: SparkSession, d: String) = Tables(s, d, "customer")
+  private def supplier(s: SparkSession, d: String) = Tables(s, d, "supplier")
+
+  /** Domain width of the synthetic coordinate space. */
+  private val Dom = 100000L
+
+  /** Synthetic integer point for a key column. `strTy` is the one
+    * spelling difference between the engines (STRING vs VARCHAR). */
+  private def pointSql(key: String, strTy: String): (String, String) =
+    (Tables.hexUniform(s"md5(CAST($key AS $strTy) || 'px')", Dom),
+      Tables.hexUniform(s"md5(CAST($key AS $strTy) || 'py')", Dom))
+
+  // BIGINT coords: the nibble arithmetic is INT-typed and d² reaches
+  // 2·10¹⁰ — squaring must happen in 64-bit on both engines.
+  private def points(df: DataFrame, key: String, id: String): DataFrame = {
+    val (x, y) = pointSql(key, "STRING")
+    df.select(col(key).as(id),
+      expr(x).cast("long").as("x"), expr(y).cast("long").as("y"))
+  }
+
+  /** All (left, right) pairs with squared distance ≤ r²: grid-bucketed
+    * equi-join, no cross product. Output columns: `lid, rid, d2`.
+    * Column prefixes keep the two sides' coordinates apart. */
+  def gridRadiusJoin(left: DataFrame, right: DataFrame, r: Long): DataFrame = {
+    require(r >= 1, s"radius must be >= 1, got $r")
+    // left side: home cell + the 3x3 neighborhood (two Generate nodes,
+    // 9 rows per point — the bounded fan-out that replaces the n² scan)
+    val l = left
+      .select(col("lid"), col("x").as("lx"), col("y").as("ly"),
+        expr(s"x div $r").as("hx"), expr(s"y div $r").as("hy"))
+      .select(col("*"), explode(sequence(lit(-1L), lit(1L))).as("ox"))
+      .select(col("*"), explode(sequence(lit(-1L), lit(1L))).as("oy"))
+      .select(col("lid"), col("lx"), col("ly"),
+        (col("hx") + col("ox")).as("cx"), (col("hy") + col("oy")).as("cy"))
+    // right side: home cell only
+    val rt = right
+      .select(col("rid"), col("x").as("rx"), col("y").as("ry"),
+        expr(s"x div $r").as("cx"), expr(s"y div $r").as("cy"))
+    l.join(rt, Seq("cx", "cy"))
+      .select(col("lid"), col("rid"),
+        ((col("lx") - col("rx")) * (col("lx") - col("rx")) +
+          (col("ly") - col("ry")) * (col("ly") - col("ry"))).as("d2"))
+      .where(col("d2") <= r * r)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- radius join: suppliers within r of each customer -----------------
+    // Per customer: neighbor count, closest squared distance, and the
+    // nearest supplier id (ties broken by id) — the nearest id rides in
+    // a single packed min (d2·10⁷ + id: monotone in d2 then id, so one
+    // integer MIN replaces an argmin window; d2 ≤ 2r² keeps the packing
+    // far inside BIGINT). The oracle is the quadratic definition — the
+    // point of the operator is that the grid join computes the same
+    // relation with equi-join shuffles only.
+    Q("q_spatial_join", {
+      val (cx, cy) = pointSql("c_custkey", "VARCHAR")
+      val (sx, sy) = pointSql("s_suppkey", "VARCHAR")
+      s"""WITH c AS (SELECT c_custkey AS cid, CAST($cx AS BIGINT) AS x,
+         |    CAST($cy AS BIGINT) AS y FROM customer),
+         |s AS (SELECT s_suppkey AS sid, CAST($sx AS BIGINT) AS x,
+         |    CAST($sy AS BIGINT) AS y FROM supplier),
+         |p AS (SELECT cid, sid,
+         |    (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS d2
+         |  FROM c, s),
+         |f AS (SELECT * FROM p WHERE d2 <= 20000 * 20000)
+         |SELECT cid AS c_custkey, CAST(count(*) AS BIGINT) AS n_nearby,
+         |  CAST(min(d2) AS BIGINT) AS min_d2,
+         |  CAST(min(d2 * 10000000 + sid) % 10000000 AS BIGINT) AS nearest_id
+         |FROM f GROUP BY cid""".stripMargin
+    }) { (s, d) =>
+      val r = 20000L
+      gridRadiusJoin(
+        points(customer(s, d), "c_custkey", "lid"),
+        points(supplier(s, d), "s_suppkey", "rid"), r)
+        .groupBy(col("lid").as("c_custkey"))
+        .agg(count(lit(1)).as("n_nearby"),
+          min(col("d2")).as("min_d2"),
+          (min(col("d2") * 10000000L + col("rid")) % 10000000L).as("nearest_id"))
+    },
+
+    // ---- spatial near-duplicate pairs (GPS dedup) -------------------------
+    // Customer points within 2000 of ANOTHER customer — the
+    // "same-place, different-record" dedup shape (venue dedup, sensor
+    // co-location). Same grid join, self-joined; the a<b order filter
+    // keeps each unordered pair once. At production density this is the
+    // operator that replaces the quadratic location-dedup pass.
+    Q("q_spatial_neardup", {
+      val (cx, cy) = pointSql("c_custkey", "VARCHAR")
+      s"""WITH c AS (SELECT c_custkey AS cid, CAST($cx AS BIGINT) AS x,
+         |    CAST($cy AS BIGINT) AS y FROM customer),
+         |p AS (SELECT a.cid AS id_a, b.cid AS id_b,
+         |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+         |  FROM c a, c b WHERE a.cid < b.cid)
+         |SELECT id_a, id_b, CAST(d2 AS BIGINT) AS d2
+         |FROM p WHERE d2 <= 2000 * 2000""".stripMargin
+    }) { (s, d) =>
+      val r = 2000L
+      val pts = points(customer(s, d), "c_custkey", "lid")
+      gridRadiusJoin(pts, pts.withColumnRenamed("lid", "rid"), r)
+        .where(col("lid") < col("rid"))
+        .select(col("lid").as("id_a"), col("rid").as("id_b"), col("d2"))
+    }
+  )
+}

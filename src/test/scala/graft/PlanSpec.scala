@@ -212,6 +212,21 @@ class PlanSpec extends AnyFunSuite {
       s"pair generation must be an equi-join:\n${p.take(1500)}")
   }
 
+  test("spatial radius join is a grid-cell equi-join, never nested-loop") {
+    for (q <- Seq("q_spatial_join", "q_spatial_neardup")) {
+      val p = planOf(q)
+      assert(p.contains("HashJoin"), s"$q: expected hash equi-join\n${p.take(1500)}")
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"$q: grid bucketing must avoid the quadratic join:\n${p.take(1500)}")
+    }
+  }
+
+  test("DSIR ratio table joins back by broadcast (no candidate-side wide shuffle)") {
+    val p = planOf("q_dsir_select")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
   test("image near-dup joins on banded chunks with bit_count confirm") {
     val imgs = graft.multimodal.Multimodal.withPngPayload(
       graft.ops.Tables(spark, dir, "documents").select("doc_id").limit(50), "doc_id")
