@@ -344,6 +344,32 @@ object AnalyticsOps {
       .distinct()
   }
 
+  /** Bounded k-core peel: `rounds` synchronous rounds each dropping
+    * nodes of degree < `k` (and the edges touching them) from the
+    * undirected edge set `(s, d)`. Each round is one grouped degree
+    * count plus two semi-join filters on the (small, checkpointed)
+    * survivor set; rounds checkpoint eagerly so lineage stays linear
+    * (the BFS-loop device). Returns the surviving `(node, deg)` table —
+    * degrees measured IN the peeled subgraph. A fixed round budget is
+    * the scale-honest contract: full convergence is a driver-side loop
+    * over the same primitive, and most graphs stabilize in a few
+    * rounds. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
+    var e = edges
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("s").as("n")).unionAll(e.select(col("d").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select("n").localCheckpoint(true)
+      e = e.join(keep.select(col("n").as("s")), Seq("s"))
+        .join(keep.select(col("n").as("d")), Seq("d"))
+        .select("s", "d").localCheckpoint(true)
+    }
+    e.select(col("s").as("n")).unionAll(e.select(col("d").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .select(col("n").as("node"), col("deg"))
+  }
+
   /** Top-8 co-purchase affinity edge set, memoized per data dir as an
     * eager local checkpoint: q_triangle and q_clustering_coeff run the
     * same lineitem group-collect + per-node window to build it, so the
@@ -589,6 +615,36 @@ object AnalyticsOps {
         .withColumn("coeff_ppm",
           expr("(tri_cnt * 2 * 1000000) div (deg * (deg - 1))"))
     },
+
+    // ---- bounded k-core peel (k=3, 3 rounds) ------------------------------
+    // Iterative degeneracy peeling on the same memoized affinity graph:
+    // each round drops nodes of degree < k and the edges touching them —
+    // the dense-subgraph extraction step community mining and spam-farm
+    // detection start from. Each round is one grouped degree count plus
+    // two semi-join filters (broadcastable survivor sets); rounds are
+    // checkpointed like the BFS loop so lineage stays linear. The oracle
+    // replays the identical rounds as CTEs. Output: surviving nodes and
+    // their degree in the peeled subgraph.
+    Q("q_kcore", {
+      def peel(prev: String, out: String) =
+        s"""dg$out AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+           |  (SELECT s AS n FROM e$prev UNION ALL SELECT d FROM e$prev) GROUP BY n),
+           |k$out AS (SELECT n FROM dg$out WHERE deg >= 3),
+           |e$out AS (SELECT s, d FROM e$prev
+           |  WHERE s IN (SELECT n FROM k$out) AND d IN (SELECT n FROM k$out))"""
+          .stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |co AS (SELECT a.p AS s, b.p AS d, CAST(count(*) AS BIGINT) AS w
+         |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+         |dir AS (SELECT s AS n, d AS m, w FROM co UNION ALL SELECT d, s, w FROM co),
+         |rk AS (SELECT n, m, row_number() OVER (PARTITION BY n ORDER BY w DESC, m) AS rn FROM dir),
+         |e0 AS (SELECT DISTINCT least(n, m) AS s, greatest(n, m) AS d FROM rk WHERE rn <= 8),
+         |${peel("0", "1")},
+         |${peel("1", "2")},
+         |${peel("2", "3")}
+         |SELECT n AS node, CAST(count(*) AS BIGINT) AS deg FROM
+         |  (SELECT s AS n FROM e3 UNION ALL SELECT d FROM e3) GROUP BY n""".stripMargin
+    }) { (s, d) => kCorePeel(affinityEdges(s, d), k = 3, rounds = 3) },
 
     // ---- power-of-two size histogram --------------------------------------
     // Log-scale size distributions (document lengths here; file sizes,

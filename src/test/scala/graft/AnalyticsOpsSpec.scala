@@ -120,4 +120,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(sc.getLong(2) == 2 && sc.getLong(3) == 2)
     assert(sc.getLong(6) == -12500L && sc.getLong(7) == 25000L)
   }
+
+  test("kCorePeel: K4 core survives, tails and bridges peel away") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every node degree 3) + a path 4-5-6 tail + a
+    // pendant 7 off node 1: the 3-core is exactly the K4; node 5 starts
+    // at degree 2, node 6 and 7 at 1 -- all gone within two rounds, and
+    // dropping them must not drag the K4 below k (its internal degrees
+    // stay 3).
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (1L, 7L)
+    ).toDF("s", "d")
+    val got = graft.ops.AnalyticsOps.kCorePeel(edges, k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=1, one round: only true isolates go; the pendant chain survives
+    val oneRound = graft.ops.AnalyticsOps.kCorePeel(edges, k = 1, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(oneRound == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
 }
