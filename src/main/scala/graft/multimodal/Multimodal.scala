@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -858,6 +858,48 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
     if (!checkpoint) { fp.unpersist(); return pairs }
+    val out = pairs.localCheckpoint(true)
+    fp.unpersist()
+    out
+  }
+
+  /** Persist the corpus image-hash layer at `path`: DECODE + dHash paid
+    * exactly once — the expensive step for an image corpus is pixel
+    * decode, and the index stores only (doc_id, dhash) 8-byte rows, so
+    * every later probe is hash-sized I/O with zero corpus re-decodes
+    * (the image twin of the LSH/winnowing/grid index family). */
+  def buildImageHashIndex(df: DataFrame, idCol: String, payloadCol: String,
+      path: String): Unit =
+    imageDHash(df, idCol, payloadCol).write.mode("overwrite").parquet(path)
+
+  /** Probe a delta batch of images against a persisted hash index:
+    * decodes ONLY the delta, bands both sides into the lossless 4×16-bit
+    * chunks, equi-joins on chunk value, exact-hamming-confirms. Output:
+    * (probe_id, corpus_id, hamming) with hamming ≤ maxHamming — sides
+    * are the caller's delta/corpus split, so no ordering filter. */
+  def imageNearDupProbeIndexed(spark: SparkSession, path: String,
+      delta: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding is lossless only for maxHamming <= 3, got $maxHamming")
+    def banded(fp: DataFrame, id: String, h: String) =
+      fp.select(col("doc_id").as(id), col("dhash").as(h), posexplode(
+        array((0 until 4).map(i =>
+          struct(lit(i).as("chunk"),
+            shiftrightunsigned(col("dhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)))
+        .select(col(id), col(h), col("col.chunk").as(s"_c_$id"),
+          col("col.v").as(s"_v_$id"))
+    val fp = imageDHash(delta, idCol, payloadCol).persist()
+    val a = banded(fp, "probe_id", "h_a")
+    val b = banded(spark.read.parquet(path), "corpus_id", "h_b")
+    val pairs = a.join(b,
+        col("_c_probe_id") === col("_c_corpus_id") &&
+          col("_v_probe_id") === col("_v_corpus_id"))
+      .select(col("probe_id"), col("corpus_id"), col("h_a"), col("h_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("probe_id", "corpus_id", "hamming")
     val out = pairs.localCheckpoint(true)
     fp.unpersist()
     out

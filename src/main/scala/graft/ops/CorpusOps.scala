@@ -312,6 +312,49 @@ object CorpusOps {
     // The synthetic corpus carries no PII, so both sides inject a
     // deterministic email+phone suffix into every third document, then
     // scrub; counts are over the pre-scrub text.
+    // ---- Luhn-validated card-number detection -----------------------------
+    // Regex alone over-redacts: any 16-digit run looks like a card. The
+    // production PII pass validates candidates with the Luhn mod-10
+    // checksum first — pure integer digit arithmetic both engines spell
+    // identically (a 16-term doubled-digit fold over substr; no UDF).
+    // Each doc gets a deterministic candidate injected (15 pseudo-random
+    // digits + a doc_id-parity check digit, so ~10% validate), the
+    // candidate is re-EXTRACTED from the text by regex, then classified.
+    Q("q_pii_luhn", {
+      def luhnSql(card: String) =
+        s"""list_sum(list_transform(range(0, 16), i ->
+           |  CASE WHEN i % 2 = 1 THEN
+           |    CASE WHEN 2 * CAST(substr($card, 16 - i, 1) AS INT) > 9
+           |      THEN 2 * CAST(substr($card, 16 - i, 1) AS INT) - 9
+           |      ELSE 2 * CAST(substr($card, 16 - i, 1) AS INT) END
+           |  ELSE CAST(substr($card, 16 - i, 1) AS INT) END)) % 10 = 0"""
+          .stripMargin.replace("\n", " ").replaceAll(" +", " ")
+      s"""WITH x AS (SELECT doc_id, text || ' card ' ||
+         |    lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR), 15, '0')
+         |    || CAST(doc_id % 10 AS VARCHAR) AS t
+         |  FROM documents),
+         |c AS (SELECT doc_id, regexp_extract(t, '[0-9]{16}') AS card FROM x)
+         |SELECT doc_id, card,
+         |  ${luhnSql("card")} AS luhn_valid
+         |FROM c""".stripMargin
+    }) { (s, d) =>
+      def luhnExpr(card: String) =
+        s"""aggregate(transform(sequence(0, 15), i ->
+           |  CASE WHEN i % 2 = 1 THEN
+           |    CASE WHEN 2 * CAST(substr($card, 16 - i, 1) AS INT) > 9
+           |      THEN 2 * CAST(substr($card, 16 - i, 1) AS INT) - 9
+           |      ELSE 2 * CAST(substr($card, 16 - i, 1) AS INT) END
+           |  ELSE CAST(substr($card, 16 - i, 1) AS INT) END),
+           |  0, (a, v) -> a + v) % 10 = 0""".stripMargin.replace("\n", " ")
+      Tables(s, d, "documents")
+        .withColumn("t", concat(col("text"), lit(" card "),
+          lpad(expr("CAST((doc_id * 7919) % 1000000000000000 AS STRING)"), 15, "0"),
+          (col("doc_id") % 10).cast("string")))
+        .withColumn("card", regexp_extract(col("t"), "[0-9]{16}", 0))
+        .select(col("doc_id"), col("card"),
+          expr(luhnExpr("card")).as("luhn_valid"))
+    },
+
     Q("q_pii_scrub",
       s"""WITH x AS (SELECT doc_id,
          |    CASE WHEN doc_id % 3 = 0

@@ -83,6 +83,27 @@ object GraphOps {
   private def orders(s: SparkSession, d: String)   = Tables(s, d, "orders")
   private def supplier(s: SparkSession, d: String) = Tables(s, d, "supplier")
 
+  /** Bounded Bellman-Ford: exact minimum path COST from a seed set over
+    * weighted edges, `iters` synchronous relaxation rounds — the
+    * weighted generalization of [[bfsHops]] (same BSP join+min-combine
+    * per round, same eager-checkpoint lineage control; all-BIGINT cost
+    * arithmetic, so engine-identical). With non-negative weights,
+    * `iters` rounds give the exact distance to every node reachable
+    * within `iters` edges — the bounded-horizon contract every
+    * distributed SSSP engine exposes; full convergence is a driver loop
+    * over the same primitive. `edges` = (src, dst, w). */
+  def ssspBounded(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var dist = seeds.select(col("node"), lit(0L).as("cost")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val relax = edges.join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+      dist = dist.unionAll(relax)
+        .groupBy("node").agg(min(col("cost")).as("cost")).localCheckpoint(true)
+    }
+    dist
+  }
+
   /** Customer(2k) <-> supplier(2k+1) weighted trade bridge (c, s, w),
     * memoized per data dir as an eager local checkpoint: q_pagerank and
     * q_bfs_hops run the same lineitem×orders join+agg to build it, so the
@@ -178,6 +199,38 @@ object GraphOps {
       val seeds = supplier(s, d).filter(col("s_nationkey") === 3)
         .select((col("s_suppkey") * 2 + 1).as("node"))
       bfsHops(edges, seeds, iters = 3)
+    },
+
+    // ---- bounded Bellman-Ford: cheapest trade path from nation-3 ----------
+    // Weighted shortest paths on the same memoized trade graph: edge cost
+    // is the affinity-inverse `(1000 div w) + 1` (stronger trading ties
+    // are cheaper to traverse), seeds as in q_bfs_hops, three relaxation
+    // rounds replayed CTE-for-CTE by the oracle. Exact BIGINT costs.
+    Q("q_sssp", {
+      def relax(prev: String, out: String) =
+        s"""x$out AS (SELECT e.dst AS node, d.cost + e.cw AS cost
+           |      FROM e JOIN d$prev d ON e.src = d.node),
+           |d$out AS (SELECT node, min(cost) AS cost FROM
+           |      (SELECT * FROM d$prev UNION ALL SELECT * FROM x$out) GROUP BY node)"""
+          .stripMargin
+      s"""WITH g AS (SELECT o_custkey AS c, l_suppkey AS s, CAST(count(*) AS BIGINT) AS w
+         |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY c, s),
+         |e AS (SELECT c * 2 AS src, s * 2 + 1 AS dst, (1000 // w) + 1 AS cw FROM g
+         |      UNION ALL SELECT s * 2 + 1, c * 2, (1000 // w) + 1 FROM g),
+         |d0 AS (SELECT s_suppkey * 2 + 1 AS node, CAST(0 AS BIGINT) AS cost
+         |      FROM supplier WHERE s_nationkey = 3),
+         |${relax("0", "1")},
+         |${relax("1", "2")},
+         |${relax("2", "3")}
+         |SELECT node, cost FROM d3""".stripMargin
+    }) { (s, d) =>
+      val g = tradeBridge(s, d)
+      val cw = (expr("1000 div w") + 1).as("w")
+      val edges = g.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"), cw)
+        .unionAll(g.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"), cw))
+      val seeds = supplier(s, d).filter(col("s_nationkey") === 3)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      ssspBounded(edges, seeds, iters = 3)
     }
   )
 }

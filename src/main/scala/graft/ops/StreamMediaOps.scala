@@ -13,6 +13,8 @@ object StreamMediaOps {
     * so the fixture is materialized to parquet on first use and every
     * query (and every bench pass) scans the binary column from disk. */
   private val pngDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Persisted image-hash index dirs, staged once per source dir. */
+  private val imageIdxDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def pngFixture(s: org.apache.spark.sql.SparkSession, d: String) = {
     val p = pngDirs.computeIfAbsent(d, _ => {
       val w = java.nio.file.Files.createTempDirectory("graft_png").toString
@@ -458,6 +460,61 @@ object StreamMediaOps {
       Multimodal.imageNearDupDHash(pngFixture(s, d), "doc_id", "payload",
         maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    },
+
+    // ---- PERSISTED image-hash index: probe new images, zero re-decodes ----
+    // The expensive step for an image corpus is pixel DECODE; the index
+    // stores only (doc_id, dhash) 8-byte rows (decode paid once per
+    // source dir), and a delta batch (every 5th doc — the "new uploads")
+    // decodes itself, bands, equi-joins the index chunks, and
+    // exact-hamming-confirms. The oracle replays the full synthetic
+    // pixel arithmetic for BOTH sides from scratch, so the hash match
+    // proves the persisted-hash round trip lossless. Output:
+    // (probe_id, corpus_id, hamming ≤ 3); sides disjoint by the split.
+    Q("q_image_index_probe",
+      """WITH d AS (SELECT doc_id, doc_id * 2654435761 AS seed,
+        |    8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h FROM documents),
+        |cell AS (
+        |  SELECT doc_id, cy, cx,
+        |    (cx * w) // 9 AS x0,
+        |    least(greatest(((cx + 1) * w) // 9, (cx * w) // 9 + 1), w) AS x1,
+        |    (cy * h) // 8 AS y0,
+        |    least(greatest(((cy + 1) * h) // 8, (cy * h) // 8 + 1), h) AS y1,
+        |    seed
+        |  FROM d, unnest(generate_series(0, 7)) AS t1(cy),
+        |       unnest(generate_series(0, 8)) AS t2(cx)),
+        |cs AS (
+        |  SELECT doc_id, cy, cx,
+        |    CAST(sum(299 * (((seed + 31*x + 17*y) % 16777216) // 65536)
+        |       + 587 * ((((seed + 31*x + 17*y) % 16777216) // 256) % 256)
+        |       + 114 * (((seed + 31*x + 17*y) % 16777216) % 256)) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM cell, unnest(generate_series(0, 30)) AS tx(x),
+        |       unnest(generate_series(0, 22)) AS ty(y)
+        |  WHERE x >= x0 AND x < x1 AND y >= y0 AND y < y1
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy * 8 + a.cx AS bit, (a.s * b.c > b.s * a.c) AS bv
+        |  FROM cs a JOIN cs b ON a.doc_id = b.doc_id AND a.cy = b.cy
+        |    AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8),
+        |v AS (SELECT doc_id, list(bv ORDER BY bit) AS bs FROM bits GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS probe_id, b.doc_id AS corpus_id,
+        |    CAST(len(list_filter(generate_series(1, 64),
+        |      i -> a.bs[i] <> b.bs[i])) AS BIGINT) AS hamming
+        |  FROM v a JOIN v b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+        |SELECT probe_id, corpus_id, hamming FROM p WHERE hamming <= 3""".stripMargin) { (s, d) =>
+      val path = imageIdxDirs.computeIfAbsent(d, _ => {
+        val w = java.nio.file.Files.createTempDirectory("graft_img_idx").toString
+        Multimodal.buildImageHashIndex(
+          pngFixture(s, d).filter(col("doc_id") % 5 =!= 0), "doc_id", "payload", w)
+        w
+      })
+      val delta = pngFixture(s, d).filter(col("doc_id") % 5 === 0)
+      Multimodal.imageNearDupProbeIndexed(s, path, delta, "doc_id", "payload",
+          maxHamming = 3)
+        .select(col("probe_id"), col("corpus_id"),
+          col("hamming").cast("long").as("hamming"))
     },
 
     // ---- REAL audio QA gate: clipping / DC offset / peak -------------------

@@ -292,4 +292,25 @@ class StreamMediaSpec extends AnyFunSuite {
     ok(idx) = 1 // BI_RLE8
     intercept[IllegalArgumentException] { Multimodal.parseAvi(ok) }
   }
+
+  test("persisted image-hash index probe equals the direct dHash join on the split") {
+    import spark.implicits._
+    val imgs = Multimodal.withPngPayload((0L until 120L).toDF("doc_id"), "doc_id")
+    val corpus = imgs.filter(col("doc_id") % 5 =!= 0)
+    val delta = imgs.filter(col("doc_id") % 5 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_imgidx_spec").toString
+    Multimodal.buildImageHashIndex(corpus, "doc_id", "payload", idx)
+    val probed = Multimodal.imageNearDupProbeIndexed(spark, idx, delta,
+        "doc_id", "payload", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // direct formulation on the union, restricted to delta x corpus pairs
+    val direct = Multimodal.imageNearDupDHash(imgs, "doc_id", "payload", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .flatMap { case (a, b, h) =>
+        (if (a % 5 == 0 && b % 5 != 0) Seq((a, b, h)) else Nil) ++
+          (if (b % 5 == 0 && a % 5 != 0) Seq((b, a, h)) else Nil)
+      }.toSet
+    assert(probed == direct, s"probe=${probed.size} direct=${direct.size}")
+    assert(spark.sharedState.cacheManager.isEmpty, "probe left cache behind")
+  }
 }
