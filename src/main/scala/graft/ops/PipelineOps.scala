@@ -62,6 +62,10 @@ object PipelineOps {
   private val ivfIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Append-merged (v2) IVF index dirs, staged once per source dir. */
+  private val ivfMergedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Brute-force ground truth for the ANN recall gates, staged ONCE per
     * (source dir, fixture) as a tiny parquet (8 queries × 5 rows): the
     * exact top-k is validation INPUT, not the operator under test, so a
@@ -949,6 +953,30 @@ object PipelineOps {
       })
       val queries = emb.filter(col("vec_id") < 8)
       val approx = Ann.ivfTopKIndexed(s, path, queries, k = 5, nProbe = 4)
+      Ann.recallAtKFrom(annTruth(s, d, "clustered", clusteredEmb(s, d)),
+        approx, minRecall = 0.8)
+    },
+
+    // ---- ANN: IVF index APPEND-MERGE (ingest between refits) --------------
+    // Completes the index family's symmetry: like the dedup LSH index,
+    // the IVF index takes deltas without a rebuild — a base index over
+    // vec_id % 3 ≠ 0, a delta of the rest assigned with the EXISTING
+    // centroids (no refit — that is the production ingest contract) and
+    // appended into the cell partitions; probes of the merged index are
+    // recall-gated against the full-corpus exact truth, same gate as
+    // q_ann_ivf_indexed.
+    Q("q_ann_index_update",
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 8") { (s, d) =>
+      val emb = clusteredEmb(s, d)
+      val merged = ivfMergedDirs.computeIfAbsent(d, _ => {
+        val base = java.nio.file.Files.createTempDirectory("graft_ivf_base").toString
+        Ann.buildIvfIndex(emb.filter(col("vec_id") % 3 =!= 0), base, nCells = 16)
+        val out = java.nio.file.Files.createTempDirectory("graft_ivf_v2").toString
+        Ann.mergeIvfIndex(s, base, emb.filter(col("vec_id") % 3 === 0), out)
+        out
+      })
+      val queries = emb.filter(col("vec_id") < 8)
+      val approx = Ann.ivfTopKIndexed(s, merged, queries, k = 5, nProbe = 4)
       Ann.recallAtKFrom(annTruth(s, d, "clustered", clusteredEmb(s, d)),
         approx, minRecall = 0.8)
     },

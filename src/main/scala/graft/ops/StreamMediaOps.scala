@@ -315,6 +315,28 @@ object StreamMediaOps {
         .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_distinct"))
     },
 
+    // ---- streaming CDC apply: change-log replay into a compacted table ----
+    // The streaming twin of q_cdc_apply: the same change log (deletes for
+    // event_id % 10 = 9) replayed as ts-segmented micro-batches through a
+    // foreachBatch last-writer-wins merge with delete tombstones. The
+    // final snapshot is batch-boundary independent, so the oracle is the
+    // batch CDC SQL verbatim — the hash match proves the incremental
+    // merge ≡ the one-shot window compaction.
+    Q("q_stream_cdc",
+      """WITH l AS (SELECT user_id, event_id, ts, event_type, value,
+        |    CASE WHEN event_id % 10 = 9 THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+        |  FROM l)
+        |SELECT user_id, event_type AS last_type, value AS last_value,
+        |  n_ops, epoch_us(ts) AS last_us
+        |FROM r WHERE rn = 1 AND op = 'U'""".stripMargin) { (s, d) =>
+      Streams.cdcApplyStream(s, d)
+    },
+
     // ---- streaming ingest probing the persisted dedup index ---------------
     // Documents arrive as micro-batches; each batch Bloom-probes +
     // hash-confirms against the prebuilt corpus index (doc_id % 3 ≠ 0) and

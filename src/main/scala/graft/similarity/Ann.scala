@@ -175,6 +175,39 @@ object Ann {
       .write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/corpus")
   }
 
+  /** Append a delta of vectors into a persisted IVF index, writing the
+    * merged index to `outPath` (versioned — refuses to write in place,
+    * mirroring the dedup index contract: a reader mid-probe must never
+    * see a half-merged layout). The quantizer is NOT refit: delta
+    * vectors are assigned with the EXISTING centroids — the production
+    * ingest contract between periodic refits (a refit is a rebuild);
+    * the merge is assign (delta-sized compute) + a parquet-level
+    * copy-union of corpus rows, with no vector re-encoding and no
+    * centroid retraining. On a table format the copy becomes a
+    * metadata-only append into the cell partitions. */
+  def mergeIvfIndex(spark: SparkSession, indexPath: String, delta: DataFrame,
+      outPath: String): Unit = {
+    require(normPath(outPath) != normPath(indexPath),
+      "write the merged index to a NEW path (versioned), never in place")
+    val centRows = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cell_id").collect()
+    val cellIds = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Double](1).toArray)
+    def nearest(vec: Column, n: Int) = GraftBridge.column(
+      NearestCells(GraftBridge.expression(vec), cellIds, cents, n))
+    spark.read.parquet(s"$indexPath/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/centroids")
+    val d = asFloatVec(delta.toDF("neighbor_id", "c_vec"), "c_vec")
+      .withColumn("cell_id", element_at(nearest(col("c_vec"), 1), 1))
+    spark.read.parquet(s"$indexPath/corpus")
+      .withColumn("cell_id", col("cell_id").cast("long"))
+      .unionByName(d)
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$outPath/corpus")
+  }
+
+  private def normPath(p: String): String =
+    new java.io.File(p).getAbsolutePath.replaceAll("/+$", "")
+
   /** Probe a persisted IVF index built by [[buildIvfIndex]]: rehydrate the
     * centroid model (k rows), broadcast the probe cells, and join against
     * the partitioned corpus — the broadcast equi-join on the partition

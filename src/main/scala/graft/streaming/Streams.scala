@@ -569,6 +569,78 @@ object Streams {
     counts.filter(col("user_id") =!= -1L)
   }
 
+  /** Staged CDC-log segments, memoized per source dir: the events table
+    * ts-range-split into 4 files so the change log really replays as
+    * several temporal micro-batches. */
+  private val cdcAssets =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Streaming CDC apply — [[graft.ops.Scale.applyCdcLog]] run as a
+    * foreachBatch sink: the events stream is read as a change log
+    * (op = delete for event_id % 10 = 9, upsert otherwise, replayed in
+    * ts-segments), and each micro-batch merges into a compacted
+    * last-writer-wins table. The table keeps per key the WINNING row
+    * (by (ts, event_id)), its op — deletes stay as TOMBSTONES so a
+    * pre-delete upsert in a later batch cannot resurrect what a
+    * mid-log delete killed, while a post-delete upsert does — and the
+    * accumulated op count, so the final state is independent of batch
+    * boundaries (which is what makes the batch-mode oracle exact).
+    * At scale the foreachBatch body is the standard Debezium/Delta CDC
+    * sink MERGE; state lives in the table, no watermark, no state
+    * store. Output: (user_id, last_type, last_value, n_ops, last_us)
+    * for keys whose final op is an upsert. */
+  def cdcApplyStream(spark0: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = spark0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val watch = cdcAssets.computeIfAbsent(dir, _ => {
+      val w = scratchDir("graft_cdc_in").toString
+      graft.ops.Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts"),
+          col("event_type"), col("value"))
+        .repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(w)
+      w
+    })
+    val root = scratchDir("graft_cdc_run").toString
+    val tbl = s"$root/table"
+    val logSchema = s.read.parquet(watch).schema
+    val q = s.readStream.schema(logSchema)
+      .option("maxFilesPerTrigger", 1).parquet(watch)
+      .writeStream
+      .option("checkpointLocation", s"$root/chk")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch
+          .withColumn("op",
+            when(col("event_id") % 10 === 9, "D").otherwise("U"))
+          .withColumn("n_ops", lit(1L))
+        val tblDir = new java.io.File(tbl)
+        val all =
+          if (tblDir.exists()) s.read.parquet(tbl).unionByName(b) else b
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val wAll = Window.partitionBy("user_id")
+        val merged = all
+          .withColumn("_rn", row_number().over(w))
+          .withColumn("_n", sum(col("n_ops")).over(wAll))
+          .where(col("_rn") === 1)
+          .withColumn("n_ops", col("_n")).drop("_rn", "_n")
+        val tmp = s"$root/swap"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val old = new java.io.File(s"$root/old")
+        if (tblDir.exists()) Files.move(tblDir.toPath, old.toPath)
+        Files.move(new java.io.File(tmp).toPath, tblDir.toPath)
+        if (old.exists()) new scala.reflect.io.Directory(old).deleteRecursively()
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark0.read.parquet(tbl).where(col("op") =!= "D")
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"), col("n_ops"), col("ts").as("last_us"))
+  }
+
   /** Memoized per source dir: the corpus dedup index (built ONCE over the
     * doc_id % 3 ≠ 0 "existing corpus") and the staged document stream
     * (4 doc_id-ranged files so several micro-batches really execute). */

@@ -78,6 +78,34 @@ class ClusterSpec extends AnyFunSuite {
     assert(indexed.sameElements(inline))
   }
 
+  test("IVF index append-merge: centroids frozen, rows unioned, in-place refused") {
+    import graft.similarity.Ann
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    val p1 = java.nio.file.Files.createTempDirectory("graft_ivf_m1").toString
+    Ann.buildIvfIndex(base, p1, nCells = 8)
+    val p2 = java.nio.file.Files.createTempDirectory("graft_ivf_m2").toString
+    Ann.mergeIvfIndex(spark, p1, delta, p2)
+    // centroid model must be byte-identical (no refit on ingest)
+    val c1 = spark.read.parquet(s"$p1/centroids").collect().map(_.toString).sorted
+    val c2 = spark.read.parquet(s"$p2/centroids").collect().map(_.toString).sorted
+    assert(c1.sameElements(c2), "merge must not retrain the quantizer")
+    // merged corpus = exactly the union of ids
+    val ids = spark.read.parquet(s"$p2/corpus").select("neighbor_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == emb.select("vec_id").collect().map(_.getLong(0)).toSet)
+    // a probe of the merged index sees delta vectors as neighbors
+    val probe = Ann.ivfTopKIndexed(spark, p2, emb.filter(col("vec_id") < 4),
+      k = 4, nProbe = 8)
+    assert(probe.filter(col("neighbor_id") % 3 === 0).count() > 0,
+      "delta vectors must be probe-visible after the merge")
+    intercept[IllegalArgumentException] {
+      Ann.mergeIvfIndex(spark, p1, delta, p1)
+    }
+  }
+
   test("semdedup: no kept pair within a cluster reaches the threshold, " +
     "and every drop is justified by a lower-id cluster-mate") {
     val t = 0.42
