@@ -839,6 +839,62 @@ object FeatureOps {
           (min(col("cell")) >= min(col("exact_cnt"))).as("overestimate_ok"))
     },
 
+    // ---- CMS join-size estimation (optimizer statistics at sketch cost) ---
+    // |A ⋈ B| = Σ_k cntA(k)·cntB(k) is exactly the inner product of the
+    // two key histograms — and the Count-Min estimate is the MIN over
+    // rows of the sketch inner products, a classic one-sided (never
+    // under) cardinality estimator (Cormode & Muthukrishnan 2005 §4.2).
+    // This is what a planner consults before choosing a join strategy:
+    // two single-pass mergeable sketches instead of a key-join. Both
+    // sketches use the portable md5 bucket device, so the oracle rebuilds
+    // every cell and inner product exactly; the exact join size rides
+    // along with the one-sided guarantee bit. SCALE CEILING: cell
+    // products are BIGINT — past ~3·10⁹ rows per side the inner product
+    // needs DECIMAL(38,0) accumulation (the q_fisher_score note applies).
+    Q("q_joinsize_estimate", {
+      def cells(src: String, key: String) = {
+        val b = hexUniform(s"md5(CAST($key AS VARCHAR) || 'cm' || CAST(s AS VARCHAR))", 256)
+        s"""(SELECT s, $b AS b, CAST(sum(c) AS BIGINT) AS cell FROM
+           |  (SELECT $key, CAST(count(*) AS BIGINT) AS c FROM $src GROUP BY 1)
+           |  CROSS JOIN (VALUES (0), (1), (2), (3)) t(s) GROUP BY 1, 2)"""
+          .stripMargin
+      }
+      s"""WITH ha AS ${cells("orders", "o_custkey")},
+         |hb AS ${cells("customer", "c_custkey")},
+         |ip AS (SELECT ha.s, CAST(sum(ha.cell * hb.cell) AS BIGINT) AS ip
+         |  FROM ha JOIN hb ON ha.s = hb.s AND ha.b = hb.b GROUP BY 1),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_n
+         |  FROM orders JOIN customer ON o_custkey = c_custkey)
+         |SELECT CAST((SELECT min(ip) FROM ip) AS BIGINT) AS cms_join_est,
+         |  exact_n,
+         |  (SELECT min(ip) FROM ip) >= exact_n AS overestimate_ok
+         |FROM ex""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.GraftBridge
+      def sketchOf(df: org.apache.spark.sql.DataFrame, key: String) =
+        df.agg(GraftBridge.column(graft.functions.CountMinAgg(
+          GraftBridge.expression(col(key)), 4, 256)).as("sk"))
+      val skA = sketchOf(Tables(s, d, "orders"), "o_custkey").toDF("ska")
+      val skB = sketchOf(Tables(s, d, "customer"), "c_custkey").toDF("skb")
+      val est = skA.crossJoin(skB)
+        .select(explode(array((0 until 4).map(lit): _*)).as("s"),
+          col("ska"), col("skb"))
+        .select(col("s"), explode(sequence(lit(0), lit(255))).as("b"),
+          col("ska"), col("skb"))
+        .withColumn("prod",
+          element_at(col("ska"), (col("s") * 256 + col("b") + 1).cast("int")) *
+            element_at(col("skb"), (col("s") * 256 + col("b") + 1).cast("int")))
+        .groupBy("s").agg(sum(col("prod")).as("ip"))
+        .agg(min(col("ip")).as("cms_join_est"))
+      val exact = Tables(s, d, "orders").select(col("o_custkey"))
+        .join(Tables(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("exact_n"))
+      est.crossJoin(broadcast(exact))
+        .select(col("cms_join_est"), col("exact_n"),
+          (col("cms_join_est") >= col("exact_n")).as("overestimate_ok"))
+    },
+
     // ---- Poisson bootstrap (deterministic resampling) ---------------------
     // Confidence intervals without collecting anything: each row draws an
     // INDEPENDENT Poisson(1) replica weight (the classic n→∞ limit of

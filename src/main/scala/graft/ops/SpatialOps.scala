@@ -172,6 +172,47 @@ object SpatialOps {
         .select(col("lid").as("id_a"), col("rid").as("id_b"), col("d2"))
     },
 
+    // ---- grid-density hotspots (Getis-style local cluster detection) -----
+    // Per non-empty cell at cell size 5000: point count, the 3×3
+    // neighborhood sum (self included), and a hotspot flag when the cell
+    // holds more than 2× the neighborhood mean (9·n > 2·nbr_sum,
+    // cross-multiplied — no float division). The neighborhood sum is the
+    // same bounded 9-way explode as the radius join, aggregated instead
+    // of joined: two grouped counts and one equi-join on cell ids, the
+    // shape that survives any density. Empty neighbor cells contribute 0
+    // by construction (only materialized cells are summed).
+    Q("q_spatial_hotspot", {
+      val (cx, cy) = pointSql("c_custkey", "VARCHAR")
+      s"""WITH pt AS (SELECT CAST($cx AS BIGINT) // 5000 AS gx,
+         |    CAST($cy AS BIGINT) // 5000 AS gy FROM customer),
+         |cells AS (SELECT gx, gy, CAST(count(*) AS BIGINT) AS n
+         |  FROM pt GROUP BY 1, 2),
+         |nbr AS (SELECT c.gx + dx AS gx, c.gy + dy AS gy,
+         |    CAST(sum(c.n) AS BIGINT) AS nbr_sum
+         |  FROM cells c
+         |  CROSS JOIN (VALUES (-1), (0), (1)) tx(dx)
+         |  CROSS JOIN (VALUES (-1), (0), (1)) ty(dy)
+         |  GROUP BY 1, 2)
+         |SELECT c.gx, c.gy, c.n, nbr.nbr_sum,
+         |  (9 * c.n > 2 * nbr.nbr_sum) AS hotspot
+         |FROM cells c JOIN nbr ON c.gx = nbr.gx AND c.gy = nbr.gy""".stripMargin
+    }) { (s, d) =>
+      val c = 5000L
+      val cells = points(customer(s, d), "c_custkey", "lid")
+        .select(expr(s"x div $c").as("gx"), expr(s"y div $c").as("gy"))
+        .groupBy("gx", "gy").agg(count(lit(1)).as("n"))
+      val nbr = cells
+        .select(col("gx"), col("gy"), col("n"),
+          explode(sequence(lit(-1L), lit(1L))).as("dx"))
+        .select(col("gx"), col("gy"), col("n"), col("dx"),
+          explode(sequence(lit(-1L), lit(1L))).as("dy"))
+        .groupBy((col("gx") + col("dx")).as("gx"), (col("gy") + col("dy")).as("gy"))
+        .agg(sum(col("n")).as("nbr_sum"))
+      cells.join(nbr, Seq("gx", "gy"))
+        .select(col("gx"), col("gy"), col("n"), col("nbr_sum"),
+          (col("n") * 9 > col("nbr_sum") * 2).as("hotspot"))
+    },
+
     // ---- PERSISTED grid index: build once, probe the delta ---------------
     // The supplier layer is indexed ONCE per source dir (partitioned by
     // cell); a delta batch of customers (every 7th key — the "new
