@@ -389,11 +389,16 @@ object PipelineOps {
     }) { (s, d) =>
       val p = Tables(s, d, "documents").select(
         col("lang"), langId(col("text")).as("lang_pred"))
+      // per-language totals via a window over the CELL frame (≤ langs ×
+      // preds rows), not a groupBy+join-back — the join-back shape
+      // re-evaluates the aggregation subtree (two langId kernel scans)
+      // whenever exchange reuse doesn't kick in; the window is
+      // guaranteed one-scan (hash-identical result, selfcheck-verified)
       val c = p.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
-      val t = c.groupBy("lang").agg(sum(col("n_docs")).as("n_lang"))
-      c.join(broadcast(t), "lang")
-        .select(col("lang"), col("lang_pred"), col("n_docs"), col("n_lang"),
-          expr("(n_docs * 1000000L) div n_lang").as("cell_ppm"))
+        .withColumn("n_lang",
+          sum(col("n_docs")).over(Window.partitionBy("lang")))
+      c.select(col("lang"), col("lang_pred"), col("n_docs"), col("n_lang"),
+        expr("(n_docs * 1000000L) div n_lang").as("cell_ppm"))
     },
 
     // ---- document fingerprint: xxhash64 digests have no DuckDB
