@@ -160,10 +160,15 @@ object ClusterOps {
         .select(col("cluster").as("cid"),
           expr(Tables.fpVecSpark).as("xf"))
         .select(col("cid"), posexplode(col("xf")).as(Seq("d", "xv")))
+      // The moment frame feeds THREE consumers (cl, ma, mb) — left lazy,
+      // the assignment+explode subtree evaluates once per consumer.
+      // k×dims rows: materialize eagerly (blocks outside the SQL cache,
+      // cacheManager stays empty — the graph-loop device).
       val mom = e2.groupBy("cid", "d")
         .agg(sum(col("xv")).as("s"),
           sum(col("xv").cast("decimal(38,0)") * col("xv")).as("qq"),
           count(lit(1)).as("n"))
+        .localCheckpoint(true)
       val cl = mom.groupBy("cid")
         .agg(min(col("n")).as("n"), sum(col("qq")).as("sq"),
           sum(col("s").cast("decimal(38,0)") * col("s")).as("ss"))
