@@ -125,6 +125,51 @@ object FeatureOps {
       perRows.unionByName(allRow)
     },
 
+    // ---- HLL audience-overlap estimation (sketch set algebra) -------------
+    // |A ∩ B| = |A| + |B| − |A ∪ B| from three sketch estimates — the
+    // query a 100 TB deployment answers from PERSISTED per-segment
+    // sketches alone (no raw-data join): each event_type's user sketch
+    // is state-sized, pairwise unions are scalar `hll_union` calls over
+    // the tiny per-type frame, and only the verification exact counts
+    // touch the data (via one distinct-pair frame, no quadratic work).
+    // Inclusion-exclusion compounds the ±3σ per-sketch error, so the
+    // gate bounds the intersection error against the UNION size
+    // (|est−exact| · 10 ≤ exact_union) — and at these SFs the sketches
+    // sit in sparse mode where estimates are exact.
+    Q("q_hll_overlap",
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.user_id FROM du a JOIN du b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type)
+        |SELECT type_a, type_b,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_inter,
+        |  CAST(1 AS INT) AS est_ok
+        |FROM p GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val du = events(s, d).select(col("event_type"), col("user_id")).distinct()
+        .localCheckpoint(true) // feeds sketches AND the exact verify join
+      val sk = du.groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+          count(lit(1)).as("exact_n"))
+      val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"),
+        col("exact_n").as("n_a"))
+      val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"),
+        col("exact_n").as("n_b"))
+      val exact = du.toDF("type_a", "user_id")
+        .join(du.toDF("type_b", "user_id2"),
+          col("user_id") === col("user_id2") && col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("exact_inter"))
+      a.join(b, col("type_a") < col("type_b"))
+        .withColumn("est_union",
+          expr("hll_sketch_estimate(hll_union(sk_a, sk_b))"))
+        .withColumn("est_inter",
+          expr("hll_sketch_estimate(sk_a)") +
+            expr("hll_sketch_estimate(sk_b)") - col("est_union"))
+        .join(exact, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("exact_inter"),
+          (abs(col("est_inter") - col("exact_inter")) * 10 <=
+            col("n_a") + col("n_b") - col("exact_inter")).cast("int").as("est_ok"))
+    },
+
     // ---- categorical label indexing (StringIndexer semantics) -------------
     // Frequency-ordered label → contiguous index, the categorical-feature
     // encode step. Label frames are aggregation outputs (≤ distinct-count
