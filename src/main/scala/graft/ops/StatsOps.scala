@@ -261,6 +261,76 @@ object StatsOps {
                  | div greatest((CAST(n AS DECIMAL(38,0)) * benford_ppm)
                  |              div 1000000, 1)"""
             .stripMargin).cast("long").as("dev_micro"))
+    },
+
+    // ---- CUPED variance-reduced A/B metric --------------------------------
+    // The experimentation-platform adjustment (Deng et al. 2013): the
+    // post-period metric is debiased by its pre-period covariate,
+    // adj = post − θ·(pre − pre̅), θ = cov(pre, post)/var(pre) — same
+    // expected lift, strictly smaller variance when pre correlates with
+    // post. Everything accumulates as exact integers: per-user pre/post
+    // sums are fixed-point, θ's numerator/denominator are the
+    // decimal/HUGEINT cross products of the q_cov_exact device, and the
+    // only floats are the final division chains spelled identically on
+    // both engines. Scale: one user-keyed pass, then a 2-row variant
+    // frame joined to a 1-row global — exactly how a 100 TB experiment
+    // pipeline computes it.
+    Q("q_cuped",
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN
+        |      CAST(floor(value * 10000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS pre_fp,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN
+        |      CAST(floor(value * 10000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS post_fp
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(pre_fp) AS BIGINT) AS s_pre_g,
+        |    CAST(sum(post_fp) AS BIGINT) AS s_post_g,
+        |    sum(CAST(pre_fp AS HUGEINT) * pre_fp) AS m_pp,
+        |    sum(CAST(pre_fp AS HUGEINT) * post_fp) AS m_px
+        |  FROM u),
+        |t AS (SELECT n_g, s_pre_g,
+        |    n_g * m_px - CAST(s_pre_g AS HUGEINT) * s_post_g AS num,
+        |    n_g * m_pp - CAST(s_pre_g AS HUGEINT) * s_pre_g AS den
+        |  FROM g),
+        |v AS (SELECT user_id % 2 AS variant, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(pre_fp) AS BIGINT) AS s_pre_v,
+        |    CAST(sum(post_fp) AS BIGINT) AS s_post_v
+        |  FROM u GROUP BY 1)
+        |SELECT variant, n_users, s_pre_v, s_post_v,
+        |  CAST(num AS DOUBLE) AS theta_num, CAST(den AS DOUBLE) AS theta_den,
+        |  CAST(s_post_v AS DOUBLE) / n_users / 10000.0 AS mean_post,
+        |  CAST(s_post_v AS DOUBLE) / n_users / 10000.0
+        |    - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+        |      * (CAST(s_pre_v AS DOUBLE) / n_users / 10000.0
+        |         - CAST(s_pre_g AS DOUBLE) / n_g / 10000.0) AS mean_adj
+        |FROM v CROSS JOIN t""".stripMargin) { (s, d) =>
+      val fp4 = expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)")
+      val split = lit("2024-01-16").cast("timestamp")
+      val u = events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(col("ts") < split, fp4).otherwise(0L)).as("pre_fp"),
+          sum(when(col("ts") >= split, fp4).otherwise(0L)).as("post_fp"))
+        .localCheckpoint(true) // feeds the global moments AND the variant frame
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val t = u.agg(count(lit(1)).as("n_g"),
+          sum(col("pre_fp")).as("s_pre_g"), sum(col("post_fp")).as("s_post_g"),
+          sum(dec(col("pre_fp")) * col("pre_fp")).as("m_pp"),
+          sum(dec(col("pre_fp")) * col("post_fp")).as("m_px"))
+        .select(col("n_g"), col("s_pre_g"),
+          (dec(col("n_g")) * col("m_px") - dec(col("s_pre_g")) * col("s_post_g")).as("num"),
+          (dec(col("n_g")) * col("m_pp") - dec(col("s_pre_g")) * col("s_pre_g")).as("den"))
+      val v = u.groupBy((col("user_id") % 2).as("variant"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("pre_fp")).as("s_pre_v"), sum(col("post_fp")).as("s_post_v"))
+      v.crossJoin(broadcast(t))
+        .select(col("variant"), col("n_users"), col("s_pre_v"), col("s_post_v"),
+          col("num").cast("double").as("theta_num"),
+          col("den").cast("double").as("theta_den"),
+          (col("s_post_v").cast("double") / col("n_users") / 10000.0).as("mean_post"),
+          (col("s_post_v").cast("double") / col("n_users") / 10000.0
+            - (col("num").cast("double") / col("den").cast("double"))
+              * (col("s_pre_v").cast("double") / col("n_users") / 10000.0
+                 - col("s_pre_g").cast("double") / col("n_g") / 10000.0)).as("mean_adj"))
     }
   )
 }
