@@ -321,4 +321,55 @@ class OperatorPropertySpec extends AnyFunSuite {
     val density = stats.getDouble(0) / stats.getDouble(1)
     assert(density > 0.25 && density < 0.6, s"winnowing density $density out of band")
   }
+
+  test("applyCdcLog equals the naive sequential replay on random logs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // ~30 keys, 400 ops, ~25% deletes, unique seq; duplicate-heavy keys
+    val log = Seq.tabulate(400) { i =>
+      val k = rnd.nextInt(30).toLong
+      val op = if (rnd.nextInt(4) == 0) "D" else "U"
+      (k, i.toLong, op, s"v$i")
+    }
+    // naive reference: replay in seq order into a mutable map
+    val want = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[Long, (String, String)]
+      val nOps = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      log.sortBy(_._2).foreach { case (k, _, op, v) =>
+        nOps(k) += 1
+        if (op == "D") m.remove(k) else m(k) = (op, v)
+      }
+      m.map { case (k, (_, v)) => k -> ((v, nOps(k))) }.toMap
+    }
+    val got = Scale.applyCdcLog(log.toDF("k", "seq", "op", "v"),
+        Seq("k"), "op", "D", Seq("seq"))
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[String]("v"), r.getAs[Long]("n_ops")))).toMap
+    assert(got == want)
+  }
+
+  test("kCorePeel equals the naive iterative peel on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val edges0 = (0 until 260).map { _ =>
+      val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    def naive(k: Int, rounds: Int): Map[Long, Long] = {
+      var es = edges0
+      for (_ <- 1 to rounds) {
+        val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        es = es.filter(e => keep(e._1) && keep(e._2))
+      }
+      es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+    }
+    for (k <- Seq(2, 3, 4)) {
+      val got = graft.ops.AnalyticsOps.kCorePeel(edges0.toDF("s", "d"), k, rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == naive(k, 3), s"k=$k mismatch")
+    }
+  }
 }
