@@ -1397,6 +1397,63 @@ object CorpusOps {
         .withColumn("pass_ppm", expr("(n_pass * 1000000L) div n_docs"))
         .select(col("source"), col("n_docs"), col("n_pass"), col("pass_ppm"),
           col("score_min"), col("score_max"), col("score_sum"))
+    },
+
+    // ---- quality-head calibration curve -----------------------------------
+    // The eval loop behind any quality classifier: bin the ensemble
+    // score into fixed 100k-wide buckets (clamped to [-10, 10]) and
+    // report each bin's rate of a trusted proxy label (metadata
+    // lang = 'en') in exact ppm — a well-calibrated head shows the rate
+    // rising with the bin. Same one-scan feature battery as
+    // q_quality_ensemble; binning and rates are integer arithmetic
+    // (score may be negative, so the bin uses the sign-safe
+    // floor spelling `(s - pmod(s, w)) / w`, NOT truncating div).
+    Q("q_quality_calibration",
+      s"""WITH t AS (SELECT doc_id, lang, $oToks AS toks FROM documents),
+         |s AS (SELECT doc_id, lang, len(toks) AS ntok,
+         |    coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS ntc,
+         |    len(list_filter(toks, t -> t IN ${inList(StopwordsEn)})) AS nstop
+         |  FROM t),
+         |b AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+         |      FROM t WHERE len(toks) >= 2),
+         |g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg FROM b),
+         |c AS (SELECT doc_id, bg, count(*) AS n FROM g GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nbg,
+         |        CAST(max(n) AS BIGINT) AS topc FROM c GROUP BY doc_id),
+         |j AS (SELECT s.*, coalesce(a.nbg, 0) AS nbg, coalesce(a.topc, 0) AS topc
+         |  FROM s LEFT JOIN a USING (doc_id)),
+         |f AS (SELECT lang,
+         |    2 * ((nstop * 1000000) // greatest(ntok, 1))
+         |  - 3 * ((topc * 1000000) // greatest(nbg, 1))
+         |  - 400 * abs((ntc * 100) // greatest(ntok, 1) - 500)
+         |  + 1000 * least(ntok, 500) AS score
+         |  FROM j),
+         |k AS (SELECT lang, greatest(-10, least(10,
+         |    (score - ((score % 100000 + 100000) % 100000)) // 100000)) AS bin
+         |  FROM f)
+         |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |  CAST((sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) AS en_ppm
+         |FROM k GROUP BY 1""".stripMargin) { (s, d) =>
+      val stats = Tables(s, d, "documents").select(col("lang"),
+        tokenCount(col("text")).cast("long").as("ntok"),
+        tokenCharCount(col("text")).cast("long").as("ntc"),
+        wordListHits(col("text"), StopwordsEn).cast("long").as("nstop"),
+        repetitionStats(col("text"), 2).as("r"))
+        .select(col("lang"), col("ntok"), col("ntc"), col("nstop"),
+          col("r.n_ngrams").cast("long").as("nbg"),
+          col("r.top_count").cast("long").as("topc"))
+      stats.withColumn("score", expr(
+        """  2L * ((nstop * 1000000L) div greatest(ntok, 1L))
+          |- 3L * ((topc * 1000000L) div greatest(nbg, 1L))
+          |- 400L * abs((ntc * 100L) div greatest(ntok, 1L) - 500L)
+          |+ 1000L * least(ntok, 500L)""".stripMargin))
+        .withColumn("bin", expr(
+          "greatest(-10L, least(10L, (score - pmod(score, 100000L)) div 100000L))"))
+        .groupBy("bin").agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        .withColumn("en_ppm", expr("(n_en * 1000000L) div n_docs"))
     }
   )
 }
