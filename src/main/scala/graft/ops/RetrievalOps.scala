@@ -18,6 +18,10 @@ object RetrievalOps {
   // mirror of Retrieval.bm25TopK's tokenizer on the DuckDB side
   private val oToks = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** Persisted full-text index dirs, built once per source dir. */
+  private val textIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val all: Seq[Q] = Seq(
 
     // ---- BM25 top-k retrieval --------------------------------------------
@@ -48,6 +52,42 @@ object RetrievalOps {
     }) { (s, d) =>
       Retrieval.bm25TopK(documents(s, d), "doc_id", "text",
         Seq("dup", "vector", "merge"), k = 10)
+    },
+
+    // ---- PERSISTED full-text index: BM25 probes, zero corpus rescans ------
+    // The retrieval member of the build-once/probe-many family: the
+    // complete inverted postings are term-range-sorted once per source
+    // dir; a probe's `term IN (...)` prunes to the matching row groups,
+    // joins doc lengths, and scores with the identical BM25 arithmetic.
+    // The oracle recomputes the whole ranking from the raw text, so the
+    // hash match proves the index round trip lossless. Different query
+    // terms than q_bm25 so both paths carry independent evidence.
+    Q("q_bm25_indexed", {
+      val idf = "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+      val denom = "(CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+      val w = s"($idf * ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) / $denom))"
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+         |w AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM w WHERE term IN ('index', 'stream', 'cache')
+         |       GROUP BY 1, 2, 3),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT doc_id,
+         |         SUM(CAST(floor($w * 1000000 + 0.5) AS BIGINT)) AS score_fp,
+         |         CAST(count(*) AS BIGINT) AS n_terms
+         |       FROM tf JOIN df USING (term), s GROUP BY doc_id)
+         |SELECT doc_id, CAST(score_fp / 1000000.0 AS DOUBLE) AS score, n_terms
+         |FROM sc ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+      val path = textIndexDirs.computeIfAbsent(d, _ => {
+        val w = java.nio.file.Files.createTempDirectory("graft_text_idx").toString
+        Retrieval.buildTextIndex(documents(s, d), "doc_id", "text", w)
+        w
+      })
+      Retrieval.bm25TopKIndexed(s, path, Seq("index", "stream", "cache"), k = 10)
     },
 
     // ---- exact-substring span dedup (Lee et al. keep-first signal) --------

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Full-text retrieval over a document corpus — the "find training docs
@@ -112,5 +112,73 @@ object Retrieval {
       .localCheckpoint(true) // ≤k rows; frees `base` for the caller
     base.unpersist()
     out
+  }
+
+  /** Persist the full-text index layers at `path`: the complete inverted
+    * postings (term, doc_id, tf) RANGE-SORTED BY TERM so a probe's
+    * `term IN (...)` pushes into parquet row-group stats and reads only
+    * the matching term ranges; per-term document frequencies (computed
+    * from the written postings — one index-sized read, no second corpus
+    * scan); doc lengths; and the 1-row corpus stats. The corpus TEXT is
+    * scanned exactly once at build; every later query is index-sized
+    * I/O — the retrieval member of the build-once/probe-many family
+    * (LSH/winnowing/IVF/grid/image-hash). */
+  def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    val toks = docs.select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        col("toks"))
+      .persist()
+    toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .repartitionByRange(8, col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    spark.read.parquet(s"$path/postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .repartitionByRange(4, col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$path/df")
+    toks.select("doc_id", "dl").write.mode("overwrite").parquet(s"$path/doclens")
+    toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    toks.unpersist()
+  }
+
+  /** BM25 top-k against a persisted [[buildTextIndex]] layout: the term
+    * filter lands on the sorted postings scan (row-group pruning), the
+    * query-term posting slice BROADCASTS onto the doc-length join, and
+    * the scoring arithmetic is expression-for-expression the inline
+    * [[bm25TopK]] formula — RetrievalSpec asserts byte-equal results.
+    * Zero corpus text reads at probe time. */
+  def bm25TopKIndexed(spark: SparkSession, path: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(queryTerms: _*))
+    val dfTbl = spark.read.parquet(s"$path/df")
+      .filter(col("term").isin(queryTerms: _*))
+    val stats = spark.read.parquet(s"$path/stats")
+    val dl = spark.read.parquet(s"$path/doclens")
+    val tf = broadcast(post).join(dl, "doc_id")
+    val nD = col("n_docs").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nD
+    val idf = (nD - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val denom = tfD + lit(k1) * (lit(1.0) - lit(b) +
+      lit(b) * (col("dl").cast("double") / avgdl))
+    val w = idf * ((tfD * (lit(k1) + lit(1.0))) / denom)
+    tf.join(broadcast(dfTbl), "term")
+      .join(broadcast(stats)) // 1-row scalar: intentional cross join
+      .withColumn("w_fp", floor(w * 1000000d + 0.5d).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("w_fp").as("score_fp"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"),
+        (col("score_fp") / 1000000.0).cast("double").as("score"),
+        col("n_terms"))
   }
 }

@@ -220,4 +220,27 @@ class RetrievalSpec extends AnyFunSuite {
     assert(r("a")._1 === 1600L && r("b")._1 === 400L)
     assert(math.abs(r("a")._2 / r("b")._2 - 4.0) < 1e-9)
   }
+
+  test("bm25TopKIndexed equals the inline bm25TopK at equal terms") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "rare", "mid")
+    val docs = (0L until 80L).map { i =>
+      val n = 5 + rnd.nextInt(40)
+      val toks = Seq.fill(n)(vocab(rnd.nextInt(4))) ++
+        (if (i % 11 == 0) Seq("rare") else Nil) ++
+        (if (i % 3 == 0) Seq("mid", "mid") else Nil)
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val terms = Seq("rare", "mid", "alpha")
+    val inline = graft.text.Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 12)
+      .collect().map(_.toString)
+    val idx = java.nio.file.Files.createTempDirectory("graft_txtidx_spec").toString
+    graft.text.Retrieval.buildTextIndex(docs, "doc_id", "text", idx)
+    val probed = graft.text.Retrieval.bm25TopKIndexed(spark, idx, terms, k = 12)
+      .collect().map(_.toString)
+    assert(probed.sameElements(inline),
+      s"indexed probe must be byte-equal to the inline ranking\n${inline.mkString("\n")}\nvs\n${probed.mkString("\n")}")
+    assert(spark.sharedState.cacheManager.isEmpty, "index build left cache behind")
+  }
 }
