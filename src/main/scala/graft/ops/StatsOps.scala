@@ -331,6 +331,47 @@ object StatsOps {
             - (col("num").cast("double") / col("den").cast("double"))
               * (col("s_pre_v").cast("double") / col("n_users") / 10000.0
                  - col("s_pre_g").cast("double") / col("n_g") / 10000.0)).as("mean_adj"))
+    },
+
+    // ---- pass@k estimation (Chen et al. 2021, unbiased form) --------------
+    // The eval-pipeline estimator: with n trials and c passes per task,
+    // pass@k = 1 − C(n−c,k)/C(n,k) = 1 − Π_{i<k}(n−c−i)/(n−i) — the
+    // probability a random k-subset contains a pass. The product is
+    // spelled as k explicit integer factors (k = 5 here; factors ≤ a few
+    // hundred keep the BIGINT product far under 2^63 — past ~5000 trials
+    // per task move it to DECIMAL(38,0)), the ratio lands as one exact
+    // floor division to ppm, and the n−c < k branch (every k-subset
+    // must contain a pass) short-circuits to exactly 10⁶. Tasks are
+    // users, trials their events, a pass is value ≥ 100 (≈ the top decile of the fixture's value
+    // distribution, so c varies per task and every branch is exercised)
+    // — one grouped
+    // count pass, then pure per-row integer arithmetic.
+    Q("q_pass_at_k", {
+      def prod(base: String) =
+        (0 until 5).map(i => s"($base - $i)").mkString(" * ")
+      s"""WITH t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM events GROUP BY 1)
+         |SELECT user_id, n, c,
+         |  CASE WHEN c = 0 THEN 0
+         |       WHEN n - c < 5 THEN 1000000
+         |       ELSE 1000000 - (${prod("(n - c)")} * 1000000)
+         |            // (${prod("n")}) END AS pass5_ppm,
+         |  (c * 1000000) // n AS pass1_ppm
+         |FROM t WHERE n >= 5""".stripMargin
+    }) { (s, d) =>
+      def prod(base: String) =
+        (0 until 5).map(i => s"($base - ${i}L)").mkString(" * ")
+      events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") >= 100d, 1L).otherwise(0L)).as("c"))
+        .where(col("n") >= 5)
+        .select(col("user_id"), col("n"), col("c"),
+          expr(s"""CASE WHEN c = 0 THEN 0L
+                  |     WHEN n - c < 5 THEN 1000000L
+                  |     ELSE 1000000L - (${prod("(n - c)")} * 1000000L)
+                  |          div (${prod("n")}) END""".stripMargin).as("pass5_ppm"),
+          expr("(c * 1000000L) div n").as("pass1_ppm"))
     }
   )
 }
