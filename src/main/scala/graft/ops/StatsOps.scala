@@ -372,6 +372,91 @@ object StatsOps {
                   |     ELSE 1000000L - (${prod("(n - c)")} * 1000000L)
                   |          div (${prod("n")}) END""".stripMargin).as("pass5_ppm"),
           expr("(c * 1000000L) div n").as("pass1_ppm"))
+    },
+
+    // ---- Bradley-Terry pairwise ratings (arena-style ranking) -------------
+    // The model behind head-to-head eval leaderboards: player strengths
+    // p_i from pairwise win counts via Hunter's (2004) MM iteration
+    // p_i ← W_i / Σ_j n_ij/(p_i + p_j), restated in exact integers —
+    // per-pair terms are quantized by floor division BEFORE the sum
+    // (with p at ×10⁶ fixed point, t_i = Σ_j (n_ij·10⁶) div (p_i + p_j)
+    // approximates the REAL inner sum, so p_i' = (W_i·10⁶) div t_i stays
+    // on the ×10⁶ scale) so three iterations replay CTE-for-CTE
+    // like the PageRank loop. "Matches" are consecutive same-user
+    // events (event-time order, event_id tie-break); the later event
+    // wins on strictly greater value. Zero-win players rate 0 by
+    // construction (their pair terms drop once both sides hit 0 — the
+    // guarded CASE keeps ANSI division happy). Each iteration is one grid-sized join + aggregate.
+    Q("q_bradley_terry", {
+      def iter(prev: String, out: String) =
+        s"""t$out AS (SELECT g.a, CAST(sum(CASE WHEN ra.p + rb.p > 0
+           |      THEN (g.n * 1000000) // (ra.p + rb.p) ELSE 0 END) AS BIGINT) AS t
+           |  FROM g JOIN r$prev ra ON ra.player = g.a
+           |         JOIN r$prev rb ON rb.player = g.b GROUP BY 1),
+           |r$out AS (SELECT w.player, CASE WHEN t.t > 0
+           |    THEN (w.w * 1000000) // t.t ELSE 0 END AS p
+           |  FROM w JOIN t$out t ON t.a = w.player)"""
+          .stripMargin
+      s"""WITH e AS (SELECT user_id, ts, event_id, event_type, value,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_type,
+         |    lag(value) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_value
+         |  FROM events),
+         |m AS (SELECT prev_type, event_type,
+         |    CASE WHEN value > prev_value THEN event_type ELSE prev_type END AS winner
+         |  FROM e WHERE prev_type IS NOT NULL AND event_type <> prev_type),
+         |d AS (SELECT prev_type AS a, event_type AS b,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN winner = prev_type THEN 1 ELSE 0 END) AS BIGINT) AS wa
+         |  FROM m GROUP BY 1, 2),
+         |g AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS n FROM (
+         |    SELECT a, b, n FROM d UNION ALL SELECT b, a, n FROM d)
+         |  GROUP BY 1, 2),
+         |w AS (SELECT player, CAST(sum(w) AS BIGINT) AS w FROM (
+         |    SELECT a AS player, wa AS w FROM d
+         |    UNION ALL SELECT b, n - wa FROM d)
+         |  GROUP BY 1),
+         |r0 AS (SELECT player, CAST(1000000 AS BIGINT) AS p FROM w),
+         |${iter("0", "1")},
+         |${iter("1", "2")},
+         |${iter("2", "3")}
+         |SELECT r3.player, w.w AS wins, r3.p AS rating_fp
+         |FROM r3 JOIN w USING (player)""".stripMargin
+    }) { (s, d) =>
+      val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val m = events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(wUser))
+        .withColumn("prev_value", lag(col("value"), 1).over(wUser))
+        .where(col("prev_type").isNotNull && col("event_type") =!= col("prev_type"))
+        .select(col("prev_type"), col("event_type"),
+          when(col("value") > col("prev_value"), col("event_type"))
+            .otherwise(col("prev_type")).as("winner"))
+      val dPairs = m.groupBy(col("prev_type").as("a"), col("event_type").as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("winner") === col("prev_type"), 1L).otherwise(0L)).as("wa"))
+        .localCheckpoint(true) // feeds g AND w; grid-sized
+      val g = dPairs.select(col("a"), col("b"), col("n"))
+        .unionAll(dPairs.select(col("b").as("a"), col("a").as("b"), col("n")))
+        .groupBy("a", "b").agg(sum(col("n")).as("n"))
+        .localCheckpoint(true) // scanned once per iteration
+      val wTbl = dPairs.select(col("a").as("player"), col("wa").as("w"))
+        .unionAll(dPairs.select(col("b").as("player"), (col("n") - col("wa")).as("w")))
+        .groupBy("player").agg(sum(col("w")).as("w"))
+        .localCheckpoint(true)
+      var r = wTbl.select(col("player"), lit(1000000L).as("p"))
+      for (_ <- 1 to 3) {
+        val t = g.join(r.select(col("player").as("a"), col("p").as("pa")), Seq("a"))
+          .join(r.select(col("player").as("b"), col("p").as("pb")), Seq("b"))
+          .groupBy("a").agg(sum(expr(
+            "CASE WHEN pa + pb > 0 THEN (n * 1000000L) div (pa + pb) ELSE 0L END")).as("t"))
+        r = wTbl.join(t, col("player") === col("a"))
+          .select(col("player"),
+            expr("CASE WHEN t > 0 THEN (w * 1000000L) div t ELSE 0L END").as("p"))
+          .localCheckpoint(true)
+      }
+      r.join(wTbl, "player")
+        .select(col("player"), col("w").as("wins"), col("p").as("rating_fp"))
     }
   )
 }
