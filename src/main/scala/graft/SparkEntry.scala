@@ -14,7 +14,7 @@ object SparkEntry {
       CoverageOps.all ++ ZillowOps.all ++ CorpusOps.all ++ LogsOps.all ++
       ClusterOps.all ++ RetrievalOps.all ++ GraphOps.all ++ AnalyticsOps.all ++
       JourneyOps.all ++ MiningOps.all ++ FeatureOps.all ++ StatsOps.all ++
-      SpatialOps.all
+      SpatialOps.all ++ TrainPrepOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

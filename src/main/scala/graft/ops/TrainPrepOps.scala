@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Ann
+
+/** Training-run data-preparation tranche: the operators that turn a raw
+  * interaction/document corpus into RLHF / SFT training batches —
+  * preference-pair construction (DPO), group-relative advantage
+  * computation (GRPO/RLOO), loss-mask span layout for multi-turn SFT
+  * transcripts, and semantic (embedding-level) decontamination of the
+  * training split against a held-out eval set.
+  *
+  * Exactness: rewards are fixed-point-quantized (×100, floor+0.5) before
+  * any comparison or arithmetic, so argmax/argmin/margins/advantages are
+  * pure BIGINT and partial-aggregation order cannot perturb them; span
+  * offsets are integer character arithmetic; the decontamination cosine
+  * uses the one double-precision op shape both engines evaluate
+  * bit-identically (the q_dedup_embed_groundtruth device) and outputs
+  * ids + integer hit counts only.
+  *
+  * Scale shapes (100 TB): DPO/GRPO are one shuffle on the prompt key with
+  * struct-max / unordered-frame window aggregation — no sorts beyond the
+  * per-prompt window; SFT span layout is the per-conversation ordered
+  * window every sessionization query already pays; decontamination
+  * broadcasts the EVAL side (eval sets are thousands of vectors even when
+  * the corpus is 100 TB) so the training corpus streams exactly once with
+  * no shuffle at all.
+  */
+object TrainPrepOps {
+
+  private def events(s: SparkSession, d: String) = Tables(s, d, "events")
+
+  /** Reward in exact ×100 fixed point (events.value has 2 decimals). */
+  private def rfp(c: Column): Column =
+    floor(c.cast("double") * 100d + lit(0.5d)).cast("long")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- DPO preference-pair construction ---------------------------------
+    // Each user_id is a prompt; its events are sampled completions with
+    // reward = value. Build (chosen, rejected) = (argmax, argmin) reward
+    // with deterministic tie-breaks (lowest event_id wins on equal
+    // reward), keep only prompts with a STRICT preference (margin > 0 —
+    // an all-tied group teaches nothing). Implementation is a single
+    // groupBy with two struct-extremum aggregates — no window sort, no
+    // self-join: one shuffle on the prompt key, then prompt-count-sized
+    // output. The struct trick: max(struct(v, -event_id)) orders by
+    // reward first and breaks ties toward the SMALLEST id (negated), and
+    // min(struct(v, event_id)) does the mirror for rejected.
+    Q("q_dpo_pairs",
+      """WITH f AS (SELECT user_id, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (SELECT user_id, event_id, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY v DESC, event_id) AS rc,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY v ASC, event_id) AS rr
+        |  FROM f)
+        |SELECT user_id AS prompt_id,
+        |  max(CASE WHEN rc = 1 THEN event_id END) AS chosen_event,
+        |  max(CASE WHEN rr = 1 THEN event_id END) AS rejected_event,
+        |  max(CASE WHEN rc = 1 THEN v END)
+        |    - max(CASE WHEN rr = 1 THEN v END) AS margin_fp
+        |FROM r GROUP BY user_id
+        |HAVING count(*) >= 2
+        |  AND max(CASE WHEN rc = 1 THEN v END)
+        |    > max(CASE WHEN rr = 1 THEN v END)""".stripMargin) { (s, d) =>
+      events(s, d)
+        .select(col("user_id"), col("event_id"), rfp(col("value")).as("v"))
+        .groupBy(col("user_id").as("prompt_id"))
+        .agg(
+          max(struct(col("v"), (-col("event_id")).as("nid"))).as("c"),
+          min(struct(col("v"), col("event_id"))).as("j"),
+          count(lit(1)).as("n"))
+        .filter(col("n") >= 2 && col("c.v") > col("j.v"))
+        .select(col("prompt_id"),
+          (-col("c.nid")).as("chosen_event"),
+          col("j.event_id").as("rejected_event"),
+          (col("c.v") - col("j.v")).as("margin_fp"))
+    },
+
+    // ---- GRPO group-relative advantage ------------------------------------
+    // Per prompt group (user_id), each completion's advantage relative to
+    // the group mean — kept exact by scaling by the group size:
+    // adv_scaled = n·v − Σv (BIGINT), i.e. n × (v − mean). Also the
+    // group-relative rank (RLOO-style best-of-n analysis). One shuffle on
+    // the prompt key; the mean terms come from an UNORDERED window frame
+    // (no sort), the rank from the per-prompt ordered frame.
+    Q("q_grpo_advantage",
+      """WITH f AS (SELECT user_id, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events)
+        |SELECT user_id AS prompt_id, event_id,
+        |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS group_n,
+        |  CAST(count(*) OVER (PARTITION BY user_id) * v
+        |    - sum(v) OVER (PARTITION BY user_id) AS BIGINT) AS adv_scaled,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY v DESC, event_id) AS BIGINT) AS group_rank
+        |FROM f""".stripMargin) { (s, d) =>
+      val g = Window.partitionBy("user_id")
+      val o = Window.partitionBy("user_id").orderBy(col("v").desc, col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), rfp(col("value")).as("v"))
+        .select(col("user_id").as("prompt_id"), col("event_id"),
+          count(lit(1)).over(g).as("group_n"),
+          (count(lit(1)).over(g) * col("v") - sum(col("v")).over(g))
+            .cast("long").as("adv_scaled"),
+          row_number().over(o).cast("long").as("group_rank"))
+    },
+
+    // ---- SFT transcript loss-mask layout ----------------------------------
+    // Each user_id is a multi-turn conversation, events ordered by
+    // (ts, event_id) are its turns, and a turn's rendered text is
+    // "<event_type> <props>" joined by single "\n" separators. Emit the
+    // character span [start_char, end_char) of every turn in the packed
+    // transcript plus is_target — the loss mask trains only on
+    // "assistant" turns (purchase/error here; the role map is the
+    // caller's). All integer arithmetic: cumulative turn lengths via the
+    // same per-conversation ordered window SFT packing already pays; at
+    // 100 TB this is one shuffle on the conversation key.
+    Q("q_sft_mask",
+      """WITH t AS (SELECT user_id, event_id, ts,
+        |    CAST(length(event_type) + 1 + length(props) AS BIGINT) AS tlen,
+        |    event_type IN ('purchase', 'error') AS is_target
+        |  FROM events),
+        |w AS (SELECT user_id, event_id, tlen, is_target,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS turn_idx,
+        |    CAST(coalesce(sum(tlen) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS prev_len
+        |  FROM t)
+        |SELECT user_id AS conv_id, event_id, turn_idx,
+        |  prev_len + (turn_idx - 1) AS start_char,
+        |  prev_len + (turn_idx - 1) + tlen AS end_char,
+        |  is_target
+        |FROM w""".stripMargin) { (s, d) =>
+      val o = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val prev = o.rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          (length(col("event_type")) + 1 + length(col("props")))
+            .cast("long").as("tlen"),
+          col("event_type").isin("purchase", "error").as("is_target"))
+        .select(col("user_id").as("conv_id"), col("event_id"),
+          row_number().over(o).cast("long").as("turn_idx"),
+          coalesce(sum(col("tlen")).over(prev), lit(0L)).as("prev_len"),
+          col("tlen"), col("is_target"))
+        .select(col("conv_id"), col("event_id"), col("turn_idx"),
+          (col("prev_len") + col("turn_idx") - 1).as("start_char"),
+          (col("prev_len") + col("turn_idx") - 1 + col("tlen")).as("end_char"),
+          col("is_target"))
+    },
+
+    // ---- semantic decontamination vs a held-out eval set ------------------
+    // n-gram decontamination (q_decontaminate) misses paraphrases; the
+    // embedding pass flags every TRAINING vector whose cosine to ANY eval
+    // vector clears the threshold. The eval split (vec_id ≡ 0 mod 10
+    // here) is broadcast — eval sets stay small no matter how big the
+    // corpus is, so the training side streams once with ZERO shuffle and
+    // the per-row work is |eval| codegen'd dot products. Output is ids +
+    // an integer hit count (float-robust); the cosine is the same
+    // double-precision op shape both engines run bit-identically.
+    Q("q_decontaminate_embed",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT t.vec_id AS train_id, CAST(count(*) AS BIGINT) AS n_eval_hits
+        |FROM e t, e q
+        |WHERE t.vec_id % 10 <> 0 AND q.vec_id % 10 = 0
+        |  AND list_sum(list_transform(generate_series(1, len(t.v)), i -> t.v[i]*q.v[i]))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, len(t.v)), i -> t.v[i]*t.v[i])))
+        |     * sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i]*q.v[i]))))
+        |    >= 0.4
+        |GROUP BY t.vec_id""".stripMargin) { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      val eval = broadcast(
+        e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("q_vec")))
+      e.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("train_id"), col("embedding").as("t_vec"))
+        .crossJoin(eval)
+        .filter(Ann.cosine(col("t_vec"), col("q_vec")) >= 0.4)
+        .groupBy("train_id")
+        .agg(count(lit(1)).as("n_eval_hits"))
+    })
+}

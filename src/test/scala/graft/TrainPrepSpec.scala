@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TrainPrepOps
+
+/** Property checks for the training-prep tranche against brute-force
+  * in-memory references, independent of the DuckDB oracle: preference
+  * pairs, group advantages, and loss-mask spans are each recomputed
+  * naively on the driver and compared row-for-row. */
+class TrainPrepSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def byName(n: String) = TrainPrepOps.all.find(_.name == n).get.fn
+
+  private case class Ev(user: Long, id: Long, v: Long)
+
+  private def evs(): Seq[Ev] = {
+    import spark.implicits._
+    graft.ops.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      .as[(Long, Long, Long)].collect().toSeq.map((Ev.apply _).tupled)
+  }
+
+  test("q_dpo_pairs equals brute-force argmax/argmin with tie-breaks") {
+    val got = byName("q_dpo_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = evs().groupBy(_.user).flatMap { case (u, es) =>
+      if (es.size < 2) None
+      else {
+        val chosen = es.minBy(e => (-e.v, e.id))
+        val rejected = es.minBy(e => (e.v, e.id))
+        if (chosen.v > rejected.v)
+          Some((u, chosen.id, rejected.id, chosen.v - rejected.v))
+        else None
+      }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("q_grpo_advantage: advantages sum to zero per group, ranks are a permutation") {
+    val rows = byName("q_grpo_advantage")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byGroup = rows.groupBy(_._1)
+    val ref = evs().groupBy(_.user)
+    assert(byGroup.keySet == ref.keySet)
+    byGroup.foreach { case (u, rs) =>
+      val es = ref(u)
+      assert(rs.forall(_._3 == es.size))           // group_n
+      assert(rs.map(_._4).sum == 0L)               // Σ(n·v − Σv) = 0
+      assert(rs.map(_._5).sorted.toSeq == (1L to es.size).toSeq) // ranks
+      // spot-check one advantage value exactly
+      val sv = es.map(_.v).sum
+      val byId = es.map(e => e.id -> e.v).toMap
+      rs.foreach { case (_, id, n, adv, _) =>
+        assert(adv == n * byId(id) - sv)
+      }
+    }
+  }
+
+  test("q_sft_mask spans tile the packed transcript exactly") {
+    import spark.implicits._
+    val rows = byName("q_sft_mask")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    val turns = graft.ops.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        concat(col("event_type"), lit(" "), col("props")).as("txt"),
+        col("event_type").isin("purchase", "error").as("tgt"))
+      .as[(Long, Long, java.sql.Timestamp, String, Boolean)].collect()
+    val byConv = turns.groupBy(_._1)
+    val gotByConv = rows.groupBy(_._1)
+    assert(byConv.keySet == gotByConv.keySet)
+    byConv.foreach { case (u, ts) =>
+      val ordered = ts.sortBy(t => (t._3.getTime, t._2))
+      val transcript = ordered.map(_._4).mkString("\n")
+      val got = gotByConv(u).sortBy(_._3)
+      assert(got.length == ordered.length)
+      got.zip(ordered).zipWithIndex.foreach { case (((_, eid, idx, s0, e0, tgt), t), i) =>
+        assert(eid == t._2 && idx == i + 1 && tgt == t._5)
+        // the span slices exactly this turn's text out of the transcript
+        assert(transcript.substring(s0.toInt, e0.toInt) == t._4)
+      }
+      // spans + separators tile the transcript with no gaps or overlaps
+      assert(got.last._5 == transcript.length)
+    }
+  }
+
+  test("q_decontaminate_embed equals brute-force eval-set max-cosine flagging") {
+    import spark.implicits._
+    val got = byName("q_decontaminate_embed")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val vecs = graft.ops.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      // mirror CosineSim: float inputs, double accumulation in index order
+      val af = a.map(_.toFloat.toDouble); val bf = b.map(_.toFloat.toDouble)
+      val dot = af.zip(bf).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(af.map(x => x * x).sum) * math.sqrt(bf.map(x => x * x).sum))
+    }
+    val eval = vecs.filter(_._1 % 10 == 0)
+    val want = vecs.filter(_._1 % 10 != 0).flatMap { case (id, v) =>
+      val hits = eval.count { case (_, q) => cos(v, q) >= 0.4 }
+      if (hits > 0) Some(id -> hits.toLong) else None
+    }.toMap
+    assert(got == want)
+  }
+}
