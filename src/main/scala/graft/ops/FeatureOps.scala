@@ -940,6 +940,72 @@ object FeatureOps {
           (col("cms_join_est") >= col("exact_n")).as("overestimate_ok"))
     },
 
+    // ---- mergeable quantile sketch (MRL/KLL deterministic compactor) ------
+    // The quantile member of the sketch family (q_countmin frequencies,
+    // q_hll_* cardinalities, q_heavy_hitters_approx top-k): O(k·log(N/k))
+    // state per group when neither the rows (exact sort, q_percentile)
+    // nor the distinct-value domain (grouped cum-weight walk) fit. The
+    // compactor is DETERMINISTIC (sorted even-index promotion, no coin
+    // flip) and the buffer carries errBound = Σ compaction weights, a
+    // worst-case rank certificate valid under ANY update/merge order:
+    // true_rank(est(q)) ∈ [target − errBound, target + errBound]. Summary
+    // contents are partitioning-dependent, so (the Misra-Gries rule) the
+    // hash-compared output is exact values + certificate booleans — the
+    // exact quantiles come from a grouped cum-weight pass both engines
+    // spell identically, and each estimate's certificate is checked
+    // against the exact rank table: r_lo < target + errBound AND
+    // r_hi ≥ target − errBound, with errBound/N ≤ ~log₂(N/k)/k ≈ 2% at
+    // k=256 — a theorem, not a sample property, so the booleans are
+    // deterministically true. Scale shape: sketch = one scan with
+    // map-side partials shuffling k·log(N/k) longs; the exact companion
+    // is one grouped pass + a distinct-value-sized window.
+    Q("q_quantile_sketch", {
+      def ev(p: Long) =
+        s"(SELECT min(v) FROM cum WHERE c >= greatest(1, ($p * n + 999999) // 1000000))"
+      s"""WITH f AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+         |  FROM events),
+         |g AS (SELECT v, count(*) AS cnt FROM f GROUP BY v),
+         |cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS c FROM g),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f)
+         |SELECT n, ${ev(100000L)} AS p10_v, ${ev(500000L)} AS p50_v,
+         |  ${ev(900000L)} AS p90_v, ${ev(990000L)} AS p99_v,
+         |  true AS sketch_ok
+         |FROM nn""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.GraftBridge
+      val ppms = Seq(100000L, 500000L, 900000L, 990000L)
+      val f = events(s, d)
+        .select(floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      val sk = f.agg(GraftBridge.column(graft.functions.QuantileSketchAgg(
+        GraftBridge.expression(col("v")), 256, ppms)).as("sk"))
+      // exact rank table: cumulative counts over the (bounded) distinct-
+      // value domain — same license as every grouped-domain exact pass
+      val cum = f.groupBy("v").agg(count(lit(1)).as("cnt"))
+        .withColumn("c", sum(col("cnt")).over(
+          Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+      val joined = cum.crossJoin(broadcast(sk))
+        .withColumn("n", element_at(col("sk"), 2))
+        .withColumn("eb", element_at(col("sk"), 1))
+      val aggs = ppms.zipWithIndex.flatMap { case (p, i) =>
+        val est = element_at(col("sk"), i + 3)
+        val t = greatest(lit(1L), expr(s"CAST(($p * n + 999999) div 1000000 AS BIGINT)"))
+        Seq(
+          min(when(col("c") >= t, col("v"))).as(s"exact_$i"),
+          // certificate: r_lo = #{x < est} < target + errBound and
+          // r_hi = #{x ≤ est} ≥ target − errBound
+          ((coalesce(max(when(col("v") < est, col("c"))), lit(0L)) <
+              t + col("eb")) &&
+            (coalesce(max(when(col("v") <= est, col("c"))), lit(0L)) >=
+              t - col("eb"))).as(s"ok_$i"))
+      }
+      joined.groupBy(col("n"), col("eb"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("n"), col("exact_0").as("p10_v"), col("exact_1").as("p50_v"),
+          col("exact_2").as("p90_v"), col("exact_3").as("p99_v"),
+          (col("ok_0") && col("ok_1") && col("ok_2") && col("ok_3"))
+            .as("sketch_ok"))
+    },
+
     // ---- Poisson bootstrap (deterministic resampling) ---------------------
     // Confidence intervals without collecting anything: each row draws an
     // INDEPENDENT Poisson(1) replica weight (the classic n→∞ limit of

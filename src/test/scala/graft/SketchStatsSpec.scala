@@ -966,4 +966,70 @@ class SketchStatsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(streaming === batch)
   }
+
+  // ---- mergeable quantile sketch: worst-case certificate under any order --
+
+  test("QSketchBuffer: rank certificate holds under random merge trees and orders") {
+    import graft.functions.QSketchBuffer
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 5) {
+      // adversarial-ish inputs: duplicates, skew, sorted and shuffled runs
+      val n = 5000 + trial * 3000
+      val data: Array[Long] = trial match {
+        case 0 => Array.tabulate(n)(i => i.toLong)                 // sorted
+        case 1 => Array.tabulate(n)(i => (n - i).toLong)           // reverse
+        case 2 => Array.fill(n)(rnd.nextInt(50).toLong)            // heavy dup
+        case 3 => Array.fill(n)((rnd.nextGaussian() * 1e6).toLong) // spread
+        case _ => Array.fill(n)(math.abs(rnd.nextLong()) % 997)    // mod skew
+      }
+      // random partitioning into 1..24 chunks, merged in a random tree order
+      val chunks = data.grouped(1 + rnd.nextInt(data.length / 8 + 1)).toArray
+      val bufs = scala.collection.mutable.ArrayBuffer(chunks.map { c =>
+        val b = new QSketchBuffer(128)
+        c.foreach(b.add)
+        b
+      }: _*)
+      while (bufs.length > 1) {
+        val i = rnd.nextInt(bufs.length)
+        val a = bufs.remove(i)
+        val j = rnd.nextInt(bufs.length)
+        bufs(j).mergeWith(a)
+      }
+      val sk = bufs.head
+      assert(sk.total == data.length.toLong)
+      val sorted = data.sorted
+      for (ppm <- Seq(0L, 100000L, 250000L, 500000L, 900000L, 990000L, 1000000L)) {
+        val est = sk.estimate(ppm)
+        val target = math.max(1L, (ppm * sk.total + 999999L) / 1000000L)
+        val rLo = sorted.count(_ < est).toLong  // #{x < est}
+        val rHi = sorted.count(_ <= est).toLong // #{x ≤ est}
+        assert(rLo < target + sk.errBound,
+          s"trial=$trial ppm=$ppm est=$est rLo=$rLo target=$target eb=${sk.errBound}")
+        assert(rHi >= target - sk.errBound,
+          s"trial=$trial ppm=$ppm est=$est rHi=$rHi target=$target eb=${sk.errBound}")
+      }
+      // the certificate is useful, not vacuous: errBound ≪ N
+      assert(sk.errBound.toDouble / sk.total < 0.15,
+        s"errBound=${sk.errBound} total=${sk.total}")
+    }
+  }
+
+  test("q_quantile_sketch: exact quantiles match a driver-side sort, gate true") {
+    val rows = q("q_quantile_sketch")
+    assert(rows.length == 1)
+    val r = rows.head
+    val vals = graft.ops.Tables(spark, sf, "events")
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      .collect().map(_.getLong(0)).sorted
+    def exact(ppm: Long): Long = {
+      val target = math.max(1L, (ppm * vals.length + 999999L) / 1000000L)
+      vals(target.toInt - 1)
+    }
+    assert(r.getLong(0) == vals.length.toLong)
+    assert(r.getLong(1) == exact(100000L))
+    assert(r.getLong(2) == exact(500000L))
+    assert(r.getLong(3) == exact(900000L))
+    assert(r.getLong(4) == exact(990000L))
+    assert(r.getBoolean(5))
+  }
 }
