@@ -155,6 +155,84 @@ object TrainPrepOps {
           col("is_target"))
     },
 
+    // ---- RL reward-to-go (undiscounted returns per trajectory) ------------
+    // Each user_id is a trajectory, events ordered by (ts, event_id) its
+    // steps, value the per-step reward. The return G_t = Σ_{t'≥t} r_t'
+    // is the suffix sum every policy-gradient / decision-transformer
+    // data pipeline attaches to each step — one per-trajectory ordered
+    // window (ROWS CURRENT→UNBOUNDED FOLLOWING), exact in fixed point.
+    // One shuffle on the trajectory key at any scale.
+    Q("q_reward_to_go",
+      """WITH f AS (SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events)
+        |SELECT user_id AS traj_id, event_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS BIGINT) AS step_idx,
+        |  CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |    AS rtg_fp
+        |FROM f""".stripMargin) { (s, d) =>
+      val o = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val suffix = o.rowsBetween(0, Window.unboundedFollowing)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          rfp(col("value")).as("v"))
+        .select(col("user_id").as("traj_id"), col("event_id"),
+          row_number().over(o).cast("long").as("step_idx"),
+          sum(col("v")).over(suffix).cast("long").as("rtg_fp"))
+    },
+
+    // ---- T5-style span-corruption layout ----------------------------------
+    // Denoising-objective prep: each document's tokens draw a
+    // deterministic 15% corruption mask from the md5-ppm device (so the
+    // "randomness" is replayable on any engine and any partitioning),
+    // and runs of consecutive masked tokens merge into sentinel spans
+    // via gaps-and-islands (island = tok_idx − row_number over masked
+    // tokens). Output one row per span: (doc_id, span_id, start_tok,
+    // end_tok, n_tok) — what the batch builder turns into
+    // <extra_id_k> sentinels. Per-document windows only: one shuffle on
+    // doc_id no matter the corpus size.
+    Q("q_span_corruption", {
+      val h = "md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))"
+      val u = Tables.hexUniform(h, 100)
+      s"""WITH t AS (SELECT doc_id, i
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |    unnest(generate_series(1, len(toks))) AS g(i)
+         |  WHERE toks[i] <> ''),
+         |m AS (SELECT doc_id, i FROM t WHERE $u < 15),
+         |isl AS (SELECT doc_id, i,
+         |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         |  FROM m)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY min(i))
+         |    AS BIGINT) AS span_id,
+         |  CAST(min(i) AS BIGINT) AS start_tok,
+         |  CAST(max(i) AS BIGINT) AS end_tok,
+         |  CAST(count(*) AS BIGINT) AS n_tok
+         |FROM isl GROUP BY doc_id, grp""".stripMargin
+    }) { (s, d) =>
+      val h = "md5(CAST(doc_id AS STRING) || ':' || CAST(i AS STRING))"
+      val u = expr(Tables.hexUniform(h, 100))
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .filter(col("col") =!= "")
+        .select(col("doc_id"), (col("pos") + 1).as("i"))
+      val masked = toks.filter(u < 15)
+      val byDoc = Window.partitionBy("doc_id").orderBy("i")
+      val spans = masked
+        .withColumn("grp", col("i") - row_number().over(byDoc))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("i")).cast("long").as("start_tok"),
+          max(col("i")).cast("long").as("end_tok"),
+          count(lit(1)).as("n_tok"))
+      spans
+        .withColumn("span_id", row_number().over(
+          Window.partitionBy("doc_id").orderBy("start_tok")).cast("long"))
+        .select(col("doc_id"), col("span_id"), col("start_tok"),
+          col("end_tok"), col("n_tok"))
+    },
+
     // ---- semantic decontamination vs a held-out eval set ------------------
     // n-gram decontamination (q_decontaminate) misses paraphrases; the
     // embedding pass flags every TRAINING vector whose cosine to ANY eval

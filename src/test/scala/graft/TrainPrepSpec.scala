@@ -101,6 +101,52 @@ class TrainPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("q_reward_to_go equals brute-force suffix sums") {
+    import spark.implicits._
+    val got = byName("q_reward_to_go")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    val turns = graft.ops.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      .as[(Long, Long, java.sql.Timestamp, Long)].collect()
+    val want = turns.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ordered = es.sortBy(e => (e._3.getTime, e._2))
+      val suffix = ordered.scanRight(0L)(_._4 + _).init
+      ordered.zipWithIndex.map { case (e, i) => (u, e._2, i + 1L, suffix(i)) }
+    }.toSet
+    assert(got.toSet == want)
+  }
+
+  test("q_span_corruption spans are exactly the maximal masked runs") {
+    import spark.implicits._
+    val got = byName("q_span_corruption")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def uniform(docId: Long, i: Int): Int = {
+      val h = md.digest(s"$docId:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      h.take(6).foldLeft(0L)((a, c) =>
+        a * 16 + "0123456789abcdef".indexOf(c)).toInt % 100
+    }
+    val want = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val masked = toks.indices
+        .filter(j => toks(j).nonEmpty && uniform(id, j + 1) < 15)
+        .map(_ + 1)
+      // maximal runs of consecutive indices
+      val runs = masked.foldLeft(List.empty[(Int, Int)]) {
+        case ((s0, e0) :: rest, i) if i == e0 + 1 => (s0, i) :: rest
+        case (acc, i) => (i, i) :: acc
+      }.reverse
+      runs.zipWithIndex.map { case ((s0, e0), k) =>
+        (id, k + 1L, s0.toLong, e0.toLong, (e0 - s0 + 1).toLong)
+      }
+    }.toSet
+    assert(got.toSet == want)
+  }
+
   test("q_decontaminate_embed equals brute-force eval-set max-cosine flagging") {
     import spark.implicits._
     val got = byName("q_decontaminate_embed")(spark, dir)
