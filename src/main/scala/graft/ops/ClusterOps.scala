@@ -52,6 +52,53 @@ object ClusterOps {
 
   val all: Seq[Q] = Seq(
 
+    // ---- Achlioptas ±1 random projection (JL dimensionality reduction) ----
+    // 64-dim embeddings → 16 dims through a dense ±1 sign matrix drawn
+    // from the md5-ppm device (sign(i,j) = 1 − 2·(hexUniform(md5('jl' i
+    // ':' j)) mod 2)) — Achlioptas 2003's database-friendly JL
+    // transform, exactly replayable on any engine because the
+    // "randomness" is a hash. The Spark side materializes the sign
+    // matrix ONCE on the driver (16 array literals — deterministic, no
+    // per-row md5) and each output dim is one zip_with·aggregate over
+    // the fixed-point vector: all-BIGINT arithmetic, map-only, no
+    // shuffle at all; the oracle recomputes every sign in SQL. Long
+    // (vec_id, out_dim, proj_fp) output. At 100 TB this is the cheap
+    // prefilter before ANN/clustering — 4× fewer bytes per vector with
+    // JL-bounded distance distortion (SketchStatsSpec checks the
+    // pairwise-distance ratios empirically).
+    Q("q_embed_rproject", {
+      val sign =
+        s"(1 - 2 * (${Tables.hexUniform("md5('jl' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR))", 2)}))"
+      s"""WITH x AS (SELECT vec_id, ${Tables.fpVecDuck} AS vf
+         |  FROM embeddings),
+         |p AS (SELECT vec_id, j,
+         |    CAST(list_sum(list_transform(generate_series(1, len(vf)),
+         |      i -> vf[i] * $sign)) AS BIGINT) AS proj_fp
+         |  FROM x, unnest(generate_series(1, 16)) g(j))
+         |SELECT vec_id, CAST(j AS BIGINT) AS out_dim, proj_fp FROM p"""
+        .stripMargin
+    }) { (s, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hexU2(msg: String): Int = {
+        val h = md.digest(msg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (h.take(6).foldLeft(0L)((a, c) =>
+          a * 16 + "0123456789abcdef".indexOf(c)) % 2).toInt
+      }
+      val dim = 64
+      val x = Tables(s, d, "embeddings")
+        .select(col("vec_id"), expr(Tables.fpVecSpark).as("vf"))
+      val projCols = (1 to 16).map { j =>
+        val signs = array((1 to dim).map(i =>
+          lit((1 - 2 * hexU2(s"jl$i:$j")).toLong)): _*)
+        aggregate(zip_with(col("vf"), signs, (v, sg) => v * sg),
+          lit(0L), (acc, t) => acc + t).as(s"p$j")
+      }
+      x.select(col("vec_id") +: projCols: _*)
+        .select(col("vec_id"), posexplode(array((1 to 16).map(j => col(s"p$j")): _*)))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("out_dim"),
+          col("col").as("proj_fp"))
+    },
+
     // ---- embedding-table QA audit: norms, zeros, constants, per label -----
     // The ingest gate an embedding pipeline runs before ANY ANN/cluster
     // work: count vectors whose ×10⁴ fixed-point norm² is zero (dead

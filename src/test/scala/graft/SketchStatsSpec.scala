@@ -1014,6 +1014,34 @@ class SketchStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_embed_rproject preserves pairwise distances within JL distortion") {
+    import spark.implicits._
+    val proj = q("q_embed_rproject")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.sortBy(_._2).map(_._3.toDouble).toArray
+      }
+    val orig = graft.ops.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        expr(graft.ops.Tables.fpVecSpark).as("vf"))
+      .as[(Long, Seq[Long])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toArray.sorted.take(40)
+    val ratios = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      od = d2(orig(ids(i)), orig(ids(j))) if od > 0
+    } yield d2(proj(ids(i)), proj(ids(j))) / 16.0 / od
+    // E[(Σᵢ vᵢ·sᵢⱼ)²] = ‖v‖² per output dim, so E[‖Pv‖²] = k‖v‖² with
+    // the raw-sum dims (no 1/√k folded in) — the ratio d²(proj)/k/d²(orig)
+    // centers on 1; individual pairs may wander (16 dims is coarse).
+    val sortedR = ratios.sorted
+    val median = sortedR(sortedR.length / 2)
+    assert(median > 0.6 && median < 1.6, s"median distortion $median")
+    assert(ratios.count(r => r > 0.2 && r < 5.0) > ratios.length * 0.95)
+  }
+
   test("q_quantile_sketch: exact quantiles match a driver-side sort, gate true") {
     val rows = q("q_quantile_sketch")
     assert(rows.length == 1)
