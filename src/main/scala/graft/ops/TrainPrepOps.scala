@@ -37,6 +37,43 @@ object TrainPrepOps {
   private def rfp(c: Column): Column =
     floor(c.cast("double") * 100d + lit(0.5d)).cast("long")
 
+  /** Three-round Feistel permutation slot over a 4^k domain: the id is
+    * split into 2 half-width words on `h` (= 2^k, a column), each round
+    * adds an md5-derived round key of the right half mod h (modular-add
+    * Feistel — a bijection per round, engine-neutral spelling, no XOR
+    * dialect drift) and swaps. `engine` only switches the string-cast
+    * keyword and integer-division spelling; every arithmetic op is
+    * otherwise the identical text both engines evaluate bit-identically
+    * (the hexUniform device, applied to a permutation). */
+  private def feistelSlot(engine: String, id: String, epoch: String): String = {
+    val vc = if (engine == "duck") "VARCHAR" else "STRING"
+    def idiv(a: String, b: String) =
+      if (engine == "duck") s"(($a) // ($b))" else s"(($a) div ($b))"
+    var l = idiv(id, "h")
+    var r = s"(($id) % h)"
+    for (round <- 0 until 3) {
+      val hh = s"md5('ep' || CAST($epoch AS $vc) || ':' || CAST($round AS $vc) || ':' || CAST($r AS $vc))"
+      val f = (1 to 6)
+        .map(i => s"(instr('0123456789abcdef', substr($hh, $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
+        .mkString("((", " + ", ") % h)")
+      val lp = s"((($l) + $f) % h)"
+      l = r
+      r = lp
+    }
+    s"(($l) * h + $r)"
+  }
+
+  /** Half-width 2^k such that ids < 4^k: the explicit comparison chain
+    * both engines evaluate identically (no float log at the power
+    * boundaries). Covers id domains to 4^10 ≈ 1M — the fixture range;
+    * production extends the chain (or computes k driver-side) for
+    * larger id spaces. */
+  private def halfWidthCase(n: String): String =
+    s"""CASE WHEN $n <= 4 THEN 2 WHEN $n <= 16 THEN 4 WHEN $n <= 64 THEN 8
+       | WHEN $n <= 256 THEN 16 WHEN $n <= 1024 THEN 32 WHEN $n <= 4096 THEN 64
+       | WHEN $n <= 16384 THEN 128 WHEN $n <= 65536 THEN 256
+       | WHEN $n <= 262144 THEN 512 ELSE 1024 END""".stripMargin.replace("\n", "")
+
   val all: Seq[Q] = Seq(
 
     // ---- DPO preference-pair construction ---------------------------------
@@ -231,6 +268,37 @@ object TrainPrepOps {
           Window.partitionBy("doc_id").orderBy("start_tok")).cast("long"))
         .select(col("doc_id"), col("span_id"), col("start_tok"),
           col("end_tok"), col("n_tok"))
+    },
+
+    // ---- multi-epoch deterministic shuffle (Feistel permutation) ----------
+    // Epoch shuffling WITHOUT a shuffle: slot = Feistelₑ(doc_id) is a
+    // bijection of the 4^k id domain computed row-locally — no sort, no
+    // exchange, no materialized order anywhere, and every epoch is a
+    // fresh permutation (the epoch is a tweak in the round keys). A
+    // reader streams slots in order and skips the ≤4× empty slots — the
+    // price of permuting 100 TB with zero data movement (q_shard_shuffle
+    // is the sort-based alternative when slot compaction matters). The
+    // permutation is replayable on any engine: modular-add Feistel
+    // rounds keyed by the md5-ppm device. TrainPrepSpec proves
+    // bijectivity (n distinct slots per epoch, all < h²).
+    Q("q_epoch_shuffle", {
+      val slot = feistelSlot("duck", "doc_id", "epoch")
+      s"""WITH nn AS (SELECT ${halfWidthCase("max(doc_id) + 1")} AS h
+         |  FROM documents),
+         |de AS (SELECT doc_id, epoch, h
+         |  FROM documents CROSS JOIN (VALUES (0), (1), (2)) t(epoch)
+         |  CROSS JOIN nn)
+         |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+         |  CAST($slot AS BIGINT) AS slot
+         |FROM de""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables(s, d, "documents").select(col("doc_id"))
+      val hRow = broadcast(
+        docs.agg(expr(halfWidthCase("max(doc_id) + 1")).as("h")))
+      docs.crossJoin(hRow)
+        .withColumn("epoch", explode(array(lit(0), lit(1), lit(2))))
+        .select(col("doc_id"), col("epoch").cast("long").as("epoch"),
+          expr(feistelSlot("spark", "doc_id", "epoch")).cast("long").as("slot"))
     },
 
     // ---- semantic decontamination vs a held-out eval set ------------------

@@ -147,6 +147,32 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(got.toSet == want)
   }
 
+  test("q_epoch_shuffle is a per-epoch bijection and epochs decorrelate") {
+    import spark.implicits._
+    val rows = byName("q_epoch_shuffle")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val ids = graft.ops.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long].collect().toSet
+    val h = { // the same half-width rule the query uses
+      val n = ids.max + 1
+      Seq(4L -> 2L, 16L -> 4L, 64L -> 8L, 256L -> 16L, 1024L -> 32L,
+        4096L -> 64L).collectFirst { case (lim, hw) if n <= lim => hw }
+        .getOrElse(1024L)
+    }
+    val byEpoch = rows.groupBy(_._2)
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    byEpoch.foreach { case (_, rs) =>
+      assert(rs.map(_._1).toSet == ids)             // every doc placed
+      assert(rs.map(_._3).distinct.length == rs.length) // injective
+      assert(rs.forall(r => r._3 >= 0 && r._3 < h * h)) // into the domain
+    }
+    // different epochs actually permute differently (≥90% of docs move)
+    val e0 = byEpoch(0L).map(r => r._1 -> r._3).toMap
+    val e1 = byEpoch(1L).map(r => r._1 -> r._3).toMap
+    val moved = ids.count(id => e0(id) != e1(id))
+    assert(moved > ids.size * 9 / 10, s"only $moved of ${ids.size} moved")
+  }
+
   test("q_decontaminate_embed equals brute-force eval-set max-cosine flagging") {
     import spark.implicits._
     val got = byName("q_decontaminate_embed")(spark, dir)
