@@ -222,6 +222,58 @@ object RetrievalOps {
       Dedup.removeSharedSpans(documents(s, d), "doc_id", "text", k = 8)
     },
 
+    // ---- cross-source contamination matrix (corpus provenance forensics) --
+    // Which sources copy from which: for every source pair, the count of
+    // word-8-grams present in BOTH sources' distinct gram sets, and the
+    // overlap as ppm of the smaller set (the containment normalization —
+    // a small feed fully scraped by a big aggregator shows ~1e6 here but
+    // a tiny Jaccard). Shape: one distinct (source, gram-hash) pass via
+    // the native shingle kernel, then a gram-keyed self-join whose
+    // per-gram work is bounded by S² (a gram appears in at most S
+    // sources — the hot-key ceiling is the source count, not the corpus)
+    // and a source-pair-sized rollup; zero-overlap pairs come back via a
+    // tiny totals×totals cross so the matrix is complete and
+    // deterministic. Grams never leave the hash domain (16-byte keys,
+    // the Dedup rule).
+    Q("q_contamination_matrix",
+      s"""WITH t AS (SELECT source, $oToks AS toks FROM documents),
+         |g AS (SELECT DISTINCT source,
+         |    md5(array_to_string(toks[i:i+7], ' ')) AS g
+         |  FROM t, unnest(CASE WHEN len(toks) >= 8
+         |    THEN generate_series(1, len(toks) - 7) ELSE [] END) AS u(i)),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |  FROM g GROUP BY source),
+         |p AS (SELECT a.source AS sa, b.source AS sb,
+         |    CAST(count(*) AS BIGINT) AS ns
+         |  FROM g a JOIN g b USING (g) WHERE a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT ta.source AS src_a, tb.source AS src_b,
+         |  coalesce(ns, 0) AS n_shared, ta.n AS grams_a, tb.n AS grams_b,
+         |  (coalesce(ns, 0) * 1000000) // least(ta.n, tb.n) AS overlap_ppm
+         |FROM tot ta JOIN tot tb ON ta.source < tb.source
+         |LEFT JOIN p ON p.sa = ta.source AND p.sb = tb.source"""
+        .stripMargin) { (s, d) =>
+      val sg = documents(s, d)
+        .select(col("source"),
+          explode(Dedup.shingleHashes(col("text"), 8)).as("g"))
+        .distinct()
+      val tot = sg.groupBy("source").agg(count(lit(1)).as("n"))
+      val pairs = sg.toDF("sa", "g")
+        .join(sg.toDF("sb", "g2"), col("g") === col("g2"))
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("ns"))
+      val ta = broadcast(tot.toDF("src_a", "grams_a"))
+      val tb = broadcast(tot.toDF("src_b", "grams_b"))
+      ta.join(tb, col("src_a") < col("src_b"))
+        .join(pairs, col("src_a") === col("sa") && col("src_b") === col("sb"),
+          "left")
+        .select(col("src_a"), col("src_b"),
+          coalesce(col("ns"), lit(0L)).as("n_shared"),
+          col("grams_a"), col("grams_b"),
+          expr("(coalesce(ns, 0) * 1000000) div least(grams_a, grams_b)")
+            .as("overlap_ppm"))
+    },
+
     // ---- temperature mixture weights (α = 0.5 over char mass) ------------
     // Doc counts are uniform across sources in the fixture, so the mass
     // basis (total chars per source) is what makes the smoothing
