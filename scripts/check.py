@@ -6,7 +6,8 @@ Reads verifyOutDir/oracle_sql.json (written by graft.Verify), runs each SQL
 in DuckDB against the sfDir parquet tables, and exact-compares with the
 parquet results Verify wrote (columns sorted by name, rows sorted).
 
-Writes a correctness record at recordPath (default CORRECTNESS_local_r5.json
+Writes a correctness record at recordPath (default CORRECTNESS_local_<round>.json,
+round from GRAFT_ROUND env (default r7),
 in the cwd) in the DRIVER'S per-query schema:
     {"<query>": {"rows_match": bool, "schema_match": bool,
                  "hash_match": bool, "err": null|str}, ...}
@@ -36,7 +37,8 @@ def frame_hash(df):
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
-    record_path = sys.argv[3] if len(sys.argv) > 3 else "CORRECTNESS_local_r5.json"
+    record_path = sys.argv[3] if len(sys.argv) > 3 else (
+        "CORRECTNESS_local_%s.json" % __import__("os").environ.get("GRAFT_ROUND", "r7"))
 
     def fresh_con():
         # fresh connection per query: a fatal DuckDB error on one oracle

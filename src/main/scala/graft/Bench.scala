@@ -90,6 +90,14 @@ object Bench {
     // filtered iteration runs must not clobber the official artifact
     val benchFile = if (only.isDefined) "bench_partial.json" else "bench.json"
     Files.writeString(Paths.get(benchFile), full + "\n")
+    // Round-stamped repo-root copy of the FULL per-query map (the official
+    // BENCH_rN tail keeps only the compact headline line): auditors and
+    // regression diffs need per-query numbers without git archaeology.
+    val benchRecord = Paths.get(
+      if (only.isDefined) s"${System.getProperty("user.dir")}/bench_partial.json"
+      else s"${System.getProperty("user.dir")}/BENCH_local_${Round.id}.json"
+    ).toAbsolutePath
+    if (only.isEmpty) Files.writeString(benchRecord, full + "\n")
     // Compact stdout line: BASELINE.md's headline workloads only (TPC-H
     // Q1/Q6/Q19, the three golden pipelines, dedup/ANN/stream/csv). MUST
     // stay well under the driver's 2000-char tail; the full map is in
@@ -103,7 +111,7 @@ object Bench {
     val hqs = headline.filter(rmap.contains)
       .map(k => "\"" + k + "\":" + f3(rmap(k))).mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$hqs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$hqs,"sf":"$sfDir","bench_record":"$benchRecord"}"""
     spark.stop()
     // Last line of stdout, after spark.stop() so nothing interleaves
     // (build.sbt showSuccess:=false keeps sbt from printing after us).
