@@ -39,6 +39,35 @@ object Multimodal {
         lit(16000).as("sample_rate"),
         (octet_length(col(textCol)) % 32 + 1).cast("int").as("n_frames")))
 
+  /** ImageIO's DEFAULT stream cache routes every byte-array read/write
+    * through a disk temp file (FileCacheImageInput/OutputStream) — one
+    * create/write/delete per payload, which dominates decode time for
+    * small images and adds disk contention across concurrent queries.
+    * Memory caching is strictly better for in-memory payloads; the flag
+    * is JVM-global and this lazy val pins exactly-once evaluation in
+    * whichever executor JVM touches an image op first. */
+  private[multimodal] lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Decode an in-memory payload, failing loudly on undecodable bytes
+    * (ImageIO signals them with null, not an exception). */
+  private[multimodal] def readImage(payload: Array[Byte],
+      id: => Long): java.awt.image.BufferedImage = {
+    imageIoMemCache
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"payload of id $id is not a decodable image")
+    img
+  }
+
+  /** PNG-encode to bytes through the memory-cached path. */
+  private[multimodal] def encodeImagePng(
+      img: java.awt.image.BufferedImage): Array[Byte] = {
+    imageIoMemCache
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic fixture image: `w`×`h` RGB with pixel(x,y) =
     * (seed + 31x + 17y) mod 2^24, PNG-encoded (lossless, so a decoder
     * must reproduce the exact pixels). */
@@ -54,15 +83,14 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    encodeImagePng(img)
   }
 
   /** REAL header-only image metadata decode via javax.imageio: width and
     * height come from the format header without decoding pixel data —
     * the cheap path for metadata extraction over a 100 TB image corpus. */
   def decodeImageMeta(payload: Array[Byte]): (Int, Int) = {
+    imageIoMemCache
     val in = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
@@ -99,10 +127,7 @@ object Multimodal {
     pre.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-          // ImageIO signals undecodable bytes with null, not an exception
-          require(img != null, s"payload of id ${r.getLong(0)} is not a decodable image")
+          val img = readImage(r.getAs[Array[Byte]](1), r.getLong(0))
           val w = img.getWidth
           val h = img.getHeight
           Row(r.getLong(0), w, h,
@@ -130,20 +155,19 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { r =>
           val id = r.getLong(0)
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-          // ImageIO signals undecodable bytes with null, not an exception
-          require(img != null, s"payload of id $id is not a decodable image")
+          val img = readImage(r.getAs[Array[Byte]](1), id)
           val w = img.getWidth
           val h = img.getHeight
           val sums = new Array[Long](grid * grid)
           val counts = new Array[Long](grid * grid)
+          // bulk fetch: one ColorModel pass instead of per-pixel getRGB
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
               val c = (y * grid / h) * grid + (x * grid / w)
-              sums(c) += (img.getRGB(x, y) & 0xFFFFFF).toLong
+              sums(c) += (px(y * w + x) & 0xFFFFFF).toLong
               counts(c) += 1
               x += 1
             }
@@ -177,9 +201,7 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val id = r.getLong(0)
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-          require(img != null, s"payload of id $id is not a decodable image")
+          val img = readImage(r.getAs[Array[Byte]](1), id)
           val sw = img.getWidth
           val sh = img.getHeight
           val out = new java.awt.image.BufferedImage(
@@ -193,9 +215,7 @@ object Multimodal {
             }
             y += 1
           }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", bos)
-          Row(id, bos.toByteArray)
+          Row(id, encodeImagePng(out))
         }
       }
     }(Encoders.row(outSchema))
@@ -223,9 +243,7 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val id = r.getLong(0)
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-          require(img != null, s"payload of id $id is not a decodable image")
+          val img = readImage(r.getAs[Array[Byte]](1), id)
           require(x0 + cw <= img.getWidth && y0 + ch <= img.getHeight,
             s"crop ($x0,$y0,$cw,$ch) exceeds ${img.getWidth}x${img.getHeight} of id $id")
           val out = new java.awt.image.BufferedImage(
@@ -240,9 +258,7 @@ object Multimodal {
             }
             y += 1
           }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", bos)
-          Row(id, bos.toByteArray)
+          Row(id, encodeImagePng(out))
         }
       }
     }(Encoders.row(outSchema))
@@ -768,11 +784,14 @@ object Multimodal {
     pre.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-          require(img != null, s"payload of id ${r.getLong(0)} is not a decodable image")
+          val img = readImage(r.getAs[Array[Byte]](1), r.getLong(0))
           val w = img.getWidth; val h = img.getHeight
           val gw = 9; val gh = 8
+          // ONE bulk pixel fetch: per-pixel getRGB goes through the
+          // ColorModel dispatch on every call (PNGs decode to 3BYTE_BGR,
+          // not INT_RGB) — the bulk call converts the whole frame in one
+          // pass and the cell loops then read a flat int array.
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           val sums = Array.ofDim[Long](gh, gw)
           val cnts = Array.ofDim[Long](gh, gw)
           var cy = 0
@@ -786,9 +805,10 @@ object Multimodal {
               var s0 = 0L; var n0 = 0L
               var y = y0
               while (y < y1) {
+                val rowOff = y * w
                 var x = x0
                 while (x < x1) {
-                  val rgb = img.getRGB(x, y)
+                  val rgb = px(rowOff + x)
                   // BT.601 luma ×1000 — integer, engine-identical
                   s0 += 299L * ((rgb >> 16) & 0xFF) +
                     587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
