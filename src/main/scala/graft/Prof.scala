@@ -29,54 +29,67 @@ object Prof {
       StructField("value", DoubleType), StructField("props", StringType)))
 
     // stage once (memoized in real Streams)
-    val watch = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/dev/shm"), "prof_in").toString
-    val ev = graft.ops.Tables.events(spark, d)
-      .withColumn("ts", unix_micros(col("ts"))).coalesce(1)
-    ev.write.mode("append").parquet(watch)
     import spark.implicits._
-    Seq((-1L, 4102444800L * 1000000L, -1L, "_g_sentinel", 0.0, null: String))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("append").parquet(watch)
+    def stage(parts: Int): String = {
+      val watch = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), "prof_in").toString
+      val ev = graft.ops.Tables.events(spark, d)
+        .withColumn("ts", unix_micros(col("ts"))).repartition(parts)
+      ev.write.mode("append").parquet(watch)
+      Seq((-1L, 4102444800L * 1000000L, -1L, "_g_sentinel", 0.0, null: String))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(watch)
+      watch
+    }
+    val watches = Map(1 -> stage(1), 8 -> stage(8), 16 -> stage(16))
 
-    for (sp <- Seq(8, 4, 2, 1); i <- 1 to 3) {
+    // config A/B matrix: mode x variant, 3 runs each (first discarded)
+    for (mode <- Seq("filesink", "async", "schemaread", "filesink", "async",
+           "schemaread");
+         i <- 1 to 3) {
+      val watch = watches(8)
       val t0 = System.nanoTime()
       val s = spark.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", sp.toString)
-      println(s"PROF sp=$sp run=$i")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      if (mode == "fsink-noval") {
+        s.conf.set("spark.sql.streaming.stateStore.formatValidation.enabled", "false")
+        s.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+      }
+      if (mode == "async") {
+        s.conf.set("spark.sql.streaming.asyncProgressTrackingEnabled", "true")
+        s.conf.set("spark.sql.streaming.asyncProgressTrackingCheckpointIntervalMs", "0")
+      }
       val root = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("/dev/shm"), "prof_out").toString
-      println(s"PROF#$i session+dir: ${ms(t0)} ms")
 
       var t = System.nanoTime()
       val src = s.readStream.schema(schema).parquet(watch)
         .withColumn("ts", timestamp_micros(col("ts")))
-      val q = src
-        .withWatermark("ts", "0 seconds")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .writeStream
+      val agg = src
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+      val w0 = agg.writeStream
         .outputMode(OutputMode.Append())
-        .format("parquet").option("path", s"$root/data")
         .option("checkpointLocation", s"$root/chk")
-        .start()
-      println(s"PROF#$i start(): ${ms(t)} ms")
+      val q = w0.format("parquet").option("path", s"$root/data").start()
+      val tStart = ms(t)
 
       t = System.nanoTime()
       q.processAllAvailable()
-      println(s"PROF#$i drain: ${ms(t)} ms  batches=${q.recentProgress.length}")
-      q.recentProgress.foreach(p => println(
-        s"PROF#$i   batch ${p.batchId}: rows=${p.numInputRows} " +
-        s"durationMs=${p.durationMs}"))
+      val tDrain = ms(t)
+      val batchInfo = q.recentProgress.map(p =>
+        s"b${p.batchId}:${p.durationMs.get("triggerExecution")}").mkString(" ")
 
       t = System.nanoTime()
       q.stop()
-      println(s"PROF#$i stop(): ${ms(t)} ms")
-
       t = System.nanoTime()
-      val n = spark.read.parquet(s"$root/data")
+      val n = (if (mode == "schemaread")
+          spark.read.schema(agg.schema).parquet(s"$root/data")
+        else spark.read.parquet(s"$root/data"))
         .filter(col("event_type") =!= "_g_sentinel").count()
-      println(s"PROF#$i readback: ${ms(t)} ms rows=$n  total=${ms(t0)} ms")
+      val tRead = ms(t)
+      println(s"PROF mode=$mode run=$i start=$tStart drain=$tDrain [$batchInfo] read=$tRead rows=$n total=${ms(t0)}")
     }
     spark.stop()
   }

@@ -128,7 +128,7 @@ object Streams {
     * in parallel — never race on a session-global mutate. */
   private def runToParquet(spark0: SparkSession, statePartitions: Int,
       rocksDbState: Boolean = false)(
-      build: (SparkSession, String) => org.apache.spark.sql.streaming.DataStreamWriter[_]): DataFrame = {
+      build: (SparkSession, String) => DataFrame): DataFrame = {
     val root = scratchDir("graft_stream_out").toString
     val spark = spark0.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
@@ -146,14 +146,20 @@ object Streams {
     // up-front batch planning and end-of-stream bookkeeping cost more
     // than processAllAvailable()'s poll. Default trigger + explicit
     // drain stays.
-    val q = build(spark, root)
+    // bounded replay: retaining the default 100 checkpoint batches is
+    // pure metadata-churn headroom we never use (2-4 batches per drain)
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    val out = build(spark, root)
+    val q = out.writeStream
       .outputMode(OutputMode.Append())
       .format("parquet").option("path", s"$root/data")
       .option("checkpointLocation", s"$root/chk")
       .start()
     q.processAllAvailable()
     q.stop()
-    spark0.read.parquet(s"$root/data")
+    // readback with the KNOWN schema: skips the listing + footer
+    // schema-inference job on every drained result
+    spark0.read.schema(out.schema).parquet(s"$root/data")
   }
 
   /** Tumbling-window aggregation over the stream: watermark + Append into
@@ -168,7 +174,7 @@ object Streams {
         .groupBy(window(col("ts"), windowDur), col("event_type"))
         .agg(aggs.head._2.as(aggs.head._1),
           aggs.tail.map { case (n, c) => c.as(n) }: _*)
-        .writeStream
+
     }.filter(col("event_type") =!= SentinelType)
 
   /** SLIDING window aggregation over the stream: 1-hour windows sliding
@@ -190,7 +196,7 @@ object Streams {
         .select(col("event_type"),
           unix_micros(col("window.start")).as("win_start"),
           col("n"), col("v_fp"))
-        .writeStream
+
     }.filter(col("event_type") =!= SentinelType)
 
   /** CHAINED streaming window aggregations — two stateful operators in
@@ -208,7 +214,7 @@ object Streams {
     * hour — a value only the chained shape can produce, so the oracle
     * match proves BOTH layers ran. */
   def chainedWindowedAgg(spark: SparkSession, dir: String): DataFrame =
-    runToParquet(spark, statePartitions = 8) { (s, _) =>
+    runToParquet(spark, statePartitions = 2) { (s, _) =>
       stagedEventStream(s, dir)
         .withWatermark("ts", "0 seconds")
         .groupBy(window(col("ts"), "1 minute"), col("event_type"))
@@ -219,7 +225,7 @@ object Streams {
         .select(col("event_type"),
           unix_micros(col("window.start")).as("hour_start"),
           col("n_events"), col("n_minutes"))
-        .writeStream
+
     }.filter(col("event_type") =!= SentinelType)
 
   /** Gap-based SESSION-window aggregation over the stream — the streaming
@@ -243,7 +249,7 @@ object Streams {
           max(unix_micros(col("ts"))).as("session_end"))
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"))
-        .writeStream
+
     }.filter(col("user_id") =!= -1L)
 
   /** Streaming exact dedup under an event-time watermark. The dedup key is
@@ -260,7 +266,7 @@ object Streams {
       stagedEventStream(s, dir, replays)
         .withWatermark("ts", watermark)
         .dropDuplicates(keyCols :+ "ts")
-        .writeStream
+
     }.filter(col("event_type") =!= SentinelType)
 
   /** Watermark-BOUNDED time-agnostic dedup — the scale-correct form of
@@ -281,7 +287,7 @@ object Streams {
       stagedEventStream(s, dir, replays)
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(keyCols)
-        .writeStream
+
     }.filter(col("event_type") =!= SentinelType)
 
   /** Watermarked windowed aggregation with the ROCKSDB state store — the
@@ -299,7 +305,7 @@ object Streams {
         .groupBy(window(col("ts"), windowDur), col("event_type"))
         .agg(aggs.head._2.as(aggs.head._1),
           aggs.tail.map { case (n, c) => c.as(n) }: _*)
-        .writeStream
+
     }.filter(col("event_type") =!= SentinelType)
 
   /** Stream-static join + windowed aggregate: the event stream enriches
@@ -321,7 +327,7 @@ object Streams {
         .groupBy(window(col("ts"), windowDur), col(dimCol))
         .agg(aggs.head._2.as(aggs.head._1),
           aggs.tail.map { case (n, c) => c.as(n) }: _*)
-        .writeStream
+
     }
 
   /** Stream-stream inner join: two event streams join on `event_id`
@@ -352,7 +358,7 @@ object Streams {
              |r_ts >= l_ts - interval $band AND
              |r_ts <= l_ts + interval $band""".stripMargin))
         .select(col("l_id").as("event_id"), col("event_type"), col("value"))
-        .writeStream
+
     }.filter(col("event_id") =!= -1L)
 
   /** Stream-stream LEFT OUTER join: like [[streamStreamJoin]] but
@@ -386,7 +392,7 @@ object Streams {
              |r_ts >= l_ts - interval $band AND
              |r_ts <= l_ts + interval $band""".stripMargin), "left_outer")
         .select(col("l_id").as("event_id"), col("event_type"), col("value"))
-        .writeStream
+
     }.filter(col("event_id") =!= -1L)
 
   /** Stream-stream FULL OUTER join — completes the streaming join family:
@@ -419,7 +425,7 @@ object Streams {
              |r_ts <= l_ts + interval $band""".stripMargin), "full_outer")
         .select(coalesce(col("l_id"), col("r_id")).as("event_id"),
           col("event_type"), col("value"))
-        .writeStream
+
     }.filter(col("event_id") =!= -1L)
 
   /** Streaming UPSERT via foreachBatch — the production pattern for
@@ -454,7 +460,7 @@ object Streams {
             fresh.join(cur.select(keyCols.map(col): _*), keyCols, "left_anti"))
         } else fresh
         val tmp = s"$root/swap"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        merged.coalesce(4).write.mode("overwrite").parquet(tmp)
         // atomic-enough swap for a local dir; a table format's MERGE
         // replaces this block wholesale in production. Files.move throws
         // on failure — renameTo returns false silently (e.g. across
@@ -507,7 +513,7 @@ object Streams {
             }
         }
         .toDF("user_id", "n_events")
-        .writeStream
+
     }
     counts.filter(col("user_id") =!= -1L)
   }
@@ -564,7 +570,7 @@ object Streams {
         .groupByKey(_._1)
         .transformWithState(processor, TimeMode.EventTime(), OutputMode.Append())
         .toDF("user_id", "n_events")
-        .writeStream
+
     }
     counts.filter(col("user_id") =!= -1L)
   }
@@ -626,7 +632,7 @@ object Streams {
           .where(col("_rn") === 1)
           .withColumn("n_ops", col("_n")).drop("_rn", "_n")
         val tmp = s"$root/swap"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        merged.coalesce(4).write.mode("overwrite").parquet(tmp)
         val old = new java.io.File(s"$root/old")
         if (tblDir.exists()) Files.move(tblDir.toPath, old.toPath)
         Files.move(new java.io.File(tmp).toPath, tblDir.toPath)
@@ -691,7 +697,7 @@ object Streams {
           (if (tblDir.exists()) s.read.parquet(tbl).unionByName(fresh) else fresh)
             .groupBy("content_hash").agg(min(col("doc_id")).as("doc_id"))
         val tmp = s"$root/swap"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        merged.coalesce(4).write.mode("overwrite").parquet(tmp)
         val old = new java.io.File(s"$root/old")
         if (tblDir.exists()) Files.move(tblDir.toPath, old.toPath)
         Files.move(new java.io.File(tmp).toPath, tblDir.toPath)
