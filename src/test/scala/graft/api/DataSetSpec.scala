@@ -359,6 +359,32 @@ class DataSetSpec extends AnyFunSuite {
     assert(ctx.csv(s"$dir/out/part-*.csv", header = Some(false)).count() == 2000)
   }
 
+  test("toorc byte-based part sizing lands parts within the documented bound") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_osz").toString
+    // Documented contract (DataSet.toorc): the textual row estimate is an
+    // UPPER bound for a compressed columnar sink — every part lands AT OR
+    // UNDER target (+ a fixed allowance for the ORC footer/postscript,
+    // which the textual estimate cannot see). Incompressible-ish payloads
+    // (md5 hex of the row id) keep the compression ratio near 1 so the
+    // test is meaningful, not trivially satisfied by a 100:1 squeeze.
+    val target = 64 * 1024L
+    val footerAllowance = 4 * 1024L
+    val rows = (1 to 4000).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map(b => f"$b%02x").mkString
+      (i.toLong, h * 3) // ~96 chars of hex payload per row
+    }
+    ctx.parallelize(rows, Seq("id", "payload"))
+      .toorc(s"$dir/out", numParts = 1, partSizeBytes = target)
+    val parts = new java.io.File(s"$dir/out").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".orc"))
+    assert(parts.length > 1, "byte cap did not split the single partition")
+    parts.foreach(p => assert(p.length <= target + footerAllowance,
+      s"${p.getName} is ${p.length} B — over the documented $target B upper bound"))
+    assert(ctx.orc(s"$dir/out").count() == 4000)
+  }
+
   test("nested flatMapRows keeps lexicographic expansion order; resolve slots in place") {
     import spark.implicits._
     val out = StructType(Seq(StructField("y", IntegerType)))
