@@ -333,5 +333,108 @@ object TrainPrepOps {
         .filter(Ann.cosine(col("t_vec"), col("q_vec")) >= 0.4)
         .groupBy("train_id")
         .agg(count(lit(1)).as("n_eval_hits"))
+    },
+
+    // ---- GPT-style sequence packing (concat-and-chunk) ---------------------
+    // The layout step every pretraining run pays: documents concatenate
+    // in a deterministic order (doc_id) into fixed-length contexts of
+    // L = 256 tokens, docs SPLIT at chunk boundaries (the standard
+    // concat-and-chunk scheme; greedy no-split bin packing is a
+    // sequential recursion that does not parallelize and wastes pad
+    // tokens — splitting is what production pipelines do). Output: one
+    // row per (doc, chunk) overlap with the doc's offset and length
+    // inside that chunk, plus head/tail split flags — exactly what an
+    // attention-mask builder consumes. All integer arithmetic.
+    //
+    // Scale: the only global dependency is the exclusive prefix sum of
+    // token counts in doc order — computed by [[Scale.prefixSum]]'s
+    // two-pass per-partition-offset device (one range shuffle, a
+    // partition-count-sized driver array, NO single-partition window).
+    // The oracle spells the identical layout with a window cumsum, which
+    // is fine at oracle scale.
+    Q("q_seq_packing",
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+        |  FROM t WHERE n_tokens > 0),
+        |x AS (SELECT doc_id, n_tokens, start, start + n_tokens AS fin,
+        |    unnest(generate_series(CAST(start // 256 AS BIGINT),
+        |      CAST((start + n_tokens - 1) // 256 AS BIGINT))) AS chunk_id
+        |  FROM p)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(greatest(start, chunk_id * 256) - chunk_id * 256 AS BIGINT)
+        |    AS chunk_offset,
+        |  CAST(least(fin, (chunk_id + 1) * 256)
+        |    - greatest(start, chunk_id * 256) AS BIGINT) AS n_in_chunk,
+        |  start < chunk_id * 256 AS split_head,
+        |  fin > (chunk_id + 1) * 256 AS split_tail
+        |FROM x""".stripMargin) { (s, d) =>
+      val L = 256L
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val p = Scale.prefixSum(t, "doc_id", "n_tokens", "start")
+      p.withColumn("fin", col("start") + col("n_tokens"))
+        .withColumn("chunk_id",
+          explode(sequence(expr(s"start div $L"), expr(s"(fin - 1) div $L"))))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          (greatest(col("start"), col("chunk_id") * L) - col("chunk_id") * L)
+            .as("chunk_offset"),
+          (least(col("fin"), (col("chunk_id") + 1) * L)
+            - greatest(col("start"), col("chunk_id") * L)).as("n_in_chunk"),
+          (col("start") < col("chunk_id") * L).as("split_head"),
+          (col("fin") > (col("chunk_id") + 1) * L).as("split_tail"))
+    },
+
+    // ---- fill-in-the-middle (FIM) layout ------------------------------------
+    // The code-model training transform (Bavarian et al. 2022): each doc
+    // splits into prefix/middle/suffix thirds by token count and re-lays
+    // out as PSM ([PRE] prefix [SUF] suffix [MID] middle) or SPM, chosen
+    // deterministically by doc_id parity (production uses a rate knob;
+    // parity keeps the oracle exact). Output: token OFFSETS of each
+    // region in the transformed layout, with 3 sentinel tokens counted —
+    // the layout a tokenizer-side assembler consumes, engine-exact
+    // integer arithmetic only. Per-row map, zero shuffle at any scale.
+    Q("q_fim_transform",
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |f AS (SELECT doc_id, n, n // 3 AS p_len, (2 * n) // 3 - n // 3 AS m_len,
+        |    n - (2 * n) // 3 AS s_len,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode
+        |  FROM t WHERE n >= 3)
+        |SELECT doc_id, mode, CAST(n + 3 AS BIGINT) AS layout_len,
+        |  CAST(CASE WHEN mode = 'psm' THEN 1 ELSE 2 + s_len END AS BIGINT)
+        |    AS prefix_at,
+        |  CAST(CASE WHEN mode = 'psm' THEN 2 + p_len ELSE 1 END AS BIGINT)
+        |    AS suffix_at,
+        |  CAST(n - m_len + 3 AS BIGINT) AS middle_at,
+        |  CAST(p_len AS BIGINT) AS p_len, CAST(m_len AS BIGINT) AS m_len,
+        |  CAST(s_len AS BIGINT) AS s_len
+        |FROM f""".stripMargin) { (s, d) =>
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+        .filter(col("n") >= 3)
+      t.select(col("doc_id"), col("n"),
+          expr("n div 3").as("p_len"),
+          expr("(n * 2) div 3 - n div 3").as("m_len"),
+          expr("n - (n * 2) div 3").as("s_len"),
+          when(col("doc_id") % 2 === 0, lit("psm")).otherwise(lit("spm"))
+            .as("mode"))
+        .select(col("doc_id"), col("mode"),
+          (col("n") + 3).as("layout_len"),
+          when(col("mode") === "psm", lit(1L))
+            .otherwise(col("s_len") + 2).as("prefix_at"),
+          when(col("mode") === "psm", col("p_len") + 2)
+            .otherwise(lit(1L)).as("suffix_at"),
+          (col("n") - col("m_len") + 3).as("middle_at"),
+          col("p_len"), col("m_len"), col("s_len"))
     })
 }

@@ -193,4 +193,62 @@ class TrainPrepSpec extends AnyFunSuite {
     }.toMap
     assert(got == want)
   }
+  test("q_seq_packing conserves tokens, tiles chunks contiguously, flags splits") {
+    val rows = byName("q_seq_packing")(spark, dir).collect()
+    val nTokens = graft.ops.Tables(spark, dir, "documents")
+      .select(graft.text.TextFunctions.tokenCount(col("text")).as("n"))
+      .agg(sum(when(col("n") > 0, col("n")).otherwise(0L))).collect()(0).getLong(0)
+    val L = 256L
+    // conservation: per-chunk token counts sum to the corpus total
+    assert(rows.map(_.getAs[Long]("n_in_chunk")).sum === nTokens)
+    // every chunk except the last is exactly full and gap-free
+    val byChunk = rows.groupBy(_.getAs[Long]("chunk_id"))
+    val lastChunk = byChunk.keys.max
+    byChunk.foreach { case (cid, rs) =>
+      val total = rs.map(_.getAs[Long]("n_in_chunk")).sum
+      if (cid != lastChunk) assert(total === L, s"chunk $cid not full: $total")
+      // offsets tile [0, total) without gaps or overlaps
+      val spans = rs.map(r => (r.getAs[Long]("chunk_offset"),
+        r.getAs[Long]("chunk_offset") + r.getAs[Long]("n_in_chunk"))).sortBy(_._1)
+      assert(spans.head._1 === 0L)
+      spans.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(e1 === s2, s"gap in chunk $cid")
+        case _ =>
+      }
+    }
+    // per doc: split flags mark exactly the continuation/truncation pieces
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (did, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_id"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Boolean]("split_head") === (i > 0),
+          s"doc $did piece $i head flag")
+        assert(r.getAs[Boolean]("split_tail") === (i < sorted.length - 1),
+          s"doc $did piece $i tail flag")
+      }
+    }
+  }
+
+  test("q_fim_transform regions partition the doc and never overlap in layout") {
+    val rows = byName("q_fim_transform")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n3, p, m, sfx) = (r.getAs[Long]("layout_len"), r.getAs[Long]("p_len"),
+        r.getAs[Long]("m_len"), r.getAs[Long]("s_len"))
+      assert(p + m + sfx + 3 === n3, "regions + 3 sentinels must equal layout_len")
+      // layout occupancy: sentinel slots at fixed relative positions, the
+      // three regions plus sentinels tile [0, layout_len)
+      val mode = r.getAs[String]("mode")
+      val (pa, sa, ma) = (r.getAs[Long]("prefix_at"), r.getAs[Long]("suffix_at"),
+        r.getAs[Long]("middle_at"))
+      val occupied = Seq((pa, pa + p), (sa, sa + sfx), (ma, ma + m))
+        .filter { case (a, b) => b > a }.sortBy(_._1)
+      occupied.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 <= s2, s"overlap in $mode layout")
+        case _ =>
+      }
+      assert(ma + m === n3, "middle region must end the layout")
+      if (mode == "psm") assert(pa === 1L) else assert(sa === 1L)
+    }
+  }
+
 }
