@@ -370,6 +370,36 @@ object AnalyticsOps {
       .select(col("n").as("node"), col("deg"))
   }
 
+  /** Synchronous label propagation over an undirected `(s, d)` edge set:
+    * labels start as node ids; each of `rounds` rounds every node adopts
+    * the most frequent label among its neighbours, ties toward the
+    * SMALLEST label (the determinism that makes an engine-exact oracle
+    * replay possible — classic async LPA is order-dependent). Each round
+    * is one edge-keyed join + two grouped aggregations; rounds checkpoint
+    * eagerly (the BFS-loop device) so lineage stays linear. Returns
+    * (node, community, community_size). */
+  def labelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val dir = edges.select(col("s").as("n"), col("d").as("m"))
+      .unionAll(edges.select(col("d").as("n"), col("s").as("m")))
+      .localCheckpoint(true)
+    var lab = dir.select(col("n")).distinct()
+      .select(col("n"), col("n").as("lbl")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val cnt = dir
+        .join(lab.select(col("n").as("m"), col("lbl")), Seq("m"))
+        .groupBy("n", "lbl").agg(count(lit(1)).as("c"))
+      // argmax count, tie toward the SMALLEST label: max(struct(c, -lbl))
+      lab = cnt.groupBy("n")
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("b"))
+        .select(col("n"), (-col("b.neg")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    lab.select(col("n").as("node"), col("lbl").cast("long").as("community"),
+      count(lit(1)).over(Window.partitionBy("lbl")).cast("long")
+        .as("community_size"))
+  }
+
   /** Top-8 co-purchase affinity edge set, memoized per data dir as an
     * eager local checkpoint: q_triangle and q_clustering_coeff run the
     * same lineitem group-collect + per-node window to build it, so the
@@ -645,6 +675,38 @@ object AnalyticsOps {
          |SELECT n AS node, CAST(count(*) AS BIGINT) AS deg FROM
          |  (SELECT s AS n FROM e3 UNION ALL SELECT d FROM e3) GROUP BY n""".stripMargin
     }) { (s, d) => kCorePeel(affinityEdges(s, d), k = 3, rounds = 3) },
+
+    // ---- label-propagation community detection (3 synchronous rounds) -----
+    // The community-mining counterpart of the k-core peel, on the same
+    // memoized affinity graph: labels start as node ids; each round every
+    // node adopts the MOST FREQUENT label among its neighbours (ties →
+    // smallest label — synchronous LPA made deterministic, so both
+    // engines replay bit-identically). A fixed round budget is the
+    // scale-honest contract (the kCorePeel argument); each round is one
+    // edge-keyed join plus two grouped aggregations, checkpointed so
+    // lineage stays linear. Output: (node, community, community_size).
+    Q("q_label_prop", {
+      def round(prev: String, out: String) =
+        s"""c$out AS (SELECT dir.n, l.lbl, CAST(count(*) AS BIGINT) AS c
+           |  FROM dir JOIN l$prev l ON dir.m = l.n GROUP BY 1, 2),
+           |l$out AS (SELECT n, min(lbl) AS lbl FROM (
+           |    SELECT n, lbl, c, max(c) OVER (PARTITION BY n) AS mx FROM c$out)
+           |  WHERE c = mx GROUP BY n)""".stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |co AS (SELECT a.p AS s, b.p AS d, CAST(count(*) AS BIGINT) AS w
+         |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+         |dir0 AS (SELECT s AS n, d AS m, w FROM co UNION ALL SELECT d, s, w FROM co),
+         |rk AS (SELECT n, m, row_number() OVER (PARTITION BY n ORDER BY w DESC, m) AS rn FROM dir0),
+         |e0 AS (SELECT DISTINCT least(n, m) AS s, greatest(n, m) AS d FROM rk WHERE rn <= 8),
+         |dir AS (SELECT s AS n, d AS m FROM e0 UNION ALL SELECT d, s FROM e0),
+         |l0 AS (SELECT DISTINCT n, n AS lbl FROM dir),
+         |${round("0", "1")},
+         |${round("1", "2")},
+         |${round("2", "3")}
+         |SELECT n AS node, CAST(lbl AS BIGINT) AS community,
+         |  CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+         |FROM l3""".stripMargin
+    }) { (s, d) => labelPropagate(affinityEdges(s, d), rounds = 3) },
 
     // ---- power-of-two size histogram --------------------------------------
     // Log-scale size distributions (document lengths here; file sizes,

@@ -140,4 +140,33 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(oneRound == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
   }
+  test("labelPropagate: two triangles joined by a bridge collapse to min-id communities") {
+    import spark.implicits._
+    // triangle A = {1,2,3}, triangle B = {10,11,12}, bridge 3-10
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("s", "d")
+    val out = graft.ops.AnalyticsOps.labelPropagate(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // triangle A: every member's neighbours contain two A-labels after
+    // round 1, so A converges to min id 1
+    assert(Seq(1L, 2L, 3L).forall(out(_)._1 == 1L),
+      s"triangle A labels: ${Seq(1L, 2L, 3L).map(out(_)._1)}")
+    // triangle B members see two B-labels vs at most one bridge label
+    val bLabel = out(11L)._1
+    assert(Seq(10L, 11L, 12L).forall(out(_)._1 == bLabel))
+    assert(bLabel != out(1L)._1, "bridge must not merge the triangles")
+    // community_size is consistent with the label partition
+    out.values.groupBy(_._1).foreach { case (_, vs) =>
+      assert(vs.forall(_._2 == vs.size))
+    }
+  }
+
+  test("labelPropagate is deterministic across reruns") {
+    val e = graft.ops.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val run = () => graft.ops.AnalyticsOps.all.find(_.name == "q_label_prop").get
+      .fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(run() === run())
+  }
+
 }
