@@ -8,13 +8,21 @@ import graft.ops._
   * this object just assembles the registry. */
 object SparkEntry {
 
-  /** Full verifiable-query registry (one per operator, SURVEY.md §2). */
-  def registry: Seq[Q] =
-    Relational.all ++ TpchOps.all ++ ApiOps.all ++ PipelineOps.all ++ StreamMediaOps.all ++
-      CoverageOps.all ++ ZillowOps.all ++ CorpusOps.all ++ LogsOps.all ++
-      ClusterOps.all ++ RetrievalOps.all ++ GraphOps.all ++ AnalyticsOps.all ++
-      JourneyOps.all ++ MiningOps.all ++ FeatureOps.all ++ StatsOps.all ++
-      SpatialOps.all ++ TrainPrepOps.all
+  /** Full verifiable-query registry (one per operator, SURVEY.md §2).
+    * Names must be unique: `queries`/`oracleSql` are maps, so a duplicate
+    * would silently SHADOW an existing operator (later tranche wins) —
+    * the guard turns that into a loud failure at first registry touch. */
+  def registry: Seq[Q] = {
+    val all =
+      Relational.all ++ TpchOps.all ++ ApiOps.all ++ PipelineOps.all ++ StreamMediaOps.all ++
+        CoverageOps.all ++ ZillowOps.all ++ CorpusOps.all ++ LogsOps.all ++
+        ClusterOps.all ++ RetrievalOps.all ++ GraphOps.all ++ AnalyticsOps.all ++
+        JourneyOps.all ++ MiningOps.all ++ FeatureOps.all ++ StatsOps.all ++
+        SpatialOps.all ++ TrainPrepOps.all
+    val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate registry query names: ${dups.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

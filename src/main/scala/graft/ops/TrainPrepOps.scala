@@ -436,5 +436,98 @@ object TrainPrepOps {
             .otherwise(lit(1L)).as("suffix_at"),
           (col("n") - col("m_len") + 3).as("middle_at"),
           col("p_len"), col("m_len"), col("s_len"))
+    },
+
+    // ---- context-length tuning: packing-efficiency curve -------------------
+    // The L-sweep a pretraining run does before fixing its context
+    // length: for L in {256, 512, 1024, 2048}, how many chunks does
+    // concat-and-chunk produce, how many documents get SPLIT across a
+    // boundary, and what fraction of the final chunk is real tokens.
+    // Everything derives from the same exclusive prefix sum q_seq_packing
+    // pays once (one range shuffle), then a 4-row broadcast of candidate
+    // Ls — per-(doc, L) arithmetic, no second shuffle. All integers
+    // except the ppm ratios, which are exact integer floor-divisions.
+    Q("q_pack_curve",
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+        |  FROM t WHERE n_tokens > 0),
+        |ls AS (SELECT CAST(unnest([256, 512, 1024, 2048]) AS BIGINT) AS l),
+        |x AS (SELECT l, doc_id, start, start + n_tokens AS fin FROM p CROSS JOIN ls)
+        |SELECT l AS context_len,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST((max(fin) + l - 1) // l AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN fin // l > start // l AND fin % l <> 0
+        |    THEN 1 WHEN fin // l > start // l + 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_split_docs,
+        |  CAST(sum(CASE WHEN fin // l > start // l AND fin % l <> 0
+        |    THEN 1 WHEN fin // l > start // l + 1 THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS split_ppm,
+        |  CAST((CASE WHEN max(fin) % l = 0 THEN l ELSE max(fin) % l END)
+        |    * 1000000 // l AS BIGINT) AS last_fill_ppm
+        |FROM x GROUP BY l""".stripMargin) { (s, d) =>
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          graft.text.TextFunctions.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val p = Scale.prefixSum(t, "doc_id", "n_tokens", "start")
+        .withColumn("fin", col("start") + col("n_tokens"))
+      val ls = s.range(0, 4).select(
+        expr("256L * shiftleft(1L, CAST(id AS INT))").as("l"))
+      val splitCase = """CASE WHEN fin div l > start div l AND fin % l <> 0
+                        | THEN 1 WHEN fin div l > start div l + 1
+                        | THEN 1 ELSE 0 END""".stripMargin
+      p.crossJoin(broadcast(ls))
+        .groupBy(col("l"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("(max(fin) + l - 1) div l").as("n_chunks"),
+          sum(expr(splitCase)).as("n_split_docs"),
+          expr(s"sum($splitCase) * 1000000 div count(*)").as("split_ppm"),
+          expr("""(CASE WHEN max(fin) % l = 0 THEN l ELSE max(fin) % l END)
+                 | * 1000000 div l""".stripMargin).as("last_fill_ppm"))
+        .withColumnRenamed("l", "context_len")
+    },
+
+    // ---- best-of-n reward scaling curve -------------------------------------
+    // The BoN eval every reward model is judged by: per prompt
+    // (user_id), take the first n completions in arrival order
+    // (event_id) and record the best reward among them; report, per
+    // n in {1, 2, 4, 8}, the number of prompts with >= n completions
+    // and the exact SUM of best-of-n rewards (the mean is one division
+    // away; keeping the integer sum is what makes the compare exact).
+    // One prompt-keyed window pass; the n-sweep reuses the same ranked
+    // frame — no re-shuffle per n.
+    Q("q_best_of_n",
+      """WITH f AS (SELECT user_id, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (SELECT user_id, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        |    max(v) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS UNBOUNDED PRECEDING) AS best_so_far
+        |  FROM f),
+        |ns AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS n)
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_prompts,
+        |  CAST(sum(best_so_far) AS BIGINT) AS sum_best_fp
+        |FROM r JOIN ns ON r.rn = ns.n
+        |GROUP BY n""".stripMargin) { (s, d) =>
+      val o = Window.partitionBy("user_id").orderBy("event_id")
+      val r = events(s, d)
+        .select(col("user_id"), col("event_id"), rfp(col("value")).as("v"))
+        .select(col("user_id"), col("v"),
+          row_number().over(o).as("rn"),
+          max(col("v")).over(o.rowsBetween(Window.unboundedPreceding, 0))
+            .as("best_so_far"))
+      val ns = broadcast(s.range(0, 4)
+        .select(expr("shiftleft(1L, CAST(id AS INT))").as("n")))
+      r.join(ns, col("rn") === col("n"))
+        .groupBy("n")
+        .agg(count(lit(1)).as("n_prompts"),
+          sum(col("best_so_far")).cast("long").as("sum_best_fp"))
     })
 }
