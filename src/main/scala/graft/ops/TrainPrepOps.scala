@@ -345,6 +345,9 @@ object TrainPrepOps {
     // row per (doc, chunk) overlap with the doc's offset and length
     // inside that chunk, plus head/tail split flags — exactly what an
     // attention-mask builder consumes. All integer arithmetic.
+    // (Complements q_seq_pack in PipelineOps, which emits only the
+    // coarse per-doc first/last sequence ids at L=2048; this query is
+    // the fine-grained per-(doc, chunk) layout at L=256.)
     //
     // Scale: the only global dependency is the exclusive prefix sum of
     // token counts in doc order — computed by [[Scale.prefixSum]]'s
