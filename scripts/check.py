@@ -37,8 +37,10 @@ def frame_hash(df):
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    import os
+    round_id = os.environ.get("SPARK_GRAFT_ROUND") or os.environ.get("GRAFT_ROUND", "r7")
     record_path = sys.argv[3] if len(sys.argv) > 3 else (
-        "CORRECTNESS_local_%s.json" % __import__("os").environ.get("GRAFT_ROUND", "r7"))
+        "CORRECTNESS_local_%s.json" % round_id)
 
     def fresh_con():
         # fresh connection per query: a fatal DuckDB error on one oracle

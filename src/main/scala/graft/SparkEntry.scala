@@ -12,7 +12,7 @@ object SparkEntry {
     * Names must be unique: `queries`/`oracleSql` are maps, so a duplicate
     * would silently SHADOW an existing operator (later tranche wins) —
     * the guard turns that into a loud failure at first registry touch. */
-  def registry: Seq[Q] = {
+  lazy val registry: Seq[Q] = {
     val all =
       Relational.all ++ TpchOps.all ++ ApiOps.all ++ PipelineOps.all ++ StreamMediaOps.all ++
         CoverageOps.all ++ ZillowOps.all ++ CorpusOps.all ++ LogsOps.all ++
@@ -29,12 +29,12 @@ object SparkEntry {
     queries("q_join_inner")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 
   /** Validation gates: all-pairs ground-truth / recall-check queries that

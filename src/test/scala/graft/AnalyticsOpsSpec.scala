@@ -162,7 +162,6 @@ class AnalyticsOpsSpec extends AnyFunSuite {
   }
 
   test("labelPropagate is deterministic across reruns") {
-    val e = graft.ops.Tables(spark, "/root/testdata/sf0.001", "lineitem")
     val run = () => graft.ops.AnalyticsOps.all.find(_.name == "q_label_prop").get
       .fn(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
