@@ -1,0 +1,82 @@
+package graft.api
+
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.URI
+
+/** Scheme-pluggability proof for the VFS layer (the carried "cloud-store
+  * plumbing" gap): the reference ships a dedicated S3 VFS
+  * (`/root/reference/tuplex/io/src/S3File.cc`); graft instead routes
+  * `ls`/`cp`/`rm` AND every source/sink through Hadoop's FileSystem
+  * resolution, so any object store is one classpath + conf entry away
+  * (s3a:// needs only the hadoop-aws jar this offline container lacks).
+  * This spec registers a custom `graftfs://` scheme — a FileSystem
+  * implementation Spark has never heard of — and drives the SAME APIs
+  * over it end to end: if the code paths were hardwired to `file://`
+  * anywhere, these round trips would break. */
+class VfsSchemeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      // the one line an operator adds per new store (s3a:// ditto)
+      .config("spark.hadoop.fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  lazy val ctx = new Context(spark)
+
+  private def scratch(): String =
+    java.nio.file.Files.createTempDirectory("graft_vfs").toString
+
+  test("ls/cp/rm operate through a non-file:// scheme") {
+    val dir = scratch()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.txt"), "hello")
+    val base = s"graftfs://localhost$dir"
+    val listed = ctx.ls(s"$base/*.txt")
+    assert(listed.map(_.split('/').last) === Seq("a.txt"))
+    assert(listed.head.startsWith("graftfs://"), "listing must preserve the scheme")
+    ctx.cp(s"$base/a.txt", s"$base/b.txt")
+    assert(ctx.ls(s"$base/*.txt").size === 2)
+    ctx.rm(s"$base/a.txt")
+    assert(ctx.ls(s"$base/*.txt").map(_.split('/').last) === Seq("b.txt"))
+  }
+
+  test("parquet sink + source round-trip through a non-file:// scheme") {
+    import spark.implicits._
+    val dir = scratch()
+    val base = s"graftfs://localhost$dir/t"
+    ctx.parallelize(Seq((1L, "x"), (2L, "y")), Seq("id", "v")).toparquet(base)
+    val back = ctx.parquet(base).collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
+      Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("csv sink + sniffing source round-trip through a non-file:// scheme") {
+    import spark.implicits._
+    val dir = scratch()
+    val base = s"graftfs://localhost$dir/c"
+    ctx.parallelize(Seq((1L, "x"), (2L, "y")), Seq("id", "v")).tocsv(base)
+    assert(ctx.csv(s"$base/part-*.csv").count() === 2L)
+  }
+}
+
+/** RawLocalFileSystem re-badged under an unknown scheme: storage behavior
+  * is local disk, but every URI Spark/graft sees is `graftfs://` — which
+  * is exactly what makes it a scheme-resolution probe. */
+class GraftTestFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "graftfs"
+  override def getUri: URI = URI.create("graftfs://localhost/")
+  // keep paths fully qualified under graftfs so results round-trip
+  override def makeQualified(path: Path): Path = {
+    val q = super.makeQualified(path)
+    if (q.toUri.getScheme == null)
+      new Path("graftfs://localhost" + q.toUri.getPath)
+    else q
+  }
+}
