@@ -35,8 +35,32 @@ object Explain {
     * CartesianProduct (unbounded cross) and non-broadcast nested-loop
     * joins (a BNLJ with a broadcast side is fine — that's the intended
     * shape for small-side inequality joins). */
+  /** Queries whose UNPARTITIONED window carries a documented bounded-
+    * domain license: the window frame is provably small no matter the
+    * input size (a grouped low-cardinality domain, a ≤k top set, or an
+    * engine-bounded value range), so a single-partition sort over it is
+    * not a 100 TB risk. Anything NOT listed here that plans a global
+    * window counts as a red flag — the check exists because a global
+    * row_number()/ntile() over a key-cardinality frame is the one window
+    * shape that cannot scale (Scale.globalRank is the replacement; see
+    * q_power_curve / q_skew_report). */
+  private val globalWindowLicensed: Set[String] = Set(
+    "q_life_table",       // dur_days domain (bounded calendar span)
+    "q_label_index",      // distinct langs/sources (tiny domains)
+    "q_percentile",       // distinct fixed-point value domain
+    "q_quantile_sketch",  // ditto (exact-rank check table)
+    "q_ks_test",          // distinct fixed-point value domain
+    "q_hybrid_rank",      // ≤k-row top sets per leg
+    "q_weighted_median",  // distinct fixed-point value domain
+    "q_percent_rank",     // distinct fixed-point value domain
+    "q_gini",             // distinct per-user count domain (grouped)
+    "q_skyline",          // per-p_size grouped domain (bounded sizes)
+    "q_mix_temperature"   // per-source grouped domain (tiny)
+  )
+
   def audit(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
     // static plans: AQE would wrap the tree in AdaptiveSparkPlanExec and
     // hide join nodes until execution
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -47,7 +71,15 @@ object Explain {
           .queryExecution.executedPlan
         val cart = plan.collectWithSubqueries { case c: CartesianProductExec => c }
         val bnlj = plan.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }
+        val gwin = plan.collectWithSubqueries {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
         if (cart.nonEmpty) { bad += 1; println(s"AUDIT $n: CARTESIAN PRODUCT") }
+        else if (gwin.nonEmpty && !globalWindowLicensed(n)) {
+          bad += 1; println(s"AUDIT $n: GLOBAL WINDOW x${gwin.size} (unlicensed)")
+        }
+        else if (gwin.nonEmpty)
+          println(s"AUDIT $n: global-window x${gwin.size} [licensed: bounded domain]")
         else if (bnlj.nonEmpty) println(s"AUDIT $n: bnlj(broadcast) x${bnlj.size} [ok]")
       } catch { case e: Throwable => println(s"AUDIT $n: plan failed ${e.getMessage}") }
     }

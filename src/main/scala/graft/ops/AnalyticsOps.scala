@@ -762,8 +762,9 @@ object AnalyticsOps {
         |FROM st""".stripMargin) { (s, d) =>
       val sz = Tables(s, d, "orders").groupBy("o_custkey")
         .agg(count(lit(1)).as("cnt"))
-      val r = sz.withColumn("rn", row_number().over(
-        Window.orderBy(col("cnt"), col("o_custkey"))))
+      // two-pass distributed rank — no single-partition window over the
+      // customer-cardinality frame (Scale.globalRank)
+      val r = Scale.globalRank(sz, Seq(col("cnt"), col("o_custkey")), "rn")
       val st = sz.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
         max(col("cnt")).as("max_cnt"))
       // ONE pass over the ranked frame picks both percentiles (p50 may

@@ -365,11 +365,21 @@ object JourneyOps {
         |  CAST((sum(n) * 10000) // total AS BIGINT) AS share_bp
         |FROM r CROSS JOIN t GROUP BY decile, total""".stripMargin) { (s, d) =>
       val uc = events(s, d).groupBy("user_id").agg(count(lit(1)).as("n"))
-      val r = uc.withColumn("decile", ntile(10).over(
-        Window.orderBy(col("n").desc, col("user_id"))))
-      val t = uc.agg(sum(col("n")).as("total"))
-      r.crossJoin(broadcast(t))
-        .groupBy(col("decile").cast("int").as("decile"), col("total"))
+      // distributed ntile: global rank via the two-pass device, then the
+      // standard-SQL bucket closed form (q = N div k rows per bucket, the
+      // first N mod k buckets carry one extra row) — no single-partition
+      // window over the user-cardinality frame
+      val ranked = Scale.globalRank(uc, Seq(col("n").desc, col("user_id")), "rk")
+      val t = uc.agg(sum(col("n")).as("total"), count(lit(1)).as("n_users"))
+      val r = ranked.crossJoin(broadcast(t))
+        .withColumn("decile", expr(
+          """CAST(CASE WHEN rk <= (n_users % 10) * (n_users div 10 + 1)
+            | THEN (rk - 1) div (n_users div 10 + 1) + 1
+            | ELSE n_users % 10
+            |   + (rk - (n_users % 10) * (n_users div 10 + 1) - 1)
+            |     div (n_users div 10) + 1
+            | END AS INT)""".stripMargin))
+      r.groupBy(col("decile").cast("int").as("decile"), col("total"))
         .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
         .select(col("decile"), col("n_users"), col("n_events"),
           expr("(n_events * 10000) div total").as("share_bp"))

@@ -1239,10 +1239,12 @@ object PipelineOps {
         .select(col("doc_id"),
           explode(split(trim(col("text")), "\\s+")).as("tok"))
       val cf = w.groupBy("tok").agg(count(lit(1)).as("cf"))
-      val rw = org.apache.spark.sql.expressions.Window
-        .orderBy(col("cf").desc, col("tok"))
-      val v = cf.withColumn("rn", row_number().over(rw))
-        .filter(col("rn") <= 256).select(col("tok"), lit(1).as("_inv"))
+      // top-256 via distributed sort+limit (TakeOrderedAndProject: each
+      // partition keeps 256, driver merges 256·P rows) — NOT a global
+      // row_number window, which would sort the full token-type frame on
+      // one partition (billions of types at 100 TB)
+      val v = cf.orderBy(col("cf").desc, col("tok")).limit(256)
+        .select(col("tok"), lit(1).as("_inv"))
       w.join(broadcast(v), Seq("tok"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"),

@@ -234,6 +234,51 @@ object Scale {
     * at scale this is exactly the shuffle a Delta/Iceberg MERGE pays,
     * minus the transaction log. `base` and `updates` must share the
     * schema; non-key columns are taken whole-row from the winning side. */
+  /** Distributed 1-based row number over a TOTAL order given by
+    * `orderCols` (a unique composite; sort-direction Columns like
+    * `col("n").desc` are honored): range-repartition on the order
+    * columns, sort within partitions, count rows per partition (a
+    * partition-count-sized driver array), then stream each partition
+    * from its exclusive offset. The [[prefixSum]] two-pass device
+    * generalized to ranks over composite orders — it replaces the
+    * single-partition window a global row_number()/ntile() otherwise
+    * forces, which is the one window shape that cannot survive a
+    * key-cardinality frame at 100 TB. Appends `rankCol` to the input
+    * columns. */
+  def globalRank(df: DataFrame, orderCols: Seq[Column],
+      rankCol: String = "rk", partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    require(orderCols.nonEmpty, "globalRank needs at least one order column")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df
+      .repartitionByRange(p, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .persist()
+    val perPart = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; it.foreach(_ => n += 1); Iterator.single(pid -> n)
+    }.collect()
+    val offsets = {
+      val m = new scala.collection.mutable.HashMap[Int, Long]
+      var acc = 0L
+      for ((pid, n) <- perPart.sortBy(_._1)) { m(pid) = acc; acc += n }
+      m.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ StructField(rankCol, LongType, nullable = false))
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var r = bc.value(pid)
+      it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
+    }
+    val out = spark.createDataFrame(rdd, schema).localCheckpoint(true)
+    sorted.unpersist()
+    bc.destroy()
+    out
+  }
+
   /** Ordered CDC-log replay with deletes — the half of `MERGE INTO`
     * [[mergeUpsert]] doesn't cover: the log carries upserts AND deletes
     * per key, ordered by `orderCols`; the final table state is
