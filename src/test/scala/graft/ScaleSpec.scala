@@ -205,4 +205,31 @@ class ScaleSpec extends AnyFunSuite {
       expectedOffset += r.getAs[Long]("n_tok")
     }
   }
+  test("globalRank equals a window row_number over the same composite order") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // duplicate score values force the tiebreak column to matter; ids
+    // are unique so the composite order is total
+    val df = (1 to 500).map(i => (i.toLong, rnd.nextInt(20).toLong))
+      .toDF("id", "score").repartition(7)
+    val got = graft.ops.Scale.globalRank(
+        df, Seq(col("score").desc, col("id")), "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val want = df.withColumn("rk",
+        row_number().over(Window.orderBy(col("score").desc, col("id"))))
+      .collect().map(r => (r.getLong(0), r.getInt(2).toLong)).toMap
+    assert(got === want)
+    // ranks are a permutation of 1..n
+    assert(got.values.toSeq.sorted === (1L to 500L))
+  }
+
+  test("globalRank on empty input returns empty with the rank column") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id", "score")
+    val out = graft.ops.Scale.globalRank(empty, Seq(col("score"), col("id")))
+    assert(out.columns.contains("rk"))
+    assert(out.count() === 0L)
+  }
+
 }
