@@ -23,10 +23,14 @@ class VfsSchemeSpec extends AnyFunSuite {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
-      // the one line an operator adds per new store (s3a:// ditto)
-      .config("spark.hadoop.fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // registered on the LIVE Hadoop conf, not the builder: under sbt test
+    // every spec shares one getOrCreate session, so builder configs from
+    // the non-creating spec are silently ignored. This is still the one
+    // line an operator adds per new store (s3a:// ditto).
+    s.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
     s
   }
   lazy val ctx = new Context(spark)
