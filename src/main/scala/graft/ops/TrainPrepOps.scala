@@ -532,5 +532,32 @@ object TrainPrepOps {
         .groupBy("n")
         .agg(count(lit(1)).as("n_prompts"),
           sum(col("best_so_far")).cast("long").as("sum_best_fp"))
+    },
+
+    // ---- curriculum ordering (easy -> hard, interleaved within bucket) ----
+    // The curriculum-learning layout: documents order globally by a
+    // difficulty bucket (log2 length — the float-log-free q_size_histogram
+    // device; short docs first) and, WITHIN each bucket, by an md5 slot so
+    // sources interleave instead of clustering (a bucket read in source
+    // order would feed the model one domain at a time). The global
+    // position comes from [[Scale.globalRank]] — the two-pass device, no
+    // single-partition window over the corpus. The oracle replays the
+    // identical total order as one window (fine at oracle scale).
+    Q("q_curriculum",
+      """WITH d AS (SELECT doc_id,
+        |    CAST(length(bin(greatest(n_chars, 1))) AS BIGINT) AS difficulty,
+        |    md5(CAST(doc_id AS VARCHAR) || 'cur') AS hh
+        |  FROM documents)
+        |SELECT doc_id, difficulty,
+        |  CAST(row_number() OVER (ORDER BY difficulty, hh, doc_id) AS BIGINT)
+        |    AS curriculum_pos
+        |FROM d""".stripMargin) { (s, d) =>
+      val docs = Tables(s, d, "documents").select(col("doc_id"),
+        length(bin(greatest(col("n_chars"), lit(1)))).cast("long")
+          .as("difficulty"),
+        md5(concat(col("doc_id").cast("string"), lit("cur"))).as("hh"))
+      Scale.globalRank(docs,
+          Seq(col("difficulty"), col("hh"), col("doc_id")), "curriculum_pos")
+        .select(col("doc_id"), col("difficulty"), col("curriculum_pos"))
     })
 }
