@@ -657,13 +657,19 @@ object Streams {
     * persisted dedup index exists for: documents arrive as micro-batches,
     * each batch probes the corpus index ([[graft.dedup.Dedup.exactDeltaIndexed]]
     * — map-side Bloom prune + hash-confirm join, ZERO corpus text scans),
-    * and only verbatim-new content merges into the ingest table. The
-    * merge keeps the MIN doc id per content hash, so the final table is
-    * independent of batch order/boundaries — which is what makes a
-    * batch-mode oracle possible. State lives in the table (no watermark,
-    * no state store); at scale the foreachBatch body is unchanged and the
-    * swap becomes a transactional MERGE, exactly like [[upsertStream]].
-    * Output: (doc_id, content_hash) per surviving new document. */
+    * and only verbatim-new content APPENDS to the ingest log — the
+    * log-structured production shape (each batch writes O(batch), never
+    * O(table); a per-batch read-merge-rewrite is the quadratic ingest
+    * anti-pattern LSM trees and lakehouse MERGE exist to avoid;
+    * [[upsertStream]] keeps demonstrating the read-merge form where
+    * last-state semantics genuinely need it). The final compaction keeps
+    * the MIN doc id per content hash, so the result is independent of
+    * batch order/boundaries — which is what makes a batch-mode oracle
+    * possible (min is associative over any append interleaving). State
+    * lives in the log (no watermark, no state store); at scale the
+    * append becomes a transactional table append and the compaction a
+    * periodic OPTIMIZE. Output: (doc_id, content_hash) per surviving
+    * new document. */
   def dedupIngestStream(spark: SparkSession, dir: String): DataFrame = {
     import graft.dedup.Dedup
     val s = spark.newSession()
@@ -687,26 +693,20 @@ object Streams {
       .option("checkpointLocation", s"$root/chk")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val dupIds = Dedup.exactDeltaIndexed(batch, idxPath, "doc_id", "text")
-        val fresh = batch
+        batch
           .withColumn("content_hash",
             md5(Dedup.normalizeText(col("text")).cast("binary")))
           .join(dupIds.select("doc_id"), Seq("doc_id"), "left_anti")
           .select("doc_id", "content_hash")
-        val tblDir = new java.io.File(tbl)
-        val merged =
-          (if (tblDir.exists()) s.read.parquet(tbl).unionByName(fresh) else fresh)
-            .groupBy("content_hash").agg(min(col("doc_id")).as("doc_id"))
-        val tmp = s"$root/swap"
-        merged.coalesce(4).write.mode("overwrite").parquet(tmp)
-        val old = new java.io.File(s"$root/old")
-        if (tblDir.exists()) Files.move(tblDir.toPath, old.toPath)
-        Files.move(new java.io.File(tmp).toPath, tblDir.toPath)
-        if (old.exists()) new scala.reflect.io.Directory(old).deleteRecursively()
-        ()
+          .coalesce(1).write.mode("append").parquet(tbl)
       }
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(tbl).select("doc_id", "content_hash")
+    // one compaction after the drain: min doc_id per content hash over
+    // the whole append log — within-stream duplicates collapse here
+    spark.read.parquet(tbl)
+      .groupBy("content_hash").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "content_hash")
   }
 }
