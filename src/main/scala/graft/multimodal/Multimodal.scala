@@ -138,6 +138,41 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL per-channel normalization stats: decode each payload and emit
+    * exact integer per-channel pixel sums plus the pixel count — the
+    * dataset-level mean/std every vision-preproc pipeline computes before
+    * training (global stats are one tiny grouped aggregation over these
+    * per-image rows; the float mean/std derive outside the exact core).
+    * Bulk pixel fetch (one ColorModel pass), batched like
+    * [[extractFeatures]]. Output: (doc_id, n_px, sum_r, sum_g, sum_b). */
+  def imageChannelStats(df: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_px", LongType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val pre = df.select(col(idCol).cast("long"), col(payloadCol))
+    pre.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val img = readImage(r.getAs[Array[Byte]](1), r.getLong(0))
+          val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < px.length) {
+            val v = px(i)
+            sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+            i += 1
+          }
+          Row(r.getLong(0), px.length.toLong, sr, sg, sb)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** REAL image feature extraction: decode the payload with ImageIO and
     * emit per-grid-cell mean pixel values — the canonical cheap visual
     * feature (downsampled intensity map). Output: one row per (id, cell)

@@ -131,6 +131,28 @@ object StreamMediaOps {
       Multimodal.imageProbe(pngFixture(s, d), "doc_id", "payload")
     },
 
+    // ---- REAL per-channel normalization stats ------------------------------
+    // The dataset-mean/std preproc pass: exact integer per-channel pixel
+    // sums per decoded PNG (one bulk-fetch pass), from which corpus-level
+    // channel means derive as one tiny aggregation. The oracle replays
+    // the fixture pixel formula over the full w x h grid, so a match
+    // proves the decode AND the channel unpacking byte-for-byte.
+    Q("q_image_channel_stats",
+      """WITH d AS (SELECT doc_id, doc_id * 2654435761 AS seed,
+        |    8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h FROM documents),
+        |p AS (SELECT doc_id, w, h,
+        |    (seed + 31 * x + 17 * y) % 16777216 AS v
+        |  FROM d, unnest(generate_series(0, 30)) AS tx(x),
+        |       unnest(generate_series(0, 22)) AS ty(y)
+        |  WHERE x < w AND y < h)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(v // 65536) AS BIGINT) AS sum_r,
+        |  CAST(sum((v // 256) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum(v % 256) AS BIGINT) AS sum_b
+        |FROM p GROUP BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.imageChannelStats(pngFixture(s, d), "doc_id", "payload")
+    },
+
     // ---- REAL batched feature extraction over decoded pixels --------------
     // Grid-cell mean intensity per decoded PNG; the oracle recomputes each
     // cell mean from the pixel formula, so the hash only matches if the
