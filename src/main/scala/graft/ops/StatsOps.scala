@@ -22,6 +22,69 @@ object StatsOps {
 
   val all: Seq[Q] = Seq(
 
+    // ---- one-way ANOVA seasonality strength (hour-of-day) -----------------
+    // Is the VALUE metric hourly-seasonal per event type? One-way ANOVA
+    // of fixed-point value grouped by hour-of-day: between-hour and
+    // within-hour variance numerators built from exact per-(type, hour)
+    // moments with each term quantized to micro-units by integer division
+    // BEFORE summing (the q_fisher_score device over time buckets; the
+    // same DECIMAL(38,0) ceiling note applies), then the classical
+    // F = (SSB/(k-1)) / (SSW/(N-k)) as ONE identically-spelled double
+    // division chain. One (type, hour)-keyed pass; everything after is
+    // grid-sized. q_load_profile covers COUNT seasonality; this is the
+    // metric-value decomposition.
+    Q("q_seasonality_anova",
+      """WITH f AS (SELECT event_type, hour(ts) AS hr,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |g AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n,
+        |    sum(v) AS s, sum(CAST(v AS HUGEINT) * v) AS q
+        |  FROM f GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(n) AS nt, sum(s) AS st,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM g GROUP BY 1),
+        |terms AS (SELECT g.event_type,
+        |    ((nt * s - n * st) * (nt * s - n * st) * 1000000)
+        |      // (n * nt * nt) AS btw,
+        |    ((n * q - s * s) * 1000000) // n AS wth
+        |  FROM g JOIN t USING (event_type))
+        |SELECT t.event_type, t.k, CAST(t.nt AS BIGINT) AS n,
+        |  CAST(sum(btw) AS BIGINT) AS between_micro,
+        |  CAST(sum(wth) AS BIGINT) AS within_micro,
+        |  CASE WHEN sum(wth) = 0 OR t.k <= 1 OR t.nt <= t.k THEN NULL
+        |       ELSE (CAST(sum(btw) AS DOUBLE) * (t.nt - t.k))
+        |          / (CAST(sum(wth) AS DOUBLE) * (t.k - 1))
+        |  END AS f_stat
+        |FROM terms JOIN t USING (event_type)
+        |GROUP BY t.event_type, t.k, t.nt""".stripMargin) { (s, d) =>
+      val f = events(s, d).select(col("event_type"),
+        hour(col("ts")).as("hr"),
+        floor(col("value").cast("double") * 100d + 0.5d).cast("long").as("v"))
+      val g = f.groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          sum(col("v").cast("decimal(38,0)") * col("v")).as("q"))
+      val t = g.groupBy("event_type")
+        .agg(sum(col("n")).as("nt"), sum(col("s")).as("st"),
+          count(lit(1)).as("k"))
+      g.join(broadcast(t), "event_type")
+        .select(col("event_type"), col("k"), col("nt"),
+          expr("""((CAST(nt AS DECIMAL(38,0)) * s - CAST(n AS DECIMAL(38,0)) * st)
+                 | * (CAST(nt AS DECIMAL(38,0)) * s - CAST(n AS DECIMAL(38,0)) * st)
+                 | * 1000000) div (CAST(n AS DECIMAL(38,0)) * nt * nt)"""
+            .stripMargin).as("btw"),
+          expr("((CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s)" +
+            " * 1000000) div CAST(n AS DECIMAL(38,0))").as("wth"))
+        .groupBy(col("event_type"), col("k"), col("nt").cast("long").as("n"))
+        .agg(sum(col("btw")).cast("long").as("between_micro"),
+          sum(col("wth")).cast("long").as("within_micro"),
+          when(sum(col("wth")) === 0 || col("k") <= 1 || col("n") <= col("k"),
+            lit(null).cast("double"))
+            .otherwise((sum(col("btw")).cast("double") * (col("n") - col("k")))
+              / (sum(col("wth")).cast("double") * (col("k") - 1)))
+            .as("f_stat"))
+        .select(col("event_type"), col("k"), col("n"),
+          col("between_micro"), col("within_micro"), col("f_stat"))
+    },
+
     // ---- chi-square test of independence + Cramér's V ---------------------
     // Is event mix independent of weekday? Contingency = event_type ×
     // day-of-week (Spark's dayofweek is 1-based Sunday-first; the oracle
