@@ -1060,4 +1060,56 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(r.getLong(4) == exact(990000L))
     assert(r.getBoolean(5))
   }
+  test("q_seasonality_anova matches a naive driver-side one-way ANOVA") {
+    val rows = q("q_seasonality_anova")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) Double.NaN else r.getDouble(5))).toMap
+    // naive reference: group fixed-point values by (type, hour) on the
+    // driver, recompute the micro-unit numerators with BigInt
+    val raw = events.selectExpr("event_type", "hour(ts) AS hr",
+        "CAST(floor(value * 100 + 0.5) AS LONG) AS v")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    raw.groupBy(_._1).foreach { case (et, vs) =>
+      val byHr = vs.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+      val nt = BigInt(vs.size); val st = vs.map(x => BigInt(x._3)).sum
+      val k = byHr.size
+      var btw = BigInt(0); var wth = BigInt(0)
+      byHr.values.foreach { hv =>
+        val n = BigInt(hv.size); val s0 = hv.map(BigInt(_)).sum
+        val q0 = hv.map(x => BigInt(x) * x).sum
+        val d = nt * s0 - n * st
+        btw += (d * d * 1000000) / (n * nt * nt)
+        wth += ((n * q0 - s0 * s0) * 1000000) / n
+      }
+      val (gk, gn, gb, gw, gf) = rows(et)
+      assert(gk === k.toLong && gn === nt.toLong)
+      assert(gb === btw.toLong, s"$et between_micro")
+      assert(gw === wth.toLong, s"$et within_micro")
+      if (wth > 0 && k > 1 && nt > k) {
+        val want = (btw.toDouble * (nt - k).toDouble) /
+          (wth.toDouble * (k - 1).toDouble)
+        assert(math.abs(gf - want) <= math.abs(want) * 1e-12, s"$et f_stat")
+      }
+    }
+  }
+
+  test("q_image_channel_stats equals the fixture pixel formula") {
+    val rows = q("q_image_channel_stats")
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(rows.nonEmpty)
+    // recompute three docs from the raw fixture formula
+    rows.keys.toSeq.sorted.take(3).foreach { id =>
+      val seed = id * 2654435761L
+      val w = 8 + (id % 24).toInt; val h = 8 + (id % 16).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = java.lang.Math.floorMod(seed + 31L * x + 17L * y, 16777216L)
+        sr += v / 65536; sg += (v / 256) % 256; sb += v % 256
+      }
+      assert(rows(id) === ((w.toLong * h, sr, sg, sb)), s"doc $id")
+    }
+  }
+
 }
