@@ -44,18 +44,18 @@ object Explain {
     * row_number()/ntile() over a key-cardinality frame is the one window
     * shape that cannot scale (Scale.globalRank is the replacement; see
     * q_power_curve / q_skew_report). */
-  private val globalWindowLicensed: Set[String] = Set(
-    "q_life_table",       // dur_days domain (bounded calendar span)
-    "q_label_index",      // distinct langs/sources (tiny domains)
-    "q_percentile",       // distinct fixed-point value domain
-    "q_quantile_sketch",  // ditto (exact-rank check table)
-    "q_ks_test",          // distinct fixed-point value domain
-    "q_hybrid_rank",      // ≤k-row top sets per leg
-    "q_weighted_median",  // distinct fixed-point value domain
-    "q_percent_rank",     // distinct fixed-point value domain
-    "q_gini",             // distinct per-user count domain (grouped)
-    "q_skyline",          // per-p_size grouped domain (bounded sizes)
-    "q_mix_temperature"   // per-source grouped domain (tiny)
+  private val globalWindowLicensed: Map[String, Int] = Map(
+    "q_life_table" -> 1,      // dur_days domain (bounded calendar span)
+    "q_label_index" -> 2,     // distinct langs/sources (tiny domains)
+    "q_percentile" -> 1,      // distinct fixed-point value domain
+    "q_quantile_sketch" -> 1, // ditto (exact-rank check table)
+    "q_ks_test" -> 1,         // distinct fixed-point value domain
+    "q_hybrid_rank" -> 1,     // ≤k-row top sets per leg
+    "q_weighted_median" -> 1, // distinct fixed-point value domain
+    "q_percent_rank" -> 1,    // distinct fixed-point value domain
+    "q_gini" -> 1,            // distinct per-user count domain (grouped)
+    "q_skyline" -> 1,         // per-p_size grouped domain (bounded sizes)
+    "q_mix_temperature" -> 1  // per-source grouped domain (tiny)
   )
 
   def audit(spark: SparkSession, sfDir: String): Unit = {
@@ -75,8 +75,16 @@ object Explain {
           case w: WindowExec if w.partitionSpec.isEmpty => w
         }
         if (cart.nonEmpty) { bad += 1; println(s"AUDIT $n: CARTESIAN PRODUCT") }
-        else if (gwin.nonEmpty && !globalWindowLicensed(n)) {
+        else if (gwin.nonEmpty && !globalWindowLicensed.contains(n)) {
           bad += 1; println(s"AUDIT $n: GLOBAL WINDOW x${gwin.size} (unlicensed)")
+        }
+        // the license caps a WINDOW COUNT, not just the query name: a
+        // licensed query that grows a second unpartitioned window (or
+        // swaps its bounded-domain window for a key-cardinality one
+        // alongside it) regresses loudly instead of passing silently
+        else if (gwin.nonEmpty && gwin.size > globalWindowLicensed(n)) {
+          bad += 1
+          println(s"AUDIT $n: GLOBAL WINDOW x${gwin.size} exceeds license (${globalWindowLicensed(n)})")
         }
         else if (gwin.nonEmpty)
           println(s"AUDIT $n: global-window x${gwin.size} [licensed: bounded domain]")

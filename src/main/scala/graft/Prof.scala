@@ -78,8 +78,10 @@ object Prof {
       t = System.nanoTime()
       q.processAllAvailable()
       val tDrain = ms(t)
+      // java.util.Map#get returns null for absent keys (no-data batches)
       val batchInfo = q.recentProgress.map(p =>
-        s"b${p.batchId}:${p.durationMs.get("triggerExecution")}").mkString(" ")
+        s"b${p.batchId}:${Option(p.durationMs.get("triggerExecution")).getOrElse("-")}")
+        .mkString(" ")
 
       t = System.nanoTime()
       q.stop()

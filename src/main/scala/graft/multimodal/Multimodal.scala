@@ -59,6 +59,35 @@ object Multimodal {
     img
   }
 
+  /** Above this pixel count the whole-frame `getRGB` buffer (4 bytes/px
+    * on top of the decoded raster) becomes a per-task memory cliff — a
+    * 100 MP photo would allocate ~400 MB transiently PER ROW of the
+    * DataFrame. Bounded at 4 M px (16 MB buffer). */
+  private val BulkPixelThreshold = 1L << 22
+
+  /** Stream an image's pixels row-by-row as packed ARGB ints:
+    * `f(y, buf, off)` sees row `y` at `buf(off) .. buf(off + w - 1)`.
+    * Small frames keep the round-6 fast path — ONE bulk `getRGB` call
+    * (a single ColorModel conversion pass) handed to `f` with zero
+    * copying; frames past [[BulkPixelThreshold]] fall back to strided
+    * per-scanline fetches through one reused w-length buffer, so peak
+    * extra memory is one scanline instead of the whole frame. The
+    * pixel values are identical either way — only the fetch granularity
+    * changes. */
+  private[multimodal] def foreachPixelRow(img: java.awt.image.BufferedImage)(
+      f: (Int, Array[Int], Int) => Unit): Unit = {
+    val w = img.getWidth; val h = img.getHeight
+    if (w.toLong * h <= BulkPixelThreshold) {
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var y = 0
+      while (y < h) { f(y, px, y * w); y += 1 }
+    } else {
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) { img.getRGB(0, y, w, 1, row, 0, w): Unit; f(y, row, 0); y += 1 }
+    }
+  }
+
   /** PNG-encode to bytes through the memory-cached path. */
   private[multimodal] def encodeImagePng(
       img: java.awt.image.BufferedImage): Array[Byte] = {
@@ -159,15 +188,17 @@ object Multimodal {
         batch.iterator.map { r =>
           val img = readImage(r.getAs[Array[Byte]](1), r.getLong(0))
           val w = img.getWidth; val h = img.getHeight
-          val px = img.getRGB(0, 0, w, h, null, 0, w)
           var sr = 0L; var sg = 0L; var sb = 0L
-          var i = 0
-          while (i < px.length) {
-            val v = px(i)
-            sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
-            i += 1
+          foreachPixelRow(img) { (_, buf, off) =>
+            var i = off
+            val end = off + w
+            while (i < end) {
+              val v = buf(i)
+              sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+              i += 1
+            }
           }
-          Row(r.getLong(0), px.length.toLong, sr, sg, sb)
+          Row(r.getLong(0), w.toLong * h, sr, sg, sb)
         }
       }
     }(Encoders.row(outSchema))
@@ -195,18 +226,17 @@ object Multimodal {
           val h = img.getHeight
           val sums = new Array[Long](grid * grid)
           val counts = new Array[Long](grid * grid)
-          // bulk fetch: one ColorModel pass instead of per-pixel getRGB
-          val px = img.getRGB(0, 0, w, h, null, 0, w)
-          var y = 0
-          while (y < h) {
+          // bulk/strided fetch: one ColorModel pass per row batch instead
+          // of per-pixel getRGB; memory-bounded on huge frames
+          foreachPixelRow(img) { (y, buf, off) =>
+            val rowCell = (y * grid / h) * grid
             var x = 0
             while (x < w) {
-              val c = (y * grid / h) * grid + (x * grid / w)
-              sums(c) += (px(y * w + x) & 0xFFFFFF).toLong
+              val c = rowCell + (x * grid / w)
+              sums(c) += (buf(off + x) & 0xFFFFFF).toLong
               counts(c) += 1
               x += 1
             }
-            y += 1
           }
           (0 until grid * grid).iterator.filter(counts(_) > 0).map(c =>
             Row(id, c, sums(c).toDouble / counts(c)))
@@ -822,43 +852,49 @@ object Multimodal {
           val img = readImage(r.getAs[Array[Byte]](1), r.getLong(0))
           val w = img.getWidth; val h = img.getHeight
           val gw = 9; val gh = 8
-          // ONE bulk pixel fetch: per-pixel getRGB goes through the
-          // ColorModel dispatch on every call (PNGs decode to 3BYTE_BGR,
-          // not INT_RGB) — the bulk call converts the whole frame in one
-          // pass and the cell loops then read a flat int array.
-          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          // Bulk (small frames) or row-strided (huge frames) fetch via
+          // foreachPixelRow: per-pixel getRGB goes through the ColorModel
+          // dispatch on every call (PNGs decode to 3BYTE_BGR, not
+          // INT_RGB) — batch conversion + flat int reads either way.
+          // Cell bounds precomputed; row-major accumulation visits each
+          // row once per cell row whose CLAMPED range contains it, which
+          // reproduces the per-cell loops exactly (ranges only overlap
+          // when h < gh / w < gw — tiny clamped frames).
           val sums = Array.ofDim[Long](gh, gw)
           val cnts = Array.ofDim[Long](gh, gw)
-          var cy = 0
-          while (cy < gh) {
+          val ys = Array.tabulate(gh) { cy =>
             val y0 = cy * h / gh
-            val y1 = math.min(math.max((cy + 1) * h / gh, y0 + 1), h)
-            var cx = 0
-            while (cx < gw) {
-              val x0 = cx * w / gw
-              val x1 = math.min(math.max((cx + 1) * w / gw, x0 + 1), w)
-              var s0 = 0L; var n0 = 0L
-              var y = y0
-              while (y < y1) {
-                val rowOff = y * w
-                var x = x0
-                while (x < x1) {
-                  val rgb = px(rowOff + x)
-                  // BT.601 luma ×1000 — integer, engine-identical
-                  s0 += 299L * ((rgb >> 16) & 0xFF) +
-                    587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
-                  n0 += 1
-                  x += 1
+            (y0, math.min(math.max((cy + 1) * h / gh, y0 + 1), h))
+          }
+          val xs = Array.tabulate(gw) { cx =>
+            val x0 = cx * w / gw
+            (x0, math.min(math.max((cx + 1) * w / gw, x0 + 1), w))
+          }
+          foreachPixelRow(img) { (y, buf, off) =>
+            var cy = 0
+            while (cy < gh) {
+              if (y >= ys(cy)._1 && y < ys(cy)._2) {
+                var cx = 0
+                while (cx < gw) {
+                  var s0 = 0L; var n0 = 0L
+                  var x = xs(cx)._1
+                  while (x < xs(cx)._2) {
+                    val rgb = buf(off + x)
+                    // BT.601 luma ×1000 — integer, engine-identical
+                    s0 += 299L * ((rgb >> 16) & 0xFF) +
+                      587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+                    n0 += 1
+                    x += 1
+                  }
+                  sums(cy)(cx) += s0; cnts(cy)(cx) += n0
+                  cx += 1
                 }
-                y += 1
               }
-              sums(cy)(cx) = s0; cnts(cy)(cx) = n0
-              cx += 1
+              cy += 1
             }
-            cy += 1
           }
           var hash = 0L; var bit = 0
-          cy = 0
+          var cy = 0
           while (cy < gh) {
             var cx = 0
             while (cx < gw - 1) {

@@ -480,12 +480,13 @@ object JourneyOps {
       // unique us key. ONE struct-max then reads the sweep exactly once:
       // max (conc, −us) is lexicographic, so the peak's FIRST instant
       // rides along for free — no second pass, no pinned checkpoint.
-      // partitions=8: the boundary frame is session-bounded (≲2 rows per
-      // session), far under the session-wide shuffle width — 32 range
-      // partitions just multiply task overhead across prefixSum's two
-      // passes at this size (production sizes this to rows/partition)
+      // Partition count left to prefixSum's stats-based sizing: the
+      // boundary frame is session-bounded (≲2 rows per session), far
+      // under the session-wide shuffle width — the device sizes range
+      // partitions from the optimizer's bytes estimate (round-8; this
+      // call pinned 8 before the device learned to size itself).
       val c = Scale.prefixSum(g.select(col("us"), col("net")),
-          "us", "net", prefixCol = "pfx", partitions = 8)
+          "us", "net", prefixCol = "pfx")
         .join(g.select(col("us"), col("s_cnt")), "us")
         .withColumn("conc", col("pfx") + col("s_cnt"))
       val nSessions = broadcast(sess.agg(count(lit(1)).as("n_sessions")))

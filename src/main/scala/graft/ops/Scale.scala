@@ -20,6 +20,29 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Range-partition count for the two-pass rank devices when the caller
+    * does not pin one: sized from the OPTIMIZER'S size estimate instead
+    * of blindly taking `spark.sql.shuffle.partitions`. At a 100 TB input
+    * the estimate clamps to the session width (the device's whole point);
+    * at the small key-cardinality frames most callers feed (a group-by
+    * result of a few thousand rows) the session default meant 32
+    * near-empty range partitions — 2 RDD passes × 32 tasks + a 32-file
+    * localCheckpoint of pure fixed cost per call (the round-7
+    * q_power_curve/q_skew_report/q_split_assign regression). Unknown
+    * stats (e.g. an RDD-backed frame, where Catalyst reports the
+    * defaultSizeInBytes sentinel) fall back to the session width —
+    * never undersize what might be huge. */
+  private[graft] def sizedRangePartitions(df: DataFrame, explicit: Int,
+      targetBytes: Long = 64L << 20): Int = {
+    if (explicit > 0) explicit
+    else {
+      val conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (sz <= 0 || sz > (BigInt(1) << 50)) conf
+      else ((sz + targetBytes - 1) / targetBytes).toInt.max(1).min(conf)
+    }
+  }
+
   /** Skew-safe equi join. The skewed (big) side is salted into `salts`
     * sub-keys; the other side is replicated `salts`× so every sub-key finds
     * its match. Result equals `skewed.join(other, key, joinType)` exactly;
@@ -188,10 +211,32 @@ object Scale {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
-    val p = if (partitions > 0) partitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val sorted = df
-      .select(col(orderCol), col(valueCol).cast("long").as(valueCol))
+    val p = sizedRangePartitions(df, partitions)
+    val proj = df.select(col(orderCol), col(valueCol).cast("long").as(valueCol))
+    val schema = StructType(Seq(
+      df.schema(orderCol), StructField(valueCol, LongType),
+      StructField(prefixCol, LongType)))
+    if (p == 1) {
+      // Single-range fast path (the stats sizing picks 1 exactly for the
+      // small key-cardinality frames most callers feed): no range
+      // boundaries to sample, and the lone partition's exclusive offset
+      // is 0 by definition — so the sampling job, the pass-1 subtotal
+      // job, the offset broadcast AND the eager localCheckpoint (which
+      // only exists to outlive bc.destroy()) all drop away. One shuffle,
+      // one in-partition sort, one streaming map — the same job count as
+      // the single-partition window this device replaces, without its
+      // unbounded-frame scale hazard at real partition counts.
+      val sorted1 = proj.repartition(1).sortWithinPartitions(orderCol)
+      val rdd = sorted1.rdd.mapPartitions { it =>
+        var acc = 0L
+        it.map { r =>
+          val v = r.getLong(1); val o = acc; acc += v
+          Row(r.get(0), v, o)
+        }
+      }
+      return spark.createDataFrame(rdd, schema)
+    }
+    val sorted = proj
       .repartitionByRange(p, col(orderCol))
       .sortWithinPartitions(orderCol)
       .persist()
@@ -209,9 +254,6 @@ object Scale {
       m.toMap
     }
     val bc = spark.sparkContext.broadcast(offsets)
-    val schema = StructType(Seq(
-      df.schema(orderCol), StructField(valueCol, LongType),
-      StructField(prefixCol, LongType)))
     // pass 2: stream each partition from its broadcast offset
     val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = bc.value(pid)
@@ -251,8 +293,20 @@ object Scale {
     import org.apache.spark.sql.types.{LongType, StructField}
     require(orderCols.nonEmpty, "globalRank needs at least one order column")
     val spark = df.sparkSession
-    val p = if (partitions > 0) partitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = sizedRangePartitions(df, partitions)
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ StructField(rankCol, LongType, nullable = false))
+    if (p == 1) {
+      // Single-range fast path — see prefixSum: no sampling job, no
+      // pass-1 count job, no broadcast, no eager checkpoint; ranks start
+      // at the lone partition's exclusive offset 0.
+      val sorted1 = df.repartition(1).sortWithinPartitions(orderCols: _*)
+      val rdd = sorted1.rdd.mapPartitions { it =>
+        var r = 0L
+        it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
+      }
+      return spark.createDataFrame(rdd, schema)
+    }
     val sorted = df
       .repartitionByRange(p, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
@@ -267,8 +321,6 @@ object Scale {
       m.toMap
     }
     val bc = spark.sparkContext.broadcast(offsets)
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ StructField(rankCol, LongType, nullable = false))
     val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var r = bc.value(pid)
       it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
