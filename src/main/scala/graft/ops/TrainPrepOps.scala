@@ -559,5 +559,66 @@ object TrainPrepOps {
       Scale.globalRank(docs,
           Seq(col("difficulty"), col("hh"), col("doc_id")), "curriculum_pos")
         .select(col("doc_id"), col("difficulty"), col("curriculum_pos"))
+    },
+
+    // ---- BPE encode -> sequence packing, composed end to end --------------
+    // The real pipeline shape q_seq_packing abstracts: pack on the BPE
+    // TOKENIZER'S output counts, not pre-tokenized whitespace counts —
+    // [[graft.text.Bpe.encodeStats]] feeds [[Scale.packSequences]]
+    // directly (tokenize -> layout with no driver round-trip; the
+    // reference composes fold UDF pipelines the same way,
+    // python/tests/test_aggregates.py). The BPE token counts are not
+    // SQL-recomputable, so the oracle states the VERIFIABLE contract:
+    // n_words is exact SQL, and pack_ok must be uniformly true — it
+    // conjoins the BPE round-trip/bounds gates with the packing
+    // invariants (per-doc token conservation across its chunks, chunk
+    // span agreeing with packSequences' seq_id_first/last, and every
+    // spanned 256-token chunk EXACTLY full except the corpus-last — a
+    // tiling that only closes if the distributed prefix offsets are
+    // gapless; any gap or overlap leaves a non-final chunk underfull
+    // and flips the gate). Plan: bounded-license BPE fit, one encode
+    // map, the two-pass prefix device, then chunk-keyed + doc-keyed
+    // aggregations — no global window, nothing corpus-sized driver-side.
+    Q("q_bpe_packing",
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, true AS pack_ok
+        |FROM t WHERE n_words > 0""".stripMargin) { (s, d) =>
+      val L = 256L
+      val docs = Tables(s, d, "documents")
+      val merges = graft.text.Bpe.trainMerges(docs, "text", numMerges = 16)
+      val stats = graft.text.Bpe.encodeStats(docs, "doc_id", "text", merges)
+        .filter(col("n_bpe_tokens") > 0) // n_words > 0 <=> n_bpe_tokens > 0
+      val packed = Scale.packSequences(stats, "doc_id", col("n_bpe_tokens"), L)
+      val spans = packed
+        .withColumn("fin", col("tok_offset") + col("n_tok"))
+        .withColumn("chunk_id", explode(sequence(
+          expr(s"tok_offset div ${L}L"), expr(s"(fin - 1) div ${L}L"))))
+        .withColumn("n_in_chunk",
+          least(col("fin"), (col("chunk_id") + 1) * L)
+            - greatest(col("tok_offset"), col("chunk_id") * L))
+      val fills = spans.groupBy("chunk_id")
+        .agg(sum(col("n_in_chunk")).as("fill"))
+      val lastChunk = broadcast(fills.agg(max(col("chunk_id")).as("max_chunk")))
+      val chunkOk = fills.crossJoin(lastChunk)
+        .select(col("chunk_id"),
+          (col("fill") === L || col("chunk_id") === col("max_chunk"))
+            .as("chunk_full_ok"))
+      val perDoc = spans.join(chunkOk, "chunk_id")
+        .groupBy("doc_id")
+        .agg((min(col("chunk_full_ok").cast("int")) === 1).as("tiles_ok"),
+          sum(col("n_in_chunk")).as("sum_chunks"),
+          min(col("chunk_id")).as("c_first"),
+          max(col("chunk_id")).as("c_last"))
+      packed.join(perDoc, "doc_id")
+        .join(stats.select("doc_id", "n_words", "roundtrip_ok", "bounds_ok"),
+          "doc_id")
+        .select(col("doc_id"), col("n_words"),
+          (col("tiles_ok") && col("sum_chunks") === col("n_tok") &&
+            col("c_first") === col("seq_id_first") &&
+            col("c_last") === col("seq_id_last") &&
+            col("roundtrip_ok") && col("bounds_ok")).as("pack_ok"))
     })
 }

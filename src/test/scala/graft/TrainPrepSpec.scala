@@ -228,6 +228,24 @@ class TrainPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bpe_packing: every gate true, n_words exact, row per non-empty doc") {
+    val rows = byName("q_bpe_packing")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // pack_ok is the composed contract (BPE round-trip + bounds + chunk
+    // tiling + conservation + span agreement) — any false means the
+    // tokenizer's output schema did NOT feed the layout ops cleanly
+    rows.foreach(r => assert(r.getAs[Boolean]("pack_ok"),
+      s"doc ${r.getAs[Long]("doc_id")} failed the pack contract"))
+    // n_words matches the independent whitespace count per doc
+    val want = graft.ops.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length === want.count(_._2 > 0))
+    rows.foreach(r => assert(
+      r.getAs[Long]("n_words") === want(r.getAs[Long]("doc_id"))))
+  }
+
   test("q_fim_transform regions partition the doc and never overlap in layout") {
     val rows = byName("q_fim_transform")(spark, dir).collect()
     assert(rows.nonEmpty)
