@@ -23,20 +23,15 @@ object AnalyticsOps {
   private def events(s: SparkSession, d: String)    = Tables(s, d, "events")
   private def documents(s: SparkSession, d: String) = Tables(s, d, "documents")
 
-  /** Distinct 3-word shingle HASHES of `text` (native single-pass
-    * [[graft.functions.ShingleHashes]] kernel, sorted distinct longs).
-    * Set-similarity runs over SHINGLES, not unigrams: the documents
-    * fixture draws from a ~31-word vocabulary, so unigram sets are
-    * near-identical across the whole corpus (Σdf² ≈ 4.5·10⁸ at sf0.1 —
-    * every pair is a candidate), while 3-word shingles give ~27k distinct
-    * elements with max df 25 (Σdf² ≈ 2.8·10⁶): 160× fewer candidate
-    * pairs, and similarity actually discriminates near-dups. The oracle
-    * replays STRING shingles (`array_to_string(toks[i:i+2])`) — identical
-    * intersect/union counts unless xxhash collides on the observed
-    * shingle population (≈2·10⁻¹¹ at 27k values; a collision would fail
-    * the hash compare, the same contract `q_dedup_minhash` relies on). */
-  private def shingleSet: Column =
-    graft.dedup.Dedup.shingleHashes(col("text"), 3)
+  /** Historical note (rounds 5–7): set-similarity originally ran over
+    * 3-word shingle hashes because the NATURAL documents fixture draws
+    * from a ~31-word vocabulary, making unigram sets near-identical
+    * corpus-wide (Σdf² ≈ 4.5·10⁸ at sf0.1 — every pair a candidate).
+    * Round 8 re-pointed q_setsim_join at the long-tail [[SynthText]]
+    * corpus (~16k Zipf-ish vocabulary), where plain unigram sets are the
+    * realistic, discriminative form and the rarity-ordered prefix filter
+    * does its intended work; the shingle device remains in the dedup
+    * family (q_dedup_minhash etc.) where shingling IS the operator. */
 
   // =========================================================================
   // 1. One-scan column profiler
@@ -157,11 +152,11 @@ object AnalyticsOps {
   }
 
   private val SetSimOracle: String =
-    """WITH t AS (SELECT doc_id, list_distinct(list_transform(
-      |    generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
-      |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS toks
-      |  FROM documents),
-      |w AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    raw"""WITH ${SynthText.duckCte},
+       |t AS (SELECT doc_id,
+       |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+       |  FROM sdocs),
+       |w AS (SELECT doc_id, unnest(toks) AS tok FROM t),
       |sz AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS l FROM t),
       |pair AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS inter
       |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
@@ -249,8 +244,9 @@ object AnalyticsOps {
   }
 
   private val ErOracle: String =
-    """WITH d AS (SELECT doc_id,
-      |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+    raw"""WITH ${SynthText.duckCte},
+       |d AS (SELECT doc_id,
+       |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM sdocs),
       |clean AS (SELECT doc_id, array_to_string(toks[1:6], ' ') AS title
       |  FROM d WHERE len(toks) >= 6),
       |dirty AS (SELECT doc_id + 100000 AS did,
@@ -575,17 +571,30 @@ object AnalyticsOps {
           Tables(s, d, "nation"), "n_nationkey")))
     },
 
-    // ---- exact set-similarity self-join, shingle Jaccard >= 0.8 -----------
+    // ---- exact set-similarity self-join, UNIGRAM Jaccard >= 0.8 -----------
+    // Round 8: runs on the long-tail SynthText corpus, which is what lets
+    // set similarity use plain unigram token sets — the form the natural
+    // fixture's ~31-word vocabulary made degenerate (see [[shingleSet]]'s
+    // note; the shingle workaround now lives on only where char-level
+    // similarity is the point). With a Zipf-ish 16k vocabulary the
+    // rarity-ordered prefix filter does real work: head words are shared
+    // corpus-wide but never enter a prefix, and candidate fan-out tracks
+    // each doc's RAREST tokens exactly as PPJoin intends.
     Q("q_setsim_join", SetSimOracle) { (s, d) =>
-      setSimJoin(documents(s, d).select(col("doc_id"), shingleSet.as("toks")), tPct = 80)
+      setSimJoin(SynthText.docs(s, d).select(col("doc_id"),
+        array_distinct(split(trim(col("text")), "\\s+")).as("toks")), tPct = 80)
     },
 
     // ---- Pareto skyline: min size, max price ------------------------------
     Q("q_skyline", SkylineOracle) { (s, d) => skyline(part(s, d)) },
 
     // ---- fuzzy entity resolution: dirty titles -> source docs -------------
+    // Round 8: titles come from the long-tail SynthText corpus, so the
+    // conjunctive blocking key has realistic selectivity (group-keyed
+    // words, ~1 group per key) instead of the natural fixture's
+    // thousands-deep token dfs.
     Q("q_er_join", ErOracle) { (s, d) =>
-      val (clean, dirty, cand) = erJoin(documents(s, d))
+      val (clean, dirty, cand) = erJoin(SynthText.docs(s, d))
       cand.join(dirty, "did").join(clean, "doc_id")
         .select(col("did"), col("doc_id"),
           levenshtein(col("dtitle"), col("title")).cast("long").as("dist"))

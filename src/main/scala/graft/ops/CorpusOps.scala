@@ -41,11 +41,12 @@ object CorpusOps {
     * and q_dedup_index_update (probing the append-merged index must give
     * the same answers as probing the whole corpus directly). */
   private val DeltaOracle: String =
-    """WITH sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(
-      |    generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
-      |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS g
-      |  FROM documents)
+    raw"""WITH ${SynthText.duckCte},
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
+       |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS g
+       |  FROM sdocs)
       |SELECT a.doc_id AS delta_id, b.doc_id AS corpus_id,
       |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
@@ -433,7 +434,7 @@ object CorpusOps {
     // the standing corpus. LSH banding probes corpus buckets only — no
     // delta-delta or corpus-corpus pairs — then exact Jaccard confirms.
     Q("q_dedup_delta", DeltaOracle) { (s, d) =>
-      val docs = Tables(s, d, "documents")
+      val docs = SynthText.docs(s, d)
       // 2-row bands (64/32): P(a true j>=0.8 pair misses every band) =
       // (1-0.8^2)^32 ~ 5e-15, so the exact all-pairs oracle match is
       // guaranteed by construction (not fixture luck); precision is exact
@@ -451,7 +452,7 @@ object CorpusOps {
     // answers must equal probing the whole %10≠0 corpus directly, which
     // is exactly q_dedup_delta's oracle.
     Q("q_dedup_index_update", DeltaOracle) { (s, d) =>
-      val docs = Tables(s, d, "documents")
+      val docs = SynthText.docs(s, d)
       val path = indexUpdateDirs.computeIfAbsent(d, _ => {
         val w = java.nio.file.Files.createTempDirectory("graft_idxup").toString
         graft.dedup.Dedup.buildCorpusIndex(

@@ -418,20 +418,26 @@ object PipelineOps {
     },
 
     // ---- exact dedup (normalized text, keep min id) -----------------------
+    // Runs on the long-tail SynthText corpus (round 8): every 5-doc group
+    // plants one verbatim-identical pair (members 0 and 4), so the
+    // duplicate branch is exercised against a regenerable oracle instead
+    // of whatever repeats the natural fixture happens to contain.
     Q("q_dedup_exact",
-      """SELECT lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm_text,
-        |  min(doc_id) AS doc_id, count(*) AS n_copies
-        |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
-      Dedup.exact(Tables(s, d, "documents"), "doc_id", "text")
+      raw"""WITH ${SynthText.duckCte}
+         |SELECT lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm_text,
+         |  min(doc_id) AS doc_id, count(*) AS n_copies
+         |FROM sdocs GROUP BY 1""".stripMargin) { (s, d) =>
+      Dedup.exact(SynthText.docs(s, d), "doc_id", "text")
         .select("norm_text", "doc_id", "n_copies")
     },
 
     // ---- content-hash dedup groups ----------------------------------------
     Q("q_dedup_hash",
-      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
-        |  min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
-      Dedup.contentHash(Tables(s, d, "documents"), "doc_id", "text")
+      raw"""WITH ${SynthText.duckCte}
+         |SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
+         |  min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM sdocs GROUP BY 1""".stripMargin) { (s, d) =>
+      Dedup.contentHash(SynthText.docs(s, d), "doc_id", "text")
     },
 
     // ---- document chunking: overlapping context-window slices -------------
@@ -452,34 +458,40 @@ object PipelineOps {
 
     // ---- keep-best dedup: canonical representative per content group ------
     Q("q_dedup_keep_best",
-      """SELECT content_hash, keep_id, text_len, n_copies FROM (
-        |  SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
-        |    doc_id AS keep_id, length(text) AS text_len,
-        |    count(*) OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_copies,
-        |    row_number() OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
-        |      ORDER BY length(text) DESC, doc_id ASC) AS rn
-        |  FROM documents)
-        |WHERE rn = 1""".stripMargin) { (s, d) =>
-      Dedup.keepBest(Tables(s, d, "documents"), "doc_id", "text")
+      raw"""WITH ${SynthText.duckCte}
+         |SELECT content_hash, keep_id, text_len, n_copies FROM (
+         |  SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
+         |    doc_id AS keep_id, length(text) AS text_len,
+         |    count(*) OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_copies,
+         |    row_number() OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+         |      ORDER BY length(text) DESC, doc_id ASC) AS rn
+         |  FROM sdocs)
+         |WHERE rn = 1""".stripMargin) { (s, d) =>
+      Dedup.keepBest(SynthText.docs(s, d), "doc_id", "text")
     },
 
     // ---- MinHash-LSH near-dup, exact-Jaccard confirmed at 0.8 -------------
     // Oracle = ground-truth all-pairs Jaccard; the LSH path must reach
-    // recall ~1 at the threshold (64 hashes × 16 bands of 4).
+    // recall ~1 at the threshold (64 hashes × 16 bands of 4). Runs on the
+    // SynthText corpus (round 8): each group's single-word perturbations
+    // put 3-word-shingle Jaccard on BOTH sides of the 0.8 cut depending
+    // on document length, so the threshold itself is exercised — not just
+    // the identical-pair fast path.
     Q("q_dedup_minhash",
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
-        |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS g
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
-        |FROM sh a, sh b
-        |WHERE a.doc_id < b.doc_id
-        |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8""".stripMargin) { (s, d) =>
-      Dedup.nearDupMinhash(Tables(s, d, "documents"), "doc_id", "text",
+      raw"""WITH ${SynthText.duckCte},
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
+         |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS g
+         |  FROM sdocs)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+         |FROM sh a, sh b
+         |WHERE a.doc_id < b.doc_id
+         |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8""".stripMargin) { (s, d) =>
+      Dedup.nearDupMinhash(SynthText.docs(s, d), "doc_id", "text",
         threshold = 0.8, k = 3, numHashes = 64, bands = 16)
     },
 
@@ -488,11 +500,12 @@ object PipelineOps {
     // forms the clusters. Oracle = DuckDB recursive CTE over the same
     // all-pairs-jaccard ground truth.
     Q("q_dedup_clusters",
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
-        |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS g
-        |  FROM documents),
+      raw"""WITH RECURSIVE ${SynthText.duckCte},
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
+         |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS g
+         |  FROM sdocs),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM sh a, sh b
@@ -507,8 +520,8 @@ object PipelineOps {
         |  SELECT e.v, reach.label FROM reach JOIN e ON reach.id = e.u),
         |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
         |SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS cluster
-        |FROM documents d LEFT JOIN comp ON d.doc_id = comp.id""".stripMargin) { (s, d) =>
-      Dedup.dedupClusters(Tables(s, d, "documents"), "doc_id", "text",
+        |FROM sdocs d LEFT JOIN comp ON d.doc_id = comp.id""".stripMargin) { (s, d) =>
+      Dedup.dedupClusters(SynthText.docs(s, d), "doc_id", "text",
         threshold = 0.8, k = 3, numHashes = 64, bands = 16)
     },
 
@@ -522,11 +535,12 @@ object PipelineOps {
     // dedup run publishes. Oracle = the cluster recursive CTE + the same
     // deterministic rank pick.
     Q("q_dedup_cluster_keep_best",
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
-        |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS g
-        |  FROM documents),
+      raw"""WITH RECURSIVE ${SynthText.duckCte},
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0)),
+         |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS g
+         |  FROM sdocs),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM sh a, sh b
@@ -542,7 +556,7 @@ object PipelineOps {
         |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
         |cl AS (SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS cluster,
         |    length(d.text) AS tl
-        |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+        |  FROM sdocs d LEFT JOIN comp ON d.doc_id = comp.id),
         |r AS (SELECT cluster, doc_id, tl,
         |    row_number() OVER (PARTITION BY cluster ORDER BY tl DESC, doc_id) AS rn,
         |    count(*) OVER (PARTITION BY cluster) AS n_members,
@@ -552,7 +566,7 @@ object PipelineOps {
         |  CAST(n_members AS BIGINT) AS n_members,
         |  CAST(total_chars AS BIGINT) AS total_chars
         |FROM r WHERE rn = 1""".stripMargin) { (s, d) =>
-      Dedup.clusterKeepBest(Tables(s, d, "documents"), "doc_id", "text",
+      Dedup.clusterKeepBest(SynthText.docs(s, d), "doc_id", "text",
         threshold = 0.8, k = 3, numHashes = 64, bands = 16)
     },
 
@@ -1121,13 +1135,14 @@ object PipelineOps {
     // negatives), the exact-confirm join removes the fpp — so the result
     // equals the plain semi-join the oracle states, by construction.
     Q("q_dedup_bloom",
-      """SELECT d.doc_id,
-        |  md5(lower(regexp_replace(trim(d.text), '\s+', ' ', 'g'))) AS content_hash
-        |FROM documents d
-        |WHERE EXISTS (SELECT 1 FROM documents c WHERE c.doc_id % 3 <> 0
-        |  AND lower(regexp_replace(trim(c.text), '\s+', ' ', 'g'))
-        |    = lower(regexp_replace(trim(d.text), '\s+', ' ', 'g')))""".stripMargin) { (s, d) =>
-      val docs = Tables(s, d, "documents")
+      raw"""WITH ${SynthText.duckCte}
+         |SELECT d.doc_id,
+         |  md5(lower(regexp_replace(trim(d.text), '\s+', ' ', 'g'))) AS content_hash
+         |FROM sdocs d
+         |WHERE EXISTS (SELECT 1 FROM sdocs c WHERE c.doc_id % 3 <> 0
+         |  AND lower(regexp_replace(trim(c.text), '\s+', ' ', 'g'))
+         |    = lower(regexp_replace(trim(d.text), '\s+', ' ', 'g')))""".stripMargin) { (s, d) =>
+      val docs = SynthText.docs(s, d)
       Dedup.exactDeltaBloom(docs, docs.filter(col("doc_id") % 3 =!= 0),
         "doc_id", "text")
     },

@@ -25,22 +25,25 @@ object RetrievalOps {
   val all: Seq[Q] = Seq(
 
     // ---- BM25 top-k retrieval --------------------------------------------
-    // Query = {dup, vector, merge}: 'dup' is the rare discriminative term
-    // (df 25/500), the others are near-stopwords — the ranking is carried
-    // by the rare-term idf, which is what BM25 is for. Scoring arithmetic
-    // is identical expression-for-expression on both sides; the per-doc
-    // sum is over ×10⁶ fixed-point bigints (exact, order-free).
+    // Round 8: runs on the long-tail SynthText corpus — the Zipf-shaped
+    // df spectrum is the textbook BM25 setting. Query = {w26, w100,
+    // w1005}: w26 is a head near-stopword (df ~26% of docs), w100
+    // mid-frequency, w1005 the rare discriminative term whose idf
+    // carries the ranking. Scoring arithmetic is identical
+    // expression-for-expression on both sides; the per-doc sum is over
+    // ×10⁶ fixed-point bigints (exact, order-free).
     Q("q_bm25", {
       val idf = "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
       val denom = "(CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
       val w = s"($idf * ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) / $denom))"
-      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+      s"""WITH ${SynthText.duckCte},
+         |t AS (SELECT doc_id, $oToks AS toks FROM sdocs),
          |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
          |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |             CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
          |w AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
          |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-         |       FROM w WHERE term IN ('dup', 'vector', 'merge')
+         |       FROM w WHERE term IN ('w26', 'w100', 'w1005')
          |       GROUP BY 1, 2, 3),
          |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
          |sc AS (SELECT doc_id,
@@ -50,8 +53,8 @@ object RetrievalOps {
          |SELECT doc_id, CAST(score_fp / 1000000.0 AS DOUBLE) AS score, n_terms
          |FROM sc ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin
     }) { (s, d) =>
-      Retrieval.bm25TopK(documents(s, d), "doc_id", "text",
-        Seq("dup", "vector", "merge"), k = 10)
+      Retrieval.bm25TopK(SynthText.docs(s, d), "doc_id", "text",
+        Seq("w26", "w100", "w1005"), k = 10)
     },
 
     // ---- PERSISTED full-text index: BM25 probes, zero corpus rescans ------

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Long-tail synthetic text fixture, deterministic from `doc_id` alone —
+  * the text twin of the PNG/WAV pixel-formula fixtures.
+  *
+  * Why it exists: the natural documents fixture draws from a ~31-word
+  * vocabulary, which makes word-level SET similarity degenerate (every
+  * unigram set is near-identical; COVERAGE.md documents the Σdf² blowup
+  * that forced q_setsim_join onto 3-word shingles and q_er_join onto a
+  * conjunctive 2-token blocking key). This fixture gives the word-level
+  * operators a realistic long-tail corpus: ~16 k distinct words with an
+  * octave-bucketed Zipf-ish frequency profile (word id `2^e + m` with
+  * octave `e` uniform on 4..13 — each octave carries equal probability
+  * mass split over `2^e` words, so head words appear in most documents
+  * and the tail is rare, like real text).
+  *
+  * Planted structure (what makes dedup/similarity answers non-trivial):
+  * documents come in groups of 5 sharing a base word sequence
+  * (18–30 words, length keyed to the group):
+  *   - members 0 and 4 are VERBATIM IDENTICAL — every group plants an
+  *     exact-duplicate pair for the exact/hash/keep-best/delta family;
+  *   - members 1..3 override exactly ONE position (12−3r) with a
+  *     doc-keyed word — unigram Jaccard to the base ≈ (u−1)/(u+1) ≈ 0.9
+  *     (near-dup), while 3-word-shingle Jaccard (s−3)/(s+3) straddles
+  *     the 0.8 threshold with document length, exercising both sides of
+  *     the MinHash cut;
+  *   - cross-group similarity is the head-word floor (~0.1).
+  *
+  * Everything is the md5-hex-digit integer device (the `feistelSlot`
+  * pattern): both engines evaluate the IDENTICAL arithmetic text modulo
+  * `div` vs `//`, `STRING` vs `VARCHAR`, `shiftleft` vs `<<`, and the
+  * transform/sequence spellings — so the DuckDB oracle regenerates the
+  * corpus bit-identically and replays each query on it. */
+object SynthText {
+
+  /** The text-generating expression over a `doc_id` column, in the given
+    * engine's SQL dialect ("spark" | "duck"). */
+  def textExpr(engine: String): String = {
+    val duck = engine == "duck"
+    val vc = if (duck) "VARCHAR" else "STRING"
+    def idiv(a: String, b: String) =
+      if (duck) s"(($a) // ($b))" else s"(($a) div ($b))"
+    def shl(e: String) =
+      if (duck) s"(1 << ($e))" else s"shiftleft(1, CAST($e AS INT))"
+    val xform = if (duck) "list_transform" else "transform"
+    val seqf = if (duck) "generate_series" else "sequence"
+    val ajoin = if (duck) "array_to_string" else "array_join"
+    // uniform in [0, 16^6) from the first 6 hex digits of a hash string
+    def hex6(h: String): String = (1 to 6).map { k =>
+      val p = Seq(1048576L, 65536L, 4096L, 256L, 16L, 1L)(k - 1)
+      s"(instr('0123456789abcdef', substr($h, $k, 1)) - 1) * $p"
+    }.mkString("(", " + ", ")")
+
+    val g = idiv("doc_id", "5")        // 5-doc group sharing a base text
+    val r = "(doc_id % 5)"             // member within the group
+    val n = s"(18 + (${hex6(s"md5('ln:' || CAST($g AS $vc))")} % 13))"
+    // members 1..3 override exactly one position each (12, 9, 6 resp.)
+    val ovr = s"(($r) BETWEEN 1 AND 3 AND i = 12 - 3 * ($r))"
+    val hashAt =
+      s"""CASE WHEN $ovr
+         | THEN md5('pz:' || CAST(doc_id AS $vc) || ':' || CAST(i AS $vc))
+         | ELSE md5('zf:' || CAST($g AS $vc) || ':' || CAST(i AS $vc)) END"""
+        .stripMargin.replace("\n", "")
+    val u = hex6("h")
+    // octave-bucketed long-tail word id in [16, 16384)
+    val e = "(4 + (u % 10))"
+    val wid = s"(${shl(e)} + (${idiv("u", "10")} % ${shl(e)}))"
+    val word = s"'w' || CAST($wid AS $vc)"
+    // three nested transforms bind (position -> hash -> uniform -> word)
+    // so md5 runs ONCE per position and the digit sum once per word
+    s"$ajoin($xform($xform($xform($seqf(1, $n), i -> $hashAt), h -> $u), u -> $word), ' ')"
+  }
+
+  /** Staged corpus dirs, one per source dir per JVM: the generator runs
+    * ~40 md5+digit extractions per word, and several consumers evaluate
+    * the docs frame more than once per query (both sides of a delta
+    * join, clean+dirty ER legs) — staging to parquet once per session
+    * makes generation a fixed setup cost and every query a columnar
+    * read, exactly how a real corpus would exist as data. */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The synthetic corpus as a Spark frame: (doc_id, text). `doc_id`
+    * comes from the documents table so both engines share the id set. */
+  def docs(s: SparkSession, d: String): DataFrame = {
+    val path = stagedDirs.computeIfAbsent(d, _ => {
+      val w = java.nio.file.Files.createTempDirectory("graft_synth_text").toString
+      Tables(s, d, "documents")
+        .select(col("doc_id"), expr(textExpr("spark")).as("text"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(w)
+      w
+    })
+    s.read.parquet(path)
+  }
+
+  /** DuckDB CTE body regenerating the identical corpus: splice as
+    * `WITH sdocs AS (<this>), ...` and read FROM sdocs. */
+  val duckCte: String =
+    s"sdocs AS (SELECT doc_id, ${textExpr("duck")} AS text FROM documents)"
+}
