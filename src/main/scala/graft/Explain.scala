@@ -45,15 +45,15 @@ object Explain {
     * shape that cannot scale (Scale.globalRank is the replacement; see
     * q_power_curve / q_skew_report). */
   private val globalWindowLicensed: Map[String, Int] = Map(
+    // Counts match the round-8 audit exactly; queries whose plans no
+    // longer contain an unpartitioned window carry NO dormant license
+    // (q_percentile/q_weighted_median/q_percent_rank/q_gini were
+    // delisted — if a global window returns there, the audit flags it).
     "q_life_table" -> 1,      // dur_days domain (bounded calendar span)
     "q_label_index" -> 2,     // distinct langs/sources (tiny domains)
-    "q_percentile" -> 1,      // distinct fixed-point value domain
-    "q_quantile_sketch" -> 1, // ditto (exact-rank check table)
+    "q_quantile_sketch" -> 1, // distinct fixed-point value domain
     "q_ks_test" -> 1,         // distinct fixed-point value domain
     "q_hybrid_rank" -> 1,     // ≤k-row top sets per leg
-    "q_weighted_median" -> 1, // distinct fixed-point value domain
-    "q_percent_rank" -> 1,    // distinct fixed-point value domain
-    "q_gini" -> 1,            // distinct per-user count domain (grouped)
     "q_skyline" -> 1,         // per-p_size grouped domain (bounded sizes)
     "q_mix_temperature" -> 1  // per-source grouped domain (tiny)
   )

@@ -119,6 +119,37 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixSum auto-sizing: small stats-known frames take the 1-partition fast path") {
+    import spark.implicits._
+    // parquet-backed frame so Catalyst has a real bytes estimate
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale_auto").toString
+    Seq.tabulate(100)(i => (i.toLong, (i % 5).toLong)).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    assert(graft.ops.Scale.sizedRangePartitions(df, explicit = 0) === 1,
+      "a KB-sized frame must not pay the session shuffle width")
+    // explicit request is always honored verbatim
+    assert(graft.ops.Scale.sizedRangePartitions(df, explicit = 7) === 7)
+    // unknown stats (RDD-backed) fall back to the session width — never
+    // undersize a frame that might be huge
+    val rddBacked = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+    val conf = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(graft.ops.Scale.sizedRangePartitions(rddBacked, explicit = 0) === conf)
+    // and the auto-sized result still matches the window reference
+    import org.apache.spark.sql.expressions.Window
+    val expect = df.withColumn("prefix_sum",
+        coalesce(sum("v").over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val got = graft.ops.Scale.prefixSum(df, "id", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == expect)
+  }
+
   test("mergeUpsert: updates win, inserts land, NULL data columns stay honest") {
     import spark.implicits._
     val base = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]))

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SynthText
+
+/** Structural properties of the long-tail synthetic text fixture
+  * (ops/SynthText.scala) — the planted group layout every re-pointed
+  * similarity/dedup query depends on. Cross-ENGINE identity is proven
+  * separately by the DuckDB oracle runs (each re-pointed oracle
+  * regenerates the corpus via SynthText.duckCte and hash-matches). */
+class SynthTextSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val texts: Map[Long, String] =
+    SynthText.docs(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("members 0 and 4 of every full group are verbatim identical") {
+    val groups = texts.keys.groupBy(_ / 5)
+    val full = groups.filter(_._2.size == 5)
+    assert(full.nonEmpty)
+    full.keys.foreach { g =>
+      assert(texts(5 * g) === texts(5 * g + 4), s"group $g exact-dup pair")
+    }
+  }
+
+  test("members 1..3 differ from the base in at most position 12-3r") {
+    val groups = texts.keys.groupBy(_ / 5).filter(_._2.size == 5)
+    var nDiff = 0
+    groups.keys.foreach { g =>
+      val base = texts(5 * g).split(" ")
+      (1 to 3).foreach { r =>
+        val m = texts(5 * g + r).split(" ")
+        assert(m.length === base.length, s"group $g member $r length")
+        val diffs = base.indices.filter(i => base(i) != m(i))
+        // the doc-keyed override word occasionally COINCIDES with the
+        // base word (head-octave collisions, ~0.6% of draws) — then the
+        // member is another exact duplicate, which the queries handle;
+        // a diff anywhere else would be a generator bug
+        assert(diffs.isEmpty || diffs === Seq(12 - 3 * r - 1),
+          s"group $g member $r diff positions $diffs")
+        if (diffs.nonEmpty) nDiff += 1
+      }
+    }
+    assert(nDiff > groups.size * 2, "perturbations almost never coincide")
+  }
+
+  test("vocabulary is long-tail: thousands of types, head df far above median df") {
+    val toks = texts.values.flatMap(_.split(" ")).toSeq
+    val df = texts.values
+      .flatMap(_.split(" ").distinct).groupBy(identity).map(_._2.size)
+    val types = df.size
+    // ~12k skewed draws at sf0.001 sample ~1.6k of the 16k-word domain
+    assert(types > 1000, s"only $types distinct words")
+    val sorted = df.toSeq.sortBy(-_)
+    assert(sorted.head > 20 * sorted(types / 2),
+      s"head df ${sorted.head} vs median ${sorted(types / 2)} — not long-tail")
+    // word ids live in the documented octave range [16, 16384)
+    toks.foreach { w =>
+      val id = w.stripPrefix("w").toLong
+      assert(id >= 16 && id < 16384, s"word id $id out of range")
+    }
+  }
+
+  test("document lengths are group-keyed in [18, 30]") {
+    val groups = texts.keys.groupBy(_ / 5).filter(_._2.size == 5)
+    groups.foreach { case (g, ids) =>
+      val lens = ids.map(texts(_).split(" ").length).toSet
+      assert(lens.size === 1, s"group $g mixed lengths $lens")
+      assert(lens.head >= 18 && lens.head <= 30)
+    }
+  }
+}
