@@ -456,45 +456,56 @@ object JourneyOps {
         |  CAST(min(CASE WHEN conc = (SELECT max(conc) FROM c) THEN us END)
         |    AS BIGINT) AS peak_first_us
         |FROM c""".stripMargin) { (s, d) =>
-      val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val o = events(s, d).select(col("user_id"), col("ts"), col("event_id"),
-          unix_micros(col("ts")).as("us"))
-        .withColumn("prev", lag(unix_micros(col("ts")), 1).over(wUser))
-        .withColumn("brk", when(col("prev").isNull ||
-          col("us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+      // Both windows share ONE partitioning+ordering (user_id; us,
+      // event_id) so Catalyst plans lag and the running sum in a single
+      // WindowExec — one exchange, one sort (they ordered by `ts` vs
+      // `us` before round 8: semantically the same order, but distinct
+      // expressions cost a second sort pass).
       // (us, event_id) — two same-microsecond events straddling a break
       // would otherwise assign sessions in a nondeterministic tie order
-      val wSid = Window.partitionBy("user_id").orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wSid = wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val o = events(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag(col("us"), 1).over(wUser))
+        .withColumn("brk", when(col("prev").isNull ||
+          col("us") - col("prev") > 1800000000L, 1L).otherwise(0L))
       val sess = o.withColumn("sid", sum(col("brk")).over(wSid))
         .groupBy("user_id", "sid")
         .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
-      val ev = sess.groupBy(col("s_us").as("us"))
-        .agg(count(lit(1)).as("s_cnt")).withColumn("e_cnt", lit(0L))
-        .unionByName(sess.groupBy(col("e_us").as("us"))
-          .agg(count(lit(1)).as("e_cnt")).withColumn("s_cnt", lit(0L)))
+      // ONE pass emits both endpoints per session (round 8: the old
+      // two-groupBy union evaluated the whole sessionize pipeline twice;
+      // with the join-back and session count below, `sess` cost FIVE
+      // evaluations per run — now exactly one, flowing into the
+      // persisted boundary frame)
+      val ev = sess.select(explode(array(
+          struct(col("s_us").as("us"), lit(1L).as("s"), lit(0L).as("e")),
+          struct(col("e_us").as("us"), lit(0L).as("s"), lit(1L).as("e"))))
+          .as("x"))
+        .select(col("x.us").as("us"), col("x.s").as("s"), col("x.e").as("e"))
       val g = ev.groupBy("us")
-        .agg(sum(col("s_cnt")).as("s_cnt"), sum(col("e_cnt")).as("e_cnt"))
+        .agg(sum(col("s")).as("s_cnt"), sum(col("e")).as("e_cnt"))
         .withColumn("net", col("s_cnt") - col("e_cnt"))
+        .persist() // boundary-frame-sized (≤2 rows/session); feeds the
+                   // prefix device AND the join-back without recompute
       // prefixSum emits only (us, net, pfx) — join s_cnt back on the
       // unique us key. ONE struct-max then reads the sweep exactly once:
       // max (conc, −us) is lexicographic, so the peak's FIRST instant
-      // rides along for free — no second pass, no pinned checkpoint.
-      // Partition count left to prefixSum's stats-based sizing: the
-      // boundary frame is session-bounded (≲2 rows per session), far
-      // under the session-wide shuffle width — the device sizes range
-      // partitions from the optimizer's bytes estimate (round-8; this
-      // call pinned 8 before the device learned to size itself).
+      // rides along for free. n_sessions = Σ s_cnt over the same pass
+      // (every session starts exactly once) — no separate count job.
+      // Partition count left to prefixSum's stats-based sizing.
       val c = Scale.prefixSum(g.select(col("us"), col("net")),
           "us", "net", prefixCol = "pfx")
         .join(g.select(col("us"), col("s_cnt")), "us")
         .withColumn("conc", col("pfx") + col("s_cnt"))
-      val nSessions = broadcast(sess.agg(count(lit(1)).as("n_sessions")))
-      c.agg(max(struct(col("conc"), (-col("us")).as("nus"))).as("pk"))
-        .crossJoin(nSessions)
+      val out = c.agg(max(struct(col("conc"), (-col("us")).as("nus"))).as("pk"),
+          sum(col("s_cnt")).as("n_sessions"))
         .select(col("n_sessions"),
           col("pk.conc").as("max_concurrency"),
           (-col("pk.nus")).as("peak_first_us"))
+        .localCheckpoint(true) // 1 row; materialize so g can release
+      g.unpersist()
+      out
     },
 
     // ---- life table / survival analysis (Kaplan-Meier counts) -------------
