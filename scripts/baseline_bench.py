@@ -11,10 +11,12 @@ Usage: python3 scripts/baseline_bench.py [sfDir] [oracleJson] [benchRecord] [sf=
     oracleJson   oracle_sql.json from any Verify run (default /tmp/graft_verify)
     benchRecord  BENCH_local_<round>.json to merge ratios into
                  (default from SPARK_GRAFT_ROUND/GRAFT_ROUND, r8)
-    sf=benchfile additional scale points for the SCALING sweep: e.g.
+    sf=benchfile[@dir] additional scale points for the SCALING sweep: e.g.
                  "sf0.001=/tmp/b1.json sf0.01=/tmp/b2.json" where each
                  file is a Bench output (filtered runs fine) holding
-                 engine timings for the TPC-H trio at that SF.
+                 engine timings for the sweep queries (TPC-H trio +
+                 golden pipelines) at that SF; @dir overrides the
+                 default /root/testdata/<sf> parquet dir.
 
 Reading the ratios honestly: at sf0.1 the inputs are ~10 MB — DuckDB
 answers in tens of milliseconds while a 32-thread Spark session pays
@@ -111,24 +113,37 @@ def main():
             print(f"{name:26s} {esec:8.3f} {osec:8.3f} {ratios[name]:7.2f}")
         else:
             print(f"{name:26s} {esec:8.3f} {osec:8.3f}     n/a")
-    # Scaling sweep: engine-vs-DuckDB ratio per SF for the TPC-H trio —
-    # the trend that separates fixed overhead from throughput.
+    # Scaling sweep: engine-vs-DuckDB ratio per SF for the TPC-H trio AND
+    # the golden string-ETL pipelines (their single-point ratios are the
+    # worst — VERDICT r8 #2) — the trend that separates fixed overhead
+    # from throughput. Each sweep point carries its own parquet dir: the
+    # first point is the sfdir the engine was actually benched on (NOT a
+    # reconstructed default path — ADVICE r8), later points are
+    # "label=benchfile[@dir]" with dir defaulting to /root/testdata/label.
     sweep = {}
-    trio = ["q1_agg", "q6_filter_agg", "q19_join_filter"]
-    points = [(sfdir.rstrip("/").split("/")[-1], engine)]
+    sweep_queries = [
+        "q1_agg", "q6_filter_agg", "q19_join_filter",
+        "q_zillow_golden", "q_flights_golden", "q_pipeline_golden",
+        "q_csv_roundtrip",
+    ]
+    points = [(sfdir.rstrip("/").split("/")[-1], sfdir, engine)]
     for arg in sys.argv[4:]:
         sf, _, path = arg.partition("=")
-        points.append((sf, json.load(open(path)).get("queries", {})))
+        path, _, pdir = path.partition("@")
+        points.append((sf, pdir or f"/root/testdata/{sf}",
+                       json.load(open(path)).get("queries", {})))
     if len(points) > 1:
         print(f"\nscaling sweep (ratio = engine/duckdb):")
-        print(f"{'query':18s} " + " ".join(f"{sf:>10s}" for sf, _ in points))
-        for name in trio:
+        print(f"{'query':18s} " + " ".join(f"{sf:>10s}" for sf, _, _ in points))
+        for name in sweep_queries:
+            if name not in oracle:
+                continue
             row = {}
-            for sf, eng in points:
+            for sf, pdir, eng in points:
                 c2 = duckdb.connect()
                 for t in TABLES:
                     c2.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                               f"'/root/testdata/{sf}/{t}.parquet'")
+                               f"'{pdir}/{t}.parquet'")
                 c2.execute(oracle[name]).fetchall()
                 runs = []
                 for _ in range(2):
@@ -140,8 +155,8 @@ def main():
                 row[sf] = round(esec / osec, 2) if esec >= 0 and osec > 0 else None
             sweep[name] = row
             print(f"{name:18s} " + " ".join(
-                f"{row[sf]:>10.2f}" if row[sf] else f"{'n/a':>10s}"
-                for sf, _ in points))
+                f"{row[sf]:>10.2f}" if row[sf] is not None else f"{'n/a':>10s}"
+                for sf, _, _ in points))
     bench["oracle_secs"] = oracle_secs
     bench["oracle_ratio"] = ratios
     if sweep:

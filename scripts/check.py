@@ -7,7 +7,7 @@ in DuckDB against the sfDir parquet tables, and exact-compares with the
 parquet results Verify wrote (columns sorted by name, rows sorted).
 
 Writes a correctness record at recordPath (default CORRECTNESS_local_<round>.json,
-round from GRAFT_ROUND env (default r8),
+round from GRAFT_ROUND env (default r9),
 in the cwd) in the DRIVER'S per-query schema:
     {"<query>": {"rows_match": bool, "schema_match": bool,
                  "hash_match": bool, "err": null|str}, ...}
@@ -38,7 +38,7 @@ def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
     import os
-    round_id = os.environ.get("SPARK_GRAFT_ROUND") or os.environ.get("GRAFT_ROUND", "r8")
+    round_id = os.environ.get("SPARK_GRAFT_ROUND") or os.environ.get("GRAFT_ROUND", "r9")
     record_path = sys.argv[3] if len(sys.argv) > 3 else (
         "CORRECTNESS_local_%s.json" % round_id)
 

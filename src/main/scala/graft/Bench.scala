@@ -21,6 +21,65 @@ import java.util.concurrent.TimeUnit
   * showSuccess:=false; log4j2.properties keeps Spark on stderr) — because
   * the driver json-parses the LAST line of captured stdout. */
 object Bench {
+
+  /** Merge-preserving record write: top-level JSON fields present in the
+    * EXISTING round record but not in the fresh Bench output survive the
+    * rewrite. `scripts/baseline_bench.py` merges its falsifiability data
+    * (`oracle_secs`/`oracle_ratio`/`oracle_scaling`/`oracle_note`) into
+    * `BENCH_local_<round>.json` AFTER a bench run; a later Bench rerun
+    * wrote the record wholesale and wiped them (VERDICT r8 #1). Bench owns
+    * only the fields it emits; everything else is someone else's data.
+    * Only fields Bench NEVER emits are preserved — a key Bench owns but
+    * omitted this run (e.g. `stream_tier_degraded` on a healthy rerun)
+    * must not be resurrected from a stale record. Malformed/non-object
+    * existing content falls back to the fresh line. */
+  private[graft] val ownedKeys: Set[String] = Set(
+    "metric", "value", "unit", "queries", "sf", "calibration_sec",
+    "stream_attribution", "stream_tier_degraded")
+  private[graft] def mergePreserving(fresh: String, existing: Option[String]): String =
+    existing match {
+      case None => fresh
+      case Some(old) =>
+        try {
+          import com.fasterxml.jackson.databind.ObjectMapper
+          import com.fasterxml.jackson.databind.node.ObjectNode
+          val m = new ObjectMapper()
+          val fn = m.readTree(fresh)
+          val on = m.readTree(old)
+          if (!fn.isObject || !on.isObject) fresh
+          else {
+            val tgt = fn.asInstanceOf[ObjectNode]
+            on.properties().forEach { e =>
+              if (!tgt.has(e.getKey) && !ownedKeys.contains(e.getKey))
+                tgt.set[ObjectNode](e.getKey, e.getValue): Unit
+            }
+            m.writeValueAsString(tgt)
+          }
+        } catch { case scala.util.control.NonFatal(_) => fresh }
+    }
+
+  /** Per-query attribution for the concurrent stream tier. When the tier
+    * is COMPLETE (pool drained in time and every query succeeded), each
+    * query's concurrent span is scaled so the tier sums to the measured
+    * wall — overlapping spans would otherwise double-count machine time,
+    * equal-split would erase real per-query differences. When ANY query
+    * failed or the pool timed out, scaling would inflate the survivors
+    * with the failures' machine time (ADVICE r8): emit RAW concurrent
+    * spans instead and flag the tier degraded. Returns (per-query secs
+    * with -1 for failed/missing, degraded). */
+  private[graft] def attributeTier(spans: Map[String, Double], wall: Double,
+      poolDrained: Boolean): (Map[String, Double], Boolean) = {
+    val ok = spans.filter(_._2 >= 0)
+    val degraded = !poolDrained || ok.size != spans.size
+    val okSum = ok.values.sum
+    val out = spans.map { case (n, s) =>
+      n -> (if (s < 0) -1.0
+            else if (degraded || okSum <= 0) s
+            else s * wall / okSum)
+    }
+    (out, degraded)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -81,6 +140,7 @@ object Bench {
     // machine time; equal-split would erase real per-query differences).
     val (streamNames, batchNames) = names.partition(_.startsWith("q_stream_"))
     val streamPar = sys.env.getOrElse("SPARK_GRAFT_STREAM_PAR", "8").toInt
+    var tierDegraded = false // sticky across warmup + measured passes
     def streamTier(): Map[String, Double] = {
       if (streamNames.isEmpty) return Map.empty
       val wall0 = System.nanoTime()
@@ -101,17 +161,17 @@ object Bench {
         }})
       }
       pool.shutdown()
-      pool.awaitTermination(30, TimeUnit.MINUTES): Unit
+      val drained = pool.awaitTermination(30, TimeUnit.MINUTES)
+      if (!drained) System.err.println("[bench] stream tier pool TIMED OUT")
       // cache isolation once per tier (inside `once` it would evict
       // concurrent queries' working sets mid-flight)
       spark.sqlContext.clearCache()
       val wall = (System.nanoTime() - wall0) / 1e9
-      val okSum = streamNames
-        .flatMap(n => Option(spans.get(n)).filter(_ >= 0)).sum
-      streamNames.map { n =>
-        val s = Option(spans.get(n)).getOrElse(-1.0)
-        n -> (if (s < 0 || okSum <= 0) -1.0 else s * wall / okSum)
-      }.toMap
+      val raw = streamNames
+        .map(n => n -> Option(spans.get(n)).getOrElse(-1.0)).toMap
+      val (out, degraded) = attributeTier(raw, wall, drained)
+      if (degraded) tierDegraded = true
+      out
     }
 
     batchNames.foreach(once); streamTier() // warmup pass (discarded)
@@ -151,19 +211,29 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val attribution =
+      if (tierDegraded) "DEGRADED tier (failure/timeout): raw concurrent spans, machine time under-counted"
+      else "concurrent tier, spans scaled to tier wall"
+    val degradedTag = if (tierDegraded) ""","stream_tier_degraded":true""" else ""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sec":${f3(calib)},"stream_attribution":"concurrent tier, spans scaled to tier wall"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sec":${f3(calib)},"stream_attribution":"$attribution"$degradedTag}"""
     // filtered iteration runs must not clobber the official artifact
     val benchFile = if (only.isDefined) "bench_partial.json" else "bench.json"
     Files.writeString(Paths.get(benchFile), full + "\n")
     // Round-stamped repo-root copy of the FULL per-query map (the official
     // BENCH_rN tail keeps only the compact headline line): auditors and
     // regression diffs need per-query numbers without git archaeology.
+    // Merge-preserving: fields other tools merged into the record (the
+    // baseline_bench falsifiability data) survive a rerun.
     val benchRecord = Paths.get(
       if (only.isDefined) s"${System.getProperty("user.dir")}/bench_partial.json"
       else s"${System.getProperty("user.dir")}/BENCH_local_${Round.id}.json"
     ).toAbsolutePath
-    if (only.isEmpty) Files.writeString(benchRecord, full + "\n")
+    if (only.isEmpty) {
+      val existing =
+        if (Files.exists(benchRecord)) Some(Files.readString(benchRecord)) else None
+      Files.writeString(benchRecord, mergePreserving(full, existing) + "\n")
+    }
     // Compact stdout line: BASELINE.md's headline workloads only (TPC-H
     // Q1/Q6/Q19, the three golden pipelines, dedup/ANN/stream/csv). MUST
     // stay well under the driver's 2000-char tail; the full map is in

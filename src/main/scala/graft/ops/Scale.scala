@@ -31,15 +31,41 @@ object Scale {
     * q_power_curve/q_skew_report/q_split_assign regression). Unknown
     * stats (e.g. an RDD-backed frame, where Catalyst reports the
     * defaultSizeInBytes sentinel) fall back to the session width —
-    * never undersize what might be huge. */
+    * never undersize what might be huge.
+    *
+    * A low estimate funnels the frame through one (or few) sort tasks, and
+    * size-only estimation can UNDERSTATE non-linearly through
+    * row-MULTIPLYING operators — a Generate (explode) can emit 100× its
+    * input bytes, an inner join likewise — because it propagates leaf
+    * bytes by row-width ratios (ADVICE r8). Width-preserving operators
+    * (project/filter/aggregate/sort) only ever overstate relative to
+    * their input, and LEAF stats are measured, not derived (a file scan
+    * reports actual file bytes, a materialized cache its batch bytes).
+    * So when a multiplying operator is present, the estimate is FLOORED
+    * by the plan's summed leaf bytes × a 4× expansion allowance: a frame
+    * read from N bytes of files cannot be claimed tiny by a width ratio
+    * alone, while genuinely small inputs (every caller at test SF) keep
+    * the single-range fast path. An A/B of the stricter alternative —
+    * falling back to the session width whenever a Generate/Join is
+    * present — cost the nine rank-device queries 10–22% at sf0.1 for no
+    * correctness gain (PLAN_r9.md). */
   private[graft] def sizedRangePartitions(df: DataFrame, explicit: Int,
       targetBytes: Long = 64L << 20): Int = {
     if (explicit > 0) explicit
     else {
       val conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-      val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (sz <= 0 || sz > (BigInt(1) << 50)) conf
-      else ((sz + targetBytes - 1) / targetBytes).toInt.max(1).min(conf)
+      val plan = df.queryExecution.optimizedPlan
+      val sz = plan.stats.sizeInBytes
+      import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+      val multiplying = plan.exists {
+        case _: Generate | _: Join => true
+        case _ => false
+      }
+      val eff =
+        if (multiplying) sz.max(plan.collectLeaves().map(_.stats.sizeInBytes).sum * 4)
+        else sz
+      if (eff <= 0 || eff > (BigInt(1) << 50)) conf
+      else ((eff + targetBytes - 1) / targetBytes).toInt.max(1).min(conf)
     }
   }
 

@@ -57,7 +57,7 @@ object SynthText {
     val g = idiv("doc_id", "5")        // 5-doc group sharing a base text
     val r = "(doc_id % 5)"             // member within the group
     val n = s"(18 + (${hex6(s"md5('ln:' || CAST($g AS $vc))")} % 13))"
-    // members 1..3 override exactly one position each (12, 9, 6 resp.)
+    // members 1..3 override exactly one position each (9, 6, 3 resp.)
     val ovr = s"(($r) BETWEEN 1 AND 3 AND i = 12 - 3 * ($r))"
     val hashAt =
       s"""CASE WHEN $ovr

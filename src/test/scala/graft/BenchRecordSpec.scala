@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the two honesty devices in the bench harness (no Spark session —
+  * both are pure functions, extracted exactly so they can be spec'd):
+  *
+  *  - [[Bench.mergePreserving]]: a Bench rerun must not wipe the
+  *    falsifiability fields `scripts/baseline_bench.py` merged into the
+  *    round record (VERDICT r8 #1 — the driver's rerun clobbered
+  *    `oracle_secs`/`oracle_ratio`/`oracle_scaling` out of the working
+  *    tree; only the committed copy survived).
+  *  - [[Bench.attributeTier]]: the stream tier's per-query attributions
+  *    must sum to the measured tier wall when the tier is healthy, and
+  *    must fall back to RAW concurrent spans (machine time under-counted,
+  *    flagged degraded) when any query failed or the pool timed out —
+  *    scaling would otherwise inflate the survivors with the failures'
+  *    machine time (ADVICE r8). */
+class BenchRecordSpec extends AnyFunSuite {
+
+  private val fresh =
+    """{"metric":"total","value":10.5,"unit":"sec","queries":{"q1_agg":0.3},"sf":"/x","calibration_sec":0.77,"stream_attribution":"concurrent tier, spans scaled to tier wall"}"""
+
+  test("mergePreserving keeps foreign top-level fields from the old record") {
+    val old =
+      """{"metric":"total","value":99.0,"queries":{"q1_agg":9.9},"oracle_secs":{"q1_agg":0.06},"oracle_ratio":{"q1_agg":5.2},"oracle_scaling":{"q1_agg":{"sf0.1":5.2}},"oracle_note":"n"}"""
+    val merged = Bench.mergePreserving(fresh, Some(old))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(merged)
+    // fresh fields win
+    assert(m.get("value").asDouble() === 10.5)
+    assert(m.get("queries").get("q1_agg").asDouble() === 0.3)
+    // foreign fields survive
+    assert(m.get("oracle_secs").get("q1_agg").asDouble() === 0.06)
+    assert(m.get("oracle_ratio").get("q1_agg").asDouble() === 5.2)
+    assert(m.get("oracle_scaling").get("q1_agg").get("sf0.1").asDouble() === 5.2)
+    assert(m.get("oracle_note").asText() === "n")
+    // still one line of valid JSON (records are diffed line-wise)
+    assert(!merged.contains("\n"))
+  }
+
+  test("mergePreserving does not resurrect stale Bench-owned keys") {
+    val old = """{"value":1.0,"stream_tier_degraded":true,"oracle_note":"n"}"""
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.mergePreserving(fresh, Some(old)))
+    assert(!m.has("stream_tier_degraded")) // healthy rerun stays healthy
+    assert(m.has("oracle_note"))
+  }
+
+  test("mergePreserving survives absent/garbage existing records") {
+    assert(Bench.mergePreserving(fresh, None) === fresh)
+    assert(Bench.mergePreserving(fresh, Some("not json {")) === fresh)
+    assert(Bench.mergePreserving(fresh, Some("[1,2]")) === fresh)
+  }
+
+  test("healthy tier: attributions sum to the measured wall, ratios preserved") {
+    val spans = Map("q_stream_a" -> 2.0, "q_stream_b" -> 4.0, "q_stream_c" -> 6.0)
+    val (out, degraded) = Bench.attributeTier(spans, wall = 3.0, poolDrained = true)
+    assert(!degraded)
+    assert(math.abs(out.values.sum - 3.0) < 1e-9, "attributions must sum to the tier wall")
+    // relative per-query differences survive the scaling
+    assert(math.abs(out("q_stream_b") / out("q_stream_a") - 2.0) < 1e-9)
+  }
+
+  test("degraded tier (a failure): raw spans, no inflation of survivors") {
+    val spans = Map("q_stream_a" -> 2.0, "q_stream_b" -> -1.0)
+    val (out, degraded) = Bench.attributeTier(spans, wall = 5.0, poolDrained = true)
+    assert(degraded)
+    assert(out("q_stream_a") === 2.0) // raw span, NOT 5.0
+    assert(out("q_stream_b") === -1.0)
+  }
+
+  test("degraded tier (pool timeout): flagged even when all spans succeeded") {
+    val spans = Map("q_stream_a" -> 2.0)
+    val (out, degraded) = Bench.attributeTier(spans, wall = 9.0, poolDrained = false)
+    assert(degraded)
+    assert(out("q_stream_a") === 2.0)
+  }
+}
