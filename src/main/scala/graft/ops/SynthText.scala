@@ -3,8 +3,9 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Long-tail synthetic text fixture, deterministic from `doc_id` alone —
-  * the text twin of the PNG/WAV pixel-formula fixtures.
+/** Long-tail synthetic text fixture, deterministic from `doc_id` plus a
+  * SCALE-DEPENDENT corpus salt — the text twin of the PNG/WAV
+  * pixel-formula fixtures.
   *
   * Why it exists: the natural documents fixture draws from a ~31-word
   * vocabulary, which makes word-level SET similarity degenerate (every
@@ -33,11 +34,23 @@ import org.apache.spark.sql.functions._
   * pattern): both engines evaluate the IDENTICAL arithmetic text modulo
   * `div` vs `//`, `STRING` vs `VARCHAR`, `shiftleft` vs `<<`, and the
   * transform/sequence spellings — so the DuckDB oracle regenerates the
-  * corpus bit-identically and replays each query on it. */
+  * corpus bit-identically and replays each query on it.
+  *
+  * The corpus salt (ADVICE r8): the documents table carries the SAME
+  * doc_id set at every test scale factor, so a fixture keyed on doc_id
+  * alone is byte-identical across SFs and the dual-scale oracle gate
+  * degenerates to running the same data twice for every consumer. Every
+  * md5 seed therefore also folds in `salt` = `count(*)` of the LINEITEM
+  * table at the source dir — a corpus statistic both engines compute
+  * identically that DOES grow with SF — so word draws, document lengths
+  * and perturbation words all differ per scale while the planted
+  * group/dup/near-dup structure (positional, salt-independent) is
+  * preserved. */
 object SynthText {
 
-  /** The text-generating expression over a `doc_id` column, in the given
-    * engine's SQL dialect ("spark" | "duck"). */
+  /** The text-generating expression over `doc_id` and `salt` columns
+    * (salt = lineitem row count, see object doc), in the given engine's
+    * SQL dialect ("spark" | "duck"). */
   def textExpr(engine: String): String = {
     val duck = engine == "duck"
     val vc = if (duck) "VARCHAR" else "STRING"
@@ -56,13 +69,14 @@ object SynthText {
 
     val g = idiv("doc_id", "5")        // 5-doc group sharing a base text
     val r = "(doc_id % 5)"             // member within the group
-    val n = s"(18 + (${hex6(s"md5('ln:' || CAST($g AS $vc))")} % 13))"
+    val z = s"CAST(salt AS $vc)"       // scale-dependent corpus salt
+    val n = s"(18 + (${hex6(s"md5('ln:' || $z || ':' || CAST($g AS $vc))")} % 13))"
     // members 1..3 override exactly one position each (9, 6, 3 resp.)
     val ovr = s"(($r) BETWEEN 1 AND 3 AND i = 12 - 3 * ($r))"
     val hashAt =
       s"""CASE WHEN $ovr
-         | THEN md5('pz:' || CAST(doc_id AS $vc) || ':' || CAST(i AS $vc))
-         | ELSE md5('zf:' || CAST($g AS $vc) || ':' || CAST(i AS $vc)) END"""
+         | THEN md5('pz:' || $z || ':' || CAST(doc_id AS $vc) || ':' || CAST(i AS $vc))
+         | ELSE md5('zf:' || $z || ':' || CAST($g AS $vc) || ':' || CAST(i AS $vc)) END"""
         .stripMargin.replace("\n", "")
     val u = hex6("h")
     // octave-bucketed long-tail word id in [16, 16384)
@@ -84,11 +98,14 @@ object SynthText {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The synthetic corpus as a Spark frame: (doc_id, text). `doc_id`
-    * comes from the documents table so both engines share the id set. */
+    * comes from the documents table so both engines share the id set;
+    * the scale salt is a 1-row lineitem count broadcast-cross-joined in
+    * (a one-off scan at staging time, not a per-query cost). */
   def docs(s: SparkSession, d: String): DataFrame = {
     val path = stagedDirs.computeIfAbsent(d, _ => {
       val w = java.nio.file.Files.createTempDirectory("graft_synth_text").toString
       Tables(s, d, "documents")
+        .crossJoin(Tables(s, d, "lineitem").agg(count(lit(1)).as("salt")))
         .select(col("doc_id"), expr(textExpr("spark")).as("text"))
         .repartition(8)
         .write.mode("overwrite").parquet(w)
@@ -100,5 +117,6 @@ object SynthText {
   /** DuckDB CTE body regenerating the identical corpus: splice as
     * `WITH sdocs AS (<this>), ...` and read FROM sdocs. */
   val duckCte: String =
-    s"sdocs AS (SELECT doc_id, ${textExpr("duck")} AS text FROM documents)"
+    s"sdocs AS (SELECT doc_id, ${textExpr("duck")} AS text " +
+      "FROM documents, (SELECT count(*) AS salt FROM lineitem))"
 }

@@ -67,14 +67,31 @@ class SynthTextSpec extends AnyFunSuite {
     val types = df.size
     // ~12k skewed draws at sf0.001 sample ~1.6k of the 16k-word domain
     assert(types > 1000, s"only $types distinct words")
+    // 15x, not a knife-edge: the exact head df moves a little with the
+    // scale salt (99 vs 100 under the sf0.001 lineitem-count salt); the
+    // property being guarded is an order-of-magnitude head/median gap
     val sorted = df.toSeq.sortBy(-_)
-    assert(sorted.head > 20 * sorted(types / 2),
+    assert(sorted.head > 15 * sorted(types / 2),
       s"head df ${sorted.head} vs median ${sorted(types / 2)} — not long-tail")
     // word ids live in the documented octave range [16, 16384)
     toks.foreach { w =>
       val id = w.stripPrefix("w").toLong
       assert(id >= 16 && id < 16384, s"word id $id out of range")
     }
+  }
+
+  test("corpus is scale-dependent: same doc_id, different text across SFs") {
+    // The documents table carries the SAME doc_id set at every SF, so a
+    // doc_id-only generator would make the dual-scale oracle gate run
+    // identical data twice (ADVICE r8). The lineitem-count salt must
+    // produce a different corpus at a different scale factor.
+    val other = SynthText.docs(spark, "/root/testdata/sf0.01")
+      .filter(col("doc_id") < 25).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(other.nonEmpty)
+    val differing = other.keys.count(id => texts.get(id).exists(_ != other(id)))
+    assert(differing > other.size / 2,
+      s"only $differing/${other.size} texts differ between sf0.001 and sf0.01 — salt inert")
   }
 
   test("document lengths are group-keyed in [18, 30]") {
