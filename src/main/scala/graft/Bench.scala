@@ -139,7 +139,11 @@ object Bench {
     // to the tier wall (overlapping spans would otherwise double-count
     // machine time; equal-split would erase real per-query differences).
     val (streamNames, batchNames) = names.partition(_.startsWith("q_stream_"))
-    val streamPar = sys.env.getOrElse("SPARK_GRAFT_STREAM_PAR", "8").toInt
+    // Pool width: 16 (= the tier size, fully concurrent) beat 8 by ~20%
+    // in the round-9 A/B at sf0.1 (7.03 s → 5.59 s tier wall, same host:
+    // the drains are floor-dominated, not core-bound, so width 8 just
+    // serializes two waves of floors). Recorded in PLAN_r9.md.
+    val streamPar = sys.env.getOrElse("SPARK_GRAFT_STREAM_PAR", "16").toInt
     var tierDegraded = false // sticky across warmup + measured passes
     def streamTier(): Map[String, Double] = {
       if (streamNames.isEmpty) return Map.empty
