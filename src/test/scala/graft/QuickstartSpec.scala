@@ -67,6 +67,23 @@ class QuickstartSpec extends AnyFunSuite {
     ctx.fromDataFrame(unique).tocsv(out, numParts = 2)
     // ---- END README QUICKSTART ----
 
+    // README sync: every non-comment code line of the quickstart block
+    // must appear in README.md's Quickstart section (modulo leading
+    // indentation) — the example in the docs cannot drift from what this
+    // spec proves compiles and runs.
+    val readme = Files.readString(java.nio.file.Paths.get("README.md"))
+    val codeLines = Files.readString(java.nio.file.Paths.get(
+        "src/test/scala/graft/QuickstartSpec.scala"))
+      .linesIterator
+      .dropWhile(!_.contains("BEGIN README QUICKSTART"))
+      .drop(1)
+      .takeWhile(!_.contains("END README QUICKSTART"))
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+    codeLines.foreach { l =>
+      assert(readme.contains(l), s"README Quickstart is missing code line: $l")
+    }
+
     // docs 1/2/3 normalize to the same text -> one keeper (min doc_id=1),
     // plus doc 4: two survivors, round-trippable through the csv source
     val back = ctx.csv(s"$out/*.csv").toDF
