@@ -167,7 +167,11 @@ def main():
         "ratios at ~10MB inputs measure Spark's fixed per-query overhead, "
         "not throughput — oracle_scaling shows the ratio trend vs data "
         "size (amortizing constant vs real gap); quadratic ground-truth "
-        "oracles are excluded (-2.0)")
+        "oracles are excluded (-2.0). Ratios computed against the engine "
+        f"run with total={bench.get('value')} calibration="
+        f"{bench.get('calibration_sec')} — if the record's current "
+        "total/calibration differ, a Bench rerun happened after this "
+        "merge (merge-preserved ratios are snapshots of THAT run)")
     with open(bench_record, "w") as f:
         json.dump(bench, f)
         f.write("\n")
