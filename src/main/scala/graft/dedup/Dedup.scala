@@ -781,7 +781,7 @@ object Dedup {
     * from earlier documents.
     *
     * The reference design (suffix arrays, single machine) cannot shuffle;
-    * here the gram stream comes from the native [[ShingleHashes]] kernel
+    * here the gram stream comes from the native [[graft.functions.ShingleHashes ShingleHashes]] kernel
     * (one codegen'd pass per document, distinct sorted 64-bit gram
     * hashes — the same tokenization as `split(trim(text), '\\s+')`), so
     * duplicate detection is two hash-partitioned aggregations over

@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
   * `javax.imageio` (header-only reads for metadata, full decode for pixel
   * access), batched inside `mapPartitions` — binary column in, typed
   * values out, no driver materialization. AUDIO decode is REAL for
-  * WAV/PCM ([[parseWav]]/[[wavProbe]]/[[wavDecimate]] — RIFF needs no
+  * WAV/PCM (`parseWav`/[[wavProbe]]/[[wavDecimate]] — RIFF needs no
   * codec library). Compressed audio/VIDEO decode remains a DETERMINISTIC
   * STUB (no codec libraries in this container): features derive from
   * payload bytes via a seeded hash mix, with the production shape —

@@ -13,7 +13,7 @@ import graft.api.Context
   * extractBa → extractSqft → extractOffer → extractPrice (full-row map
   * with three offer branches) → price filter → select → tocsv → read
   * back. A deterministic listings CSV is synthesized from `orders`
-  * (quoted facts fields with embedded commas, "$1,234"-style prices,
+  * (quoted facts fields with embedded commas, `\$1,234`-style prices,
   * malformed "studio" rows that must flow through the resolver), so the
   * DuckDB oracle can recompute every output row semantically — the hash
   * only matches if each string extraction exactly inverts the

@@ -125,7 +125,7 @@ object Ann {
 
   /** IVF approximate top-k: coarse-quantize the corpus against `nCells`
     * TRAINED centroids (spherical k-means on a bounded deterministic
-    * sample — see [[trainCentroids]]), then each query probes only its
+    * sample — see `trainCentroids`), then each query probes only its
     * `nProbe` nearest cells. The centroids are the quantizer "model":
     * fit once on the driver (like k-means centers) and shipped with the
     * plan, so cell assignment is a shuffle-free native map over the
@@ -359,7 +359,7 @@ object Ann {
     * runtime vectorizes 4× wider than float32), rescaled by the two
     * per-vector scales for the final ranking score. Same plan shape as
     * [[bruteForceTopK]]: broadcast quantized queries, stream the corpus
-    * once, bounded [[TopKByScore]] partial agg. Ranking is approximate
+    * once, bounded [[graft.functions.TopKByScore TopKByScore]] partial agg. Ranking is approximate
     * versus float cosine (that's the point — [[int8RecallGate]] measures
     * it); the OUTPUT itself is deterministic and oracle-exact. */
   def bruteForceTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -379,7 +379,7 @@ object Ann {
   /** Per-subspace PQ codebooks: the vector is split into `m` contiguous
     * subvectors and each subspace gets `ksub` centroids from a EUCLIDEAN
     * k-means on the same bounded deterministic sample as
-    * [[trainCentroids]] (xxhash64-ordered limit — no full-corpus sort at
+    * `trainCentroids` (xxhash64-ordered limit — no full-corpus sort at
     * scale). All driver arithmetic is sequential with deterministic
     * tie-breaks (strict < keeps the lowest index), so codebooks — and
     * every code derived from them — are bit-stable for a (corpus, seed).
@@ -454,7 +454,7 @@ object Ann {
     * own 1-row broadcast side), and a corpus row's score is `m` table
     * lookups — no float vector ever leaves the scan. Same plan shape as
     * [[bruteForceTopK]]: broadcast queries, one corpus-code scan, bounded
-    * [[TopKByScore]] partial agg. Ranking is approximate vs float cosine
+    * [[graft.functions.TopKByScore TopKByScore]] partial agg. Ranking is approximate vs float cosine
     * (the recall gate measures it); the output is deterministic: codebook
     * training is seeded-sequential, argmin ties keep the lowest codeword
     * (strict <), and ranking ties break on neighbor_id. At scale the code
