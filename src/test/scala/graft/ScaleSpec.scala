@@ -150,6 +150,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("auto-sizing floors by measured leaf bytes when a multiplier is present") {
+    import spark.implicits._
+    // Size-only stats can UNDERSTATE through row-multiplying operators
+    // (explode/join), so the estimate is floored by summed leaf bytes x4
+    // whenever one is in the plan (ADVICE r8: no single-task sort cliff).
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale_floor").toString
+    Seq.tabulate(500)(i => (i.toLong, Seq.fill(8)(i.toLong))).toDF("id", "vs")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val leafBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    assert(leafBytes > 0)
+    val exploded = df.select(col("id"), explode(col("vs")).as("v"))
+      // narrow projection whose width-ratio estimate could undercount
+      .select((col("id") + col("v")).as("k"))
+    // a target just under 4x the leaf bytes: a width-preserving plan
+    // would round to 1, the multiplier floor must force > 1
+    val tgt = leafBytes * 2
+    assert(graft.ops.Scale.sizedRangePartitions(df.select("id"), 0, tgt) === 1,
+      "no multiplier in the plan: the plain estimate stands")
+    assert(graft.ops.Scale.sizedRangePartitions(exploded, 0, tgt) >= 2,
+      "explode in the plan: leaf-byte floor must veto the single range")
+    // a roomy target keeps the fast path even with the floor applied
+    assert(graft.ops.Scale.sizedRangePartitions(exploded, 0, leafBytes * 100) === 1)
+  }
+
   test("mergeUpsert: updates win, inserts land, NULL data columns stay honest") {
     import spark.implicits._
     val base = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]))
