@@ -488,6 +488,12 @@ object JourneyOps {
         .withColumn("net", col("s_cnt") - col("e_cnt"))
         .persist() // boundary-frame-sized (≤2 rows/session); feeds the
                    // prefix device AND the join-back without recompute
+      // materialize BEFORE the rank device reads it: an unloaded cache
+      // reports unmeasured child-derived stats, which sizedRangePartitions
+      // now refuses to fast-path (round-9 guard) — and the count also
+      // rules out an AQE consumer stampede on the cache (q_assoc_rules'
+      // round-9 find)
+      g.count(): Unit
       // prefixSum emits only (us, net, pfx) — join s_cnt back on the
       // unique us key. ONE struct-max then reads the sweep exactly once:
       // max (conc, −us) is lexicographic, so the peak's FIRST instant

@@ -57,15 +57,30 @@ object Scale {
       val plan = df.queryExecution.optimizedPlan
       val sz = plan.stats.sizeInBytes
       import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
-      val multiplying = plan.exists {
-        case _: Generate | _: Join => true
+      import org.apache.spark.sql.execution.columnar.InMemoryRelation
+      // An UNmaterialized cache leaf reports child-DERIVED stats (the
+      // same width-ratio estimation the floor exists to distrust) while
+      // hiding whatever multiplying operators sit inside it — the one
+      // way a frame could still sneak under the floor. Unmeasured cache
+      // ⇒ session width; once materialized (every rank-device caller
+      // counts its persist first) the leaf carries measured batch bytes
+      // and sizing proceeds normally.
+      val unloadedCache = plan.collectLeaves().exists {
+        case imr: InMemoryRelation => !imr.cacheBuilder.isCachedColumnBuffersLoaded
         case _ => false
       }
-      val eff =
-        if (multiplying) sz.max(plan.collectLeaves().map(_.stats.sizeInBytes).sum * 4)
-        else sz
-      if (eff <= 0 || eff > (BigInt(1) << 50)) conf
-      else ((eff + targetBytes - 1) / targetBytes).toInt.max(1).min(conf)
+      if (unloadedCache) conf
+      else {
+        val multiplying = plan.exists {
+          case _: Generate | _: Join => true
+          case _ => false
+        }
+        val eff =
+          if (multiplying) sz.max(plan.collectLeaves().map(_.stats.sizeInBytes).sum * 4)
+          else sz
+        if (eff <= 0 || eff > (BigInt(1) << 50)) conf
+        else ((eff + targetBytes - 1) / targetBytes).toInt.max(1).min(conf)
+      }
     }
   }
 

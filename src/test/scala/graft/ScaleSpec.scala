@@ -173,6 +173,26 @@ class ScaleSpec extends AnyFunSuite {
       "explode in the plan: leaf-byte floor must veto the single range")
     // a roomy target keeps the fast path even with the floor applied
     assert(graft.ops.Scale.sizedRangePartitions(exploded, 0, leafBytes * 100) === 1)
+
+    // an UNmaterialized cache hides its inner operators behind
+    // child-derived stats -> session width until measured; after
+    // materialization the cache leaf carries real batch bytes and the
+    // small frame takes the fast path again. NOTE: a fresh plan — a
+    // Dataset whose queryExecution was already forced BEFORE persist()
+    // keeps its memoized cache-free plan (Dataset.persist returns the
+    // same object), which is also why the device sees the cache only
+    // when callers persist before handing the frame over.
+    val conf = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val cached = df.select(col("id"), explode(col("vs")).as("v"))
+      .select((col("id") * 2 + col("v")).as("k"))
+      .persist()
+    try {
+      assert(graft.ops.Scale.sizedRangePartitions(cached, 0, leafBytes * 100) === conf,
+        "unmeasured cache stats must never take the fast path")
+      cached.count()
+      assert(graft.ops.Scale.sizedRangePartitions(cached, 0, leafBytes * 100) === 1,
+        "materialized cache carries measured bytes")
+    } finally { cached.unpersist(): Unit }
   }
 
   test("mergeUpsert: updates win, inserts land, NULL data columns stay honest") {
