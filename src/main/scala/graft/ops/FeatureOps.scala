@@ -1232,6 +1232,13 @@ object FeatureOps {
         .groupBy(col("doc_id"), col("source"),
           expr(bucket).cast("int").as("bucket"))
         .agg(count(lit(1)).as("cnt"))
+      // `b` feeds ratios AND candidates, so the tokenize+hash map side
+      // runs twice — but the two runs OVERLAP as concurrent AQE stages
+      // (round-9 profile: two ~780 ms single-task stages, wall ≈ one),
+      // and persist+count SERIALIZES them for a measured 1.14→1.68 s
+      // LOSS at sf0.1. Left duplicated on purpose; on a saturated
+      // cluster (no idle cores to hide the twin) persist b — it is
+      // bounded at docs×257 rows vs re-tokenizing the corpus.
       val ratios = b.groupBy("bucket")
         .agg(((sum(when(col("source") === "src13", col("cnt")).otherwise(0L)) + 1L)
           * 1000000L).as("num"), (sum(col("cnt")) + 1L).as("den"))
