@@ -55,6 +55,13 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+
+def table_src(sfdir, t):
+    """DuckDB source for a table: the driver testdata is one file per
+    table, ScaleGen-staged scale points are a directory of part files."""
+    p = f"{sfdir}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
 # BASELINE.md's headline workloads — keep in sync with Bench.scala
 HEADLINE = [
     "q1_agg", "q6_filter_agg", "q19_join_filter", "q_pipeline_golden",
@@ -71,13 +78,13 @@ QUADRATIC_ORACLE = {"q_dedup_minhash", "q_dedup_ngram", "q_dedup_embed_lsh"}
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     oracle_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify/oracle_sql.json"
-    round_id = os.environ.get("SPARK_GRAFT_ROUND") or os.environ.get("GRAFT_ROUND", "r8")
+    round_id = os.environ.get("SPARK_GRAFT_ROUND") or os.environ.get("GRAFT_ROUND", "r10")
     bench_record = sys.argv[3] if len(sys.argv) > 3 else f"BENCH_local_{round_id}.json"
 
     oracle = json.load(open(oracle_json))
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_src(sfdir, t)}'")
 
     oracle_secs = {}
     for name in HEADLINE:
@@ -130,8 +137,13 @@ def main():
     for arg in sys.argv[4:]:
         sf, _, path = arg.partition("=")
         path, _, pdir = path.partition("@")
-        points.append((sf, pdir or f"/root/testdata/{sf}",
-                       json.load(open(path)).get("queries", {})))
+        pt = json.load(open(path))
+        # Default the sweep point's parquet dir to the dir the engine was
+        # ACTUALLY benched on (Bench records it in the "sf" field) — a
+        # reconstructed /root/testdata/<label> default could silently time
+        # DuckDB on different data than the engine ran (ADVICE r9).
+        points.append((sf, pdir or pt.get("sf") or f"/root/testdata/{sf}",
+                       pt.get("queries", {})))
     if len(points) > 1:
         print(f"\nscaling sweep (ratio = engine/duckdb):")
         print(f"{'query':18s} " + " ".join(f"{sf:>10s}" for sf, _, _ in points))
@@ -143,7 +155,7 @@ def main():
                 c2 = duckdb.connect()
                 for t in TABLES:
                     c2.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                               f"'{pdir}/{t}.parquet'")
+                               f"'{table_src(pdir, t)}'")
                 c2.execute(oracle[name]).fetchall()
                 runs = []
                 for _ in range(2):
@@ -161,6 +173,12 @@ def main():
     bench["oracle_ratio"] = ratios
     if sweep:
         bench["oracle_scaling"] = sweep
+    # Machine-detectable staleness (ADVICE r9): stamp the engine timings
+    # these ratios were computed against as STRUCTURED fields. A later
+    # Bench rerun rewrites value/calibration_sec but merge-preserves
+    # oracle_*, so record-is-stale iff value != oracle_engine_value.
+    bench["oracle_engine_value"] = bench.get("value")
+    bench["oracle_engine_calibration"] = bench.get("calibration_sec")
     bench["oracle_note"] = (
         "DuckDB timing of the verified oracle SQL on the same parquet, "
         "warmup + min of 2, all cores; ratio = engine/duckdb. Single-point "

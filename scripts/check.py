@@ -25,6 +25,14 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def table_src(sfdir, t):
+    """DuckDB source for a table: the driver testdata is one file per
+    table, ScaleGen-staged scale points are a directory of part files."""
+    import os
+    p = f"{sfdir}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
 def frame_hash(df):
     """md5 over the column-name-sorted, row-sorted value matrix — the
     driver's hash semantics (columns sorted by name before hashing)."""
@@ -38,7 +46,7 @@ def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
     import os
-    round_id = os.environ.get("SPARK_GRAFT_ROUND") or os.environ.get("GRAFT_ROUND", "r9")
+    round_id = os.environ.get("SPARK_GRAFT_ROUND") or os.environ.get("GRAFT_ROUND", "r10")
     record_path = sys.argv[3] if len(sys.argv) > 3 else (
         "CORRECTNESS_local_%s.json" % round_id)
 
@@ -47,7 +55,7 @@ def main():
         # must not cascade into the rest
         c = duckdb.connect()
         for t in TABLES:
-            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_src(sfdir, t)}'")
         return c
 
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))

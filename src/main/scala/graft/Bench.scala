@@ -144,8 +144,12 @@ object Bench {
     // the drains are floor-dominated, not core-bound, so width 8 just
     // serializes two waves of floors). Recorded in PLAN_r9.md.
     val streamPar = sys.env.getOrElse("SPARK_GRAFT_STREAM_PAR", "16").toInt
-    var tierDegraded = false // sticky across warmup + measured passes
-    def streamTier(): Map[String, Double] = {
+    // Degradation is flagged from the MEASURED passes only: the record's
+    // stream_attribution describes the spans actually emitted, and a
+    // warmup-only degradation must not mislabel healthy measured spans
+    // as raw/unscaled (ADVICE r9 — the old sticky-across-warmup flag did).
+    var tierDegraded = false
+    def streamTier(measured: Boolean): Map[String, Double] = {
       if (streamNames.isEmpty) return Map.empty
       val wall0 = System.nanoTime()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(streamPar,
@@ -174,16 +178,19 @@ object Bench {
       val raw = streamNames
         .map(n => n -> Option(spans.get(n)).getOrElse(-1.0)).toMap
       val (out, degraded) = attributeTier(raw, wall, drained)
-      if (degraded) tierDegraded = true
+      if (degraded && measured) tierDegraded = true
+      if (degraded && !measured)
+        System.err.println("[bench] stream tier degraded during WARMUP " +
+          "(not recorded; measured passes flag their own state)")
       out
     }
 
-    batchNames.foreach(once); streamTier() // warmup pass (discarded)
+    batchNames.foreach(once); streamTier(measured = false) // warmup (discarded)
     // two measured passes, keep the per-query minimum: JIT/GC jitter on a
     // 32-thread local JVM otherwise dominates sub-second queries
     val passes = (1 to 2).map { _ =>
       spark.sqlContext.clearCache()
-      batchNames.map(n => n -> once(n)).toMap ++ streamTier()
+      batchNames.map(n => n -> once(n)).toMap ++ streamTier(measured = true)
     }
     val results = names.map { n =>
       val ts = passes.map(_(n)).filter(_ >= 0)

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up of a driver testdata dir: replicates every
+  * scale-bearing table `copies`× with key-domain offsets, preserving
+  * referential integrity, so the scaling sweep gets a measurement point
+  * past `/root/testdata/sf0.1` (VERDICT r9 #1 — the crossover claim must
+  * be measured, not extrapolated; the reference's own methodology runs at
+  * 10 GB-class scale, /root/reference/benchmarks/zillow/Z1/runtuplex.py:12).
+  *
+  * Both engines (Spark and the DuckDB oracle) read the SAME staged parquet,
+  * so the generator only needs determinism, not engine-neutral replay:
+  * copy 0 is the identity (the scaled dir strictly contains the source
+  * relations), copies 1..n-1 offset each key domain by `c × (max(key)+1)`
+  * — strides derived from the data, dense 0-based keys stay dense.
+  *
+  * Foreign keys move together: `events.user_id` is a customer-key FK in
+  * the driver data (every distinct user_id resolves against c_custkey at
+  * sf0.1), so it shifts by the CUSTOMER stride, keeping per-copy
+  * event→customer joins intact.
+  *
+  * Naive replication would also create artifacts the original data does
+  * not have, so two tables get deterministic per-copy perturbation:
+  *  - `documents.text` is Caesar-rotated by the copy index (letters only,
+  *    length-preserving — the `n_chars = length(text)` invariant holds).
+  *    Verbatim copies would make every doc a 10-way exact/near duplicate:
+  *    dup-cluster sizes ×10 ⇒ LSH pair expansion ×100 — a QUADRATIC
+  *    artifact of the generator, not the corpus. Rotation keeps each
+  *    copy's internal dup structure identical to the source (what dedup
+  *    should scale against) while cross-copy vocabularies stay disjoint.
+  *  - `embeddings.embedding[0]` shifts by `copy/1024f` (exact in binary)
+  *    so no two copies share a vector: verbatim vectors would tie every
+  *    cosine score 10 ways and push top-k results onto tiebreak order.
+  *
+  * Region/nation are dimension tables (5/25 rows) and copy as-is; nation
+  * FKs in customer/supplier are therefore left untouched.
+  *
+  * Output layout: `<dest>/<table>.parquet` as a DIRECTORY of part files
+  * sized ~8 MB so a scan parallelizes (a single coalesced file would hold
+  * one row group and serialize every read at exactly the scale point that
+  * exists to measure throughput). scripts/check.py and baseline_bench.py
+  * glob directories transparently.
+  */
+object ScaleGen {
+
+  private val alpha = "abcdefghijklmnopqrstuvwxyz"
+  private[graft] def shifted(c: Int): (String, String) = {
+    val k = ((c % 26) + 26) % 26
+    val lo = alpha.drop(k) + alpha.take(k)
+    (alpha + alpha.toUpperCase, lo + lo.toUpperCase)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val destDir = args.lift(1).getOrElse(
+      s"${System.getProperty("user.dir")}/testdata_sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    require(copies >= 1, s"copies must be >= 1, got $copies")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scalegen")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    run(spark, srcDir, destDir, copies)
+    spark.stop()
+    println(s"""{"scalegen":"ok","src":"$srcDir","dest":"$destDir","copies":$copies}""")
+  }
+
+  private def srcBytes(path: String): Long = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    else f.length
+  }
+
+  def run(spark: SparkSession, srcDir: String, destDir: String, copies: Int): Unit = {
+    def rd(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
+    // stride = max(key)+1 over every relation carrying the domain, so a
+    // dangling FK in the source could never collide across copies
+    def stride(cols: (String, String)*): Long =
+      cols.map { case (t, c) =>
+        rd(t).agg(max(col(c).cast("long"))).head().getLong(0)
+      }.max + 1L
+
+    val soKey = stride("orders" -> "o_orderkey", "lineitem" -> "l_orderkey")
+    val scKey = stride("customer" -> "c_custkey", "orders" -> "o_custkey",
+      "events" -> "user_id")
+    val spKey = stride("part" -> "p_partkey", "lineitem" -> "l_partkey")
+    val ssKey = stride("supplier" -> "s_suppkey", "lineitem" -> "l_suppkey")
+    val seKey = stride("events" -> "event_id")
+    val sdKey = stride("documents" -> "doc_id")
+    val svKey = stride("embeddings" -> "vec_id")
+
+    def off(name: String, s: Long, c: Int) =
+      (df: DataFrame) => df.withColumn(name, col(name) + lit(s * c))
+
+    def replicate(t: String)(perCopy: (DataFrame, Int) => DataFrame): Unit = {
+      val src = rd(t)
+      val out = (0 until copies).map(c => perCopy(src, c)).reduce(_ union _)
+      val parts = math.max(1, math.min(32,
+        (srcBytes(s"$srcDir/$t.parquet") * copies / (8L << 20)).toInt))
+      out.repartition(parts).write.mode("overwrite")
+        .parquet(s"$destDir/$t.parquet")
+    }
+    def copyAsIs(t: String): Unit =
+      rd(t).coalesce(1).write.mode("overwrite").parquet(s"$destDir/$t.parquet")
+
+    copyAsIs("region"); copyAsIs("nation")
+    replicate("customer") { (df, c) => off("c_custkey", scKey, c)(df) }
+    replicate("supplier") { (df, c) => off("s_suppkey", ssKey, c)(df) }
+    replicate("part") { (df, c) => off("p_partkey", spKey, c)(df) }
+    replicate("orders") { (df, c) =>
+      off("o_custkey", scKey, c)(off("o_orderkey", soKey, c)(df))
+    }
+    replicate("lineitem") { (df, c) =>
+      off("l_suppkey", ssKey, c)(off("l_partkey", spKey, c)(
+        off("l_orderkey", soKey, c)(df)))
+    }
+    replicate("events") { (df, c) =>
+      off("user_id", scKey, c)(off("event_id", seKey, c)(df))
+    }
+    replicate("documents") { (df, c) =>
+      val based = off("doc_id", sdKey, c)(df)
+      if (c == 0) based
+      else {
+        val (from, to) = shifted(c)
+        based.withColumn("text", translate(col("text"), from, to))
+      }
+    }
+    replicate("embeddings") { (df, c) =>
+      val based = off("vec_id", svKey, c)(df)
+      if (c == 0) based
+      else based.withColumn("embedding",
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(c / 1024.0f)).otherwise(x)))
+    }
+  }
+}

@@ -71,8 +71,19 @@ object Scale {
       }
       if (unloadedCache) conf
       else {
+        // Only genuinely row-multiplying operators trigger the floor:
+        // semi/anti joins emit AT MOST their probe side (width-preserving
+        // in the only direction that matters — they can't understate
+        // through multiplication), so flooring them at 4× summed leaf
+        // bytes would strip the single-range fast path from small
+        // filtered results read out of large files (ADVICE r9).
+        import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
         val multiplying = plan.exists {
-          case _: Generate | _: Join => true
+          case _: Generate => true
+          case j: Join => j.joinType match {
+            case LeftSemi | LeftAnti => false
+            case _ => true
+          }
           case _ => false
         }
         val eff =
