@@ -32,7 +32,8 @@ object Prof {
 
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
     final case class St(id: Int, name: String, ms: Long, tasks: Int,
-        shufReadMb: Double, shufWriteMb: Double, spillMb: Double)
+        shufReadMb: Double, shufWriteMb: Double, spillMb: Double,
+        submitMs: Long)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -42,7 +43,8 @@ object Prof {
         stages.add(St(si.stageId, si.name.takeWhile(_ != '\n'), dur, si.numTasks,
           m.shuffleReadMetrics.totalBytesRead / 1048576.0,
           m.shuffleWriteMetrics.bytesWritten / 1048576.0,
-          m.memoryBytesSpilled / 1048576.0)): Unit
+          m.memoryBytesSpilled / 1048576.0,
+          si.submissionTime.getOrElse(-1L))): Unit
       }
     }
     queries.foreach { name =>
@@ -64,6 +66,21 @@ object Prof {
       println(f"${"ms"}%7s ${"tasks"}%5s ${"shufR"}%8s ${"shufW"}%8s ${"spill"}%7s  stage")
       ss.take(14).foreach { s =>
         println(f"${s.ms}%7d ${s.tasks}%5d ${s.shufReadMb}%7.1fM ${s.shufWriteMb}%7.1fM ${s.spillMb}%6.1fM  [${s.id}] ${s.name.take(90)}")
+      }
+      // Timeline: submission offsets expose DRIVER-SIDE gaps (planning,
+      // AQE re-optimization, checkpoint bookkeeping) that per-stage
+      // durations can't show — a wall >> stage-sum query is losing its
+      // time BETWEEN stages, and this names exactly where.
+      val t0Wall = ss.map(_.submitMs).filter(_ > 0).minOption.getOrElse(0L)
+      val timeline = ss.filter(_.submitMs > 0).sortBy(_.submitMs)
+      println("timeline (start+dur, gaps are driver time):")
+      var lastEnd = 0L
+      timeline.foreach { s =>
+        val rel = s.submitMs - t0Wall
+        val gap = rel - lastEnd
+        val gapTag = if (gap > 200) f" <- gap ${gap / 1000.0}%.1fs" else ""
+        println(f"  +${rel / 1000.0}%6.2fs ${s.ms / 1000.0}%6.2fs [${s.id}]$gapTag")
+        lastEnd = math.max(lastEnd, rel + s.ms)
       }
     }
     spark.stop()

@@ -30,9 +30,16 @@ import org.apache.spark.sql.functions._
   *    artifact of the generator, not the corpus. Rotation keeps each
   *    copy's internal dup structure identical to the source (what dedup
   *    should scale against) while cross-copy vocabularies stay disjoint.
-  *  - `embeddings.embedding[0]` shifts by `copy/1024f` (exact in binary)
-  *    so no two copies share a vector: verbatim vectors would tie every
-  *    cosine score 10 ways and push top-k results onto tiebreak order.
+  *  - `embeddings.embedding` is circularly rotated by the copy index and
+  *    component 0 then shifts by `copy/1024f` (exact in binary). Rotation
+  *    is an isometry — every within-copy dot product (so all cluster
+  *    geometry) is exactly the source's — while cross-copy vectors
+  *    decorrelate to ~orthogonal. A small additive nudge alone was
+  *    measured WRONG: it left copies ~0.9999-cosine near-dups of their
+  *    originals, so embedding near-dup clusters grew 10× and LSH pair
+  *    expansion 100× — a quadratic generator artifact (q_dedup_embed_lsh
+  *    1.7 s → 23 s at sf1), the exact failure the text rotation avoids.
+  *    The epsilon stays to break exact ties for shift-periodic vectors.
   *
   * Region/nation are dimension tables (5/25 rows) and copy as-is; nation
   * FKs in customer/supplier are therefore left untouched.
@@ -139,9 +146,16 @@ object ScaleGen {
     replicate("embeddings") { (df, c) =>
       val based = off("vec_id", svKey, c)(df)
       if (c == 0) based
-      else based.withColumn("embedding",
-        transform(col("embedding"),
+      else {
+        // circular rotation by c mod dim: element i of the output is
+        // element (i + k) mod dim of the source — norm- and
+        // geometry-preserving for any copy count
+        val k = pmod(lit(c), size(col("embedding")))
+        based.withColumn("embedding", transform(
+          concat(slice(col("embedding"), k + 1, size(col("embedding"))),
+            slice(col("embedding"), lit(1), k)),
           (x, i) => when(i === 0, x + lit(c / 1024.0f)).otherwise(x)))
+      }
     }
   }
 }

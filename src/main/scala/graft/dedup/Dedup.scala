@@ -434,23 +434,72 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  /** Auto-size hyperplane-LSH `(bits, tables)` from corpus size and
+    * threshold. Fixed parameters are a scale cliff: random-pair
+    * candidates grow as `tables · n² / 2^bits`, so any constant `bits`
+    * is quadratic in the corpus (measured: the 4-bit/24-table pin held
+    * 1.7 s at 2 k vectors and 23 s at 20 k — 856 MB of candidate-pair
+    * shuffle with 12 GB of spill, PLAN_r10.md). Sizing rule:
+    *  - `bits` targets ~16 random vectors per bucket (`ceil(log2(n/16))`,
+    *    clamped to [4,16]) — each extra bit halves random collisions
+    *    while costing only `1/p₁` more tables, a net `2·p₁ > 1` win per
+    *    bit whenever the threshold keeps `p₁ > 0.5` (any positive
+    *    cosine), so candidates track the sub-quadratic `n^(1+ρ)` LSH
+    *    curve instead of `n²/2^const`.
+    *  - `tables` then enforces the recall floor: per-pair miss
+    *    probability at the exact threshold ≤ `missProb`
+    *    (`T ≥ ln(1/missProb)/p₁^bits`, `p₁ = 1-acos(s)/π`), capped at
+    *    `maxTables` with `bits` backed off until the cap fits — the cap
+    *    may cost candidates, never recall. */
+  private[graft] def lshParams(n: Long, threshold: Double,
+      missProb: Double = 0.03, maxTables: Int = 512): (Int, Int) = {
+    val p1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val lnMiss = math.log(1.0 / missProb)
+    def ceilLog2(x: Long): Int =
+      if (x <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+    def tablesFor(b: Int): Double = lnMiss / math.pow(p1, b)
+    var bits = math.max(4, math.min(16, ceilLog2(math.max(1L, n / 16))))
+    while (bits > 4 && tablesFor(bits) > maxTables) bits -= 1
+    (bits, math.max(1, math.min(maxTables, math.ceil(tablesFor(bits)).toInt)))
+  }
+
   /** Embedding-cosine near-dup, approximate at scale: `tables` independent
     * random-hyperplane signatures of `bits` bits each (AND within a table,
     * OR across tables — the cosine analogue of MinHash banding); pairs
     * sharing any table's bucket are candidates, confirmed by exact cosine.
-    * Recall at similarity s: 1-(1-p^bits)^tables with p = 1-acos(s)/π. */
+    * Recall at similarity s: 1-(1-p^bits)^tables with p = 1-acos(s)/π.
+    * `bits`/`tables` ≤ 0 ⇒ auto-size via [[lshParams]] from the corpus
+    * count (the default — fixed parameters are a measured scale cliff). */
   def nearDupEmbeddingLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int, bits: Int = 8, tables: Int = 16): DataFrame = {
+      threshold: Double, dim: Int, bits: Int = 0, tables: Int = 0): DataFrame = {
     val vecs = withMinParallelism(
         df.select(col(idCol).as("_id"), col(vecCol).cast("array<float>").as("_v")))
       .persist()
+    // eager materialization: sizes the banding below AND prevents the
+    // AQE cache-stampede (concurrent consumers of an unmaterialized
+    // persist each recompute it — the q_assoc_rules round-9 finding)
+    val n = vecs.count()
+    val (autoBits, autoTables) = lshParams(n, threshold)
+    val useBits = if (bits > 0) bits else autoBits
+    val useTables = if (tables > 0) tables else autoTables
     val banded = vecs.select(col("_id"), posexplode(
-        array((0 until tables).map(t =>
-          graft.similarity.Ann.lshSignature(col("_v"), dim, bits, seed = 1000L + t)): _*)))
+        graft.similarity.Ann.lshSignatures(col("_v"), dim, useBits, useTables,
+          seed = 1000L)))
       .toDF("_id", "_table", "_sig")
     val a = banded.toDF("id_a", "table_a", "sig_a")
     val b = banded.toDF("id_b", "table_b", "sig_b")
-    val cands = a.join(b, col("table_a") === col("table_b") &&
+    // shuffle_hash hint above ~1M banded rows: the banded frame is
+    // corpus×tables-sized, but Catalyst's size estimate propagates the
+    // (tiny) vector-cache leaf through the posexplode by width ratio and
+    // UNDERSTATES it — AQE then broadcast-joined the self-join and the
+    // driver spent 7 s of the 17 s wall building an 8M-row hash relation
+    // single-threaded at the 20 k-vector scale point (PLAN_r10.md's
+    // timeline profile). A banded corpus is never broadcastable at scale;
+    // below the cutoff the broadcast genuinely wins (A/B at 2 k vectors:
+    // forcing shuffle-hash cost ~0.25 s), so the plan switches on the
+    // KNOWN row count rather than trusting the derived estimate.
+    val bProbe = if (n * useTables > 1000000L) b.hint("shuffle_hash") else b
+    val cands = a.join(bProbe, col("table_a") === col("table_b") &&
         col("sig_a") === col("sig_b") && col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val confirmed = cands

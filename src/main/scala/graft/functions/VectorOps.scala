@@ -57,6 +57,23 @@ object VectorUtil {
     sig
   }
 
+  /** All `tables` hyperplane signatures of `v` in ONE fused pass —
+    * `planes(t)` holds table t's bit hyperplanes. One expression carrying
+    * a 3-d reference array replaces `tables` separate [[hyperSig]] calls:
+    * with auto-sized banding (hundreds of tables at corpus scale) the
+    * per-call formulation spent seconds of DRIVER time analyzing and
+    * codegen-ing hundreds of expressions per query (measured ~7 s of the
+    * q_dedup_embed_lsh wall at the sf1 point, PLAN_r10.md). */
+  def hyperSigs(v: ArrayData, planes: Array[Array[Array[Double]]]): ArrayData = {
+    val out = new Array[Long](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      out(t) = hyperSig(v, planes(t))
+      t += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Ids of the `n` nearest centroids to `v` by cosine (desc, id asc). */
   def nearestCells(v: ArrayData, ids: Array[Long],
       cents: Array[Array[Double]], n: Int): ArrayData = {
@@ -136,6 +153,41 @@ case class HyperplaneSig(child: Expression, dim: Int, nBits: Int, seed: Long)
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+/** `hyperplane_sigs(vec)` → array of `nTables` signatures, table t seeded
+  * `seed + t` (bit-identical to `nTables` separate [[HyperplaneSig]] calls
+  * over seeds `seed..seed+nTables-1`). One expression instead of a
+  * per-table array(): auto-sized banding wants hundreds of tables at
+  * corpus scale and the per-call plan paid seconds of driver-side
+  * analysis/codegen (see [[VectorUtil.hyperSigs]]). */
+case class HyperplaneSigs(child: Expression, dim: Int, nBits: Int,
+    nTables: Int, seed: Long) extends UnaryExpression {
+
+  @transient private lazy val planes: Array[Array[Array[Double]]] =
+    Array.tabulate(nTables) { t =>
+      val rnd = new scala.util.Random(seed + t)
+      Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sigs requires array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_sigs"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorUtil.hyperSigs(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorUtil.hyperSigs($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
     copy(child = newChild)
 }
 

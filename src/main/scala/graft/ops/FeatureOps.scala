@@ -594,6 +594,14 @@ object FeatureOps {
         |  SELECT k, cur // 2, depth + 1 FROM up WHERE cur > 1)
         |SELECT k AS c_custkey, CAST(max(depth) AS BIGINT) AS depth
         |FROM up GROUP BY k""".stripMargin) { (s, d) =>
+      // The walk emits rows = |customer| × ~log2(maxkey) — LINEAR in input
+      // with a construction-bounded depth, but Spark's default
+      // cteRecursionRowLimit (1M) is an ABSOLUTE row guard and killed the
+      // query at the sf1 scale point (150k customers × ~18 levels ≈ 2.7M).
+      // Raise the row guard and keep cteRecursionLevelLimit (100) as the
+      // real runaway-recursion brake — the correct shape for a guard on a
+      // 100 TB input, where any fixed row count is just a scale ceiling.
+      s.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
       Tables(s, d, "customer").createOrReplaceTempView("customer_rec")
       s.sql(
         """WITH RECURSIVE up(k, cur, depth) AS (

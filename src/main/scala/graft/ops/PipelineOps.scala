@@ -694,8 +694,10 @@ object PipelineOps {
     },
 
     // ---- embedding-cosine near-dup, LSH scale path + recall gate ----------
-    // Low threshold on this synthetic corpus → few selective bits per table;
-    // real dedup thresholds (≥0.9) use the defaults (8 bits × 16 tables).
+    // Parameters auto-size from (corpus count, threshold) — Dedup.lshParams
+    // targets ~16 random vectors per bucket and then buys tables back up
+    // to the recall floor, so the candidate volume tracks the
+    // sub-quadratic LSH curve at every scale point.
     // Output: (n_exact, recall_ok) — n_exact recomputed by the oracle's
     // all-pairs SQL, recall_ok asserts the LSH path recovers ≥90% of it.
     Q("q_dedup_embed_lsh",
@@ -719,9 +721,12 @@ object PipelineOps {
           .coalesce(1).write.mode("overwrite").parquet(w)
         w
       })
+      // bits/tables auto-size from the corpus count (Dedup.lshParams):
+      // the old 4-bit/24-table pin was a measured scale cliff — 1.7 s at
+      // 2 k vectors, 23 s at 20 k (candidates ~ n²/2^bits at fixed bits)
       Dedup.embedLshRecallFrom(s.read.parquet(exactPath),
         Tables(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.45, dim = 64, bits = 4, tables = 24, minRecall = 0.9)
+        threshold = 0.45, dim = 64, bits = 0, tables = 0, minRecall = 0.9)
     },
 
     // ---- ANN: brute-force cosine top-5 (ids only → float-robust) ----------

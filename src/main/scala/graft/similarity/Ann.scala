@@ -48,6 +48,15 @@ object Ann {
   def lshSignature(vec: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column =
     GraftBridge.column(HyperplaneSig(GraftBridge.expression(vec), dim, nBits, seed))
 
+  /** All `nTables` signatures at once (table t seeded `seed + t`) — one
+    * expression for the whole banding instead of a per-table array();
+    * bit-identical to `nTables` [[lshSignature]] calls but without the
+    * driver-side analysis/codegen cost of hundreds of expressions. */
+  def lshSignatures(vec: Column, dim: Int, nBits: Int, nTables: Int,
+      seed: Long): Column =
+    GraftBridge.column(graft.functions.HyperplaneSigs(
+      GraftBridge.expression(vec), dim, nBits, nTables, seed))
+
   /** Spherical k-means quantizer trained on a bounded, deterministic
     * sample of the corpus — the IVF "model fit". Sample = the first
     * min(max(32·k, 256), 4096) vectors in xxhash64(id, seed) order (a

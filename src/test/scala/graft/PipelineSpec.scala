@@ -188,6 +188,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == Set((0L, 1L)))
   }
 
+  test("lshParams: sub-quadratic candidate sizing that never sells the recall floor") {
+    def recall(threshold: Double, bits: Int, tables: Int): Double = {
+      val p = 1.0 - math.acos(threshold) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, bits), tables)
+    }
+    val (b1, t1) = Dedup.lshParams(2000L, 0.45)
+    val (b2, t2) = Dedup.lshParams(20000L, 0.45)
+    // bits grow with the corpus so buckets stay bounded...
+    assert(b2 > b1)
+    // ...and the worst-case (exactly-at-threshold) recall stays high at
+    // every size — tables absorb the selectivity the extra bits cost
+    assert(recall(0.45, b1, t1) >= 0.95)
+    assert(recall(0.45, b2, t2) >= 0.95)
+    // candidate-volume proxy (tables · n² / 2^bits) grows SUB-quadratically
+    // across a 10× corpus step — the scale cliff the auto-sizing removes
+    val cand1 = t1.toDouble * 2000.0 * 2000.0 / (1L << b1)
+    val cand2 = t2.toDouble * 20000.0 * 20000.0 / (1L << b2)
+    assert(cand2 / cand1 < 50.0, s"candidates grew ${cand2 / cand1}x for 10x data")
+    // the table cap binds bits, never recall
+    val (b3, t3) = Dedup.lshParams(10000000L, 0.45)
+    assert(t3 <= 512 && recall(0.45, b3, t3) >= 0.95)
+    // selective thresholds stay cheap (real dedup runs at >= 0.9 cosine)
+    val (b4, t4) = Dedup.lshParams(20000L, 0.92)
+    assert(b4 === b2 && t4 < 30)
+  }
+
   test("connectedComponents: chains, stars, and singletons") {
     import spark.implicits._
     // chain 1-2-3-4 (3 hops), star 10-{11,12,13}, pair (20,21)

@@ -111,6 +111,14 @@ class ScaleGenSpec extends AnyFunSuite {
     // embeddings: all vectors pairwise distinct (no cosine ties by construction)
     val emb = spark.read.parquet(s"$dst/embeddings.parquet")
     assert(emb.select("embedding").distinct().count() === 12L)
+    // copy 1 of source vec 0 ([0, 1, -0.5], stride 4) is the CIRCULAR
+    // ROTATION by 1 plus the copy/1024 tie-break on component 0 — an
+    // isometry, so copies are ~orthogonal to their originals instead of
+    // 0.9999-cosine near-dups (the measured quadratic LSH artifact a
+    // nudge-only perturbation injected at sf1)
+    val v = emb.where(col("vec_id") === 4L)
+      .head().getAs[scala.collection.Seq[Float]]("embedding")
+    assert(v === Seq(1.0f + 1.0f / 1024, -0.5f, 0.0f))
   }
 
   test("caesar rotation is a letter-bijection (deterministic, length-preserving)") {
