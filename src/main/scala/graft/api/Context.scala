@@ -299,30 +299,46 @@ object CsvSniffer {
   private val Candidates = Seq(',', ';', '\t', '|')
 
   private def sampleLines(spark: SparkSession, pattern: String, n: Int = 64): Seq[String] = {
-    // driver-side head sample, like the reference's maxDetectionMemory read
+    // Driver-side head sample, like the reference's maxDetectionMemory
+    // read — but accumulated ACROSS glob files until `n` lines: at scale
+    // an empty shuffle partition routinely writes a header-only (or fully
+    // empty) part file, and a glob whose FIRST file is one of those must
+    // not blind the sniffer to the real data behind it (found live: the
+    // sf1-staged 311 fixture wrote part-00000 as a lone header line, the
+    // single-file sampler returned 1 line, header detection bailed to
+    // false, and every column came back _c0/_c1/_c2). The file probe is
+    // capped: each open is a driver round-trip, and a glob with thousands
+    // of empty parts should degrade to "no sample", not a driver stall.
     val p = new Path(pattern)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val first = Option(fs.globStatus(p)).flatMap(_.headOption.map(_.getPath))
-      .getOrElse(p)
-    val raw = fs.open(first)
-    // compressed inputs (.gz/.bz2/…) must sniff DECOMPRESSED text — the
-    // same codec resolution Spark's own line reader applies per file
-    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(
-      spark.sparkContext.hadoopConfiguration).getCodec(first)
-    val in: java.io.InputStream =
-      if (codec == null) raw
-      else try codec.createInputStream(raw) catch {
-        case e: Throwable => raw.close(); throw e // don't leak the handle
-      }
-    try {
-      val src = scala.io.Source.fromInputStream(in, "UTF-8")
-      src.getLines().take(n).toList
-    } finally in.close()
+    val files = Option(fs.globStatus(p)).map(_.toSeq.map(_.getPath))
+      .filter(_.nonEmpty).getOrElse(Seq(p))
+    val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(
+      spark.sparkContext.hadoopConfiguration)
+    val out = Seq.newBuilder[String]
+    var got = 0
+    for (f <- files.take(64) if got < n) {
+      val raw = fs.open(f)
+      // compressed inputs (.gz/.bz2/…) must sniff DECOMPRESSED text — the
+      // same codec resolution Spark's own line reader applies per file
+      val codec = codecs.getCodec(f)
+      val in: java.io.InputStream =
+        if (codec == null) raw
+        else try codec.createInputStream(raw) catch {
+          case e: Throwable => raw.close(); throw e // don't leak the handle
+        }
+      try {
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        src.getLines().take(n - got).foreach { l => out += l; got += 1 }
+      } finally in.close()
+    }
+    out.result()
   }
 
-  /** Column names from the first file's header line (driver-side read):
-    * quote-aware split — a quoted header field may contain the delimiter,
-    * and `""` inside quotes is an escaped quote. Empty input → empty. */
+  /** Column names from the header line of the first NON-EMPTY file
+    * (driver-side read): quote-aware split — a quoted header field may
+    * contain the delimiter, and `""` inside quotes is an escaped quote.
+    * Empty input → empty. */
   def headerFields(spark: SparkSession, pattern: String, delim: String,
       quote: String): Array[String] =
     sampleLines(spark, pattern, n = 1).headOption match {

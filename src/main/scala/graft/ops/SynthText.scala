@@ -12,11 +12,16 @@ import org.apache.spark.sql.functions._
   * unigram set is near-identical; COVERAGE.md documents the Σdf² blowup
   * that forced q_setsim_join onto 3-word shingles and q_er_join onto a
   * conjunctive 2-token blocking key). This fixture gives the word-level
-  * operators a realistic long-tail corpus: ~16 k distinct words with an
-  * octave-bucketed Zipf-ish frequency profile (word id `2^e + m` with
-  * octave `e` uniform on 4..13 — each octave carries equal probability
-  * mass split over `2^e` words, so head words appear in most documents
-  * and the tail is rare, like real text).
+  * operators a realistic long-tail corpus: ~16 k distinct words (at the
+  * driver test scales) with an octave-bucketed Zipf-ish frequency profile
+  * (word id `2^e + m` with octave `e` uniform on 4..13 — each octave
+  * carries equal probability mass split over `2^e` words, so head words
+  * appear in most documents and the tail is rare, like real text). Past
+  * the sf0.1-sized salt the octave range grows by one per corpus
+  * doubling (Heaps'-law vocabulary growth — see the `extra` arm in
+  * [[textExpr]]), keeping tail-word dfs scale-invariant like real text,
+  * instead of letting a closed vocabulary drive similarity self-joins
+  * quadratic as a fixture artifact.
   *
   * Planted structure (what makes dedup/similarity answers non-trivial):
   * documents come in groups of 5 sharing a base word sequence
@@ -71,6 +76,20 @@ object SynthText {
     val r = "(doc_id % 5)"             // member within the group
     val z = s"CAST(salt AS $vc)"       // scale-dependent corpus salt
     val n = s"(18 + (${hex6(s"md5('ln:' || $z || ':' || CAST($g AS $vc))")} % 13))"
+    // Heaps'-law octave growth: a REAL corpus grows vocabulary with size,
+    // keeping rare-word document frequencies roughly scale-invariant; a
+    // closed vocabulary instead grows every df linearly, which turns any
+    // exact similarity self-join quadratic as a FIXTURE artifact (found
+    // live: q_setsim_join's prefix-filter candidates grew ~100x from
+    // sf0.1 to the 10x-staged sf1 point — Σdf² over the same 16k words).
+    // One extra octave per doubling of the corpus past the sf0.1-sized
+    // salt keeps tail-octave dfs ~constant, the way real text behaves.
+    // Integer CASE arms (not float log2) so both engines agree bit-exactly;
+    // salts <= 600001 (every driver test scale) take extra=0, keeping the
+    // corpus BYTE-IDENTICAL to the pre-growth fixture at sf0.001/0.01/0.1.
+    val sx = idiv("salt", "600001")
+    val extra = "(CASE " + (10 to 1 by -1).map(b =>
+      s"WHEN $sx >= ${1L << b} THEN $b").mkString(" ") + " ELSE 0 END)"
     // members 1..3 override exactly one position each (9, 6, 3 resp.)
     val ovr = s"(($r) BETWEEN 1 AND 3 AND i = 12 - 3 * ($r))"
     val hashAt =
@@ -79,8 +98,8 @@ object SynthText {
          | ELSE md5('zf:' || $z || ':' || CAST($g AS $vc) || ':' || CAST(i AS $vc)) END"""
         .stripMargin.replace("\n", "")
     val u = hex6("h")
-    // octave-bucketed long-tail word id in [16, 16384)
-    val e = "(4 + (u % 10))"
+    // octave-bucketed long-tail word id in [16, 2^(14+extra))
+    val e = s"(4 + (u % (10 + $extra)))"
     val wid = s"(${shl(e)} + (${idiv("u", "10")} % ${shl(e)}))"
     val word = s"'w' || CAST($wid AS $vc)"
     // three nested transforms bind (position -> hash -> uniform -> word)

@@ -372,4 +372,107 @@ class OperatorPropertySpec extends AnyFunSuite {
       assert(got == naive(k, 3), s"k=$k mismatch")
     }
   }
+
+  // -------------------------------------------------------------------------
+  // Partitioning invariance (VERDICT r9 #5): operators whose correctness
+  // rests on order-free partial/merge splits must produce BIT-IDENTICAL
+  // output under any input partition layout — on a 1000-executor cluster
+  // the layout is whatever the previous stage left behind, never the test
+  // default. Each case replays the operator under >= 3 layouts (single
+  // partition, a prime that misaligns every key boundary, and more
+  // partitions than rows for some inputs) and compares the full canonical
+  // row rendering, not just row counts.
+  // -------------------------------------------------------------------------
+
+  /** Canonical full-precision rendering of a result: every cell via
+    * toString (doubles keep all bits), rows sorted. Layout-sensitive
+    * float summation or lost rows both show up as a diff. */
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("\u0001")).sorted.toSeq
+
+  private val invarianceLayouts = Seq(1, 7, 32)
+
+  test("nearDupMinhash is bit-identical under 1/7/32-partition inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector.tabulate(220)(i => s"w$i")
+    def sentence(n: Int): Vector[String] = Vector.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    // 40 groups: a base doc, a 1-word-perturbed near-dup, and an unrelated doc
+    val docs = (0 until 40).flatMap { g =>
+      val base = sentence(18 + rnd.nextInt(8))
+      val nd = base.updated(rnd.nextInt(base.size), vocab(rnd.nextInt(vocab.size)))
+      Seq((g * 3L, base.mkString(" ")), (g * 3L + 1, nd.mkString(" ")),
+        (g * 3L + 2, sentence(20).mkString(" ")))
+    }
+    val results = invarianceLayouts.map { p =>
+      canon(graft.dedup.Dedup.nearDupMinhash(
+        docs.toDF("doc_id", "text").repartition(p), "doc_id", "text", 0.7))
+    }
+    assert(results(0).nonEmpty, "fixture must plant confirmable near-dups")
+    assert(results.distinct.size == 1,
+      s"layouts ${invarianceLayouts} disagree: sizes ${results.map(_.size)}")
+  }
+
+  test("spanStats is bit-identical under 1/7/32-partition inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val vocab = Vector.tabulate(60)(i => s"t$i")
+    val shared = Vector.fill(12)(vocab(rnd.nextInt(vocab.size))) // planted span
+    val docs = (0 until 90).map { i =>
+      val own = Vector.fill(10 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+      val text = if (i % 4 == 0) (own.take(5) ++ shared ++ own.drop(5)) else own
+      (i.toLong, text.mkString(" "))
+    }
+    val results = invarianceLayouts.map { p =>
+      canon(graft.dedup.Dedup.spanStats(
+        docs.toDF("doc_id", "text").repartition(p), "doc_id", "text", k = 8))
+    }
+    assert(results(0).exists(_.contains("true")), "fixture must plant shared spans")
+    assert(results.distinct.size == 1,
+      s"layouts ${invarianceLayouts} disagree: sizes ${results.map(_.size)}")
+  }
+
+  test("prefixSum is bit-identical under input layouts x device partition counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val rows = rnd.shuffle((0 until 500).toList)
+      .map(o => (o.toLong, rnd.nextInt(1000).toLong - 300))
+    // both axes: how the INPUT arrives (repartition) and how the device
+    // itself ranges (partitions param; 64 > #rows/10, 400 ~ near-empty
+    // ranges) — every combination must agree with the sequential fold
+    val sortedRows = rows.sortBy(_._1)
+    val seqFold = sortedRows.scanLeft(0L)(_ + _._2).init
+    val expect = sortedRows.zip(seqFold)
+      .map(t => t._1._1 + "\u0001" + t._1._2 + "\u0001" + t._2).sorted
+    for (inP <- invarianceLayouts; devP <- Seq(0, 1, 7, 64)) {
+      val got = canon(Scale.prefixSum(
+        rows.toDF("o", "v").repartition(inP), "o", "v", partitions = devP))
+      assert(got == expect, s"inP=$inP devP=$devP")
+    }
+  }
+
+  test("FoldAgg partial/final split is bit-identical under 1/7/32-partition inputs") {
+    import spark.implicits._
+    import graft.api.Context
+    val rnd = new scala.util.Random(53)
+    val rows = Seq.tabulate(400)(i => (s"k${rnd.nextInt(5)}", rnd.nextInt(2000) - 500))
+    val ctx = new Context(spark)
+    val global = invarianceLayouts.map { p =>
+      canon(ctx.fromDataFrame(rows.toDF("k", "v").repartition(p))
+        .aggregate[(Long, Long, Long)]((0L, 0L, Long.MinValue))(
+          (b, r) => (b._1 + 1, b._2 + r.getInt(1), math.max(b._3, r.getInt(1).toLong)),
+          (x, y) => (x._1 + y._1, x._2 + y._2, math.max(x._3, y._3)))
+        .toDF)
+    }
+    assert(global.distinct.size == 1, "global fold differs across layouts")
+    val byKey = invarianceLayouts.map { p =>
+      canon(ctx.fromDataFrame(rows.toDF("k", "v").repartition(p))
+        .aggregateByKey[(Long, Long)](Seq("k"), (0L, 0L))(
+          (b, r) => (b._1 + 1, b._2 + r.getInt(1)),
+          (x, y) => (x._1 + y._1, x._2 + y._2))
+        .toDF)
+    }
+    assert(byKey(0).size == 5, "one row per key expected")
+    assert(byKey.distinct.size == 1, "grouped fold differs across layouts")
+  }
 }

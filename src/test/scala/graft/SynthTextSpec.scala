@@ -94,6 +94,25 @@ class SynthTextSpec extends AnyFunSuite {
       s"only $differing/${other.size} texts differ between sf0.001 and sf0.01 — salt inert")
   }
 
+  test("vocabulary grows Heaps-style past the sf0.1-sized salt, frozen below it") {
+    import spark.implicits._
+    // evaluate textExpr directly under controlled salts: the octave range
+    // must stay [4,13] (word ids < 2^14) for every driver test scale —
+    // the committed expected hashes depend on byte-identity there — and
+    // gain one octave per corpus doubling past that (tail dfs stay
+    // scale-invariant like real text, so similarity self-joins keep
+    // their sf0.1 shape instead of going quadratic on a closed vocab)
+    def maxWid(salt: Long): Long =
+      (0L until 400L).map(i => (i, salt)).toDF("doc_id", "salt")
+        .select(explode(split(expr(SynthText.textExpr("spark")), " ")).as("w"))
+        .select(max(substring(col("w"), 2, 10).cast("long"))).head().getLong(0)
+    val frozen = maxWid(600001L)
+    assert(frozen < (1L << 14), s"sf<=0.1 vocab must stay in [16,16384): $frozen")
+    val grown = maxWid(600001L * 10)
+    assert(grown >= (1L << 16) && grown < (1L << 17),
+      s"10x salt must add exactly 3 octaves (ids reach [2^16,2^17)): $grown")
+  }
+
   test("document lengths are group-keyed in [18, 30]") {
     val groups = texts.keys.groupBy(_ / 5).filter(_._2.size == 5)
     groups.foreach { case (g, ids) =>

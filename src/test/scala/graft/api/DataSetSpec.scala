@@ -204,6 +204,23 @@ class DataSetSpec extends AnyFunSuite {
     assert(back.schema.fields.head.dataType == IntegerType)
   }
 
+  test("csv sniffing survives a header-only first part file (empty partition)") {
+    // At scale an empty shuffle partition writes a header-only csv part;
+    // when the glob lists it FIRST, the sniffer must keep probing later
+    // files for its sample (found live at the sf1 scale point: header
+    // detection bailed on a 1-line first file and every column came back
+    // _c0/_c1/_c2). part files are globbed in name order, so aa < bb.
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_empty").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part-aa.csv"), "num,name\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part-bb.csv"), "num,name\n1,a\n2,b\n")
+    val back = ctx.csv(s"$dir/*.csv")
+    assert(back.columns == Seq("num", "name"))
+    assert(back.count() == 2)
+    assert(back.schema.fields.head.dataType == IntegerType)
+  }
+
   test("csv rows unparseable against the sampled schema enter the error channel") {
     val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
     // sample (first 2 data rows) infers int,int; row 4 has a non-int cell
