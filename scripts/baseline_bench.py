@@ -75,6 +75,33 @@ HEADLINE = [
 QUADRATIC_ORACLE = {"q_dedup_minhash", "q_dedup_ngram", "q_dedup_embed_lsh"}
 
 
+def fair_replay_sql(name, sfdir):
+    """Like-for-like TIMING replay where the correctness oracle's work is
+    structurally lighter than the engine's. q_csv_roundtrip WRITES 3
+    lineitem columns to csv and reads them back through the csv source
+    before aggregating; its correctness oracle (rightly) checks only the
+    final aggregate on parquet — timing THAT would charge the engine for
+    an I/O round-trip DuckDB never pays (at the sf1 sweep point the
+    'ratio' grew with data size purely because DuckDB's aggregate is
+    sublinear while the engine's csv bytes are linear). DuckDB can replay
+    the exact same shape: COPY out + read_csv back + aggregate. Timing
+    only — correctness compares are untouched (scripts/check.py).
+    The UDF-pipeline goldens (pipeline/flights) have no SQL replay of
+    their throwing-UDF -> error-channel -> resolve semantics; their
+    ratios stay net-semantics SQL and are read with that caveat."""
+    if name == "q_csv_roundtrip":
+        import tempfile
+        out = tempfile.mkdtemp(prefix="duck_csv_rt_") + "/li.csv"
+        return (
+            f"COPY (SELECT l_orderkey, l_quantity, l_extendedprice "
+            f"FROM lineitem) TO '{out}' (HEADER); "
+            f"SELECT count(*) AS n, "
+            f"sum(floor(l_quantity * 10000 + 0.5)) / 10000.0 AS sum_qty, "
+            f"sum(floor(l_extendedprice * 10000 + 0.5)) / 10000.0 AS sum_price "
+            f"FROM read_csv('{out}')")
+    return None
+
+
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     oracle_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify/oracle_sql.json"
@@ -88,7 +115,7 @@ def main():
 
     oracle_secs = {}
     for name in HEADLINE:
-        sql = oracle.get(name)
+        sql = fair_replay_sql(name, sfdir) or oracle.get(name)
         if sql is None:
             print(f"skip {name}: no oracle SQL")
             continue
@@ -156,11 +183,12 @@ def main():
                 for t in TABLES:
                     c2.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                                f"'{table_src(pdir, t)}'")
-                c2.execute(oracle[name]).fetchall()
+                sql2 = fair_replay_sql(name, pdir) or oracle[name]
+                c2.execute(sql2).fetchall()
                 runs = []
                 for _ in range(2):
                     t0 = time.perf_counter()
-                    c2.execute(oracle[name]).fetchall()
+                    c2.execute(sql2).fetchall()
                     runs.append(time.perf_counter() - t0)
                 osec = min(runs)
                 esec = eng.get(name, -1.0)

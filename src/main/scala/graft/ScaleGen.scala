@@ -113,8 +113,16 @@ object ScaleGen {
     def replicate(t: String)(perCopy: (DataFrame, Int) => DataFrame): Unit = {
       val src = rd(t)
       val out = (0 until copies).map(c => perCopy(src, c)).reduce(_ union _)
-      val parts = math.max(1, math.min(32,
-        (srcBytes(s"$srcDir/$t.parquet") * copies / (8L << 20)).toInt))
+      // At least 8 parts per replicated table: a small compressed table
+      // (documents at 10x sf0.1 is ~6 MB) written as ONE part is one row
+      // group = one input split, so every stage derived from it runs 1-2
+      // tasks on a 32-thread session — the scale point then times
+      // SINGLE-THREADED text kernels and misreports their growth (found
+      // live: q_bpe_packing's 5.7 s and q_langid_confusion's 5.8 s
+      // 2-task stages at sf1). A 100 TB corpus is never one file; the
+      // staged dir should have the scan parallelism the real thing has.
+      val parts = math.max(8, math.min(64,
+        (srcBytes(s"$srcDir/$t.parquet") * copies / (4L << 20)).toInt))
       out.repartition(parts).write.mode("overwrite")
         .parquet(s"$destDir/$t.parquet")
     }

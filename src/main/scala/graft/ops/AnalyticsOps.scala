@@ -148,11 +148,11 @@ object AnalyticsOps {
     //    a pair when ANY of its shared prefix tokens passes is safe:
     //    the first shared token has the LARGEST bound.
     // Both prune CANDIDATES only (the exact-intersect verify is
-    // unchanged), so they cannot change the answer — measured at the
-    // sf1 scale point they cut verify fan-out ~3x on top of the prefix
-    // filter. The remaining cost driver is corpus statistics: Σdf² over
-    // prefix tokens, which stays near-linear exactly when vocabulary
-    // grows with the corpus (see SynthText's Heaps-law octaves).
+    // unchanged), so they cannot change the answer; they cut the
+    // verify-stage fan-out, which dominates at scale. The remaining
+    // cost driver is corpus statistics: Σdf² over prefix tokens, which
+    // stays near-linear exactly when vocabulary grows with the corpus
+    // (see SynthText's Heaps-law octaves).
     val pref = ordered.select(col("doc_id"), col("l"),
       posexplode(slice(col("toks"), lit(1), plen)).as(Seq("pos", "tok")))
     val cand = pref.as("x").join(pref.as("y"),
