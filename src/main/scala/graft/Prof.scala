@@ -86,8 +86,49 @@ object Prof {
     spark.stop()
   }
 
+  /** PQ recall probe (dev tool): sweep (ksub, candidates) on the
+    * clustered ANN fixture at SPARK_GRAFT_SF_DIR and print raw recall@5
+    * per config — the measurement behind the auto-sizing constants in
+    * [[graft.similarity.Ann]] (booleans from the gate can't show HOW
+    * far off a config is). */
+  private def profileAnnRecall(): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import graft.similarity.Ann
+    import graft.ops.Tables
+    val emb0 = Tables(spark, d, "embeddings").select("vec_id", "embedding")
+    val anchors = emb0.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("_g"), col("embedding").as("_anchor"))
+    val emb = emb0.withColumn("_g", col("vec_id") % 8)
+      .join(org.apache.spark.sql.functions.broadcast(anchors), "_g")
+      .select(col("vec_id"),
+        zip_with(col("_anchor"), col("embedding"),
+          (a, e) => a * lit(1.0) + e * lit(0.35)).as("embedding"))
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Ann.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").localCheckpoint(true)
+    val n = emb.count()
+    println(s"corpus n=$n dir=$d")
+    for (ksub <- Seq(32, 256); cand <- Seq(50, 1000, 5000, 20000)) {
+      val approx = Ann.pqTopKReranked(emb, queries, k = 5, dim = 64,
+        m = 8, ksub = ksub, candidates = cand)
+        .select("query_id", "neighbor_id")
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id")).count()
+      println(f"ksub=$ksub%4d cand=$cand%6d recall@5=${hits / 40.0}%.3f")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("stages")) { profileStages(args.toSeq.drop(1)); return }
+    if (args.headOption.contains("ann")) { profileAnnRecall(); return }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

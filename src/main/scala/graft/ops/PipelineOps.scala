@@ -922,7 +922,7 @@ object PipelineOps {
       val emb = clusteredEmb(s, d)
       val queries = emb.filter(col("vec_id") < 8)
       val approx = Ann.pqTopKReranked(emb, queries, k = 5, dim = 64,
-        m = 8, ksub = 32, candidates = 50)
+        m = 8, ksub = 32)  // shortlist auto-sized from corpus count
       Ann.recallAtKFrom(annTruth(s, d, "clustered", clusteredEmb(s, d)),
         approx, minRecall = 0.8)
     },
@@ -937,7 +937,7 @@ object PipelineOps {
       val emb = clusteredEmb(s, d)
       val queries = emb.filter(col("vec_id") < 8)
       val approx = Ann.ivfPqTopK(emb, queries, k = 5, dim = 64,
-        nCells = 16, nProbe = 4, m = 8, ksub = 32, candidates = 50)
+        nCells = 16, nProbe = 4, m = 8, ksub = 32)  // auto shortlist
       Ann.recallAtKFrom(annTruth(s, d, "clustered", clusteredEmb(s, d)),
         approx, minRecall = 0.8)
     },
@@ -956,7 +956,7 @@ object PipelineOps {
         w
       })
       val queries = emb.filter(col("vec_id") < 8)
-      val approx = Ann.pqTopKIndexed(s, path, queries, k = 5, candidates = 50)
+      val approx = Ann.pqTopKIndexed(s, path, queries, k = 5)
       Ann.recallAtKFrom(annTruth(s, d, "clustered", clusteredEmb(s, d)),
         approx, minRecall = 0.8)
     },

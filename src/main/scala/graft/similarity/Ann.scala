@@ -453,6 +453,32 @@ object Ann {
     }
   }
 
+  /** PQ re-rank shortlist depth. A FIXED depth is a scale cliff: the
+    * number of candidates whose TRUE score falls within one
+    * ADC-quantization-noise band of the k-th best grows linearly with
+    * the scored row count (near-tie density is proportional to corpus
+    * size for a fixed score distribution), so recall@k at fixed depth
+    * decays as the corpus grows — found live at the 10× (sf1) scale
+    * point, where depth 50 (n/4 at the 200-vector sf0.01 gate that
+    * tuned it) dropped the per-query recall gate from pass to 0/8 at a
+    * 20k-vector corpus. Auto depth = n/4 of the SCORED row count —
+    * measured on the clustered fixture with `graft.Prof ann` (m=8,
+    * ksub=32, 20k vectors: recall@5 = 0.225 at depth 50, 0.95 at
+    * 1000 ≈ n/20, 1.000 at 5000 = n/4 — and n/4 is exactly the
+    * historical tuning point, so the constant is scale-stable) —
+    * floored for tiny corpora and capped: past the cap the right tools
+    * are IVF-PQ (shrinks the SCORED count by nProbe/nCells, and this
+    * auto rule keys off that shrunk count) or a larger (m, ksub)
+    * budget, not an unbounded exact re-rank. Explicit `candidates > 0`
+    * is honored untouched; `n` is a thunk so explicit callers never
+    * pay the count job. */
+  private def autoCandidates(explicit: Int, k: Int, n: () => Long): Int =
+    if (explicit > 0) {
+      require(explicit >= k, s"candidates $explicit must be >= k $k")
+      explicit
+    } else
+      math.min(50000L, math.max(math.max(50L, 10L * k), n() / 4L)).toInt
+
   /** Product-quantization ANN (ADC): the 32×-compression scale path for a
     * 100 TB embedding corpus. The corpus is ENCODED once — per subspace,
     * the L2-nearest codeword index (an argmin fold over codegen'd
@@ -546,9 +572,12 @@ object Ann {
     * of m-byte codes: the two pruning axes multiply. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       nCells: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 32,
-      candidates: Int = 50, seed: Long = 42L): DataFrame = {
-    require(candidates >= k, s"candidates $candidates must be >= k $k")
+      candidates: Int = 0, seed: Long = 42L): DataFrame = {
     val c = Par.ensureMin(asFloatVec(corpus.toDF("neighbor_id", "c_vec"), "c_vec"))
+    // shortlist depth scales with the PROBED row count (nProbe/nCells of
+    // the corpus) — see autoCandidates for why fixed depth is a cliff
+    val cand = autoCandidates(candidates, k,
+      () => c.count() * nProbe / nCells)
     val cents = trainCentroids(c, nCells, seed)
     val cellIds = Array.tabulate(cents.length)(_.toLong)
     def nearest(vec: Column, n: Int) = GraftBridge.column(
@@ -563,7 +592,7 @@ object Ann {
     val scored = q.join(coded, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), pqAdcScore(m).as("cos"))
-    val shortlist = rankTopK(scored, candidates)
+    val shortlist = rankTopK(scored, cand)
       .select("query_id", "neighbor_id")
     val qv = broadcast(asFloatVec(queries.toDF("query_id", "q_vec"), "q_vec"))
     val rescored = shortlist.join(qv, "query_id").join(c, "neighbor_id")
@@ -584,10 +613,11 @@ object Ann {
     * systems always re-rank a shortlist; the shortlist's recall is the
     * quantity PQ actually controls via (m, ksub, candidates). */
   def pqTopKReranked(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      m: Int = 8, ksub: Int = 32, candidates: Int = 50,
+      m: Int = 8, ksub: Int = 32, candidates: Int = 0,
       seed: Long = 42L): DataFrame = {
-    require(candidates >= k, s"candidates $candidates must be >= k $k")
-    val shortlist = pqTopK(corpus, queries, candidates, dim, m, ksub, seed)
+    val cand = autoCandidates(candidates, k,
+      () => corpus.count())
+    val shortlist = pqTopK(corpus, queries, cand, dim, m, ksub, seed)
       .select("query_id", "neighbor_id")
     val q = broadcast(asFloatVec(queries.toDF("query_id", "q_vec"), "q_vec"))
     val c = asFloatVec(corpus.toDF("neighbor_id", "c_vec"), "c_vec")
@@ -630,8 +660,9 @@ object Ann {
     * table only, then re-rank the shortlist against the stored float
     * vectors. Same answers as [[pqTopKReranked]] at equal parameters. */
   def pqTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
-      k: Int, candidates: Int = 50): DataFrame = {
-    require(candidates >= k, s"candidates $candidates must be >= k $k")
+      k: Int, candidates: Int = 0): DataFrame = {
+    val cand = autoCandidates(candidates, k,
+      () => spark.read.parquet(s"$path/codes").count())
     val rows = spark.read.parquet(s"$path/codebooks")
       .orderBy("subspace", "codeword").collect()
     val m = rows.map(_.getInt(0)).max + 1
@@ -646,7 +677,7 @@ object Ann {
     val scored = q.select(col("query_id"), col("lut"))
       .join(coded, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), pqAdcScore(m).as("cos"))
-    val shortlist = rankTopK(scored, candidates).select("query_id", "neighbor_id")
+    val shortlist = rankTopK(scored, cand).select("query_id", "neighbor_id")
     val vecs = spark.read.parquet(s"$path/vectors")
     val rescored = shortlist
       .join(q.select(col("query_id"), col("q_vec")), "query_id")
