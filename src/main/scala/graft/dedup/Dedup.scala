@@ -482,10 +482,23 @@ object Dedup {
     val (autoBits, autoTables) = lshParams(n, threshold)
     val useBits = if (bits > 0) bits else autoBits
     val useTables = if (tables > 0) tables else autoTables
-    val banded = vecs.select(col("_id"), posexplode(
+    // Above the same cutoff that switches the join strategy, persist +
+    // eagerly count the banded frame: the hyperplane signatures
+    // (hundreds of dot products per vector) feed BOTH self-join sides,
+    // and without a materialized cache each exchange recomputes them
+    // (profiled at sf1: two ~1-1.7 s signature stages for identical
+    // work; A/B'd 8.0 → 7.2 s). Below the cutoff the persist+count
+    // round-trip costs MORE than the duplicate compute (A/B at sf0.1:
+    // 1.47 → 1.72 s regression when unconditional), so small corpora
+    // keep the plain double evaluation. The eager count is the AQE
+    // cache-stampede guard (q_assoc_rules round-9 finding).
+    val bandedBig = n * useTables > 1000000L
+    val banded0 = vecs.select(col("_id"), posexplode(
         graft.similarity.Ann.lshSignatures(col("_v"), dim, useBits, useTables,
           seed = 1000L)))
       .toDF("_id", "_table", "_sig")
+    val banded = if (bandedBig) { val p = banded0.persist(); p.count(); p }
+                 else banded0
     val a = banded.toDF("id_a", "table_a", "sig_a")
     val b = banded.toDF("id_b", "table_b", "sig_b")
     // shuffle_hash hint above ~1M banded rows: the banded frame is
@@ -498,7 +511,7 @@ object Dedup {
     // below the cutoff the broadcast genuinely wins (A/B at 2 k vectors:
     // forcing shuffle-hash cost ~0.25 s), so the plan switches on the
     // KNOWN row count rather than trusting the derived estimate.
-    val bProbe = if (n * useTables > 1000000L) b.hint("shuffle_hash") else b
+    val bProbe = if (bandedBig) b.hint("shuffle_hash") else b
     val cands = a.join(bProbe, col("table_a") === col("table_b") &&
         col("sig_a") === col("sig_b") && col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -508,7 +521,7 @@ object Dedup {
       .withColumn("cos", graft.similarity.Ann.cosine(col("_va"), col("_vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
-    materializeThenRelease(confirmed, vecs)
+    materializeThenRelease(confirmed, vecs, banded)
   }
 
   /** Canonical-representative dedup: one row per distinct normalized
