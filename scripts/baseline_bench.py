@@ -75,7 +75,21 @@ HEADLINE = [
 QUADRATIC_ORACLE = {"q_dedup_minhash", "q_dedup_ngram", "q_dedup_embed_lsh"}
 
 
-def fair_replay_sql(name, sfdir):
+_REPLAY_DIR = None  # one temp dir per process, cleaned at exit
+
+
+def _replay_dir():
+    global _REPLAY_DIR
+    if _REPLAY_DIR is None:
+        import atexit
+        import shutil
+        import tempfile
+        _REPLAY_DIR = tempfile.mkdtemp(prefix="duck_csv_rt_")
+        atexit.register(shutil.rmtree, _REPLAY_DIR, ignore_errors=True)
+    return _REPLAY_DIR
+
+
+def fair_replay_sql(name):
     """Like-for-like TIMING replay where the correctness oracle's work is
     structurally lighter than the engine's. q_csv_roundtrip WRITES 3
     lineitem columns to csv and reads them back through the csv source
@@ -90,8 +104,7 @@ def fair_replay_sql(name, sfdir):
     their throwing-UDF -> error-channel -> resolve semantics; their
     ratios stay net-semantics SQL and are read with that caveat."""
     if name == "q_csv_roundtrip":
-        import tempfile
-        out = tempfile.mkdtemp(prefix="duck_csv_rt_") + "/li.csv"
+        out = _replay_dir() + "/li.csv"
         return (
             f"COPY (SELECT l_orderkey, l_quantity, l_extendedprice "
             f"FROM lineitem) TO '{out}' (HEADER); "
@@ -115,7 +128,7 @@ def main():
 
     oracle_secs = {}
     for name in HEADLINE:
-        sql = fair_replay_sql(name, sfdir) or oracle.get(name)
+        sql = fair_replay_sql(name) or oracle.get(name)
         if sql is None:
             print(f"skip {name}: no oracle SQL")
             continue
@@ -183,7 +196,7 @@ def main():
                 for t in TABLES:
                     c2.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                                f"'{table_src(pdir, t)}'")
-                sql2 = fair_replay_sql(name, pdir) or oracle[name]
+                sql2 = fair_replay_sql(name) or oracle[name]
                 c2.execute(sql2).fetchall()
                 runs = []
                 for _ in range(2):

@@ -75,8 +75,12 @@ def main():
             if not done.wait(timeout_s):
                 try:
                     con.interrupt()
-                except Exception:
-                    pass
+                except Exception as e:
+                    # a swallowed interrupt failure silently disables the
+                    # timeout — the exact stall the feature exists to stop
+                    print(f"WARNING: oracle timeout interrupt() failed "
+                          f"({type(e).__name__}: {e}); GRAFT_ORACLE_TIMEOUT "
+                          f"is NOT enforced for this query", flush=True)
         t = threading.Thread(target=interrupter, daemon=True)
         t.start()
         try:
@@ -85,11 +89,32 @@ def main():
             done.set()
 
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+    # Scale-point oracle overlay (GRAFT_SCALE_ORACLES=1): swap in the
+    # tractable equivalents Verify dumped for the queries whose graded
+    # oracle is a deliberately quadratic/recursive ground truth. The
+    # certification method is recorded per query so a big-SF pass names
+    # HOW it was certified. Never set this for the graded sf0.01 gate.
+    scale_methods = {}
+    if os.environ.get("GRAFT_SCALE_ORACLES"):
+        try:
+            overlay = json.load(open(f"{outdir}/scale_oracle_sql.json"))
+        except FileNotFoundError:
+            overlay = {}
+        for name, ent in overlay.items():
+            if name in oracle:
+                oracle[name] = ent["sql"]
+                scale_methods[name] = ent["method"]
+        print(f"scale-oracle overlay active: {len(scale_methods)} queries "
+              f"({', '.join(sorted(scale_methods))})")
+
     record = {}
     n_fail = 0
     for name, sql in sorted(oracle.items()):
         rec = {"rows_match": False, "schema_match": False,
                "hash_match": False, "err": None}
+        if name in scale_methods:
+            rec["method"] = scale_methods[name]
         record[name] = rec
         try:
             exp = run_with_timeout(fresh_con(), sql)

@@ -311,8 +311,14 @@ object CsvSniffer {
     // of empty parts should degrade to "no sample", not a driver stall.
     val p = new Path(pattern)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = Option(fs.globStatus(p)).map(_.toSeq.map(_.getPath))
-      .filter(_.nonEmpty).getOrElse(Seq(p))
+    // globStatus already returns each file's length — skip zero-byte parts
+    // for free so the capped opens below are spent only on files that can
+    // contain lines (a glob whose first 64 parts are empty must still
+    // reach the data behind them)
+    val files = Option(fs.globStatus(p)).map(_.toSeq) match {
+      case Some(Nil) | None => Seq(p) // no glob expansion — try the literal
+      case Some(matched) => matched.filter(_.getLen > 0).map(_.getPath)
+    }
     val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(
       spark.sparkContext.hadoopConfiguration)
     val out = Seq.newBuilder[String]

@@ -109,7 +109,7 @@ final class DataSet private (
   private def tryUdf[A: TypeTag, B: TypeTag](f: A => B) =
     udf((a: A) =>
       try (Option(f(a)), null: String, null: String)
-      catch { case e: Throwable => (None: Option[B], e.getClass.getName, String.valueOf(e.getMessage)) })
+      catch { case e: Throwable => (None: Option[B], errName(e), String.valueOf(e.getMessage)) })
       .asNondeterministic()
 
   /** Split a frame that has a `_g_res = (value, cls, msg)` struct into
@@ -149,7 +149,7 @@ final class DataSet private (
     * class and the resolver succeeded. */
   private def resolvedKeep(cls: String): Column =
     col("_g_res")("_2").isNull ||
-      (col("_g_res")("_2") === cls && col("_g_res2")("_2").isNull)
+      (clsMatch(col("_g_res")("_2"), cls) && col("_g_res2")("_2").isNull)
 
   /** Single-scan resolve (see [[resolve]]): given a UDF op's pre-split
     * frame `tmp` (carrying `_g_res = (value, cls, msg)`), the error class
@@ -165,15 +165,16 @@ final class DataSet private (
   private def fusedResolve(tmp: DataFrame, cls: String, resolverRes: Column)(
       finishMerged: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     val res = col("_g_res")
-    val tmp2 = tmp.withColumn("_g_res2", when(res("_2") === cls, resolverRes))
+    val hit = clsMatch(res("_2"), cls)
+    val tmp2 = tmp.withColumn("_g_res2", when(hit, resolverRes))
     val merged = finishMerged(tmp2)
     val newBad = tmp2
       .filter(res("_2").isNotNull &&
-        !(res("_2") === cls && col("_g_res2")("_2").isNull))
+        !(hit && col("_g_res2")("_2").isNull))
       .withColumn(ErrCls,
-        when(res("_2") === cls, col("_g_res2")("_2")).otherwise(res("_2")))
+        when(hit, col("_g_res2")("_2")).otherwise(res("_2")))
       .withColumn(ErrMsg,
-        when(res("_2") === cls, col("_g_res2")("_3")).otherwise(res("_3")))
+        when(hit, col("_g_res2")("_3")).otherwise(res("_3")))
       .drop("_g_res", "_g_res2")
     (merged, newBad)
   }
@@ -196,7 +197,7 @@ final class DataSet private (
       name: String, in1: Column, in2: Column)(f: (A1, A2) => B): DataSet = {
     def tryUdf2(g: (A1, A2) => B) = udf((a1: A1, a2: A2) =>
       try (Option(g(a1, a2)), null: String, null: String)
-      catch { case e: Throwable => (None: Option[B], e.getClass.getName, String.valueOf(e.getMessage)) })
+      catch { case e: Throwable => (None: Option[B], errName(e), String.valueOf(e.getMessage)) })
       .asNondeterministic() // see tryUdf: pin one evaluation per row
     val tmp = good.withColumn("_g_res", tryUdf2(f)(in1, in2))
     val (ok, failed) = split(tmp, name)
@@ -254,7 +255,7 @@ final class DataSet private (
           } catch {
             case e: Throwable =>
               Row.fromSeq(Seq.fill[Any](nOut)(null) ++
-                Seq(in, id, sub, e.getClass.getName, String.valueOf(e.getMessage)))
+                Seq(in, id, sub, errName(e), String.valueOf(e.getMessage)))
           }
         }
       }(enc)
@@ -323,7 +324,7 @@ final class DataSet private (
               // the reapply uses it as parentSub again, so repaired
               // expansions slot in exactly where the original would have
               Seq(Row.fromSeq(Seq.fill[Any](nOut)(null) ++
-                Seq(in, id, parentSub, e.getClass.getName, String.valueOf(e.getMessage))))
+                Seq(in, id, parentSub, errName(e), String.valueOf(e.getMessage))))
           }
         }
       }(enc)
@@ -370,7 +371,17 @@ final class DataSet private (
     * operator (`dataset.py:162-199`). The resolver gets the same input the
     * failing UDF got; it may itself throw (chaining into further
     * resolvers). Matching is by exact exception class name. */
-  def resolve[A, B](errClass: Class[_ <: Throwable])(f: A => B): DataSet = bad match {
+  def resolve[A, B](errClass: Class[_ <: Throwable])(f: A => B): DataSet =
+    resolveName(errClass.getName)(f)
+
+  /** Resolve rows that failed with one specific [[GraftErr]] code — the
+    * reference's native resolution granularity (resolvers bind to an
+    * ExceptionCode, not a host-language class). `resolve(classOf[
+    * GraftErr])` remains the catch-all over every code. */
+  def resolveCode[A, B](code: Long)(f: A => B): DataSet =
+    resolveName(GraftErr.clsName(code))(f)
+
+  private def resolveName[A, B](cls: String)(f: A => B): DataSet = bad match {
     // Pristine batch (first resolve after the failing op): SINGLE-SCAN
     // merge — the resolver evaluates conditionally inside the op's own
     // projection, so the merged good frame is one plan over one pass of
@@ -379,12 +390,12 @@ final class DataSet private (
     // resolves/ignores mutate the batch and fall back to the union path
     // below (fuse is only valid against the untouched split).
     case head :: rest if head.fuse.isDefined =>
-      val (merged, newBad) = head.fuse.get(errClass.getName, f)
+      val (merged, newBad) = head.fuse.get(cls, f)
       new DataSet(ctx, merged,
         head.copy(rows = newBad, fuse = None) :: rest, opId)
     case head :: rest if head.reapply.isDefined =>
-      val matching = head.rows.filter(col(ErrCls) === errClass.getName)
-      val nonMatching = head.rows.filter(col(ErrCls) =!= errClass.getName)
+      val matching = head.rows.filter(clsMatch(col(ErrCls), cls))
+      val nonMatching = head.rows.filter(!clsMatch(col(ErrCls), cls))
       val (ok, stillBad) = head.reapply.get(f, matching)
       val merged = good.unionByName(ok.select(good.columns.map(col): _*))
       new DataSet(ctx, merged,
@@ -396,7 +407,13 @@ final class DataSet private (
 
   /** Silently drop rows that raised `errClass` in the preceding operator
     * (`dataset.py:319-344`). */
-  def ignore(errClass: Class[_ <: Throwable]): DataSet = bad match {
+  def ignore(errClass: Class[_ <: Throwable]): DataSet =
+    ignoreName(errClass.getName)
+
+  /** Drop rows that failed with one specific [[GraftErr]] code. */
+  def ignoreCode(code: Long): DataSet = ignoreName(GraftErr.clsName(code))
+
+  private def ignoreName(cls: String): DataSet = bad match {
     // head.opId == opId ⇒ the batch belongs to the immediately preceding
     // operator (incl. input parse errors, which carry no resolver reapply)
     case head :: rest if head.opId == opId =>
@@ -404,7 +421,7 @@ final class DataSet private (
       // split would resurrect the ignored rows; drop it (reapply stays
       // valid — it operates on the filtered rows themselves)
       new DataSet(ctx, good,
-        head.copy(rows = head.rows.filter(col(ErrCls) =!= errClass.getName),
+        head.copy(rows = head.rows.filter(!clsMatch(col(ErrCls), cls)),
           fuse = None) :: rest, opId)
     case _ =>
       throw new IllegalStateException(
@@ -648,6 +665,24 @@ final class DataSet private (
 }
 
 object DataSet {
+  /** Error-channel class tag for a throwable: the JVM class name, except
+    * [[GraftErr]] records the code-qualified `graft.api.GraftErr:<code>`
+    * so resolution and counts are per-code — the reference's
+    * per-ExceptionCode accounting (ExceptionCodes.h), not one merged
+    * JVM-class bucket. */
+  private[api] def errName(e: Throwable): String = e match {
+    case g: GraftErr => GraftErr.clsName(g.code)
+    case _ => e.getClass.getName
+  }
+
+  /** Match predicate over an error-class column: exact name, except the
+    * bare [[GraftErr]] class matches every code (prefix match) — so
+    * `resolve(classOf[GraftErr])` is the catch-all and `resolveCode` the
+    * precise form. */
+  private[api] def clsMatch(c: Column, cls: String): Column =
+    if (cls == GraftErr.ClassName) c.startsWith(GraftErr.ClassName + ":")
+    else c === cls
+
   private[api] val RowId = "_g_rowid"
   private[api] val SubId = "_g_subid"
   private[api] val ErrCls = "_g_cls"
@@ -715,7 +750,7 @@ object DataSet {
           try Row.fromSeq(f(cells).toSeq ++ Seq(raw, id, null, null))
           catch { case e: Throwable =>
             Row.fromSeq(Seq.fill[Any](nOut)(null) ++
-              Seq(raw, id, e.getClass.getName, String.valueOf(e.getMessage)))
+              Seq(raw, id, errName(e), String.valueOf(e.getMessage)))
           }
         }
       }(enc)

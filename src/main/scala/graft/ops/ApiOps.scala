@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.api.Context
+import graft.api.{Context, GraftErr}
 
 /** Inventory entries exercised through the graft.api pipeline layer —
   * the reference's distinctive operators (SURVEY §2.7 error handling,
@@ -178,10 +178,13 @@ object ApiOps {
         .renameColumn("n_name", "supp_nation")
         .withColumnUdf2[Double, Double, Double]("revenue",
           col("l_extendedprice"), col("l_discount"))((p, disc) => p * (1 - disc))
+        // stackless error code (reference parity: ExceptionCodes.h i64
+        // codes, no stack traces) — a JVM exception here paid
+        // fillInStackTrace per thrown row, ~20 s for 12M throws at sf10
         .mapColumnUdf[Long, Long]("l_orderkey") { k =>
-          if (k % 5 == 0) throw new ArithmeticException("promo order") else k
+          if (k % 5 == 0) GraftErr.fail(5) else k
         }
-        .resolve[Long, Long](classOf[ArithmeticException])(identity)
+        .resolveCode[Long, Long](5L)(identity)
         .withColumn("revenue",
           when(col("l_orderkey") % 5 === 0, 0.0).otherwise(col("revenue")))
         .aggregateByKey[(Long, Long)](Seq("cust_nation", "supp_nation"), (0L, 0L))(
@@ -217,9 +220,9 @@ object ApiOps {
         // same uppercase result → net semantics = upper(c_name), but the
         // rows flow error-channel → resolve → merge mid-pipeline
         .mapColumnUdf[String, String]("c_name")(nm =>
-          if (nm.length % 2 == 0) throw new IllegalStateException("even")
+          if (nm.length % 2 == 0) GraftErr.fail(2) // stackless, see q_flights
           else nm.toUpperCase)
-        .resolve(classOf[IllegalStateException])((nm: String) => nm.toUpperCase)
+        .resolveCode(2L)((nm: String) => nm.toUpperCase)
         .join(ctx.fromDataFrame(Tables(s, d, "nation")
           .select("n_nationkey", "n_name")), "c_nationkey", "n_nationkey")
         .aggregateByKey[(Long, Long)](Seq("n_name"), (0L, 0L))(

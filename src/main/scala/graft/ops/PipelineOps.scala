@@ -493,7 +493,11 @@ object PipelineOps {
          |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8""".stripMargin) { (s, d) =>
       Dedup.nearDupMinhash(SynthText.docs(s, d), "doc_id", "text",
         threshold = 0.8, k = 3, numHashes = 64, bands = 16)
-    },
+    }.atScale("ppjoin-replay",
+      raw"""WITH ${SynthText.duckCte},
+         |${ScaleOracles.wordShingleCte("sdocs")},
+         |${ScaleOracles.ppjoinPairCtes(4, 5)}
+         |SELECT id_a, id_b, jaccard FROM p""".stripMargin),
 
     // ---- near-dup CLUSTERS: pairs → connected components → cluster ids ----
     // Pair lists alone don't dedup a corpus; Hash-Min label propagation
@@ -523,7 +527,19 @@ object PipelineOps {
         |FROM sdocs d LEFT JOIN comp ON d.doc_id = comp.id""".stripMargin) { (s, d) =>
       Dedup.dedupClusters(SynthText.docs(s, d), "doc_id", "text",
         threshold = 0.8, k = 3, numHashes = 64, bands = 16)
-    },
+    }.atScale("ppjoin-replay+cc",
+      raw"""WITH RECURSIVE ${SynthText.duckCte},
+         |${ScaleOracles.wordShingleCte("sdocs")},
+         |${ScaleOracles.ppjoinPairCtes(4, 5)},
+         |e AS (SELECT id_a AS u, id_b AS v FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |reach(id, label) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |  UNION
+         |  SELECT e.v, reach.label FROM reach JOIN e ON reach.id = e.u),
+         |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+         |SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS cluster
+         |FROM sdocs d LEFT JOIN comp ON d.doc_id = comp.id""".stripMargin),
 
     // ---- near-dup cluster CANONICAL SELECTION: clusters → one keeper ------
     // The step that actually shrinks a corpus: after clustering, keep ONE
@@ -568,7 +584,29 @@ object PipelineOps {
         |FROM r WHERE rn = 1""".stripMargin) { (s, d) =>
       Dedup.clusterKeepBest(SynthText.docs(s, d), "doc_id", "text",
         threshold = 0.8, k = 3, numHashes = 64, bands = 16)
-    },
+    }.atScale("ppjoin-replay+cc",
+      raw"""WITH RECURSIVE ${SynthText.duckCte},
+         |${ScaleOracles.wordShingleCte("sdocs")},
+         |${ScaleOracles.ppjoinPairCtes(4, 5)},
+         |e AS (SELECT id_a AS u, id_b AS v FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |reach(id, label) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |  UNION
+         |  SELECT e.v, reach.label FROM reach JOIN e ON reach.id = e.u),
+         |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+         |cl AS (SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS cluster,
+         |    length(d.text) AS tl
+         |  FROM sdocs d LEFT JOIN comp ON d.doc_id = comp.id),
+         |r AS (SELECT cluster, doc_id, tl,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY tl DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster) AS n_members,
+         |    sum(tl) OVER (PARTITION BY cluster) AS total_chars
+         |  FROM cl)
+         |SELECT cluster, doc_id AS keep_id, CAST(tl AS BIGINT) AS keep_len,
+         |  CAST(n_members AS BIGINT) AS n_members,
+         |  CAST(total_chars AS BIGINT) AS total_chars
+         |FROM r WHERE rn = 1""".stripMargin),
 
     // ---- per-language quality gate (CCNet-shape): median cut by lang ------
     // Quality thresholds are NOT comparable across languages (stopword
@@ -672,7 +710,10 @@ object PipelineOps {
       // true j≥0.93 pair with P≈2e-6 (measured on the sf0.01 corpus).
       Dedup.nearDupCharNgram(Tables(s, d, "documents"), "doc_id", "text",
         threshold = 0.8, n = 3, numHashes = 128, bands = 16)
-    },
+    }.atScale("ppjoin-replay",
+      raw"""WITH ${ScaleOracles.charGramCte("documents")},
+         |${ScaleOracles.ppjoinPairCtes(4, 5)}
+         |SELECT id_a, id_b, jaccard FROM p""".stripMargin),
 
     // ---- embedding-cosine near-dup, GROUND-TRUTH companion ----------------
     // All-pairs by definition (broadcast-NLJ is the point): this is the
@@ -691,7 +732,17 @@ object PipelineOps {
         |    >= 0.45""".stripMargin) { (s, d) =>
       Dedup.nearDupEmbedding(Tables(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.45)
-    },
+    }.atScale("native-cosine",
+      // same all-pairs scan, but through DuckDB's vectorized cosine
+      // kernel instead of per-element SQL lambdas (16 s vs hours at
+      // 20k×64; double math either way)
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin),
 
     // ---- embedding-cosine near-dup, LSH scale path + recall gate ----------
     // Parameters auto-size from (corpus count, threshold) — Dedup.lshParams

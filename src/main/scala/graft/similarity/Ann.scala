@@ -477,7 +477,11 @@ object Ann {
       require(explicit >= k, s"candidates $explicit must be >= k $k")
       explicit
     } else
-      math.min(50000L, math.max(math.max(50L, 10L * k), n() / 4L)).toInt
+      // outer max(k, ·): the 50k cap must never shrink the shortlist
+      // below k itself (a k > 50000 caller would otherwise silently get
+      // fewer than k results; the explicit path already requires >= k)
+      math.max(k.toLong,
+        math.min(50000L, math.max(math.max(50L, 10L * k), n() / 4L))).toInt
 
   /** Product-quantization ANN (ADC): the 32×-compression scale path for a
     * 100 TB embedding corpus. The corpus is ENCODED once — per subspace,

@@ -444,7 +444,7 @@ class OperatorPropertySpec extends AnyFunSuite {
     val seqFold = sortedRows.scanLeft(0L)(_ + _._2).init
     val expect = sortedRows.zip(seqFold)
       .map(t => t._1._1 + "\u0001" + t._1._2 + "\u0001" + t._2).sorted
-    for (inP <- invarianceLayouts; devP <- Seq(0, 1, 7, 64)) {
+    for (inP <- invarianceLayouts; devP <- Seq(0, 1, 7, 64, 400)) {
       val got = canon(Scale.prefixSum(
         rows.toDF("o", "v").repartition(inP), "o", "v", partitions = devP))
       assert(got == expect, s"inP=$inP devP=$devP")
