@@ -35,7 +35,7 @@ object Bench {
     * existing content falls back to the fresh line. */
   private[graft] val ownedKeys: Set[String] = Set(
     "metric", "value", "unit", "queries", "sf", "calibration_sec",
-    "stream_attribution", "stream_tier_degraded")
+    "calibration_interval", "stream_attribution", "stream_tier_degraded")
   private[graft] def mergePreserving(fresh: String, existing: Option[String]): String =
     existing match {
       case None => fresh
@@ -185,23 +185,14 @@ object Bench {
       out
     }
 
-    batchNames.foreach(once); streamTier(measured = false) // warmup (discarded)
-    // two measured passes, keep the per-query minimum: JIT/GC jitter on a
-    // 32-thread local JVM otherwise dominates sub-second queries
-    val passes = (1 to 2).map { _ =>
-      spark.sqlContext.clearCache()
-      batchNames.map(n => n -> once(n)).toMap ++ streamTier(measured = true)
-    }
-    val results = names.map { n =>
-      val ts = passes.map(_(n)).filter(_ >= 0)
-      n -> (if (ts.isEmpty) -1.0 else ts.min)
-    }
-
     // Host-speed calibration constant: one fixed single-thread CPU loop
-    // (xorshift64 mix, 4e8 steps), best of two so JIT is warm — a
-    // machine-speed yardstick emitted with every run so cross-round
-    // per-query diffs can be normalized without reconstructing a board
-    // shift from untouched queries (the round-7 1.32× forensics).
+    // (xorshift64 mix, 4e8 steps) — a machine-speed yardstick emitted
+    // with every run. A SINGLE end-of-run sample proved misleading for
+    // round-over-round normalization (r10: it flipped a −3.6% raw move
+    // into a +21% "normalized regression" after crediting r9 with −28%),
+    // so the run now samples BEFORE / BETWEEN-PASSES / AFTER and reports
+    // the interval — a wide interval means the host was not quiet and
+    // per-query diffs that round should not be normalized linearly.
     def calibrate(): Double = {
       def one(): Double = {
         val t0 = System.nanoTime()
@@ -214,7 +205,29 @@ object Bench {
       }
       math.min(one(), one())
     }
-    val calib = calibrate()
+
+    batchNames.foreach(once); streamTier(measured = false) // warmup (discarded)
+    val calibBefore = calibrate()
+    // two measured passes, keep the per-query minimum: JIT/GC jitter on a
+    // 32-thread local JVM otherwise dominates sub-second queries
+    val pass1 = {
+      spark.sqlContext.clearCache()
+      batchNames.map(n => n -> once(n)).toMap ++ streamTier(measured = true)
+    }
+    val calibMid = calibrate()
+    val pass2 = {
+      spark.sqlContext.clearCache()
+      batchNames.map(n => n -> once(n)).toMap ++ streamTier(measured = true)
+    }
+    val passes = Seq(pass1, pass2)
+    val results = names.map { n =>
+      val ts = passes.map(_(n)).filter(_ >= 0)
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
+
+    val calibAfter = calibrate()
+    val calibs = Seq(calibBefore, calibMid, calibAfter).sorted
+    val calib = calibs(1) // median — the single number kept for back-compat
 
     // locale-proof fixed-point formatting (Double.toString never emits a
     // comma decimal separator, unlike f"" under non-ROOT default locales)
@@ -227,7 +240,7 @@ object Bench {
       else "concurrent tier, spans scaled to tier wall"
     val degradedTag = if (tierDegraded) ""","stream_tier_degraded":true""" else ""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sec":${f3(calib)},"stream_attribution":"$attribution"$degradedTag}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sec":${f3(calib)},"calibration_interval":[${f3(calibs.head)},${f3(calibs(1))},${f3(calibs(2))}],"stream_attribution":"$attribution"$degradedTag}"""
     // filtered iteration runs must not clobber the official artifact
     val benchFile = if (only.isDefined) "bench_partial.json" else "bench.json"
     Files.writeString(Paths.get(benchFile), full + "\n")

@@ -53,9 +53,22 @@ import org.apache.spark.sql.functions._
 object ScaleGen {
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Per-copy letter substitution. Copies 0..25 are the original Caesar
+    * rotation (bit-compatible with every staged dir built before copy
+    * counts above 26 existed); past 26 the map generalizes to the affine
+    * cipher `i -> (a·i + b) mod 26` with `a` stepping through the
+    * residues coprime to 26 — 312 distinct length-preserving injective
+    * vocabularies, so a 100-copy staging (sf0.1 -> sf10 directly, the
+    * embedding-family gate) never wraps back to an earlier copy's text
+    * the way pure rotation does at period 26 (copy 26 ≡ copy 0 would
+    * plant verbatim cross-copy duplicates — the quadratic generator
+    * artifact this perturbation exists to avoid). */
   private[graft] def shifted(c: Int): (String, String) = {
-    val k = ((c % 26) + 26) % 26
-    val lo = alpha.drop(k) + alpha.take(k)
+    val coprimes = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val a = coprimes((c / 26) % 12)
+    val b = ((c % 26) + 26) % 26
+    val lo = (0 until 26).map(i => alpha((a * i + b) % 26)).mkString
     (alpha + alpha.toUpperCase, lo + lo.toUpperCase)
   }
 
@@ -112,7 +125,6 @@ object ScaleGen {
 
     def replicate(t: String)(perCopy: (DataFrame, Int) => DataFrame): Unit = {
       val src = rd(t)
-      val out = (0 until copies).map(c => perCopy(src, c)).reduce(_ union _)
       // At least 8 parts per replicated table: a small compressed table
       // (documents at 10x sf0.1 is ~6 MB) written as ONE part is one row
       // group = one input split, so every stage derived from it runs 1-2
@@ -123,8 +135,18 @@ object ScaleGen {
       // staged dir should have the scan parallelism the real thing has.
       val parts = math.max(8, math.min(64,
         (srcBytes(s"$srcDir/$t.parquet") * copies / (4L << 20)).toInt))
-      out.repartition(parts).write.mode("overwrite")
-        .parquet(s"$destDir/$t.parquet")
+      // Loop-of-appends in groups of <=10 copies: a single 100-wide union
+      // plan grows the optimizer/codegen cost superlinearly with the copy
+      // count (ADVICE r10) — grouped appends keep every written plan at
+      // most 10-wide while producing the identical row set.
+      val groups = (0 until copies).grouped(10).toSeq
+      groups.zipWithIndex.foreach { case (g, gi) =>
+        val out = g.map(c => perCopy(src, c)).reduce(_ union _)
+        val gParts = math.max(1, parts * g.size / copies)
+        out.repartition(gParts).write
+          .mode(if (gi == 0) "overwrite" else "append")
+          .parquet(s"$destDir/$t.parquet")
+      }
     }
     def copyAsIs(t: String): Unit =
       rd(t).coalesce(1).write.mode("overwrite").parquet(s"$destDir/$t.parquet")
@@ -157,12 +179,27 @@ object ScaleGen {
       else {
         // circular rotation by c mod dim: element i of the output is
         // element (i + k) mod dim of the source — norm- and
-        // geometry-preserving for any copy count
+        // geometry-preserving for any copy count. Rotation alone wraps at
+        // dim copies (copy 64 of a 64-dim corpus would be a ~0.9999-
+        // cosine near-dup of copy 0 — the additive-nudge artifact that
+        // was measured wrong at sf1), so past the first wrap each copy
+        // ALSO applies a deterministic per-copy sign-flip pattern keyed
+        // on q = c / dim: any fixed sign pattern is an isometry (all
+        // within-copy geometry exact), while two copies with equal
+        // rotation but different q decorrelate to ~orthogonal. q == 0
+        // (every staging with copies <= dim, incl. the existing sf1/sf10
+        // dirs) flips nothing — bit-compatible with prior stagings.
         val k = pmod(lit(c), size(col("embedding")))
+        val q = floor(lit(c) / size(col("embedding"))).cast("long")
         based.withColumn("embedding", transform(
           concat(slice(col("embedding"), k + 1, size(col("embedding"))),
             slice(col("embedding"), lit(1), k)),
-          (x, i) => when(i === 0, x + lit(c / 1024.0f)).otherwise(x)))
+          (x, i) => {
+            val flip = q > 0 &&
+              shiftright((i.cast("long") + 1L) * 2654435761L * q, 13) % 2 === 1
+            val signed = when(flip, -x).otherwise(x)
+            when(i === 0, signed + lit(c / 1024.0f)).otherwise(signed)
+          }))
       }
     }
   }

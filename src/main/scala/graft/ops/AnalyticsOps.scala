@@ -689,7 +689,7 @@ object AnalyticsOps {
     // checkpointed like the BFS loop so lineage stays linear. The oracle
     // replays the identical rounds as CTEs. Output: surviving nodes and
     // their degree in the peeled subgraph.
-    Q("q_kcore", {
+    {
       def peel(prev: String, out: String) =
         s"""dg$out AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
            |  (SELECT s AS n FROM e$prev UNION ALL SELECT d FROM e$prev) GROUP BY n),
@@ -697,18 +697,24 @@ object AnalyticsOps {
            |e$out AS (SELECT s, d FROM e$prev
            |  WHERE s IN (SELECT n FROM k$out) AND d IN (SELECT n FROM k$out))"""
           .stripMargin
-      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-         |co AS (SELECT a.p AS s, b.p AS d, CAST(count(*) AS BIGINT) AS w
-         |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
-         |dir AS (SELECT s AS n, d AS m, w FROM co UNION ALL SELECT d, s, w FROM co),
-         |rk AS (SELECT n, m, row_number() OVER (PARTITION BY n ORDER BY w DESC, m) AS rn FROM dir),
-         |e0 AS (SELECT DISTINCT least(n, m) AS s, greatest(n, m) AS d FROM rk WHERE rn <= 8),
-         |${peel("0", "1")},
-         |${peel("1", "2")},
-         |${peel("2", "3")}
-         |SELECT n AS node, CAST(count(*) AS BIGINT) AS deg FROM
-         |  (SELECT s AS n FROM e3 UNION ALL SELECT d FROM e3) GROUP BY n""".stripMargin
-    }) { (s, d) => kCorePeel(affinityEdges(s, d), k = 3, rounds = 3) },
+      val sql =
+        s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |co AS (SELECT a.p AS s, b.p AS d, CAST(count(*) AS BIGINT) AS w
+           |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+           |dir AS (SELECT s AS n, d AS m, w FROM co UNION ALL SELECT d, s, w FROM co),
+           |rk AS (SELECT n, m, row_number() OVER (PARTITION BY n ORDER BY w DESC, m) AS rn FROM dir),
+           |e0 AS (SELECT DISTINCT least(n, m) AS s, greatest(n, m) AS d FROM rk WHERE rn <= 8),
+           |${peel("0", "1")},
+           |${peel("1", "2")},
+           |${peel("2", "3")}
+           |SELECT n AS node, CAST(count(*) AS BIGINT) AS deg FROM
+           |  (SELECT s AS n FROM e3 UNION ALL SELECT d FROM e3) GROUP BY n""".stripMargin
+      // each peel level references its edge CTE twice — DuckDB's default
+      // CTE INLINING re-evaluates the whole upstream chain 3^levels times
+      // (70 GB spill at sf1); materialization alone makes it 10 s
+      Q("q_kcore", sql) { (s, d) => kCorePeel(affinityEdges(s, d), k = 3, rounds = 3) }
+        .atScale("materialized-cte", ScaleOracles.materializeCtes(sql))
+    },
 
     // ---- label-propagation community detection (3 synchronous rounds) -----
     // The community-mining counterpart of the k-core peel, on the same

@@ -423,9 +423,13 @@ object ClusterOps {
     // covariance numerators, all unrolled requantized iterations, and
     // the projections — in HUGEINT SQL, so a hash match certifies the
     // whole pipeline, not just the final map.
+    // the power-iteration chain references the covariance CTE once per
+    // unrolled step — DuckDB's default CTE inlining re-evaluates the
+    // full 82M-row moment join 8x (764 s at sf1); materialized, 3.8 s
     Q("q_pca_project", PcaOracle(PcaIters)) { (s, d) =>
       graft.similarity.Pca.topComponentProjections(s, d, PcaIters)
-    }
+    }.atScale("materialized-cte",
+      ScaleOracles.materializeCtes(PcaOracle(PcaIters)))
   )
 
   /** Unrolled power-iteration oracle: wk = C·v(k−1); mk = max|wk|;

@@ -55,6 +55,20 @@ object CorpusOps {
       |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8""".stripMargin
 
+  /** sf1+ variant of [[DeltaOracle]]: the same delta×corpus pair set via
+    * the lossless prefix-filtered join (candidates pre-restricted to
+    * mixed delta/corpus pairs, then reoriented so the %10==0 side is the
+    * delta). See [[ScaleOracles]]. */
+  private val DeltaScaleOracle: String =
+    raw"""WITH ${SynthText.duckCte},
+       |${ScaleOracles.wordShingleCte("sdocs")},
+       |${ScaleOracles.ppjoinPairCtes(4, 5,
+           where = "(a.doc_id % 10 = 0) <> (b.doc_id % 10 = 0)")}
+       |SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS delta_id,
+       |  CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS corpus_id,
+       |  jaccard
+       |FROM p""".stripMargin
+
   /** Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003)
     * over a `(doc_id, text)` frame: k=3-token gram hashes (first 8 md5
     * hex digits), window w=4, rightmost-min-per-window selection.
@@ -307,7 +321,23 @@ object CorpusOps {
         .groupBy("split_a", "split_b")
         .agg(count(lit(1)).as("n_pairs"))
         .withColumn("is_leak", col("split_a") =!= col("split_b"))
-    },
+    }.atScale("ppjoin-replay", {
+      val cases = Corpus.splitBounds(Splits)
+        .map { case (l, hx) => s"WHEN ${oBucket("doc_id", "")} < '$hx' THEN '$l'" }
+        .mkString(" ")
+      s"""WITH ${ScaleOracles.wordShingleCte("documents")},
+         |${ScaleOracles.ppjoinPairCtes(4, 5)},
+         |sp AS (SELECT doc_id,
+         |    CASE $cases ELSE '${Splits.last._1}' END AS split
+         |  FROM documents)
+         |SELECT least(sa.split, sb.split) AS split_a,
+         |  greatest(sa.split, sb.split) AS split_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  (least(sa.split, sb.split) <> greatest(sa.split, sb.split)) AS is_leak
+         |FROM p JOIN sp sa ON p.id_a = sa.doc_id
+         |       JOIN sp sb ON p.id_b = sb.doc_id
+         |GROUP BY 1, 2, 4""".stripMargin
+    }),
 
     // ---- PII redaction ----------------------------------------------------
     // The synthetic corpus carries no PII, so both sides inject a
@@ -443,7 +473,7 @@ object CorpusOps {
         docs.filter(col("doc_id") % 10 === 0),
         docs.filter(col("doc_id") % 10 =!= 0),
         "doc_id", "text", threshold = 0.8, k = 3, numHashes = 64, bands = 32)
-    },
+    }.atScale("ppjoin-replay", DeltaScaleOracle),
 
     // ---- incremental index UPDATE: build → append-merge → probe -----------
     // The full ingest loop: index built over doc_id%10 ∉ {0,5}, the %10=5
@@ -466,7 +496,7 @@ object CorpusOps {
       graft.dedup.Dedup.nearDupDeltaIndexed(
         docs.filter(col("doc_id") % 10 === 0), s"$path/v2",
         "doc_id", "text", threshold = 0.8, k = 3, numHashes = 64, bands = 32)
-    },
+    }.atScale("ppjoin-replay", DeltaScaleOracle),
 
     // ---- GOLDEN corpus-curation pipeline ----------------------------------
     // The full selection cascade a pretraining corpus goes through, as ONE
@@ -1003,7 +1033,35 @@ object CorpusOps {
           |  '3_bow', n2, n3,
           |  '4_neardup', n3, n4) AS (stage, n_in, n_out)""".stripMargin))
         .withColumn("n_removed", col("n_in") - col("n_out"))
-    },
+    }.atScale("linear-stages+ppjoin-replay",
+      // stages 1-3 are linear hash dedups (unchanged); only stage 4's
+      // all-pairs neardup enumeration is replaced by the lossless
+      // prefix-filtered join over the SAME d3 shingles
+      raw"""WITH d0 AS (SELECT doc_id, text FROM documents),
+        |e1 AS (SELECT doc_id, text, md5(text) AS k FROM d0),
+        |s1 AS (SELECT min(doc_id) AS doc_id FROM e1 GROUP BY k),
+        |d1 AS (SELECT e1.doc_id, e1.text FROM e1 JOIN s1 USING (doc_id)),
+        |e2 AS (SELECT doc_id, text,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[0-9]+', '0', 'g'), '\s+', ' ', 'g'))) AS k FROM d1),
+        |s2 AS (SELECT min(doc_id) AS doc_id FROM e2 GROUP BY k),
+        |d2 AS (SELECT e2.doc_id, e2.text FROM e2 JOIN s2 USING (doc_id)),
+        |e3 AS (SELECT doc_id, text, md5(array_to_string(list_sort(
+        |    regexp_split_to_array(trim(text), '\s+')), ' ')) AS k FROM d2),
+        |s3 AS (SELECT min(doc_id) AS doc_id FROM e3 GROUP BY k),
+        |d3 AS (SELECT e3.doc_id, e3.text FROM e3 JOIN s3 USING (doc_id)),
+        |${ScaleOracles.wordShingleCte("d3")},
+        |${ScaleOracles.ppjoinPairCtes(4, 5)},
+        |dr AS (SELECT DISTINCT id_b FROM p)
+        |SELECT t.stage, t.n_in, t.n_out, t.n_in - t.n_out AS n_removed
+        |FROM (VALUES
+        |  ('1_exact', (SELECT count(*) FROM d0), (SELECT count(*) FROM d1)),
+        |  ('2_template', (SELECT count(*) FROM d1),
+        |    (SELECT count(*) FROM d2)),
+        |  ('3_bow', (SELECT count(*) FROM d2), (SELECT count(*) FROM d3)),
+        |  ('4_neardup', (SELECT count(*) FROM d3),
+        |    (SELECT count(*) FROM d3) - (SELECT count(*) FROM dr)))
+        |  t(stage, n_in, n_out)""".stripMargin),
 
     // ---- per-source language composition ----------------------------------
     // The corpus-mix report a multilingual pipeline publishes per ingest:

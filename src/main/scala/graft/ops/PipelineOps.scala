@@ -710,10 +710,33 @@ object PipelineOps {
       // true j≥0.93 pair with P≈2e-6 (measured on the sf0.01 corpus).
       Dedup.nearDupCharNgram(Tables(s, d, "documents"), "doc_id", "text",
         threshold = 0.8, n = 3, numHashes = 128, bands = 16)
-    }.atScale("ppjoin-replay",
-      raw"""WITH ${ScaleOracles.charGramCte("documents")},
-         |${ScaleOracles.ppjoinPairCtes(4, 5)}
-         |SELECT id_a, id_b, jaccard FROM p""".stripMargin),
+    }.atScale("bitset-replay",
+      // char-3-grams defeat the prefix filter (vocab ~1000 at sf1, so
+      // prefix tokens collide massively: Σdf² ≈ 3.7e9 candidates) — but
+      // that same tiny vocabulary makes an exact BITSET encoding cheap:
+      // one bit per vocabulary gram, |∩| = bit_count(a & b) natively.
+      // All-pairs survives only the integer length filter; 426 s at sf1
+      // vs intractable list_intersect all-pairs. The 16384-slot bound is
+      // a loud error if a corpus ever exceeds it, never a wrong answer.
+      """WITH g0 AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text) - 2, 1)),
+        |    i -> text[i:i+2])) AS g
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(g) AS gram FROM g0),
+        |vocab AS (SELECT gram, CAST(row_number() OVER (ORDER BY gram) - 1 AS INTEGER) AS vid
+        |  FROM (SELECT DISTINCT gram FROM tok)),
+        |bits AS (SELECT doc_id, len(any_value(g0.g)) AS n,
+        |    bitstring_agg(vid, 0, 16383) AS bs
+        |  FROM tok JOIN vocab USING (gram) JOIN g0 USING (doc_id)
+        |  GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(a.bs & b.bs) AS DOUBLE)
+        |      / (a.n + b.n - bit_count(a.bs & b.bs)) AS jaccard
+        |  FROM bits a JOIN bits b
+        |    ON a.doc_id < b.doc_id
+        |   AND a.n * 5 >= b.n * 4 AND b.n * 5 >= a.n * 4)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8""".stripMargin),
 
     // ---- embedding-cosine near-dup, GROUND-TRUTH companion ----------------
     // All-pairs by definition (broadcast-NLJ is the point): this is the

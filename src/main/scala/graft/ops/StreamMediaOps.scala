@@ -504,7 +504,52 @@ object StreamMediaOps {
       Multimodal.imageNearDupDHash(pngFixture(s, d), "doc_id", "payload",
         maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
-    },
+    }.atScale("block-band-replay",
+      // same dHash replay, but the pair stage uses the lossless 4x16-bit
+      // pigeonhole banding (hamming<=3 => one block identical) instead of
+      // the all-pairs compare — the engine's own banding argument, used
+      // oracle-side (93 s at sf1 vs intractable all-pairs)
+      """WITH d AS (SELECT doc_id, doc_id * 2654435761 AS seed,
+        |    8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h FROM documents),
+        |cell AS (
+        |  SELECT doc_id, cy, cx,
+        |    (cx * w) // 9 AS x0,
+        |    least(greatest(((cx + 1) * w) // 9, (cx * w) // 9 + 1), w) AS x1,
+        |    (cy * h) // 8 AS y0,
+        |    least(greatest(((cy + 1) * h) // 8, (cy * h) // 8 + 1), h) AS y1,
+        |    seed
+        |  FROM d, unnest(generate_series(0, 7)) AS t1(cy),
+        |       unnest(generate_series(0, 8)) AS t2(cx)),
+        |cs AS (
+        |  SELECT doc_id, cy, cx,
+        |    CAST(sum(299 * (((seed + 31*x + 17*y) % 16777216) // 65536)
+        |       + 587 * ((((seed + 31*x + 17*y) % 16777216) // 256) % 256)
+        |       + 114 * (((seed + 31*x + 17*y) % 16777216) % 256)) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM cell, unnest(generate_series(0, 30)) AS tx(x),
+        |       unnest(generate_series(0, 22)) AS ty(y)
+        |  WHERE x >= x0 AND x < x1 AND y >= y0 AND y < y1
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy * 8 + a.cx AS bit, (a.s * b.c > b.s * a.c) AS bv
+        |  FROM cs a JOIN cs b ON a.doc_id = b.doc_id AND a.cy = b.cy
+        |    AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8),
+        |v AS (SELECT doc_id, list(bv ORDER BY bit) AS bs FROM bits GROUP BY doc_id),
+        |blk AS (
+        |  SELECT doc_id, j,
+        |    CAST(list_sum(list_transform(generate_series(1, 16),
+        |      i -> CASE WHEN bs[j*16 + i] THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT) AS bkey
+        |  FROM v, unnest(generate_series(0, 3)) AS tj(j)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM blk a JOIN blk b ON a.j = b.j AND a.bkey = b.bkey
+        |    AND a.doc_id < b.doc_id),
+        |p AS (SELECT id_a, id_b,
+        |    CAST(len(list_filter(generate_series(1, 64),
+        |      i -> va.bs[i] <> vb.bs[i])) AS BIGINT) AS hamming
+        |  FROM cand JOIN v va ON va.doc_id = id_a JOIN v vb ON vb.doc_id = id_b)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3""".stripMargin),
 
     // ---- PERSISTED image-hash index: probe new images, zero re-decodes ----
     // The expensive step for an image corpus is pixel DECODE; the index
