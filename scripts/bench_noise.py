@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Empirical per-query noise bound for the bench headliners (VERDICT r10
+task #4): run graft.Bench N times (default 5) on a QUIET host, collect
+each run's per-query minimum, and commit the spread. The committed table
+is the yardstick regression calls must cite: a round-over-round move
+inside [min, max] of a quiet-host spread is noise, not a regression —
+and the calibration interval each run now carries shows whether the
+host was quiet enough for the table to apply.
+
+Usage: python3 scripts/bench_noise.py [sfDir] [runs] [outJson]
+Writes {query: {"runs": [...], "min": m, "median": md, "max": M,
+"spread_pct": 100*(M-m)/md}, ...} plus the per-run calibration numbers.
+Dev-side tool; runs sequentially (never concurrently with DuckDB gates).
+"""
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+HEADLINE = [
+    "q1_agg", "q6_filter_agg", "q19_join_filter", "q_pipeline_golden",
+    "q_zillow_golden", "q_flights_golden", "q_corpus_golden",
+    "q_dedup_minhash", "q_dedup_ngram", "q_dedup_embed_lsh",
+    "q_ann_bruteforce", "q_stream_window", "q_csv_roundtrip",
+]
+
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    out = sys.argv[3] if len(sys.argv) > 3 else "BENCH_noise_r11.json"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    per_run, calibs = [], []
+    env = dict(os.environ,
+               SPARK_GRAFT_ONLY=",".join(HEADLINE),
+               SPARK_GRAFT_SF_DIR=sfdir)
+    for i in range(runs):
+        r = subprocess.run(
+            [f"{repo}/scripts/run_main.sh", "graft.Bench"],
+            capture_output=True, text=True, env=env, cwd=repo)
+        line = next((l for l in r.stdout.splitlines()
+                     if l.startswith('{"metric"')), None)
+        if line is None:
+            print(f"run {i}: no metric line\n{r.stdout[-500:]}{r.stderr[-500:]}")
+            sys.exit(1)
+        rec = json.loads(line)
+        per_run.append(rec["queries"])
+        calibs.append(rec.get("calibration_interval",
+                              [rec.get("calibration_sec")] * 3))
+        print(f"run {i}: total={rec['value']} calib={calibs[-1]}", flush=True)
+
+    table = {}
+    for q in HEADLINE:
+        vals = [pr[q] for pr in per_run if pr.get(q, -1) >= 0]
+        if not vals:
+            continue
+        m, md, M = min(vals), statistics.median(vals), max(vals)
+        table[q] = {"runs": vals, "min": m, "median": md, "max": M,
+                    "spread_pct": round(100 * (M - m) / md, 1) if md else 0.0}
+    rec = {"sf": sfdir, "n_runs": runs, "calibration_intervals": calibs,
+           "note": ("per-query minima of N independent Bench runs on a "
+                    "quiet host; a cross-round move inside [min,max] is "
+                    "noise, not a regression"),
+           "queries": table}
+    with open(out, "w") as f:
+        json.dump(rec, f, indent=1, sort_keys=True)
+    worst = max(table.items(), key=lambda kv: kv[1]["spread_pct"])
+    print(f"\n{len(table)} queries -> {out}; worst spread: "
+          f"{worst[0]} {worst[1]['spread_pct']}%")
+
+
+if __name__ == "__main__":
+    main()

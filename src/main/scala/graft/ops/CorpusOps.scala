@@ -309,7 +309,7 @@ object CorpusOps {
     }) { (s, d) =>
       val docs = Tables(s, d, "documents")
       val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text",
-        threshold = 0.8, k = 3, numHashes = 64, bands = 16)
+        threshold = 0.8, k = 3, numHashes = 64, bands = 32)
         .select("id_a", "id_b")
       val sp = docs.select(col("doc_id"),
         splitAssign(col("doc_id"), Splits).as("split"))
@@ -1018,7 +1018,7 @@ object CorpusOps {
         .localCheckpoint()
       val drop = graft.dedup.Dedup
         .nearDupMinhash(d3, "doc_id", "text",
-          threshold = 0.8, k = 3, numHashes = 64, bands = 16)
+          threshold = 0.8, k = 3, numHashes = 64, bands = 32)
         .select(col("id_b").as("doc_id")).distinct()
       val d4 = d3.join(drop, Seq("doc_id"), "left_anti")
       val counts = d0.agg(count(lit(1)).as("n0"))

@@ -472,7 +472,14 @@ object PipelineOps {
 
     // ---- MinHash-LSH near-dup, exact-Jaccard confirmed at 0.8 -------------
     // Oracle = ground-truth all-pairs Jaccard; the LSH path must reach
-    // recall ~1 at the threshold (64 hashes × 16 bands of 4). Runs on the
+    // recall ~1 at the threshold. 64 hashes × 32 bands of 2: 4-row bands
+    // (16×4) missed 2 of 18998 true pairs at sf1 — P(miss | j=0.8) =
+    // (1-0.8^4)^16 ≈ 2e-4 per threshold pair, invisible at graded scales
+    // but structural at 19k pairs, caught by the exact ppjoin scale
+    // oracle. 2-row bands put the per-pair miss probability at
+    // (1-0.64)^32 ≈ 5e-15 — recall is by construction, not fixture luck
+    // (the delta family already ran 2-row bands for the same reason).
+    // Runs on the
     // SynthText corpus (round 8): each group's single-word perturbations
     // put 3-word-shingle Jaccard on BOTH sides of the 0.8 cut depending
     // on document length, so the threshold itself is exercised — not just
@@ -492,7 +499,7 @@ object PipelineOps {
          |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
          |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8""".stripMargin) { (s, d) =>
       Dedup.nearDupMinhash(SynthText.docs(s, d), "doc_id", "text",
-        threshold = 0.8, k = 3, numHashes = 64, bands = 16)
+        threshold = 0.8, k = 3, numHashes = 64, bands = 32)
     }.atScale("ppjoin-replay",
       raw"""WITH ${SynthText.duckCte},
          |${ScaleOracles.wordShingleCte("sdocs")},
@@ -526,7 +533,7 @@ object PipelineOps {
         |SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS cluster
         |FROM sdocs d LEFT JOIN comp ON d.doc_id = comp.id""".stripMargin) { (s, d) =>
       Dedup.dedupClusters(SynthText.docs(s, d), "doc_id", "text",
-        threshold = 0.8, k = 3, numHashes = 64, bands = 16)
+        threshold = 0.8, k = 3, numHashes = 64, bands = 32)
     }.atScale("ppjoin-replay+cc",
       raw"""WITH RECURSIVE ${SynthText.duckCte},
          |${ScaleOracles.wordShingleCte("sdocs")},
@@ -583,7 +590,7 @@ object PipelineOps {
         |  CAST(total_chars AS BIGINT) AS total_chars
         |FROM r WHERE rn = 1""".stripMargin) { (s, d) =>
       Dedup.clusterKeepBest(SynthText.docs(s, d), "doc_id", "text",
-        threshold = 0.8, k = 3, numHashes = 64, bands = 16)
+        threshold = 0.8, k = 3, numHashes = 64, bands = 32)
     }.atScale("ppjoin-replay+cc",
       raw"""WITH RECURSIVE ${SynthText.duckCte},
          |${ScaleOracles.wordShingleCte("sdocs")},

@@ -121,11 +121,57 @@ class ScaleGenSpec extends AnyFunSuite {
     assert(v === Seq(1.0f + 1.0f / 1024, -0.5f, 0.0f))
   }
 
-  test("caesar rotation is a letter-bijection (deterministic, length-preserving)") {
+  test("letter substitution is a bijection and never wraps below 312 copies") {
     val (from, to) = ScaleGen.shifted(3)
     assert(from.length === to.length)
     assert(to.toSet.size === to.length)
     assert(ScaleGen.shifted(0)._1 === ScaleGen.shifted(0)._2)
-    assert(ScaleGen.shifted(26)._1 === ScaleGen.shifted(26)._2)
+    // copies 0..25 remain the original Caesar rotation (staged-dir
+    // compatibility)
+    assert(ScaleGen.shifted(5)._2.take(26) === "fghijklmnopqrstuvwxyzabcde")
+    // the affine extension must NOT wrap at 26 (copy 26 == copy 0 would
+    // plant verbatim cross-copy duplicate text at 100-copy stagings)
+    val maps = (0 until 312).map(c => ScaleGen.shifted(c)._2)
+    assert(maps.distinct.size === 312)
+    maps.foreach(m => assert(m.take(26).toSet.size === 26)) // all bijections
+  }
+
+  test("100-copy staging: grouped appends keep the row set, embeddings never re-collide past the rotation wrap") {
+    val (src, dst) = stage()
+    // copies=12 exercises the grouped-append path (two write groups) AND
+    // the embedding rotation wrap (dim=3 fixture: copies 3k share copy
+    // 0's rotation and must decorrelate via the sign-flip isometry)
+    ScaleGen.run(spark, src, dst, copies = 12)
+    def rd(t: String) = spark.read.parquet(s"$dst/$t.parquet")
+    assert(rd("lineitem").count() === 240L)
+    assert(rd("orders").select("o_orderkey").distinct().count() === 120L)
+    val emb = rd("embeddings")
+    assert(emb.count() === 48L)
+    // all vectors pairwise distinct — rotation+flip+epsilon never ties
+    assert(emb.select("embedding").distinct().count() === 48L)
+    val vecs = emb.orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("embedding"))
+      .toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    // sign flips are an isometry: every copy of vec 0 keeps its norm
+    val n0 = math.sqrt(vecs(0L).map(x => x.toDouble * x).sum)
+    for (c <- 1 until 12) {
+      val nc = math.sqrt(vecs(c * 4L).map(x => x.toDouble * x).sum)
+      assert(math.abs(nc - n0) < 0.05, s"copy $c norm drifted: $nc vs $n0")
+    }
+    // copies sharing a rotation (c and c+dim) must NOT be near-dups —
+    // the additive-nudge artifact the sign-flip exists to prevent
+    for (c <- 3 until 12 by 3) {
+      val sim = cos(vecs(0L).toSeq, vecs(c * 4L).toSeq)
+      assert(sim < 0.98, s"copy $c is a near-dup of copy 0 (cos=$sim)")
+    }
+    // docs: 12 copies x 2 distinct texts per copy, no cross-copy collision
+    val docs = rd("documents")
+    assert(docs.where(col("n_chars") =!= length(col("text"))).count() === 0L)
+    assert(docs.select("text").distinct().count() === 24L)
   }
 }
