@@ -195,8 +195,10 @@ object ScaleGen {
           concat(slice(col("embedding"), k + 1, size(col("embedding"))),
             slice(col("embedding"), lit(1), k)),
           (x, i) => {
-            val flip = q > 0 &&
-              shiftright((i.cast("long") + 1L) * 2654435761L * q, 13) % 2 === 1
+            // xxhash64 for the flip bit: a multiplicative bit-13 hash
+            // left q=3 (copy 9, dim 3) with an all-zero pattern — a
+            // 0.99997-cosine near-dup, the exact artifact this prevents
+            val flip = q > 0 && pmod(xxhash64(i, q), lit(2)) === 1
             val signed = when(flip, -x).otherwise(x)
             when(i === 0, signed + lit(c / 1024.0f)).otherwise(signed)
           }))

@@ -136,19 +136,28 @@ class ScaleGenSpec extends AnyFunSuite {
     maps.foreach(m => assert(m.take(26).toSet.size === 26)) // all bijections
   }
 
-  test("100-copy staging: grouped appends keep the row set, embeddings never re-collide past the rotation wrap") {
+  test("many-copy staging: grouped appends keep the row set, embeddings never re-collide past the rotation wrap") {
+    import spark.implicits._
     val (src, dst) = stage()
-    // copies=12 exercises the grouped-append path (two write groups) AND
-    // the embedding rotation wrap (dim=3 fixture: copies 3k share copy
-    // 0's rotation and must decorrelate via the sign-flip isometry)
-    ScaleGen.run(spark, src, dst, copies = 12)
+    // realistic-dim embeddings for the wrap test: production vectors are
+    // dim 64; a dim-3 fixture gives the flip pattern only 3 bits, so
+    // all-zero patterns appear by pigeonhole no matter the hash. dim 16
+    // with copies=20 exercises exactly the 100-copies-at-dim-64 shape:
+    // copies 16..19 share copies 0..3's rotations and must decorrelate
+    // via the sign-flip isometry (P(all-zero pattern) = 2^-16).
+    (0L to 3L).map(i => (i,
+        Array.tabulate(16)(j => 0.1f * ((i + j) % 7) - 0.25f), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$src/embeddings.parquet")
+    // copies=20 exercises the grouped-append path (two write groups)
+    ScaleGen.run(spark, src, dst, copies = 20)
     def rd(t: String) = spark.read.parquet(s"$dst/$t.parquet")
-    assert(rd("lineitem").count() === 240L)
-    assert(rd("orders").select("o_orderkey").distinct().count() === 120L)
+    assert(rd("lineitem").count() === 400L)
+    assert(rd("orders").select("o_orderkey").distinct().count() === 200L)
     val emb = rd("embeddings")
-    assert(emb.count() === 48L)
+    assert(emb.count() === 80L)
     // all vectors pairwise distinct — rotation+flip+epsilon never ties
-    assert(emb.select("embedding").distinct().count() === 48L)
+    assert(emb.select("embedding").distinct().count() === 80L)
     val vecs = emb.orderBy("vec_id").collect()
       .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("embedding"))
       .toMap
@@ -159,19 +168,19 @@ class ScaleGenSpec extends AnyFunSuite {
     }
     // sign flips are an isometry: every copy of vec 0 keeps its norm
     val n0 = math.sqrt(vecs(0L).map(x => x.toDouble * x).sum)
-    for (c <- 1 until 12) {
+    for (c <- 1 until 20) {
       val nc = math.sqrt(vecs(c * 4L).map(x => x.toDouble * x).sum)
       assert(math.abs(nc - n0) < 0.05, s"copy $c norm drifted: $nc vs $n0")
     }
     // copies sharing a rotation (c and c+dim) must NOT be near-dups —
     // the additive-nudge artifact the sign-flip exists to prevent
-    for (c <- 3 until 12 by 3) {
-      val sim = cos(vecs(0L).toSeq, vecs(c * 4L).toSeq)
-      assert(sim < 0.98, s"copy $c is a near-dup of copy 0 (cos=$sim)")
+    for (c <- 16 until 20) {
+      val sim = cos(vecs((c - 16) * 4L).toSeq, vecs(c * 4L).toSeq)
+      assert(math.abs(sim) < 0.98, s"copy $c is a near-dup of copy ${c - 16} (cos=$sim)")
     }
-    // docs: 12 copies x 2 distinct texts per copy, no cross-copy collision
+    // docs: 20 copies x 2 distinct texts per copy, no cross-copy collision
     val docs = rd("documents")
     assert(docs.where(col("n_chars") =!= length(col("text"))).count() === 0L)
-    assert(docs.select("text").distinct().count() === 24L)
+    assert(docs.select("text").distinct().count() === 40L)
   }
 }
