@@ -450,9 +450,18 @@ object Dedup {
     *    probability at the exact threshold ≤ `missProb`
     *    (`T ≥ ln(1/missProb)/p₁^bits`, `p₁ = 1-acos(s)/π`), capped at
     *    `maxTables` with `bits` backed off until the cap fits — the cap
-    *    may cost candidates, never recall. */
+    *    may cost candidates, never recall. The cap is 2048 (was 512):
+    *    at 200k vectors / t=0.45 the old cap forced bits 14 → 11, and
+    *    random collisions (∝ n²·p₂^bits per table) grew 8× faster than
+    *    the table count shrank — the candidate join OOM'd at the sf10e
+    *    gate. Random-candidate volume is T·n²·(p₂/p₁)^bits/2, strictly
+    *    DECREASING in bits, so the cap should bind as late as memory
+    *    allows; 2048 first binds above ~32k vectors (no graded scale
+    *    changes). Low thresholds remain inherently n^(1+ρ) work
+    *    (ρ = ln p₁ / ln p₂ ≈ 0.62 at t=0.45) — the published LSH curve,
+    *    not a cliff. */
   private[graft] def lshParams(n: Long, threshold: Double,
-      missProb: Double = 0.03, maxTables: Int = 512): (Int, Int) = {
+      missProb: Double = 0.03, maxTables: Int = 2048): (Int, Int) = {
     val p1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
     val lnMiss = math.log(1.0 / missProb)
     def ceilLog2(x: Long): Int =
@@ -511,17 +520,47 @@ object Dedup {
     // below the cutoff the broadcast genuinely wins (A/B at 2 k vectors:
     // forcing shuffle-hash cost ~0.25 s), so the plan switches on the
     // KNOWN row count rather than trusting the derived estimate.
-    val bProbe = if (bandedBig) b.hint("shuffle_hash") else b
-    val cands = a.join(bProbe, col("table_a") === col("table_b") &&
+    // ...and past ~32M banded rows, prefer SORT-MERGE: shuffle-hash
+    // builds per-partition hash maps that cannot spill, and at the
+    // 200k-vector gate (298M banded rows over 32 local tasks) the build
+    // OOM'd outright; merge join spills gracefully and the sort key
+    // (table, sig) is exactly the join key. On a real cluster the same
+    // reasoning holds per-executor.
+    val bandedRows = n * useTables
+    val bProbe = if (bandedRows > 32000000L) b.hint("merge")
+                 else if (bandedBig) b.hint("shuffle_hash") else b
+    val joined = a.join(bProbe, col("table_a") === col("table_b") &&
         col("sig_a") === col("sig_b") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val confirmed = cands
-      .join(vecs.select(col("_id").as("id_a"), col("_v").as("_va")), "id_a")
-      .join(vecs.select(col("_id").as("id_b"), col("_v").as("_vb")), "id_b")
-      .withColumn("cos", graft.similarity.Ann.cosine(col("_va"), col("_vb")))
-      .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
-    materializeThenRelease(confirmed, vecs, banded)
+      .select("id_a", "id_b")
+    // Low thresholds make the raw collision stream the dominant cost:
+    // at 200k vectors / t=0.45 it is ~1.3e9 rows (the n^(1+ρ) curve),
+    // and `distinct` + two vector-lookup joins SHUFFLE all of it —
+    // measured >70 GB of spill, a single-box death. But the vector
+    // table itself is tiny (n·dim·4B ≈ 51 MB at 200k×64), so past the
+    // merge-join cutoff the exact-cosine confirm runs MAP-SIDE against
+    // broadcast vectors on the raw stream — duplicate collisions cost a
+    // recomputed cosine (~1.1× average), and only the true-pair-sized
+    // survivor set is ever shuffled (one small distinct). Above ~1.5M
+    // vectors the broadcast no longer fits and the shuffle-confirm path
+    // returns — at that scale this runs on a cluster whose aggregate
+    // shuffle capacity is the 100 TB design point, not one disk.
+    val confirmed0 =
+      if (bandedRows > 32000000L && n <= 1500000L) {
+        joined
+          .join(broadcast(vecs.select(col("_id").as("id_a"), col("_v").as("_va"))), "id_a")
+          .join(broadcast(vecs.select(col("_id").as("id_b"), col("_v").as("_vb"))), "id_b")
+          .withColumn("cos", graft.similarity.Ann.cosine(col("_va"), col("_vb")))
+          .filter(col("cos") >= threshold)
+          .select("id_a", "id_b", "cos").distinct()
+      } else {
+        joined.distinct()
+          .join(vecs.select(col("_id").as("id_a"), col("_v").as("_va")), "id_a")
+          .join(vecs.select(col("_id").as("id_b"), col("_v").as("_vb")), "id_b")
+          .withColumn("cos", graft.similarity.Ann.cosine(col("_va"), col("_vb")))
+          .filter(col("cos") >= threshold)
+          .select("id_a", "id_b", "cos")
+      }
+    materializeThenRelease(confirmed0, vecs, banded)
   }
 
   /** Canonical-representative dedup: one row per distinct normalized

@@ -794,11 +794,23 @@ object PipelineOps {
         |    >= 0.45""".stripMargin) { (s, d) =>
       // exact all-pairs ground truth staged once per source dir (the
       // annTruth license): the gate then costs the LSH probe plus a
-      // pair-set join, not an O(n²) rescan per measured pass
+      // pair-set join, not an O(n²) rescan per measured pass.
+      // TRUTH SAMPLING past 20k vectors: the ground-truth side is
+      // all-pairs by definition, so at 200k vectors (the sf10e gate) it
+      // alone cost >600 s while the operational LSH path stayed linear —
+      // the recall ESTIMATE doesn't need the full truth, only an unbiased
+      // pair sample. vec_id % m == 0 with m = ceil(n/20000) caps the
+      // truth at ~20k vectors (so ~sf1 cost at ANY corpus size) and keeps
+      // >=150 true pairs for the 0.9 gate (binomial sd ~2%). m == 1 at
+      // every graded scale — bit-identical results there; the LSH path
+      // itself ALWAYS runs on the full corpus (pairs outside the sample
+      // simply don't intersect the sampled truth).
       val exactPath = embedTruthDirs.computeIfAbsent(d, _ => {
+        val emb = Tables(s, d, "embeddings")
+        val m = math.max(1L, math.ceil(emb.count() / 20000.0).toLong)
         val w = java.nio.file.Files.createTempDirectory("graft_embed_truth").toString
-        Dedup.nearDupEmbedding(Tables(s, d, "embeddings"), "vec_id", "embedding",
-            threshold = 0.45)
+        Dedup.nearDupEmbedding(emb.filter(col("vec_id") % m === 0),
+            "vec_id", "embedding", threshold = 0.45)
           .coalesce(1).write.mode("overwrite").parquet(w)
         w
       })
@@ -808,7 +820,17 @@ object PipelineOps {
       Dedup.embedLshRecallFrom(s.read.parquet(exactPath),
         Tables(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.45, dim = 64, bits = 0, tables = 0, minRecall = 0.9)
-    },
+    }.atScale("native-cosine-sampled",
+      // mirrors the engine's truth-sampling rule (m = ceil(n/20000),
+      // m == 1 at graded scales) with the vectorized cosine kernel
+      """WITH mm AS (SELECT greatest(1, CAST(ceil(count(*) / 20000.0) AS BIGINT)) AS m
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings, mm WHERE vec_id % mm.m = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin),
 
     // ---- ANN: brute-force cosine top-5 (ids only → float-robust) ----------
     Q("q_ann_bruteforce",

@@ -99,12 +99,22 @@ object KMeans {
       threshold: Double): DataFrame = {
     val e = asDouble(emb, idCol, vecCol)
     val a = assignClusters(emb, idCol, vecCol, k)
-    val x = a.join(e, idCol)
-    val left = x.select(col(idCol).as("id_a"), col("cluster"), col("_v").as("_va"))
-    val right = x.select(col(idCol).as("id_b"), col("cluster"), col("_v").as("_vb"))
+    // Pair enumeration is SKINNY (id, cluster) only: carrying both
+    // vectors through the cluster self-join shuffles ~520 B per pair —
+    // at 200k vectors / k=8 that is 2.5e9 pairs ≈ 40+ GB per side
+    // (measured: the sf10e gate ground >16 min before being killed).
+    // With ids only the same join moves 16 B per pair, and the cosine
+    // runs map-side against the broadcast vector table (n·dim·8B —
+    // small precisely when the fixed-k pair count is the problem; a
+    // corpus too big to broadcast is run with k ≈ √n, which shrinks
+    // per-cluster pair counts instead).
+    val left = a.select(col(idCol).as("id_a"), col("cluster"))
+    val right = a.select(col(idCol).as("id_b"), col("cluster"))
     val drops = left.join(right, "cluster")
-      .filter(col("id_a") < col("id_b") &&
-        cosD(col("_va"), col("_vb")) >= threshold)
+      .filter(col("id_a") < col("id_b"))
+      .join(broadcast(e.select(col(idCol).as("id_a"), col("_v").as("_va"))), "id_a")
+      .join(broadcast(e.select(col(idCol).as("id_b"), col("_v").as("_vb"))), "id_b")
+      .filter(cosD(col("_va"), col("_vb")) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
       .withColumn("_dropped", lit(true))
     a.join(drops, Seq(idCol), "left")

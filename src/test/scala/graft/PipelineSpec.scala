@@ -206,9 +206,12 @@ class PipelineSpec extends AnyFunSuite {
     val cand1 = t1.toDouble * 2000.0 * 2000.0 / (1L << b1)
     val cand2 = t2.toDouble * 20000.0 * 20000.0 / (1L << b2)
     assert(cand2 / cand1 < 50.0, s"candidates grew ${cand2 / cand1}x for 10x data")
-    // the table cap binds bits, never recall
+    // the table cap binds bits, never recall (cap raised to 2048 in r11:
+    // the old 512 forced bits down into the random-collision cliff at
+    // 200k vectors — candidate volume T·n²·(p₂/p₁)^bits is strictly
+    // decreasing in bits, so the cap should bind as late as memory allows)
     val (b3, t3) = Dedup.lshParams(10000000L, 0.45)
-    assert(t3 <= 512 && recall(0.45, b3, t3) >= 0.95)
+    assert(t3 <= 2048 && recall(0.45, b3, t3) >= 0.95)
     // selective thresholds stay cheap (real dedup runs at >= 0.9 cosine)
     val (b4, t4) = Dedup.lshParams(20000L, 0.92)
     assert(b4 === b2 && t4 < 30)
