@@ -108,13 +108,32 @@ object KMeans {
     // small precisely when the fixed-k pair count is the problem; a
     // corpus too big to broadcast is run with k ≈ √n, which shrinks
     // per-cluster pair counts instead).
+    // ...and SALTED: a join keyed on `cluster` alone has at most k
+    // distinct keys, so at the fixed-k oracle setting (k=8) all 2.5e9
+    // within-cluster pairs landed on 8 tasks of a 32-thread session.
+    // Bucketing the right side by id % S and exploding the left across
+    // the S buckets keeps every pair exactly once while spreading the
+    // work over k·S join keys — full parallelism at any k.
+    val S = 32
     val left = a.select(col(idCol).as("id_a"), col("cluster"))
-    val right = a.select(col(idCol).as("id_b"), col("cluster"))
-    val drops = left.join(right, "cluster")
+      .withColumn("_b", explode(array((0 until S).map(lit(_)): _*)))
+      // EXPLICIT partition count: the join inputs are tiny (n·S skinny
+      // rows), so AQE coalesces the pre-join shuffle to a few partitions
+      // and the 2.5e9-pair EXPLOSION then runs ~8-way; a user-specified
+      // repartition is exempt from coalescing and keeps all cores busy
+      .repartition(256, col("cluster"), col("_b"))
+    val right = a.select(col(idCol).as("id_b"), col("cluster"),
+      pmod(col(idCol), lit(S)).cast("int").as("_b"))
+    // float-array vectors + the native codegen CosineSim: sequential
+    // double accumulation over float→double casts — term-for-term the
+    // same IEEE math as cosD's HOF fold and the oracle's list_sum, but
+    // ~10× faster per pair (the HOF eval is interpreted per element)
+    val ef = emb.select(col(idCol), col(vecCol).cast("array<float>").as("_vf"))
+    val drops = left.join(right, Seq("cluster", "_b"))
       .filter(col("id_a") < col("id_b"))
-      .join(broadcast(e.select(col(idCol).as("id_a"), col("_v").as("_va"))), "id_a")
-      .join(broadcast(e.select(col(idCol).as("id_b"), col("_v").as("_vb"))), "id_b")
-      .filter(cosD(col("_va"), col("_vb")) >= threshold)
+      .join(broadcast(ef.select(col(idCol).as("id_a"), col("_vf").as("_va"))), "id_a")
+      .join(broadcast(ef.select(col(idCol).as("id_b"), col("_vf").as("_vb"))), "id_b")
+      .filter(graft.similarity.Ann.cosine(col("_va"), col("_vb")) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
       .withColumn("_dropped", lit(true))
     a.join(drops, Seq(idCol), "left")
