@@ -118,7 +118,15 @@ def fair_replay_sql(name):
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     oracle_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify/oracle_sql.json"
-    round_id = os.environ.get("SPARK_GRAFT_ROUND") or os.environ.get("GRAFT_ROUND", "r10")
+    # round id from env, else from Round.scala — the single source of
+    # truth (VERDICT r11 #1: independently-hardcoded defaults drifted)
+    round_id = os.environ.get("SPARK_GRAFT_ROUND") or os.environ.get("GRAFT_ROUND")
+    if not round_id:
+        import re
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        m = re.search(r'getOrElse\("SPARK_GRAFT_ROUND",\s*"([^"]+)"\)',
+                      open(f"{repo}/src/main/scala/graft/Round.scala").read())
+        round_id = m.group(1) if m else "r12"
     bench_record = sys.argv[3] if len(sys.argv) > 3 else f"BENCH_local_{round_id}.json"
 
     oracle = json.load(open(oracle_json))

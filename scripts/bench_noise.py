@@ -1,15 +1,22 @@
 #!/usr/bin/env python3
-"""Empirical per-query noise bound for the bench headliners (VERDICT r10
-task #4): run graft.Bench N times (default 5) on a QUIET host, collect
-each run's per-query minimum, and commit the spread. The committed table
-is the yardstick regression calls must cite: a round-over-round move
-inside [min, max] of a quiet-host spread is noise, not a regression —
-and the calibration interval each run now carries shows whether the
-host was quiet enough for the table to apply.
+"""Empirical per-query noise bound for the bench sweep (VERDICT r10 task
+#4, r11 task #1): run graft.Bench N times (default 5) on a QUIET host,
+collect each run's per-query minimum, and commit the spread. The
+committed table is the yardstick regression calls must cite: a
+round-over-round move inside [min, max] of a quiet-host spread is noise,
+not a regression — and the calibration intervals (single-thread AND
+multi-core) each run carries show whether the host was quiet enough for
+the table to apply.
 
-Usage: python3 scripts/bench_noise.py [sfDir] [runs] [outJson]
+Default mode is the FULL sweep — the same protocol as the official
+driver run, because filtered runs lose the sweep's warm-JVM
+amortization and are not comparable to sweep numbers (judge r11: a
+filtered q1 solo reads 0.447 s vs 0.358/0.322 s in the r10/r11 sweeps).
+Pass mode=headline for the quick 13-query variant when iterating.
+
+Usage: python3 scripts/bench_noise.py [sfDir] [runs] [outJson] [mode]
 Writes {query: {"runs": [...], "min": m, "median": md, "max": M,
-"spread_pct": 100*(M-m)/md}, ...} plus the per-run calibration numbers.
+"spread_pct": 100*(M-m)/md}, ...} plus per-run calibration numbers.
 Dev-side tool; runs sequentially (never concurrently with DuckDB gates).
 """
 import json
@@ -29,13 +36,14 @@ HEADLINE = [
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    out = sys.argv[3] if len(sys.argv) > 3 else "BENCH_noise_r11.json"
+    out = sys.argv[3] if len(sys.argv) > 3 else "BENCH_noise_r12.json"
+    mode = sys.argv[4] if len(sys.argv) > 4 else "full"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    per_run, calibs = [], []
-    env = dict(os.environ,
-               SPARK_GRAFT_ONLY=",".join(HEADLINE),
-               SPARK_GRAFT_SF_DIR=sfdir)
+    per_run, calibs, calibs_mc, totals = [], [], [], []
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sfdir)
+    if mode == "headline":
+        env["SPARK_GRAFT_ONLY"] = ",".join(HEADLINE)
     for i in range(runs):
         r = subprocess.run(
             [f"{repo}/scripts/run_main.sh", "graft.Bench"],
@@ -46,20 +54,33 @@ def main():
             print(f"run {i}: no metric line\n{r.stdout[-500:]}{r.stderr[-500:]}")
             sys.exit(1)
         rec = json.loads(line)
-        per_run.append(rec["queries"])
-        calibs.append(rec.get("calibration_interval",
-                              [rec.get("calibration_sec")] * 3))
-        print(f"run {i}: total={rec['value']} calib={calibs[-1]}", flush=True)
+        # full-sweep stdout carries only the headline map; the FULL
+        # per-query map is in bench.json (filtered: bench_partial.json)
+        full_file = "bench_partial.json" if mode == "headline" else "bench.json"
+        full = json.load(open(f"{repo}/{full_file}"))
+        per_run.append(full["queries"])
+        totals.append(full["value"])
+        calibs.append(full.get("calibration_interval",
+                               [full.get("calibration_sec")] * 3))
+        calibs_mc.append(full.get("calibration_mc_interval"))
+        print(f"run {i}: total={full['value']:.1f} calib={calibs[-1]} "
+              f"mc={calibs_mc[-1]}", flush=True)
 
+    names = sorted({q for pr in per_run for q in pr})
     table = {}
-    for q in HEADLINE:
+    for q in names:
         vals = [pr[q] for pr in per_run if pr.get(q, -1) >= 0]
         if not vals:
             continue
         m, md, M = min(vals), statistics.median(vals), max(vals)
-        table[q] = {"runs": vals, "min": m, "median": md, "max": M,
+        table[q] = {"runs": [round(v, 3) for v in vals],
+                    "min": round(m, 3), "median": round(md, 3),
+                    "max": round(M, 3),
                     "spread_pct": round(100 * (M - m) / md, 1) if md else 0.0}
-    rec = {"sf": sfdir, "n_runs": runs, "calibration_intervals": calibs,
+    rec = {"sf": sfdir, "n_runs": runs, "mode": mode,
+           "totals": [round(t, 3) for t in totals],
+           "calibration_intervals": calibs,
+           "calibration_mc_intervals": calibs_mc,
            "note": ("per-query minima of N independent Bench runs on a "
                     "quiet host; a cross-round move inside [min,max] is "
                     "noise, not a regression"),

@@ -7,7 +7,7 @@ in DuckDB against the sfDir parquet tables, and exact-compares with the
 parquet results Verify wrote (columns sorted by name, rows sorted).
 
 Writes a correctness record at recordPath (default CORRECTNESS_local_<round>.json,
-round from GRAFT_ROUND env (default r9),
+round from GRAFT_ROUND env (default: the Round.scala id),
 in the cwd) in the DRIVER'S per-query schema:
     {"<query>": {"rows_match": bool, "schema_match": bool,
                  "hash_match": bool, "err": null|str}, ...}
@@ -17,6 +17,7 @@ This is a dev-side tool only — the shipped library is pure Scala/Spark.
 """
 import hashlib
 import json
+import os
 import sys
 
 import duckdb
@@ -42,11 +43,29 @@ def frame_hash(df):
         df.to_csv(index=False, float_format="%.12g").encode()).hexdigest()
 
 
+def _round_id():
+    """Round id from env, else from Round.scala — the SINGLE source of
+    truth (VERDICT r11 #1: three independently-hardcoded round defaults
+    drifted; the stale one overwrote the prior round's bench record)."""
+    rid = os.environ.get("SPARK_GRAFT_ROUND") or os.environ.get("GRAFT_ROUND")
+    if rid:
+        return rid
+    import re
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        src = open(f"{repo}/src/main/scala/graft/Round.scala").read()
+        m = re.search(r'getOrElse\("SPARK_GRAFT_ROUND",\s*"([^"]+)"\)', src)
+        if m:
+            return m.group(1)
+    except OSError:
+        pass
+    return "r12"
+
+
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
-    import os
-    round_id = os.environ.get("SPARK_GRAFT_ROUND") or os.environ.get("GRAFT_ROUND", "r10")
+    round_id = _round_id()
     record_path = sys.argv[3] if len(sys.argv) > 3 else (
         "CORRECTNESS_local_%s.json" % round_id)
 
@@ -97,6 +116,16 @@ def main():
     # HOW it was certified. Never set this for the graded sf0.01 gate.
     scale_methods = {}
     if os.environ.get("GRAFT_SCALE_ORACLES"):
+        # Graded-gate guard (ADVICE r11): the overlay exists for sf1+
+        # scale points where the quadratic ground truths are intractable;
+        # at the GRADED scale points the original oracles must run. A
+        # stray env var must not silently certify the graded gate with
+        # the weaker equivalents.
+        graded = os.path.basename(os.path.normpath(sfdir))
+        if graded in ("sf0.01", "sf0.001"):
+            sys.exit(f"GRAFT_SCALE_ORACLES=1 refused at graded scale point "
+                     f"{graded}: unset it — the graded gate runs the "
+                     f"original oracles only")
         try:
             overlay = json.load(open(f"{outdir}/scale_oracle_sql.json"))
         except FileNotFoundError:

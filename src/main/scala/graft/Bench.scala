@@ -32,10 +32,19 @@ object Bench {
     * Only fields Bench NEVER emits are preserved — a key Bench owns but
     * omitted this run (e.g. `stream_tier_degraded` on a healthy rerun)
     * must not be resurrected from a stale record. Malformed/non-object
-    * existing content falls back to the fresh line. */
+    * existing content falls back to the fresh line.
+    *
+    * Staleness guard (VERDICT r11 #1): `scripts/baseline_bench.py` stamps
+    * `oracle_engine_value` = the engine total of the run its ratios were
+    * computed against. If the existing record's stamp differs from the
+    * FRESH run's total by more than 2%, the `oracle_*` blocks describe a
+    * DIFFERENT run and merging them forward manufactures a
+    * self-inconsistent record (r11: r10's ratio blocks stamped onto r11
+    * timings) — they are dropped, and baseline_bench must be re-run. */
   private[graft] val ownedKeys: Set[String] = Set(
     "metric", "value", "unit", "queries", "sf", "calibration_sec",
-    "calibration_interval", "stream_attribution", "stream_tier_degraded")
+    "calibration_interval", "calibration_mc_sec", "calibration_mc_interval",
+    "stream_attribution", "stream_tier_degraded")
   private[graft] def mergePreserving(fresh: String, existing: Option[String]): String =
     existing match {
       case None => fresh
@@ -49,8 +58,20 @@ object Bench {
           if (!fn.isObject || !on.isObject) fresh
           else {
             val tgt = fn.asInstanceOf[ObjectNode]
+            val oracleStale = on.has("oracle_engine_value") && {
+              val stamp = on.get("oracle_engine_value").asDouble(Double.NaN)
+              val freshTotal =
+                if (fn.has("value")) fn.get("value").asDouble(Double.NaN) else Double.NaN
+              !(stamp.isNaN || freshTotal.isNaN) &&
+                math.abs(stamp - freshTotal) > 0.02 * math.max(stamp, freshTotal)
+            }
+            if (oracleStale) System.err.println(
+              "[bench] existing oracle_* blocks are stamped for a different " +
+              "run (oracle_engine_value != this total) — dropped; re-run " +
+              "scripts/baseline_bench.py on this head")
             on.properties().forEach { e =>
-              if (!tgt.has(e.getKey) && !ownedKeys.contains(e.getKey))
+              if (!tgt.has(e.getKey) && !ownedKeys.contains(e.getKey) &&
+                  !(oracleStale && e.getKey.startsWith("oracle_")))
                 tgt.set[ObjectNode](e.getKey, e.getValue): Unit
             }
             m.writeValueAsString(tgt)
@@ -80,6 +101,18 @@ object Bench {
     (out, degraded)
   }
 
+  /** SPARK_GRAFT_ONLY parsing shared by Bench and Verify: names are
+    * trimmed and empties dropped — VERDICT r11 #4: an untrimmed
+    * " q_ann_lsh" token silently dropped the query from a judge's
+    * filtered run (6 of 7 requested queries ran, nothing said so). */
+  private[graft] def parseOnly(raw: Option[String]): Option[Set[String]] =
+    raw.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+  /** Requested names matching no registry query — the caller must fail
+    * loudly on a non-empty result BEFORE running anything. */
+  private[graft] def unknownOnly(only: Option[Set[String]]): Set[String] =
+    only.map(_.diff(SparkEntry.queries.keySet)).getOrElse(Set.empty)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -95,8 +128,19 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run — an iteration aid; the
-    // driver never sets it, so official runs always measure everything
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // driver never sets it, so official runs always measure everything.
+    // Names are TRIMMED and unknown names are a LOUD failure (VERDICT r11
+    // #4: a stray space or typo silently dropped q_ann_lsh from a judge's
+    // filtered run — a solo protocol must never silently measure less
+    // than it was asked to).
+    val only = parseOnly(sys.env.get("SPARK_GRAFT_ONLY"))
+    val unknown = unknownOnly(only)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[bench] SPARK_GRAFT_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     // validation gates (ground-truth/recall checks) are Verify-only:
     // they time the deliberately-quadratic oracle, not an operator.
     // An EXPLICIT SPARK_GRAFT_ONLY request overrides the exclusion —
@@ -206,8 +250,39 @@ object Bench {
       math.min(one(), one())
     }
 
+    // Multi-core calibration probe (VERDICT r11 #1): the single-thread
+    // xorshift read FASTER in a window where 32-core query walls rose
+    // ~13% — one saturated core is blind to all-cores contention and
+    // thermal/turbo budgets. This runs the SAME loop on every core at
+    // once (1/8 the per-thread steps — the probe must stay cheap) and
+    // reports the WALL for all threads to finish; a multi-core slowdown
+    // the single-thread probe misses shows up here directly.
+    def calibrateMc(): Double = {
+      val nThreads = Runtime.getRuntime.availableProcessors()
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+        val acc = new java.util.concurrent.atomic.AtomicLong()
+        (0 until nThreads).foreach { t =>
+          pool.submit(new Runnable { def run(): Unit = {
+            var x = 88172645463325252L + t; var a = 0L; var i = 0L
+            while (i < 50000000L) {
+              x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a += x; i += 1
+            }
+            acc.addAndGet(a): Unit
+          }})
+        }
+        pool.shutdown()
+        pool.awaitTermination(10, TimeUnit.MINUTES): Unit
+        if (acc.get() == 42L) System.err.print("") // keep the loops live
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(one(), one())
+    }
+
     batchNames.foreach(once); streamTier(measured = false) // warmup (discarded)
     val calibBefore = calibrate()
+    val calibMcBefore = calibrateMc()
     // two measured passes, keep the per-query minimum: JIT/GC jitter on a
     // 32-thread local JVM otherwise dominates sub-second queries
     val pass1 = {
@@ -215,6 +290,7 @@ object Bench {
       batchNames.map(n => n -> once(n)).toMap ++ streamTier(measured = true)
     }
     val calibMid = calibrate()
+    val calibMcMid = calibrateMc()
     val pass2 = {
       spark.sqlContext.clearCache()
       batchNames.map(n => n -> once(n)).toMap ++ streamTier(measured = true)
@@ -226,8 +302,10 @@ object Bench {
     }
 
     val calibAfter = calibrate()
+    val calibMcAfter = calibrateMc()
     val calibs = Seq(calibBefore, calibMid, calibAfter).sorted
     val calib = calibs(1) // median — the single number kept for back-compat
+    val calibsMc = Seq(calibMcBefore, calibMcMid, calibMcAfter).sorted
 
     // locale-proof fixed-point formatting (Double.toString never emits a
     // comma decimal separator, unlike f"" under non-ROOT default locales)
@@ -240,7 +318,7 @@ object Bench {
       else "concurrent tier, spans scaled to tier wall"
     val degradedTag = if (tierDegraded) ""","stream_tier_degraded":true""" else ""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sec":${f3(calib)},"calibration_interval":[${f3(calibs.head)},${f3(calibs(1))},${f3(calibs(2))}],"stream_attribution":"$attribution"$degradedTag}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sec":${f3(calib)},"calibration_interval":[${f3(calibs.head)},${f3(calibs(1))},${f3(calibs(2))}],"calibration_mc_sec":${f3(calibsMc(1))},"calibration_mc_interval":[${f3(calibsMc.head)},${f3(calibsMc(1))},${f3(calibsMc(2))}],"stream_attribution":"$attribution"$degradedTag}"""
     // filtered iteration runs must not clobber the official artifact
     val benchFile = if (only.isDefined) "bench_partial.json" else "bench.json"
     Files.writeString(Paths.get(benchFile), full + "\n")

@@ -5,5 +5,5 @@ package graft
   * auditor always finds the freshest artifact under the round it was
   * produced in. Bump per round; `SPARK_GRAFT_ROUND` overrides. */
 object Round {
-  val id: String = sys.env.getOrElse("SPARK_GRAFT_ROUND", "r10")
+  val id: String = sys.env.getOrElse("SPARK_GRAFT_ROUND", "r12")
 }

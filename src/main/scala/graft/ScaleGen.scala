@@ -142,7 +142,9 @@ object ScaleGen {
       val groups = (0 until copies).grouped(10).toSeq
       groups.zipWithIndex.foreach { case (g, gi) =>
         val out = g.map(c => perCopy(src, c)).reduce(_ union _)
-        val gParts = math.max(1, parts * g.size / copies)
+        // ceiling division (ADVICE r11): truncation could make group part
+        // counts sum BELOW the >=8-part floor (parts=8, copies=15 → 5+2=7)
+        val gParts = math.max(1, (parts * g.size + copies - 1) / copies)
         out.repartition(gParts).write
           .mode(if (gi == 0) "overwrite" else "append")
           .parquet(s"$destDir/$t.parquet")

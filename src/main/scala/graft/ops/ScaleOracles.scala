@@ -86,13 +86,4 @@ object ScaleOracles {
   def materializeCtes(sql: String): String =
     sql.replaceAll("(?<=[\\n(,]|WITH )(\\s*)([A-Za-z_][A-Za-z0-9_]*) AS \\(",
       "$1$2 AS MATERIALIZED (")
-
-  /** The char-3-gram `sh` CTE over a docs relation (q_dedup_ngram's gram
-    * definition). */
-  def charGramCte(docsRel: String): String =
-    """sh AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    generate_series(1, greatest(length(text) - 2, 1)),
-       |    i -> text[i:i+2])) AS g
-       |  FROM $docsRel)""".stripMargin.replace("$docsRel", docsRel)
 }

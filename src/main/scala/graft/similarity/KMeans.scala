@@ -96,18 +96,16 @@ object KMeans {
     * k ≈ √n so cluster sizes stay bounded). Output:
     * (idCol, cluster, kept). */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      threshold: Double): DataFrame = {
-    val e = asDouble(emb, idCol, vecCol)
+      threshold: Double, broadcastConfirmMax: Long = 1500000L): DataFrame = {
     val a = assignClusters(emb, idCol, vecCol, k)
     // Pair enumeration is SKINNY (id, cluster) only: carrying both
     // vectors through the cluster self-join shuffles ~520 B per pair —
     // at 200k vectors / k=8 that is 2.5e9 pairs ≈ 40+ GB per side
     // (measured: the sf10e gate ground >16 min before being killed).
     // With ids only the same join moves 16 B per pair, and the cosine
-    // runs map-side against the broadcast vector table (n·dim·8B —
-    // small precisely when the fixed-k pair count is the problem; a
-    // corpus too big to broadcast is run with k ≈ √n, which shrinks
-    // per-cluster pair counts instead).
+    // runs map-side against the broadcast vector table while it fits
+    // (n ≤ 1.5M — see the confirm-path guard below; past that the
+    // confirm switches to shuffle joins).
     // ...and SALTED: a join keyed on `cluster` alone has at most k
     // distinct keys, so at the fixed-k oracle setting (k=8) all 2.5e9
     // within-cluster pairs landed on 8 tasks of a 32-thread session.
@@ -124,16 +122,45 @@ object KMeans {
       .repartition(256, col("cluster"), col("_b"))
     val right = a.select(col(idCol).as("id_b"), col("cluster"),
       pmod(col(idCol), lit(S)).cast("int").as("_b"))
-    // float-array vectors + the native codegen CosineSim: sequential
-    // double accumulation over float→double casts — term-for-term the
-    // same IEEE math as cosD's HOF fold and the oracle's list_sum, but
-    // ~10× faster per pair (the HOF eval is interpreted per element)
-    val ef = emb.select(col(idCol), col(vecCol).cast("array<float>").as("_vf"))
-    val drops = left.join(right, Seq("cluster", "_b"))
+    // Vectors keep their SOURCE element type (ADVICE r11): float inputs
+    // use the native codegen CosineSim (sequential double accumulation
+    // over float→double casts — term-for-term the same IEEE math as
+    // cosD's HOF fold and the oracle's list_sum, ~10× faster per pair
+    // than the interpreted HOF eval); double inputs stay double and use
+    // cosD, because a silent float downcast can flip near-threshold
+    // pairs relative to the oracle's double fold.
+    val isFloat = emb.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    val ef = emb.select(col(idCol),
+      (if (isFloat) col(vecCol) else transform(col(vecCol), x => x.cast("double")))
+        .as("_vf"))
+    def cos(x: Column, y: Column): Column =
+      if (isFloat) graft.similarity.Ann.cosine(x, y) else cosD(x, y)
+    val pairs = left.join(right, Seq("cluster", "_b"))
       .filter(col("id_a") < col("id_b"))
-      .join(broadcast(ef.select(col(idCol).as("id_a"), col("_vf").as("_va"))), "id_a")
-      .join(broadcast(ef.select(col(idCol).as("id_b"), col("_vf").as("_vb"))), "id_b")
-      .filter(graft.similarity.Ann.cosine(col("_va"), col("_vb")) >= threshold)
+    // Exact-cosine confirm: map-side against the BROADCAST vector table
+    // while it plausibly fits (n·dim·4B ≈ 3.8 GB at 1.5M×640 float —
+    // the same cutoff as Dedup.nearDupEmbeddingLsh's confirm), because
+    // only the survivor set is then ever shuffled. PAST the cutoff the
+    // broadcast itself is the failure mode (VERDICT r11 #3: at 1B×64
+    // it is ~512 GB and the operator dies at exactly the scale it
+    // exists for), so the confirm falls back to two shuffle joins —
+    // sort-merge, spillable, bounded by cluster shuffle capacity, the
+    // pre-r11 shape that completes at any n (k ≈ √n keeps the pair
+    // stream itself O(n^1.5)).
+    val n = emb.select(col(idCol)).count()
+    val confirmed =
+      if (n <= broadcastConfirmMax) pairs
+        .join(broadcast(ef.select(col(idCol).as("id_a"), col("_vf").as("_va"))), "id_a")
+        .join(broadcast(ef.select(col(idCol).as("id_b"), col("_vf").as("_vb"))), "id_b")
+      else pairs
+        .join(ef.select(col(idCol).as("id_a"), col("_vf").as("_va")), "id_a")
+        .join(ef.select(col(idCol).as("id_b"), col("_vf").as("_vb")), "id_b")
+    val drops = confirmed
+      .filter(cos(col("_va"), col("_vb")) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
       .withColumn("_dropped", lit(true))
     a.join(drops, Seq(idCol), "left")

@@ -46,6 +46,42 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(m.has("oracle_note"))
   }
 
+  test("mergePreserving REFUSES oracle blocks stamped for a different run") {
+    // the r11 failure: Round.id was stale, so the official r11 rerun
+    // merged r10's oracle_ratio/oracle_scaling (stamped
+    // oracle_engine_value=144.2) onto r11's 176.7 s timings — a
+    // self-inconsistent record. The stamp now gates the merge.
+    val old =
+      """{"value":155.7,"oracle_engine_value":144.2,"oracle_ratio":{"q1_agg":5.2},"oracle_scaling":{"q1_agg":{"sf0.1":5.2}},"oracle_secs":{"q1_agg":0.06},"oracle_note":"n","foreign_other":"kept"}"""
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.mergePreserving(fresh, Some(old))) // fresh value=10.5
+    assert(!m.has("oracle_ratio") && !m.has("oracle_scaling") &&
+      !m.has("oracle_secs") && !m.has("oracle_note") &&
+      !m.has("oracle_engine_value"),
+      "stale oracle blocks must be dropped, not merged forward")
+    assert(m.get("foreign_other").asText() === "kept",
+      "non-oracle foreign fields still survive")
+  }
+
+  test("mergePreserving keeps oracle blocks stamped for THIS run (within 2%)") {
+    val old =
+      """{"value":10.4,"oracle_engine_value":10.45,"oracle_ratio":{"q1_agg":5.2},"oracle_note":"n"}"""
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.mergePreserving(fresh, Some(old))) // fresh value=10.5
+    assert(m.get("oracle_ratio").get("q1_agg").asDouble() === 5.2)
+    assert(m.get("oracle_engine_value").asDouble() === 10.45)
+  }
+
+  test("SPARK_GRAFT_ONLY parsing trims names; unknown names are flagged") {
+    val only = Bench.parseOnly(Some(" q1_agg , q6_filter_agg ,, q_ann_lsh "))
+    assert(only.contains(Set("q1_agg", "q6_filter_agg", "q_ann_lsh")))
+    assert(Bench.unknownOnly(only) === Set.empty,
+      "trimmed real names must all resolve (the r11 silent-drop shape)")
+    val typo = Bench.parseOnly(Some("q1_agg,q_no_such_query"))
+    assert(Bench.unknownOnly(typo) === Set("q_no_such_query"))
+    assert(Bench.unknownOnly(None) === Set.empty)
+  }
+
   test("mergePreserving survives absent/garbage existing records") {
     assert(Bench.mergePreserving(fresh, None) === fresh)
     assert(Bench.mergePreserving(fresh, Some("not json {")) === fresh)

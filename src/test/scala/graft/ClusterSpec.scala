@@ -62,6 +62,45 @@ class ClusterSpec extends AnyFunSuite {
     assert(sd.filter(col("kept")).count() >= 3, "only true near-dups drop")
   }
 
+  test("semDedup shuffle-confirm fallback equals the broadcast path") {
+    // VERDICT r11 #3: the confirm must not broadcast an unbounded corpus.
+    // Forcing the cutoff to 0 exercises the shuffle-join fallback; the
+    // answer must be identical to the guarded broadcast fast path.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def run(cutoff: Long) =
+      KMeans.semDedup(emb, "vec_id", "embedding", k = 8, threshold = 0.95,
+          broadcastConfirmMax = cutoff)
+        .collect().map(_.toString).sorted
+    val viaBroadcast = run(Long.MaxValue)
+    val viaShuffle = run(0L)
+    assert(viaShuffle.sameElements(viaBroadcast))
+    assert(viaBroadcast.length > 0)
+  }
+
+  test("semDedup keeps double embeddings double in the confirm (no float downcast)") {
+    import spark.implicits._
+    // ADVICE r11: a silent float downcast can flip near-threshold pairs
+    // vs the oracle's double fold. Double input ⇒ the plan must use the
+    // double HOF cosine, not the float-only native cosine_sim kernel.
+    val embD = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(0.96, 0.28, 0.0, 0.0)),
+      (3L, Array(0.0, 1.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val sd = KMeans.semDedup(embD, "vec_id", "embedding", k = 2, threshold = 0.9)
+    val plan = sd.queryExecution.executedPlan.toString
+    assert(!plan.contains("cosine_sim"),
+      s"double input must not route through the float kernel:\n${plan.take(1500)}")
+    assert(sd.count() == 3)
+    // float input keeps the fast native kernel
+    val embF = embD.select(col("vec_id"),
+      col("embedding").cast("array<float>").as("embedding"))
+    val planF = KMeans.semDedup(embF, "vec_id", "embedding", k = 2, threshold = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(planF.contains("cosine_sim"), planF.take(1500))
+  }
+
   test("persisted IVF index probes equal the in-line IVF answers") {
     import graft.similarity.Ann
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
