@@ -74,6 +74,73 @@ object VectorUtil {
     ArrayData.toArrayData(out)
   }
 
+  /** Argmax-cosine centroid id over a FIXED centroid set — the fused
+    * native form of KMeans.argmaxCos's per-centroid HOF stack, and
+    * BIT-EXACT with it (the 333-query oracle gates replay the k-means
+    * assignment in DuckDB, so the kernel must reproduce the HOF fold to
+    * the last ulp):
+    *  - every sum is sequential left-to-right in double, exactly
+    *    `aggregate(zip_with(...), 0.0, acc+x)`'s fold order; the vector
+    *    self-norm is identical across centroids, so computing it once
+    *    reproduces each per-centroid recomputation bit-for-bit;
+    *  - `cos = dot / (sqrt(na)·sqrt(nc))` with NO zero-norm guard.
+    *    Zero norms: the HOF form under ANSI mode (Spark 4 default)
+    *    THROWS DIVIDE_BY_ZERO; here IEEE yields NaN for every centroid
+    *    and the all-equal tie resolves to the smallest cid — strictly
+    *    more defined, spec'd in ClusterSpec (unlike [[cosineF]], whose
+    *    0.0 convention is part of the LSH operators' contract);
+    *  - a null input vector, a null element, or a length mismatch made
+    *    the HOF cosine NULL for every centroid, and `array_max`'s
+    *    nulls-first struct ordering then picked the largest `-cid` —
+    *    i.e. the SMALLEST cid; invalid inputs reproduce that;
+    *  - valid cosines compare with Spark SQL's double ordering
+    *    (SQLOrderingUtil: NaN largest, -0.0 == 0.0), ties to the
+    *    smaller cid (the struct's `-cid` max).
+    * At production k ≈ √n the HOF stack is the measured wall (k=450
+    * at 200k vectors: ~400 s of interpreted per-centroid HOF evals,
+    * BENCH_semdedup_ab_r12.json); one fused reference-array loop is the
+    * same flops without the interpreter. */
+  def centroidArgmax(v: ArrayData, cids: Array[Long],
+      cents: Array[Array[Double]], centNorms: Array[Double]): Long = {
+    val n = if (v == null) -1 else v.numElements()
+    var hasNull = v == null
+    var na = 0.0
+    var i = 0
+    while (!hasNull && i < n) {
+      if (v.isNullAt(i)) hasNull = true
+      else { val x = v.getDouble(i); na += x * x }
+      i += 1
+    }
+    val sna = math.sqrt(na)
+    var bestValid = false
+    var bestCos = 0.0
+    var bestCid = Long.MaxValue
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)
+      val cid = cids(ci)
+      val valid = !hasNull && n == c.length
+      if (valid) {
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += v.getDouble(j) * c(j); j += 1 }
+        val cos = dot / (sna * math.sqrt(centNorms(ci)))
+        val better =
+          if (!bestValid) true
+          else {
+            val cmp = org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+              .compareDoubles(cos, bestCos)
+            cmp > 0 || (cmp == 0 && cid < bestCid)
+          }
+        if (better) { bestValid = true; bestCos = cos; bestCid = cid }
+      } else if (!bestValid && cid < bestCid) {
+        bestCid = cid // all-invalid: array_max's nulls-first → smallest cid
+      }
+      ci += 1
+    }
+    bestCid
+  }
+
   /** Ids of the `n` nearest centroids to `v` by cosine (desc, id asc). */
   def nearestCells(v: ArrayData, ids: Array[Long],
       cents: Array[Array[Double]], n: Int): ArrayData = {
@@ -221,5 +288,64 @@ case class NearestCells(child: Expression, ids: Array[Long],
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
+/** `centroid_argmax(vec)` → the id of the fixed centroid with the highest
+  * cosine to `vec` (ties to the smaller id) — the k-means assignment
+  * step as ONE fused expression over a driver-shipped centroid matrix.
+  * Bit-exact with the per-centroid HOF formulation it replaces (see
+  * [[VectorUtil.centroidArgmax]]); at production k ≈ √n the HOF stack
+  * was the measured wall of the whole semDedup operator. Never NULL:
+  * invalid inputs reproduce the HOF+array_max smallest-cid behavior. */
+case class CentroidArgmax(child: Expression, ids: Array[Long],
+    centroids: Array[Array[Double]]) extends UnaryExpression {
+  require(ids.length == centroids.length && ids.nonEmpty,
+    "ids/centroids must be same non-zero length")
+
+  // per-centroid self-norms, summed with the same sequential fold the
+  // HOF form used (bit-identical; see VectorUtil.centroidArgmax)
+  @transient private lazy val norms: Array[Double] =
+    centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"centroid_argmax requires array<double>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "centroid_argmax"
+
+  // null input must NOT short-circuit to NULL (the HOF form resolved a
+  // null vector to the smallest cid via array_max's nulls-first struct
+  // ordering), so eval/doGenCode handle null themselves instead of the
+  // null-safe template.
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    VectorUtil.centroidArgmax(
+      if (v == null) null else v.asInstanceOf[ArrayData], ids, centroids, norms)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    val idsRef = ctx.addReferenceObj("cids", ids, "long[]")
+    val centsRef = ctx.addReferenceObj("cents", centroids, "double[][]")
+    val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        final long ${ev.value} = graft.functions.VectorUtil.centroidArgmax(
+          ${c.isNull} ? null : ${c.value}, $idsRef, $centsRef, $normsRef);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidArgmax =
     copy(child = newChild)
 }

@@ -40,9 +40,22 @@ object KMeans {
   }
 
   /** Argmax-cosine cluster id over centroid literals, ties to the SMALLER
-    * centroid id (struct-max over (cos, -cid) — mirrors the oracle's
-    * `ORDER BY cos DESC, cid ASC`). */
-  private def argmaxCos(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    * centroid id (mirrors the oracle's `ORDER BY cos DESC, cid ASC`).
+    * One fused native expression ([[graft.functions.CentroidArgmax]],
+    * bit-exact with [[argmaxCosHof]] — spec'd): the per-centroid HOF
+    * struct-max was the measured wall of the whole operator at
+    * production k ≈ √n (k=450 at 200k vectors: ~400 s of interpreted
+    * per-centroid evals, BENCH_semdedup_ab_r12.json). */
+  private def argmaxCos(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.CentroidArgmax(
+      org.apache.spark.sql.GraftBridge.expression(vec),
+      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray))
+
+  /** The original HOF formulation (struct-max over (cosD, -cid)) — kept
+    * as the semantic reference the native kernel is spec'd bit-equal
+    * against (ClusterSpec). */
+  private[graft] def argmaxCosHof(vec: Column,
+      cents: Seq[(Long, Seq[Double])]): Column = {
     val scored = cents.map { case (cid, cv) =>
       struct(cosD(vec, typedLit(cv)).as("cos"), lit(-cid).as("ncid"))
     }

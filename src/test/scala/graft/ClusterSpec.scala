@@ -62,6 +62,54 @@ class ClusterSpec extends AnyFunSuite {
     assert(sd.filter(col("kept")).count() >= 3, "only true near-dups drop")
   }
 
+  test("native centroid_argmax is bit-equal to the HOF struct-max form") {
+    import spark.implicits._
+    // the gates replay the assignment in DuckDB, so the fused kernel
+    // must reproduce the HOF fold exactly — including ties, NaN from
+    // zero norms (NaN sorts LARGEST in Spark SQL), null vectors and
+    // null elements (HOF cosine goes NULL → array_max nulls-first →
+    // smallest cid), and length mismatches.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val cents: Seq[(Long, Seq[Double])] =
+      Seq(3L, 11L, 42L, 99L).map(cid =>
+        cid -> Seq.fill(dim)(rnd.nextGaussian()))
+    val rows: Seq[(Long, Array[java.lang.Double])] =
+      (0L until 200L).map { i =>
+        i -> Array.fill[java.lang.Double](dim)(rnd.nextGaussian())
+      } ++ Seq(
+        201L -> null,                                    // null vector
+        202L -> { val a = Array.fill[java.lang.Double](dim)(1.0); a(3) = null; a }, // null element
+        203L -> Array.fill[java.lang.Double](dim - 2)(1.0), // short vector
+        204L -> cents.head._2.map(java.lang.Double.valueOf).toArray, // exact centroid hit
+        205L -> cents(2)._2.map(x => java.lang.Double.valueOf(-x)).toArray) // cos = -1
+    val df = rows.toDF("id", "v")
+    val both = df.select(col("id"),
+      graft.similarity.KMeans.argmaxCosHof(col("v"), cents).as("hof"),
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.CentroidArgmax(
+          org.apache.spark.sql.GraftBridge.expression(col("v")),
+          cents.map(_._1).toArray, cents.map(_._2.toArray).toArray))
+        .as("native"))
+    val diff = both.filter(col("hof") =!= col("native")).collect()
+    assert(diff.isEmpty, s"kernel diverges from HOF: ${diff.take(5).mkString(", ")}")
+    // the invalid-input rows resolve to the SMALLEST cid, like the HOF
+    val inv = both.filter(col("id").isin(201L, 202L, 203L))
+      .select("native").collect().map(_.getLong(0)).toSet
+    assert(inv === Set(3L), inv.mkString(","))
+    // zero-norm vectors: under ANSI mode (Spark 4 default) the HOF form
+    // THROWS (DIVIDE_BY_ZERO); the kernel is strictly more defined —
+    // every cosine is NaN, all-equal ties resolve to the smallest cid.
+    val zero = Seq((200L, Array.fill[java.lang.Double](dim)(0.0)))
+      .toDF("id", "v")
+      .select(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.CentroidArgmax(
+          org.apache.spark.sql.GraftBridge.expression(col("v")),
+          cents.map(_._1).toArray, cents.map(_._2.toArray).toArray)))
+      .collect().head.getLong(0)
+    assert(zero === 3L)
+  }
+
   test("semDedup shuffle-confirm fallback equals the broadcast path") {
     // VERDICT r11 #3: the confirm must not broadcast an unbounded corpus.
     // Forcing the cutoff to 0 exercises the shuffle-join fallback; the
