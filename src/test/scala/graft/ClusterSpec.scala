@@ -71,9 +71,12 @@ class ClusterSpec extends AnyFunSuite {
     // smallest cid), and length mismatches.
     val rnd = new scala.util.Random(7)
     val dim = 16
-    val cents: Seq[(Long, Seq[Double])] =
+    val base: Seq[(Long, Seq[Double])] =
       Seq(3L, 11L, 42L, 99L).map(cid =>
         cid -> Seq.fill(dim)(rnd.nextGaussian()))
+    // duplicate centroid under a LARGER id: every row ties between cid 3
+    // and 101, and both forms must resolve the tie to the smaller cid
+    val cents = base :+ (101L -> base.head._2)
     val rows: Seq[(Long, Array[java.lang.Double])] =
       (0L until 200L).map { i =>
         i -> Array.fill[java.lang.Double](dim)(rnd.nextGaussian())
@@ -81,8 +84,10 @@ class ClusterSpec extends AnyFunSuite {
         201L -> null,                                    // null vector
         202L -> { val a = Array.fill[java.lang.Double](dim)(1.0); a(3) = null; a }, // null element
         203L -> Array.fill[java.lang.Double](dim - 2)(1.0), // short vector
-        204L -> cents.head._2.map(java.lang.Double.valueOf).toArray, // exact centroid hit
-        205L -> cents(2)._2.map(x => java.lang.Double.valueOf(-x)).toArray) // cos = -1
+        204L -> cents.head._2.map(java.lang.Double.valueOf).toArray, // exact centroid hit (tied with the 101 duplicate)
+        205L -> cents(2)._2.map(x => java.lang.Double.valueOf(-x)).toArray, // cos = -1
+        206L -> { val a = Array.fill[java.lang.Double](dim)(1.0); a(0) = Double.NaN; a }, // NaN element → all-NaN cos ties
+        207L -> { val a = Array.fill[java.lang.Double](dim)(1.0); a(1) = Double.PositiveInfinity; a }) // Inf arithmetic (divisor Inf, no ANSI throw)
     val df = rows.toDF("id", "v")
     val both = df.select(col("id"),
       graft.similarity.KMeans.argmaxCosHof(col("v"), cents).as("hof"),
