@@ -25,6 +25,13 @@ class QuickstartSpec extends AnyFunSuite {
     s
   }
 
+  test("driver contract: SparkEntry.entry returns rows on sf0.001") {
+    // the driver smoke-checks rows > 0 on this exact call each round —
+    // keep it spec-covered so a registry refactor can't silently break
+    // the flagship entry point between rounds
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("README quickstart: csv -> UDF + resolve -> dedup -> tocsv") {
     // fixture: a raw CSV drop with duplicated docs and a markup-polluted
     // row that the first-pass UDF rejects
