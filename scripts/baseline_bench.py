@@ -118,15 +118,16 @@ def fair_replay_sql(name):
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     oracle_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify/oracle_sql.json"
-    # round id from env, else from Round.scala — the single source of
-    # truth (VERDICT r11 #1: independently-hardcoded defaults drifted)
+    # round id from env, else derived like graft.Round: max round over the
+    # committed official artifacts at the repo root + 1 (VERDICT r12 #1:
+    # the hand-bumped constant was stale two rounds running)
     round_id = os.environ.get("SPARK_GRAFT_ROUND") or os.environ.get("GRAFT_ROUND")
     if not round_id:
         import re
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        m = re.search(r'getOrElse\("SPARK_GRAFT_ROUND",\s*"([^"]+)"\)',
-                      open(f"{repo}/src/main/scala/graft/Round.scala").read())
-        round_id = m.group(1) if m else "r12"
+        rounds = [int(m.group(1)) for f in os.listdir(repo)
+                  if (m := re.match(r"^(?:BENCH|CORRECTNESS)_r(\d+)\.json$", f))]
+        round_id = f"r{max(rounds) + 1}" if rounds else "r1"
     bench_record = sys.argv[3] if len(sys.argv) > 3 else f"BENCH_local_{round_id}.json"
 
     oracle = json.load(open(oracle_json))
@@ -228,6 +229,17 @@ def main():
     # oracle_*, so record-is-stale iff value != oracle_engine_value.
     bench["oracle_engine_value"] = bench.get("value")
     bench["oracle_engine_calibration"] = bench.get("calibration_sec")
+    # Code-identity stamp (ADVICE r12): Bench's merge guard keeps these
+    # blocks across same-head reruns (timing windows are ±13% at fixed
+    # code) and drops them the moment the head changes.
+    try:
+        import subprocess
+        bench["oracle_engine_head"] = subprocess.check_output(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            text=True).strip()
+    except Exception:
+        pass
     bench["oracle_note"] = (
         "DuckDB timing of the verified oracle SQL on the same parquet, "
         "warmup + min of 2, all cores; ratio = engine/duckdb. Single-point "

@@ -36,9 +36,19 @@ HEADLINE = [
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    out = sys.argv[3] if len(sys.argv) > 3 else "BENCH_noise_r12.json"
-    mode = sys.argv[4] if len(sys.argv) > 4 else "full"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = sys.argv[3] if len(sys.argv) > 3 else \
+        f"BENCH_noise_{_round_id(repo)}.json"
+    mode = sys.argv[4] if len(sys.argv) > 4 else "full"
+
+    # Full mode rewrites bench.json and the round record per run (ADVICE
+    # r12: a noise sweep silently left the official artifacts as the last
+    # noise run's record) — snapshot both and restore on exit.
+    backups = {}
+    for art in ("bench.json", f"BENCH_local_{_round_id(repo)}.json"):
+        p = f"{repo}/{art}"
+        if os.path.exists(p):
+            backups[p] = open(p).read()
 
     per_run, calibs, calibs_mc, totals = [], [], [], []
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sfdir)
@@ -87,9 +97,25 @@ def main():
            "queries": table}
     with open(out, "w") as f:
         json.dump(rec, f, indent=1, sort_keys=True)
+    for p, content in backups.items():
+        with open(p, "w") as f:
+            f.write(content)
+    if backups:
+        print(f"restored pre-sweep artifacts: "
+              f"{', '.join(os.path.basename(p) for p in backups)}")
     worst = max(table.items(), key=lambda kv: kv[1]["spread_pct"])
     print(f"\n{len(table)} queries -> {out}; worst spread: "
           f"{worst[0]} {worst[1]['spread_pct']}%")
+
+
+def _round_id(repo):
+    rid = os.environ.get("SPARK_GRAFT_ROUND") or os.environ.get("GRAFT_ROUND")
+    if rid:
+        return rid
+    import re
+    rounds = [int(m.group(1)) for f in os.listdir(repo)
+              if (m := re.match(r"^(?:BENCH|CORRECTNESS)_r(\d+)\.json$", f))]
+    return f"r{max(rounds) + 1}" if rounds else "r1"
 
 
 if __name__ == "__main__":

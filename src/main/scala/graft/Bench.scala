@@ -34,18 +34,49 @@ object Bench {
     * must not be resurrected from a stale record. Malformed/non-object
     * existing content falls back to the fresh line.
     *
-    * Staleness guard (VERDICT r11 #1): `scripts/baseline_bench.py` stamps
-    * `oracle_engine_value` = the engine total of the run its ratios were
-    * computed against. If the existing record's stamp differs from the
-    * FRESH run's total by more than 2%, the `oracle_*` blocks describe a
-    * DIFFERENT run and merging them forward manufactures a
-    * self-inconsistent record (r11: r10's ratio blocks stamped onto r11
-    * timings) — they are dropped, and baseline_bench must be re-run. */
+    * Staleness guard (VERDICT r11 #1, refined per ADVICE r12):
+    * staleness is CODE identity, not timing identity — this host's bench
+    * totals swing ±13% at fixed code (BENCH_noise_r12.json), so a value
+    * tolerance either drops valid blocks on every same-head rerun (2%)
+    * or misses the real r11 failure (r10→r11 was +13.5%). So
+    * `scripts/baseline_bench.py` now stamps `oracle_engine_head` = the
+    * git HEAD its ratios were measured on: same head ⇒ the ratios still
+    * describe THIS code and merge forward (the engine-secs provenance
+    * stays recorded in `oracle_engine_value`); different head ⇒ dropped,
+    * re-run baseline_bench. Legacy records without a head stamp (and
+    * runs where HEAD cannot be resolved) fall back to the r12 rule:
+    * drop when the stamped `oracle_engine_value` differs from the fresh
+    * total by more than 2%. */
   private[graft] val ownedKeys: Set[String] = Set(
     "metric", "value", "unit", "queries", "sf", "calibration_sec",
     "calibration_interval", "calibration_mc_sec", "calibration_mc_interval",
     "stream_attribution", "stream_tier_degraded")
-  private[graft] def mergePreserving(fresh: String, existing: Option[String]): String =
+  /** Resolved git HEAD of `root` (follows one level of `ref:`), None when
+    * not a git checkout — no `git` subprocess, the two files are enough. */
+  private[graft] def gitHead(root: java.io.File): Option[String] =
+    try {
+      val head = new java.io.File(root, ".git/HEAD")
+      if (!head.isFile) None
+      else {
+        val line = Files.readString(head.toPath).trim
+        if (line.startsWith("ref: ")) {
+          val ref = new java.io.File(root, s".git/${line.stripPrefix("ref: ")}")
+          if (ref.isFile) Some(Files.readString(ref.toPath).trim)
+          else { // packed refs
+            val packed = new java.io.File(root, ".git/packed-refs")
+            if (!packed.isFile) None
+            else Files.readAllLines(packed.toPath).stream()
+              .filter(l => l.endsWith(" " + line.stripPrefix("ref: ")))
+              .findFirst()
+              .map[Option[String]](l => Some(l.split(' ').head))
+              .orElse(None)
+          }
+        } else Some(line)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private[graft] def mergePreserving(fresh: String, existing: Option[String],
+      currentHead: Option[String] = None): String =
     existing match {
       case None => fresh
       case Some(old) =>
@@ -58,17 +89,23 @@ object Bench {
           if (!fn.isObject || !on.isObject) fresh
           else {
             val tgt = fn.asInstanceOf[ObjectNode]
-            val oracleStale = on.has("oracle_engine_value") && {
-              val stamp = on.get("oracle_engine_value").asDouble(Double.NaN)
-              val freshTotal =
-                if (fn.has("value")) fn.get("value").asDouble(Double.NaN) else Double.NaN
-              !(stamp.isNaN || freshTotal.isNaN) &&
-                math.abs(stamp - freshTotal) > 0.02 * math.max(stamp, freshTotal)
+            val headStamp = Option(on.get("oracle_engine_head")).map(_.asText())
+            val oracleStale = (headStamp, currentHead) match {
+              // head-stamped record, resolvable HEAD: code identity decides
+              case (Some(stamp), Some(cur)) => stamp != cur
+              // legacy record / unresolvable HEAD: the r12 value rule
+              case _ => on.has("oracle_engine_value") && {
+                val stamp = on.get("oracle_engine_value").asDouble(Double.NaN)
+                val freshTotal =
+                  if (fn.has("value")) fn.get("value").asDouble(Double.NaN) else Double.NaN
+                !(stamp.isNaN || freshTotal.isNaN) &&
+                  math.abs(stamp - freshTotal) > 0.02 * math.max(stamp, freshTotal)
+              }
             }
             if (oracleStale) System.err.println(
-              "[bench] existing oracle_* blocks are stamped for a different " +
-              "run (oracle_engine_value != this total) — dropped; re-run " +
-              "scripts/baseline_bench.py on this head")
+              "[bench] existing oracle_* blocks were measured on a different " +
+              "run of different code (head/value stamp mismatch) — dropped; " +
+              "re-run scripts/baseline_bench.py on this head")
             on.properties().forEach { e =>
               if (!tgt.has(e.getKey) && !ownedKeys.contains(e.getKey) &&
                   !(oracleStale && e.getKey.startsWith("oracle_")))
@@ -334,7 +371,8 @@ object Bench {
     if (only.isEmpty) {
       val existing =
         if (Files.exists(benchRecord)) Some(Files.readString(benchRecord)) else None
-      Files.writeString(benchRecord, mergePreserving(full, existing) + "\n")
+      val head = gitHead(new java.io.File(System.getProperty("user.dir")))
+      Files.writeString(benchRecord, mergePreserving(full, existing, head) + "\n")
     }
     // Compact stdout line: BASELINE.md's headline workloads only (TPC-H
     // Q1/Q6/Q19, the three golden pipelines, dedup/ANN/stream/csv). MUST

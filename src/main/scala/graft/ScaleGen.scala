@@ -77,6 +77,10 @@ object ScaleGen {
     val destDir = args.lift(1).getOrElse(
       s"${System.getProperty("user.dir")}/testdata_sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: comma-separated table subset — a single-family
+    // scale point (e.g. the 2M-vector embeddings dir for the confirm
+    // fallback gate) must not pay lineitem×1000 in disk
+    val only = args.lift(3).map(_.split(",").map(_.trim).toSet)
     require(copies >= 1, s"copies must be >= 1, got $copies")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -89,7 +93,7 @@ object ScaleGen {
       .appName("graft-scalegen")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    run(spark, srcDir, destDir, copies)
+    run(spark, srcDir, destDir, copies, only)
     spark.stop()
     println(s"""{"scalegen":"ok","src":"$srcDir","dest":"$destDir","copies":$copies}""")
   }
@@ -102,7 +106,9 @@ object ScaleGen {
     else f.length
   }
 
-  def run(spark: SparkSession, srcDir: String, destDir: String, copies: Int): Unit = {
+  def run(spark: SparkSession, srcDir: String, destDir: String,
+      copies: Int, only: Option[Set[String]] = None): Unit = {
+    def want(t: String) = only.forall(_.contains(t))
     def rd(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
     // stride = max(key)+1 over every relation carrying the domain, so a
     // dangling FK in the source could never collide across copies
@@ -153,21 +159,22 @@ object ScaleGen {
     def copyAsIs(t: String): Unit =
       rd(t).coalesce(1).write.mode("overwrite").parquet(s"$destDir/$t.parquet")
 
-    copyAsIs("region"); copyAsIs("nation")
-    replicate("customer") { (df, c) => off("c_custkey", scKey, c)(df) }
-    replicate("supplier") { (df, c) => off("s_suppkey", ssKey, c)(df) }
-    replicate("part") { (df, c) => off("p_partkey", spKey, c)(df) }
-    replicate("orders") { (df, c) =>
+    if (want("region")) copyAsIs("region")
+    if (want("nation")) copyAsIs("nation")
+    if (want("customer")) replicate("customer") { (df, c) => off("c_custkey", scKey, c)(df) }
+    if (want("supplier")) replicate("supplier") { (df, c) => off("s_suppkey", ssKey, c)(df) }
+    if (want("part")) replicate("part") { (df, c) => off("p_partkey", spKey, c)(df) }
+    if (want("orders")) replicate("orders") { (df, c) =>
       off("o_custkey", scKey, c)(off("o_orderkey", soKey, c)(df))
     }
-    replicate("lineitem") { (df, c) =>
+    if (want("lineitem")) replicate("lineitem") { (df, c) =>
       off("l_suppkey", ssKey, c)(off("l_partkey", spKey, c)(
         off("l_orderkey", soKey, c)(df)))
     }
-    replicate("events") { (df, c) =>
+    if (want("events")) replicate("events") { (df, c) =>
       off("user_id", scKey, c)(off("event_id", seKey, c)(df))
     }
-    replicate("documents") { (df, c) =>
+    if (want("documents")) replicate("documents") { (df, c) =>
       val based = off("doc_id", sdKey, c)(df)
       if (c == 0) based
       else {
@@ -175,7 +182,7 @@ object ScaleGen {
         based.withColumn("text", translate(col("text"), from, to))
       }
     }
-    replicate("embeddings") { (df, c) =>
+    if (want("embeddings")) replicate("embeddings") { (df, c) =>
       val based = off("vec_id", svKey, c)(df)
       if (c == 0) based
       else {

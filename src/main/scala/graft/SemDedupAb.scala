@@ -5,20 +5,21 @@ import org.apache.spark.sql.functions.col
 
 /** Dev-side A/B probe for [[graft.similarity.KMeans.semDedup]]'s confirm
   * path (VERDICT r11 task #3's measurement leg): runs the operator once
-  * with the broadcast confirm and once forced onto the shuffle-confirm
-  * fallback (cutoff 0), on the same data, and prints both walls plus an
-  * answer-equality check. The A/B record shows what the scale guard
-  * costs at the point where it would engage — without it, the fallback's
-  * price past 1.5M vectors is asserted, not measured.
+  * with the broadcast confirm and once forced onto the cluster-local
+  * confirm fallback (cutoff 0), on the same data, and prints both walls
+  * plus an answer-equality check. The A/B record shows what the scale
+  * guard costs at the point where it would engage — without it, the
+  * fallback's price past 1.5M vectors is asserted, not measured.
   *
   * Usage: run_main.sh graft.SemDedupAb <sfDir> [k] [threshold] [mode]
-  * mode: both (default) | broadcast | shuffle. At the oracle's FIXED
-  * k=8 the within-cluster pair stream is 2.5e9 rows at 200k vectors —
-  * the shuffle leg writes >50 GB of sort spill on one box (measured,
-  * killed at 94% disk) — so the k=8 gate runs broadcast-only and the
+  * mode: both (default) | broadcast | shuffle | natural. `natural` runs
+  * ONE pass at the DEFAULT cutoff (nothing forced, no warmup pass) — the
+  * VERDICT r12 task-1 shape: past 1.5M vectors the fallback must engage
+  * on its own (the engagement is logged to stderr by semDedup itself).
+  * At the oracle's FIXED k=8 the within-cluster pair stream is 2.5e9
+  * rows at 200k vectors, so the k=8 gate runs broadcast-only and the
   * fallback is priced at its intended regime (k ≈ √n, bounded
-  * clusters).
-  */
+  * clusters). */
 object SemDedupAb {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -48,16 +49,30 @@ object SemDedupAb {
       spark.sqlContext.clearCache()
       (((System.nanoTime() - t0) / 1e9), dropped, total)
     }
-    // warmup pass (file index, codegen) on the broadcast path, discarded
-    once(if (mode == "shuffle") 0L else Long.MaxValue)
-    val (wB, dB, nB) =
-      if (mode == "shuffle") (-1.0, -1L, -1L) else once(Long.MaxValue)
+    val default = 1500000L
+    // warmup pass (file index, codegen) discarded — skipped in natural
+    // mode, whose point is one honest pass exactly as a user would run it
+    if (mode != "natural")
+      once(if (mode == "shuffle") 0L else Long.MaxValue)
+    val (wB, dB, nB) = mode match {
+      case "shuffle" => (-1.0, -1L, -1L)
+      case "natural" => once(default)
+      case _         => once(Long.MaxValue)
+    }
     val (wS, dS, nS) =
-      if (mode == "broadcast") (-1.0, -1L, -1L) else once(0L)
-    val same = mode == "both" && dB == dS && nB == nS
+      if (mode == "broadcast" || mode == "natural") (-1.0, -1L, -1L)
+      else once(0L)
+    // answers_equal is only DEFINED when both legs ran (ADVICE r12: a
+    // hardcoded false in single-leg logs read as a failed parity check)
+    val same =
+      if (mode == "both") (dB == dS && nB == nS).toString else "null"
     val n = if (nB >= 0) nB else nS
     val d = if (dB >= 0) dB else dS
-    println(f"""{"sf":"$dir","k":$k,"threshold":$t,"mode":"$mode","n":$n,"dropped":$d,"broadcast_sec":$wB%.1f,"shuffle_sec":$wS%.1f,"answers_equal":$same}""")
+    // Locale.ROOT formatting (ADVICE r12): the f-interpolator uses the
+    // default locale, which can emit comma decimals = invalid JSON
+    def f1(v: Double): String =
+      if (v < 0) "-1.0" else (math.rint(v * 10) / 10).toString
+    println(s"""{"sf":"$dir","k":$k,"threshold":$t,"mode":"$mode","n":$n,"dropped":$d,"broadcast_sec":${f1(wB)},"shuffle_sec":${f1(wS)},"answers_equal":$same}""")
     spark.stop()
   }
 }

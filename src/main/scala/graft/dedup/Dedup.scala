@@ -491,6 +491,54 @@ object Dedup {
     val (autoBits, autoTables) = lshParams(n, threshold)
     val useBits = if (bits > 0) bits else autoBits
     val useTables = if (tables > 0) tables else autoTables
+    // PAST the broadcast cutoff (n > 1.5M — the regime VERDICT r11 #3 is
+    // about) the confirm goes BUCKET-LOCAL and the candidate pair stream
+    // is never materialized: signatures are exploded WITH the vector
+    // attached (n·tables fat rows — corpus×tables bytes, ONE shuffle),
+    // each (table, sig) bucket is scored pairwise inside its group, and
+    // only survivors (true pairs, re-found once per colliding table)
+    // reach the closing distinct. The r12 fallback (distinct the
+    // candidates, then two shuffle joins attaching a vector to every
+    // pair) shuffled dim·4B per pair per side — at 2M vectors even a
+    // t=0.95 run carries ~6e8 random candidates ≈ 150+ GB of join
+    // shuffle for a 0.5 GB corpus; bucket-locality caps the confirm at
+    // n·tables·dim·4B regardless of collision count. Memory license:
+    // one bucket buffered per task — the sizing rule targets ~16 random
+    // vectors per bucket; a skewed bucket of m rows (one giant dup
+    // cluster) costs m·dim·4B heap and O(m²) local cosines, the
+    // operator's published complexity paid in compute, not shuffle I/O.
+    if (n > 1500000L) {
+      System.err.println(s"[neardup-lsh] n=$n exceeds the confirm broadcast " +
+        s"cutoff — bucket-local confirm engaged (bits=$useBits, tables=$useTables)")
+      val spark = vecs.sparkSession
+      import spark.implicits._
+      val fat = vecs.select(col("_id"), col("_v"), posexplode(
+          graft.similarity.Ann.lshSignatures(col("_v"), dim, useBits, useTables,
+            seed = 1000L)).as(Seq("_table", "_sig")))
+        .select(col("_table").cast("long").as("_1"), col("_sig").as("_2"),
+          col("_id").cast("long").as("_3"),
+          transform(col("_v"), x => coalesce(x, lit(0f))).as("_4"))
+        .as[(Long, Long, Long, Array[Float])]
+      val survivors = fat.groupByKey(t => (t._1, t._2)).flatMapGroups {
+        (_, it) =>
+          val members = it.map(t => (t._3, t._4)).toArray.sortBy(_._1)
+          for {
+            j <- members.indices.iterator
+            i <- (0 until j).iterator
+            c = graft.similarity.KMeans.cosArrF(members(i)._2, members(j)._2)
+            if c >= threshold
+          } yield (members(i)._1, members(j)._1, c)
+      }.toDF("id_a", "id_b", "cos").distinct()
+      materializeThenRelease(survivors, vecs)
+    } else
+    nearDupEmbeddingLshSmall(vecs, n, threshold, dim, useBits, useTables)
+  }
+
+  /** The n ≤ 1.5M confirm shapes of [[nearDupEmbeddingLsh]] (banded
+    * self-join; broadcast map-side confirm past 32M banded rows, shuffle
+    * joins below it). */
+  private def nearDupEmbeddingLshSmall(vecs: DataFrame, n: Long,
+      threshold: Double, dim: Int, useBits: Int, useTables: Int): DataFrame = {
     // Above the same cutoff that switches the join strategy, persist +
     // eagerly count the banded frame: the hyperplane signatures
     // (hundreds of dot products per vector) feed BOTH self-join sides,
@@ -541,11 +589,11 @@ object Dedup {
     // broadcast vectors on the raw stream — duplicate collisions cost a
     // recomputed cosine (~1.1× average), and only the true-pair-sized
     // survivor set is ever shuffled (one small distinct). Above ~1.5M
-    // vectors the broadcast no longer fits and the shuffle-confirm path
-    // returns — at that scale this runs on a cluster whose aggregate
-    // shuffle capacity is the 100 TB design point, not one disk.
+    // vectors the broadcast no longer fits — that regime never reaches
+    // this function (the bucket-local confirm in [[nearDupEmbeddingLsh]]
+    // handles it without materializing the pair stream at all).
     val confirmed0 =
-      if (bandedRows > 32000000L && n <= 1500000L) {
+      if (bandedRows > 32000000L) {
         joined
           .join(broadcast(vecs.select(col("_id").as("id_a"), col("_v").as("_va"))), "id_a")
           .join(broadcast(vecs.select(col("_id").as("id_b"), col("_v").as("_vb"))), "id_b")

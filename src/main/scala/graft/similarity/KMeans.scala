@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   * centroid literals — no join, no shuffle, survives codegen. The update
   * step shuffles only (cluster, dim) partial sums: k×dim groups,
   * map-side combined. Driver-side state is the centroid set alone (k
-  * rows + k×dim component means — the same bounded model-fit license as
-  * [[Ann.ivfTopK]]'s trained quantizer). Reference analogue: the
+  * rows + k×dim component means collected as PRIMITIVE double arrays —
+  * the same bounded model-fit license as [[Ann.ivfTopK]]'s trained
+  * quantizer; boxed Rows at production k = √n were a measured ~10×
+  * driver-memory overhead, VERDICT r12 #2). Reference analogue: the
   * reference has no clustering operator; this is part of the
   * LLM-pipeline capability superset (SURVEY.md §6).
   */
@@ -46,10 +48,10 @@ object KMeans {
     * struct-max was the measured wall of the whole operator at
     * production k ≈ √n (k=450 at 200k vectors: ~400 s of interpreted
     * per-centroid evals, BENCH_semdedup_ab_r12.json). */
-  private def argmaxCos(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
+  private def argmaxCos(vec: Column, cents: Seq[(Long, Array[Double])]): Column =
     org.apache.spark.sql.GraftBridge.column(graft.functions.CentroidArgmax(
       org.apache.spark.sql.GraftBridge.expression(vec),
-      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray))
+      cents.map(_._1).toArray, cents.map(_._2).toArray))
 
   /** The original HOF formulation (struct-max over (cosD, -cid)) — kept
     * as the semantic reference the native kernel is spec'd bit-equal
@@ -66,6 +68,30 @@ object KMeans {
     emb.select(col(idCol).cast("long").as(idCol),
       transform(col(vecCol), x => x.cast("double")).as("_v"))
 
+  /** Exact per-cluster component means of an assigned frame
+    * `(_c, _v: array<double>)`, collected as O(k·dim) PRIMITIVE doubles:
+    * one (cluster, dim) partial-sum shuffle (k×dim groups, map-side
+    * combined), then the per-cluster mean vectors are packed server-side
+    * (`array_sort(collect_list(struct(dim, mean)))` → field extraction)
+    * so the driver receives k rows each holding one `Array[Double]` —
+    * not k×dim boxed three-field Rows (at 1B vectors / k = √n / dim 640
+    * that was 20M Row objects for a 160 MB model, VERDICT r12 #2). */
+  private[graft] def componentMeans(a1: DataFrame): Map[Long, Array[Double]] = {
+    val spark = a1.sparkSession
+    import spark.implicits._
+    a1.select(col("_c"), posexplode(col("_v")).as(Seq("_dim", "_x")))
+      .groupBy("_c", "_dim")
+      .agg(sum(floor(col("_x") * 10000d + 0.5d).cast("long")).as("_s"),
+        count(lit(1)).as("_n"))
+      .select(col("_c"), col("_dim"),
+        ((col("_s") / 10000.0).cast("double") / col("_n")).as("_m"))
+      .groupBy(col("_c"))
+      .agg(array_sort(collect_list(struct(col("_dim"), col("_m")))).as("_p"))
+      .select(col("_c").as("_1"), col("_p._m").as("_2"))
+      .as[(Long, Array[Double])]
+      .collect().toMap
+  }
+
   /** Cluster every vector: seeds = the k rows with the smallest
     * md5(id-as-string) digest (id tie-break) — a deterministic
     * pseudo-random draw that needs no dense/contiguous id space (`id < k`
@@ -77,29 +103,110 @@ object KMeans {
   def assignClusters(emb: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     val e = asDouble(emb, idCol, vecCol)
-    val seeds: Seq[(Long, Seq[Double])] =
+    val seeds: Seq[(Long, Array[Double])] =
       e.orderBy(md5(col(idCol).cast("string").cast("binary")).asc,
           col(idCol).asc)
         .limit(k).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1).toSeq
     val a1 = e.withColumn("_c", argmaxCos(col("_v"), seeds))
-    // exact fixed-point component means; k×dim groups, map-side combined
-    val comp = a1
-      .select(col("_c"), posexplode(col("_v")).as(Seq("_dim", "_x")))
-      .groupBy("_c", "_dim")
-      .agg(sum(floor(col("_x") * 10000d + 0.5d).cast("long")).as("_s"),
-        count(lit(1)).as("_n"))
-      .select(col("_c"), col("_dim"),
-        ((col("_s") / 10000.0).cast("double") / col("_n")).as("_m"))
-      .collect()
-    val means: Map[Long, Seq[Double]] = comp.groupBy(_.getLong(0)).map {
-      case (cid, rows) =>
-        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-    }
+    val means = componentMeans(a1)
     val updated = seeds.map { case (cid, cv) => cid -> means.getOrElse(cid, cv) }
     e.withColumn("cluster", argmaxCos(col("_v"), updated))
       .select(col(idCol), col("cluster"))
+  }
+
+  /** Exact cosine over primitive float arrays — arithmetic-identical to
+    * the broadcast confirm's native [[graft.functions.CosineSim]] kernel
+    * (`VectorUtil.cosineF`): sequential double accumulation over
+    * float→double casts, 0.0 on a zero norm. */
+  private[graft] def cosArrF(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Exact cosine over primitive double arrays — term-for-term the same
+    * left-to-right IEEE fold as [[cosD]]'s HOF chain (so bit-equal on
+    * every defined input). Divergence, documented: a zero-norm vector
+    * yields 0.0 here where the HOF chain's ANSI division raises
+    * DIVIDE_BY_ZERO — the raw-IEEE kernel is strictly more defined (the
+    * same contract as [[graft.functions.CentroidArgmax]], ClusterSpec's
+    * zero-norm case). */
+  private[graft] def cosArrD(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The past-the-cutoff confirm: CLUSTER-LOCAL pairwise cosine. One
+    * shuffle of the n (id, cluster, vec) rows on `cluster`, then each
+    * cluster's pair set is scored entirely inside its group — the pair
+    * stream (O(n²/k) rows, ~n^1.5 at k ≈ √n) is never materialized,
+    * shuffled, or joined. The r12 fallback (two sort-merge joins
+    * attaching vectors to every pair) shuffled dim·8B per pair per side:
+    * at the 2M-vector point where the broadcast guard first engages that
+    * is ~10⁹ pairs × ~500 B ≈ 0.5 TB of shuffle for a 1 GB corpus —
+    * cluster-locality makes the fallback shuffle exactly the corpus
+    * once, which is the shape that survives 100 TB.
+    *
+    * Memory license: one cluster buffered per task — max cluster size ×
+    * dim × 8 B (+ boxing). k ≈ √n keeps the expected cluster at √n rows
+    * (≈ 1.4k vectors / ~1 MB at n=2M, dim=64); a pathologically skewed
+    * cluster of m rows costs m·dim·8 B heap and O(m²) local cosines —
+    * the operator's published complexity, paid in compute instead of
+    * shuffle I/O.
+    *
+    * Drop rule (identical to the broadcast branch): member j is dropped
+    * iff ANY lower-id cluster-mate i (kept or dropped itself) has
+    * cos(i, j) ≥ threshold. */
+  private def clusterLocalSemDedup(a: DataFrame, ef: DataFrame,
+      idCol: String, isFloat: Boolean, threshold: Double): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    // null ELEMENTS → typed zero before decoding to primitive arrays:
+    // exactly cosineF/cosD-with-nulls-as-0 semantics, and keeps the
+    // primitive-array encoder total.
+    val safeVec =
+      if (isFloat) transform(col("_vf"), x => coalesce(x, lit(0f)))
+      else transform(col("_vf"), x => coalesce(x, lit(0d)))
+    val fat = a.join(ef.withColumnRenamed(idCol, "_eid"),
+        col(idCol) === col("_eid"))
+      .select(col("cluster").cast("long").as("_1"),
+        col(idCol).cast("long").as("_2"), safeVec.as("_3"))
+    def dedupGroups[V](rows: org.apache.spark.sql.Dataset[(Long, Long, V)],
+        cos: (V, V) => Double): DataFrame =
+      rows.groupByKey(_._1).flatMapGroups { (cluster, it) =>
+        val members = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        members.indices.iterator.map { j =>
+          val vj = members(j)._2
+          var dropped = false
+          var i = 0
+          while (i < j && !dropped) {
+            if (cos(members(i)._2, vj) >= threshold) dropped = true
+            i += 1
+          }
+          (members(j)._1, cluster, !dropped)
+        }
+      }.toDF("_oid", "cluster", "kept")
+    val out =
+      if (isFloat) dedupGroups[Array[Float]](
+        fat.as[(Long, Long, Array[Float])], cosArrF)
+      else dedupGroups[Array[Double]](
+        fat.as[(Long, Long, Array[Double])], cosArrD)
+    out.withColumnRenamed("_oid", idCol).select(col(idCol), col("cluster"), col("kept"))
   }
 
   /** SemDeDup: within each k-means cluster, drop every vector whose
@@ -110,73 +217,109 @@ object KMeans {
     * (idCol, cluster, kept). */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       threshold: Double, broadcastConfirmMax: Long = 1500000L): DataFrame = {
-    val a = assignClusters(emb, idCol, vecCol, k)
-    // Pair enumeration is SKINNY (id, cluster) only: carrying both
-    // vectors through the cluster self-join shuffles ~520 B per pair —
-    // at 200k vectors / k=8 that is 2.5e9 pairs ≈ 40+ GB per side
-    // (measured: the sf10e gate ground >16 min before being killed).
-    // With ids only the same join moves 16 B per pair, and the cosine
-    // runs map-side against the broadcast vector table while it fits
-    // (n ≤ 1.5M — see the confirm-path guard below; past that the
-    // confirm switches to shuffle joins).
-    // ...and SALTED: a join keyed on `cluster` alone has at most k
-    // distinct keys, so at the fixed-k oracle setting (k=8) all 2.5e9
-    // within-cluster pairs landed on 8 tasks of a 32-thread session.
-    // Bucketing the right side by id % S and exploding the left across
-    // the S buckets keeps every pair exactly once while spreading the
-    // work over k·S join keys — full parallelism at any k.
-    val S = 32
-    val left = a.select(col(idCol).as("id_a"), col("cluster"))
-      .withColumn("_b", explode(array((0 until S).map(lit(_)): _*)))
-      // EXPLICIT partition count: the join inputs are tiny (n·S skinny
-      // rows), so AQE coalesces the pre-join shuffle to a few partitions
-      // and the 2.5e9-pair EXPLOSION then runs ~8-way; a user-specified
-      // repartition is exempt from coalescing and keeps all cores busy
-      .repartition(256, col("cluster"), col("_b"))
-    val right = a.select(col(idCol).as("id_b"), col("cluster"),
-      pmod(col(idCol), lit(S)).cast("int").as("_b"))
-    // Vectors keep their SOURCE element type (ADVICE r11): float inputs
-    // use the native codegen CosineSim (sequential double accumulation
-    // over float→double casts — term-for-term the same IEEE math as
-    // cosD's HOF fold and the oracle's list_sum, ~10× faster per pair
-    // than the interpreted HOF eval); double inputs stay double and use
-    // cosD, because a silent float downcast can flip near-threshold
-    // pairs relative to the oracle's double fold.
+    val (a, result) = semDedupBuild(emb, idCol, vecCol, k, threshold,
+      broadcastConfirmMax)
+    // Materialize-then-release (the Dedup pattern): the persist's
+    // lifetime is this call, never the session. Bench times builder +
+    // action together, so the eager hop stays inside the measured span.
+    val out = result.localCheckpoint(true)
+    a.unpersist()
+    out
+  }
+
+  /** [[semDedup]] internals: the PERSISTED skinny assignment (the caller
+    * owns its release) and the LAZY result plan — exposed so plan-shape
+    * specs can assert the confirm's kernel/join strategy before
+    * materialization hides it behind a checkpoint scan. */
+  private[graft] def semDedupBuild(emb: DataFrame, idCol: String,
+      vecCol: String, k: Int, threshold: Double,
+      broadcastConfirmMax: Long): (DataFrame, DataFrame) = {
+    // The assignment is persisted and counted ONCE (ADVICE r12): n picks
+    // the confirm strategy, and the materialized skinny frame feeds the
+    // confirm's 2-3 consumers — the previous eager emb.count() paid a
+    // full extra input scan AND recomputed the assignment per consumer.
+    val a = assignClusters(emb, idCol, vecCol, k).persist()
+    val n = a.count()
     val isFloat = emb.schema(vecCol).dataType match {
       case org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType, _) => true
       case _ => false
     }
+    // Vectors keep their SOURCE element type (ADVICE r11): float inputs
+    // use the native codegen CosineSim (sequential double accumulation
+    // over float→double casts — term-for-term the same IEEE math as
+    // cosD's HOF fold and the oracle's list_sum, ~10× faster per pair
+    // than the interpreted HOF eval); double inputs stay double, because
+    // a silent float downcast can flip near-threshold pairs relative to
+    // the oracle's double fold.
     val ef = emb.select(col(idCol),
       (if (isFloat) col(vecCol) else transform(col(vecCol), x => x.cast("double")))
         .as("_vf"))
-    def cos(x: Column, y: Column): Column =
-      if (isFloat) graft.similarity.Ann.cosine(x, y) else cosD(x, y)
-    val pairs = left.join(right, Seq("cluster", "_b"))
-      .filter(col("id_a") < col("id_b"))
-    // Exact-cosine confirm: map-side against the BROADCAST vector table
-    // while it plausibly fits (n·dim·4B ≈ 3.8 GB at 1.5M×640 float —
-    // the same cutoff as Dedup.nearDupEmbeddingLsh's confirm), because
-    // only the survivor set is then ever shuffled. PAST the cutoff the
-    // broadcast itself is the failure mode (VERDICT r11 #3: at 1B×64
-    // it is ~512 GB and the operator dies at exactly the scale it
-    // exists for), so the confirm falls back to two shuffle joins —
-    // sort-merge, spillable, bounded by cluster shuffle capacity, the
-    // pre-r11 shape that completes at any n (k ≈ √n keeps the pair
-    // stream itself O(n^1.5)).
-    val n = emb.select(col(idCol)).count()
-    val confirmed =
-      if (n <= broadcastConfirmMax) pairs
-        .join(broadcast(ef.select(col(idCol).as("id_a"), col("_vf").as("_va"))), "id_a")
-        .join(broadcast(ef.select(col(idCol).as("id_b"), col("_vf").as("_vb"))), "id_b")
-      else pairs
-        .join(ef.select(col(idCol).as("id_a"), col("_vf").as("_va")), "id_a")
-        .join(ef.select(col(idCol).as("id_b"), col("_vf").as("_vb")), "id_b")
-    val drops = confirmed
-      .filter(cos(col("_va"), col("_vb")) >= threshold)
-      .select(col("id_b").as(idCol)).distinct()
-      .withColumn("_dropped", lit(true))
-    a.join(drops, Seq(idCol), "left")
-      .select(col(idCol), col("cluster"), col("_dropped").isNull.as("kept"))
+    // Confirm-strategy cutoff, BYTE-aware (ADVICE r12 medium): the row
+    // cutoff was budgeted for float vectors (1.5M × 640 dim × 4 B ≈
+    // 3.8 GB); a double corpus at the same row count would broadcast
+    // ~7.7 GB per side — brushing Spark's 8 GB broadcast-table hard
+    // limit, the exact over-broadcast failure the guard exists to stop.
+    // The effective cutoff is min(rows, bytes/(dim·width)); dim comes
+    // from a 1-row probe (limit-1 scan).
+    val dim = emb.select(size(col(vecCol)).as("_d"))
+      .filter(col("_d") > 0).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(640)
+    val byteBudget = 1500000L * 640L * 4L // the float-era budget, explicit
+    val effectiveMax =
+      math.min(broadcastConfirmMax, byteBudget / (dim.toLong * (if (isFloat) 4L else 8L)))
+    val result =
+      if (n <= effectiveMax) {
+        // Pair enumeration is SKINNY (id, cluster) only: carrying both
+        // vectors through the cluster self-join shuffles ~520 B per pair —
+        // at 200k vectors / k=8 that is 2.5e9 pairs ≈ 40+ GB per side
+        // (measured: the sf10e gate ground >16 min before being killed).
+        // With ids only the same join moves 16 B per pair, and the cosine
+        // runs map-side against the broadcast vector table.
+        // ...and SALTED: a join keyed on `cluster` alone has at most k
+        // distinct keys, so at the fixed-k oracle setting (k=8) all 2.5e9
+        // within-cluster pairs landed on 8 tasks of a 32-thread session.
+        // Bucketing the right side by id % S and exploding the left across
+        // the S buckets keeps every pair exactly once while spreading the
+        // work over k·S join keys — full parallelism at any k.
+        val S = 32
+        val left = a.select(col(idCol).as("id_a"), col("cluster"))
+          .withColumn("_b", explode(array((0 until S).map(lit(_)): _*)))
+          // EXPLICIT partition count: the join inputs are tiny (n·S skinny
+          // rows), so AQE coalesces the pre-join shuffle to a few partitions
+          // and the 2.5e9-pair EXPLOSION then runs ~8-way; a user-specified
+          // repartition is exempt from coalescing and keeps all cores busy
+          .repartition(256, col("cluster"), col("_b"))
+        val right = a.select(col(idCol).as("id_b"), col("cluster"),
+          pmod(col(idCol), lit(S)).cast("int").as("_b"))
+        def cos(x: Column, y: Column): Column =
+          if (isFloat) graft.similarity.Ann.cosine(x, y) else cosD(x, y)
+        val pairs = left.join(right, Seq("cluster", "_b"))
+          .filter(col("id_a") < col("id_b"))
+        // Exact-cosine confirm, map-side against the BROADCAST vector
+        // table (fits by the byte-aware cutoff above): only the
+        // survivor set is ever shuffled.
+        val confirmed = pairs
+          .join(broadcast(ef.select(col(idCol).as("id_a"), col("_vf").as("_va"))), "id_a")
+          .join(broadcast(ef.select(col(idCol).as("id_b"), col("_vf").as("_vb"))), "id_b")
+        val drops = confirmed
+          .filter(cos(col("_va"), col("_vb")) >= threshold)
+          .select(col("id_b").as(idCol)).distinct()
+          .withColumn("_dropped", lit(true))
+        a.join(drops, Seq(idCol), "left")
+          .select(col(idCol), col("cluster"), col("_dropped").isNull.as("kept"))
+      } else {
+        // PAST the cutoff the broadcast itself is the failure mode
+        // (VERDICT r11 #3: at 1B×64 it is ~512 GB and the operator dies
+        // at exactly the scale it exists for) — the confirm goes
+        // cluster-local: shuffle the corpus once on `cluster`, score
+        // each cluster's pairs inside the group, never materialize the
+        // pair stream (see [[clusterLocalSemDedup]]).
+        System.err.println(s"[semdedup] n=$n exceeds the confirm broadcast " +
+          s"cutoff (effective $effectiveMax rows at dim=$dim) — " +
+          "cluster-local confirm engaged")
+        clusterLocalSemDedup(a, ef, idCol, isFloat, threshold)
+      }
+    (a, result)
   }
 }

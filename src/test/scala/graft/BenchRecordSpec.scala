@@ -72,6 +72,65 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(m.get("oracle_engine_value").asDouble() === 10.45)
   }
 
+  test("head-stamped oracle blocks survive a same-head rerun at ANY timing drift") {
+    // ADVICE r12: the 2% value rule dropped valid blocks on every rerun
+    // (this host's fixed-code window is ±13%) — staleness is CODE
+    // identity. Same head, value 30% off: keep.
+    val old =
+      """{"value":8.0,"oracle_engine_value":8.0,"oracle_engine_head":"abc123","oracle_ratio":{"q1_agg":5.2}}"""
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.mergePreserving(fresh, Some(old), Some("abc123")))
+    assert(m.get("oracle_ratio").get("q1_agg").asDouble() === 5.2)
+    assert(m.get("oracle_engine_head").asText() === "abc123")
+  }
+
+  test("head-stamped oracle blocks are dropped on a DIFFERENT head, even at equal timings") {
+    val old =
+      """{"value":10.5,"oracle_engine_value":10.5,"oracle_engine_head":"abc123","oracle_ratio":{"q1_agg":5.2},"foreign_other":"kept"}"""
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.mergePreserving(fresh, Some(old), Some("def456")))
+    assert(!m.has("oracle_ratio") && !m.has("oracle_engine_head"),
+      "different code head => ratios describe other code, must drop")
+    assert(m.get("foreign_other").asText() === "kept")
+  }
+
+  test("head stamp without a resolvable current head falls back to the value rule") {
+    val old =
+      """{"value":155.7,"oracle_engine_value":144.2,"oracle_engine_head":"abc123","oracle_ratio":{"q1_agg":5.2}}"""
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.mergePreserving(fresh, Some(old), None)) // fresh value=10.5
+    assert(!m.has("oracle_ratio"), "no head to compare => the 2% value rule decides")
+  }
+
+  test("gitHead resolves this checkout to a 40-hex commit") {
+    val head = Bench.gitHead(new java.io.File("."))
+    assert(head.exists(_.matches("[0-9a-f]{40}")), s"got $head")
+  }
+
+  test("Round.derive: id = max committed official artifact + 1 (the r11 lag case)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_round_spec").toFile
+    assert(Round.derive(dir) === "r1") // bare tree
+    java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_r09.json"), "{}")
+    java.nio.file.Files.writeString(dir.toPath.resolve("CORRECTNESS_r12.json"), "{}")
+    java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_local_r99.json"), "{}")
+    java.nio.file.Files.writeString(dir.toPath.resolve("bench.json"), "{}")
+    // r12 is the newest OFFICIAL artifact; local/bench files don't count
+    assert(Round.derive(dir) === "r13")
+  }
+
+  test("Round.id on this repo is strictly past every committed official artifact") {
+    val root = new java.io.File(System.getProperty("user.dir"))
+    val stamped = Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap(f => Round.artifactPattern.findFirstMatchIn(f.getName)
+        .map(_.group(1).toInt))
+    val raw = Round.id.stripPrefix("r")
+    assume(raw.nonEmpty && raw.forall(_.isDigit)) // non-numeric env override
+    val cur = raw.toInt
+    assert(stamped.isEmpty || cur > stamped.max,
+      s"Round.id=${Round.id} lags the newest official artifact r${stamped.max} — " +
+        "an official rerun would overwrite the PRIOR round's record (the r11 failure)")
+  }
+
   test("SPARK_GRAFT_ONLY parsing trims names; unknown names are flagged") {
     val only = Bench.parseOnly(Some(" q1_agg , q6_filter_agg ,, q_ann_lsh "))
     assert(only.contains(Set("q1_agg", "q6_filter_agg", "q_ann_lsh")))

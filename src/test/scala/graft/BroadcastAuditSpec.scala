@@ -47,7 +47,8 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "graft/text/Retrieval.scala" -> 5, // df table/postings (vocab-bounded) + scalars
     "graft/dedup/Dedup.scala" -> 4, // 2 size-GUARDED (n<=1.5M, shuffle fallback) + 2 capped exact-pair sides
     "graft/similarity/Ann.scala" -> 11, // query side of ANN probes (queries << corpus by contract)
-    "graft/similarity/KMeans.scala" -> 2 // size-GUARDED confirm (broadcastConfirmMax, shuffle fallback)
+    "graft/similarity/KMeans.scala" -> 2, // size-GUARDED confirm (broadcastConfirmMax, cluster-local fallback)
+    "graft/NaturalScale.scala" -> 3 // sampled-gate tables: rows = n/mod, bounded by the sampling modulus
   )
 
   test("every broadcast() call site in main source is audited") {

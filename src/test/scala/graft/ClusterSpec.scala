@@ -62,6 +62,27 @@ class ClusterSpec extends AnyFunSuite {
     assert(sd.filter(col("kept")).count() >= 3, "only true near-dups drop")
   }
 
+  test("componentMeans collects the model as O(k·dim) primitive doubles") {
+    import spark.implicits._
+    // VERDICT r12 #2: at production k = √n the k×dim means came back as
+    // boxed three-field Rows (~10× driver overhead on a 160 MB model);
+    // the collect must be k entries, each ONE primitive double array.
+    val a1 = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), 10L),
+      (2L, Seq(3.0, 4.0, 5.0), 10L),
+      (3L, Seq(0.0, 0.5, 1.0), 20L)
+    ).toDF("vec_id", "_v", "_c")
+    val means = KMeans.componentMeans(a1)
+    assert(means.keySet === Set(10L, 20L))
+    means.values.foreach { v =>
+      assert(v.getClass === classOf[Array[Double]], v.getClass.toString)
+      assert(v.length === 3)
+    }
+    // exact fixed-point means, dims in order
+    assert(means(10L).toSeq === Seq(2.0, 3.0, 4.0))
+    assert(means(20L).toSeq === Seq(0.0, 0.5, 1.0))
+  }
+
   test("native centroid_argmax is bit-equal to the HOF struct-max form") {
     import spark.implicits._
     // the gates replay the assignment in DuckDB, so the fused kernel
@@ -115,10 +136,12 @@ class ClusterSpec extends AnyFunSuite {
     assert(zero === 3L)
   }
 
-  test("semDedup shuffle-confirm fallback equals the broadcast path") {
-    // VERDICT r11 #3: the confirm must not broadcast an unbounded corpus.
-    // Forcing the cutoff to 0 exercises the shuffle-join fallback; the
-    // answer must be identical to the guarded broadcast fast path.
+  test("semDedup cluster-local fallback equals the broadcast path") {
+    // VERDICT r11 #3 / r12 task 1: the confirm must not broadcast an
+    // unbounded corpus. Forcing the cutoff to 0 exercises the past-cutoff
+    // CLUSTER-LOCAL confirm (one corpus shuffle on `cluster`, pairs
+    // scored inside each group, never materialized); the answer must be
+    // identical to the guarded broadcast fast path.
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding")
     def run(cutoff: Long) =
@@ -141,17 +164,24 @@ class ClusterSpec extends AnyFunSuite {
       (2L, Array(0.96, 0.28, 0.0, 0.0)),
       (3L, Array(0.0, 1.0, 0.0, 0.0))
     ).toDF("vec_id", "embedding")
-    val sd = KMeans.semDedup(embD, "vec_id", "embedding", k = 2, threshold = 0.9)
-    val plan = sd.queryExecution.executedPlan.toString
+    // the LAZY build plan — the public semDedup materializes behind a
+    // checkpoint scan, which hides the confirm's kernel from explain
+    val (aD, sdLazy) = KMeans.semDedupBuild(embD, "vec_id", "embedding",
+      k = 2, threshold = 0.9, broadcastConfirmMax = 1500000L)
+    val plan = sdLazy.queryExecution.executedPlan.toString
     assert(!plan.contains("cosine_sim"),
       s"double input must not route through the float kernel:\n${plan.take(1500)}")
+    aD.unpersist()
+    val sd = KMeans.semDedup(embD, "vec_id", "embedding", k = 2, threshold = 0.9)
     assert(sd.count() == 3)
     // float input keeps the fast native kernel
     val embF = embD.select(col("vec_id"),
       col("embedding").cast("array<float>").as("embedding"))
-    val planF = KMeans.semDedup(embF, "vec_id", "embedding", k = 2, threshold = 0.9)
-      .queryExecution.executedPlan.toString
+    val (aF, sdF) = KMeans.semDedupBuild(embF, "vec_id", "embedding",
+      k = 2, threshold = 0.9, broadcastConfirmMax = 1500000L)
+    val planF = sdF.queryExecution.executedPlan.toString
     assert(planF.contains("cosine_sim"), planF.take(1500))
+    aF.unpersist()
   }
 
   test("persisted IVF index probes equal the in-line IVF answers") {
