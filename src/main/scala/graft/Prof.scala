@@ -126,8 +126,64 @@ object Prof {
     spark.stop()
   }
 
+  /** Driver-phase attribution (VERDICT r12 task 4): where do the
+    * seconds of a wall >> stage-sum query actually go on the DRIVER?
+    * Per query: warmup, then a measured pass split into BUILD (the
+    * `queries(name)` builder call — every intermediate Dataset the API
+    * chain creates is analyzed eagerly here) and ACTION (`count()` —
+    * final analysis/optimization/physical planning/codegen + execution),
+    * plus the final plan's QueryPlanningTracker phase summary and a
+    * SECOND count() on the SAME DataFrame (what a reused plan costs). */
+  private def profilePhases(queries: Seq[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    queries.foreach { name =>
+      SparkEntry.queries(name)(spark, d).count() // warmup
+      spark.sqlContext.clearCache()
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, d)
+      val t1 = System.nanoTime()
+      df.count(): Unit
+      val t2 = System.nanoTime()
+      df.count(): Unit
+      val t3 = System.nanoTime()
+      // split the COUNT's own QueryExecution into optimize / physical-plan
+      // / execute — count() builds a fresh QueryExecution per call, so
+      // the reused-DF number above still pays all three
+      val cnt = df.groupBy().count()
+      val qe = cnt.queryExecution
+      val p0 = System.nanoTime()
+      qe.optimizedPlan
+      val p1 = System.nanoTime()
+      qe.executedPlan
+      val p2 = System.nanoTime()
+      cnt.collect(): Unit
+      val p3 = System.nanoTime()
+      println(f"%n== $name ==")
+      println(f"build ${(t1 - t0) / 1e9}%.3fs  first-count ${(t2 - t1) / 1e9}%.3fs  second-count(same DF) ${(t3 - t2) / 1e9}%.3fs")
+      println(f"count-QE: optimize ${(p1 - p0) / 1e9}%.3fs  physical-plan ${(p2 - p1) / 1e9}%.3fs  execute(incl AQE+codegen) ${(p3 - p2) / 1e9}%.3fs")
+      qe.tracker.phases.foreach { case (phase, s) =>
+        println(f"  phase $phase%-16s ${(s.endTimeMs - s.startTimeMs) / 1000.0}%.3fs")
+      }
+      qe.tracker.topRulesByTime(8).foreach { case (rn, rs) =>
+        println(f"  rule ${rn.split('.').last}%-40s ${rs.totalTimeNs / 1e9}%.3fs (${rs.numInvocations} invocations)")
+      }
+      spark.sqlContext.clearCache()
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("stages")) { profileStages(args.toSeq.drop(1)); return }
+    if (args.headOption.contains("phases")) { profilePhases(args.toSeq.drop(1)); return }
     if (args.headOption.contains("ann")) { profileAnnRecall(); return }
     val spark = SparkSession.builder()
       .master("local[32]")

@@ -17,7 +17,24 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Tables {
   def apply(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(s, dir) else s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(s, dir) else readCached(s, s"$dir/$name.parquet")
+
+  /** Parquet SCHEMA cache per (session, path): without it every
+    * `spark.read.parquet` runs a 1-task footer-inference job (~30-50 ms
+    * plus driver gaps — the `parquet at Tables.scala` stages in the
+    * q_pipeline_golden timeline profile), and a bench pass over 333
+    * queries pays it 1-3× per query build. Only the SCHEMA is cached —
+    * file listing still happens per read, so a same-session append to a
+    * staged dir stays visible; schemas are stable per path (appends are
+    * schema-preserving by construction). Keyed on session identity:
+    * a new session re-infers once. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), org.apache.spark.sql.types.StructType]()
+  private def readCached(s: SparkSession, path: String): DataFrame = {
+    val sch = schemaCache.computeIfAbsent(
+      (System.identityHashCode(s), path), _ => s.read.parquet(path).schema)
+    s.read.schema(sch).parquet(path)
+  }
 
   /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
     * drops (which Spark 4 refuses to read natively — nanosAsLong turns
@@ -27,7 +44,7 @@ object Tables {
     * TimestampType column every downstream query was built against. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = readCached(s, s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // nanos-as-long drop
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
