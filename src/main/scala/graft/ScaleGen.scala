@@ -151,7 +151,17 @@ object ScaleGen {
         // ceiling division (ADVICE r11): truncation could make group part
         // counts sum BELOW the >=8-part floor (parts=8, copies=15 → 5+2=7)
         val gParts = math.max(1, (parts * g.size + copies - 1) / copies)
-        out.repartition(gParts).write
+        // SKIP the repartition shuffle for big tables: its only purpose is
+        // the >=8-part floor for small inputs, and a big staged table
+        // (lineitem x10 at the sf100 point = 13 GB) already carries >=
+        // copies x input-split parts naturally — shuffling it doubles the
+        // transient disk (shuffle files + parquet temporaries) and killed
+        // the sf100 staging on a 27 GB-free box ("No space left on
+        // device") for zero layout benefit.
+        val writer =
+          if (srcBytes(s"$srcDir/$t.parquet") * g.size > (512L << 20)) out
+          else out.repartition(gParts)
+        writer.write
           .mode(if (gi == 0) "overwrite" else "append")
           .parquet(s"$destDir/$t.parquet")
       }

@@ -43,7 +43,7 @@ object ApiOps {
          |  count(*) FILTER (WHERE o_orderkey % 7 = 0) AS n_repaired
          |FROM orders""".stripMargin) { (s, d) =>
       val ctx = new Context(s)
-      val out = java.nio.file.Files.createTempDirectory("graft_csv_rs").toString + "/dirty"
+      val out = TempDirs.tempDir("graft_csv_rs") + "/dirty"
       Tables(s, d, "orders")
         .select(concat_ws(",", col("o_orderkey"),
           when(col("o_orderkey") % 7 === 0, concat(lit("USD"), col("o_totalprice")))

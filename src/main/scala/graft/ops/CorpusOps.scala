@@ -484,7 +484,7 @@ object CorpusOps {
     Q("q_dedup_index_update", DeltaOracle) { (s, d) =>
       val docs = SynthText.docs(s, d)
       val path = indexUpdateDirs.computeIfAbsent(d, _ => {
-        val w = java.nio.file.Files.createTempDirectory("graft_idxup").toString
+        val w = TempDirs.tempDir("graft_idxup")
         graft.dedup.Dedup.buildCorpusIndex(
           docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
           "doc_id", "text", s"$w/v1", k = 3, numHashes = 64, bands = 32)
@@ -1386,7 +1386,7 @@ object CorpusOps {
          |       JOIN sz sc ON corpus_id = sc.doc_id""".stripMargin) { (s, d) =>
       val docs = Tables(s, d, "documents")
       val path = winnowIndexDirs.computeIfAbsent(d, _ => {
-        val w = java.nio.file.Files.createTempDirectory("graft_widx").toString
+        val w = TempDirs.tempDir("graft_widx")
         buildWinnowIndex(docs.filter(col("doc_id") % 10 =!= 0), s"$w/v1",
           dfCap = 20L)
         s"$w/v1"

@@ -20,7 +20,7 @@ import Tables.{dsum, oSum}
 object CoverageOps {
 
   private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    TempDirs.tempDir(prefix)
 
   /** Schema-evolution fixture dirs, staged once per source dir. */
   private val schemaEvoDirs =

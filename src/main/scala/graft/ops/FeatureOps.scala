@@ -51,7 +51,7 @@ object FeatureOps {
   private val aggStateDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def aggState(s: SparkSession, d: String): DataFrame = {
     val p = aggStateDirs.computeIfAbsent(d, _ => {
-      val w = java.nio.file.Files.createTempDirectory("graft_aggstate").toString
+      val w = TempDirs.tempDir("graft_aggstate")
       orders(s, d)
         .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
         .groupBy("o_orderstatus", "o_orderpriority")

@@ -113,7 +113,7 @@ object LogsOps {
     }) { (s, d) =>
       val ctx = new Context(s)
       // fixture: synthesize the raw log file through a real text sink
-      val dir = Files.createTempDirectory("graft_logs").toString
+      val dir = TempDirs.tempDir("graft_logs")
       Tables(s, d, "events").select(lineCol.as("value"))
         .coalesce(4).write.mode("overwrite").text(dir)
       val badIps = Tables(s, d, "events")
@@ -184,7 +184,7 @@ object LogsOps {
          |FROM n""".stripMargin
     }) { (s, d) =>
       val ctx = new Context(s)
-      val dir = Files.createTempDirectory("graft_311").toString
+      val dir = TempDirs.tempDir("graft_311")
       val boroughs = array(lit("MANHATTAN"), lit("BROOKLYN"), lit("QUEENS"),
         lit("BRONX"), lit("STATEN ISLAND"))
       val e = col("event_id")

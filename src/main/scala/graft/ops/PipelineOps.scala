@@ -85,7 +85,7 @@ object PipelineOps {
       fixture: String, emb: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val path = annTruthDirs.computeIfAbsent(s"$d#$fixture", _ => {
-      val w = java.nio.file.Files.createTempDirectory("graft_ann_truth").toString
+      val w = TempDirs.tempDir("graft_ann_truth")
       val e = emb
       Ann.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
         .select("query_id", "neighbor_id")
@@ -118,7 +118,7 @@ object PipelineOps {
       val tag = Integer.toHexString(d.hashCode)
       val li = s"graft_tmp.q_li_bkt_$tag"
       val ord = s"graft_tmp.q_ord_bkt_$tag"
-      val root = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+      val root = TempDirs.tempDir("graft_bucketed")
       s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
       Scale.writeBucketed(Tables(s, d, "lineitem").select("l_orderkey", "l_quantity"),
         li, s"$root/li", "l_orderkey", 8)
@@ -808,7 +808,7 @@ object PipelineOps {
       val exactPath = embedTruthDirs.computeIfAbsent(d, _ => {
         val emb = Tables(s, d, "embeddings")
         val m = math.max(1L, math.ceil(emb.count() / 20000.0).toLong)
-        val w = java.nio.file.Files.createTempDirectory("graft_embed_truth").toString
+        val w = TempDirs.tempDir("graft_embed_truth")
         Dedup.nearDupEmbedding(emb.filter(col("vec_id") % m === 0),
             "vec_id", "embedding", threshold = 0.45)
           .coalesce(1).write.mode("overwrite").parquet(w)
@@ -1054,7 +1054,7 @@ object PipelineOps {
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 8") { (s, d) =>
       val emb = clusteredEmb(s, d)
       val path = pqIndexDirs.computeIfAbsent(d, _ => {
-        val w = java.nio.file.Files.createTempDirectory("graft_pq").toString
+        val w = TempDirs.tempDir("graft_pq")
         Ann.buildPqIndex(emb, w, dim = 64, m = 8, ksub = 32)
         w
       })
@@ -1074,7 +1074,7 @@ object PipelineOps {
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 8") { (s, d) =>
       val emb = clusteredEmb(s, d)
       val path = ivfIndexDirs.computeIfAbsent(d, _ => {
-        val w = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+        val w = TempDirs.tempDir("graft_ivf")
         Ann.buildIvfIndex(emb, w, nCells = 16)
         w
       })
@@ -1096,9 +1096,9 @@ object PipelineOps {
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 8") { (s, d) =>
       val emb = clusteredEmb(s, d)
       val merged = ivfMergedDirs.computeIfAbsent(d, _ => {
-        val base = java.nio.file.Files.createTempDirectory("graft_ivf_base").toString
+        val base = TempDirs.tempDir("graft_ivf_base")
         Ann.buildIvfIndex(emb.filter(col("vec_id") % 3 =!= 0), base, nCells = 16)
-        val out = java.nio.file.Files.createTempDirectory("graft_ivf_v2").toString
+        val out = TempDirs.tempDir("graft_ivf_v2")
         Ann.mergeIvfIndex(s, base, emb.filter(col("vec_id") % 3 === 0), out)
         out
       })
@@ -1436,7 +1436,7 @@ object PipelineOps {
         |FROM events""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.functions.{count => fcount}
       val frag = compactDirs.computeIfAbsent(d, _ => {
-        val w = java.nio.file.Files.createTempDirectory("graft_frag").toString
+        val w = TempDirs.tempDir("graft_frag")
         Tables(s, d, "events").repartition(64)
           .write.mode("overwrite").parquet(s"$w/small")
         w
@@ -1458,7 +1458,7 @@ object PipelineOps {
         |FROM events WHERE event_type = 'click'""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.functions.{count => fcount}
       val root = partitionedDirs.computeIfAbsent(d, _ => {
-        val w = java.nio.file.Files.createTempDirectory("graft_part").toString
+        val w = TempDirs.tempDir("graft_part")
         Tables(s, d, "events").write.mode("overwrite")
           .partitionBy("event_type").parquet(w)
         w
@@ -1493,7 +1493,7 @@ object PipelineOps {
          |  true AS untouched_ok
          |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.functions.{count => fcount}
-      val root = java.nio.file.Files.createTempDirectory("graft_dynpart").toString
+      val root = TempDirs.tempDir("graft_dynpart")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       Tables(s2, d, "events").write.mode("overwrite")

@@ -86,7 +86,7 @@ object RetrievalOps {
          |FROM sc ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin
     }) { (s, d) =>
       val path = textIndexDirs.computeIfAbsent(d, _ => {
-        val w = java.nio.file.Files.createTempDirectory("graft_text_idx").toString
+        val w = TempDirs.tempDir("graft_text_idx")
         Retrieval.buildTextIndex(documents(s, d), "doc_id", "text", w)
         w
       })

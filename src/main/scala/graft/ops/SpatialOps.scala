@@ -239,7 +239,7 @@ object SpatialOps {
     }) { (s, d) =>
       val r = 20000L
       val path = gridIndexDirs.computeIfAbsent(d, _ => {
-        val w = java.nio.file.Files.createTempDirectory("graft_grid_idx").toString
+        val w = TempDirs.tempDir("graft_grid_idx")
         buildGridIndex(points(supplier(s, d), "s_suppkey", "lid"), r, w)
         w
       })

@@ -17,7 +17,7 @@ object StreamMediaOps {
   private val imageIdxDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def pngFixture(s: org.apache.spark.sql.SparkSession, d: String) = {
     val p = pngDirs.computeIfAbsent(d, _ => {
-      val w = java.nio.file.Files.createTempDirectory("graft_png").toString
+      val w = TempDirs.tempDir("graft_png")
       Multimodal.withPngPayload(Tables(s, d, "documents").select("doc_id"), "doc_id")
         .write.mode("overwrite").parquet(w)
       w
@@ -29,7 +29,7 @@ object StreamMediaOps {
   private val wavDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def wavFixture(s: org.apache.spark.sql.SparkSession, d: String) = {
     val p = wavDirs.computeIfAbsent(d, _ => {
-      val w = java.nio.file.Files.createTempDirectory("graft_wav").toString
+      val w = TempDirs.tempDir("graft_wav")
       Multimodal.withWavPayload(Tables(s, d, "documents").select("doc_id"), "doc_id")
         .write.mode("overwrite").parquet(w)
       w
@@ -42,7 +42,7 @@ object StreamMediaOps {
   private val aviDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def aviFixture(s: org.apache.spark.sql.SparkSession, d: String) = {
     val p = aviDirs.computeIfAbsent(d, _ => {
-      val w = java.nio.file.Files.createTempDirectory("graft_avi").toString
+      val w = TempDirs.tempDir("graft_avi")
       Multimodal.withAviPayload(Tables(s, d, "documents").select("doc_id"), "doc_id")
         .write.mode("overwrite").parquet(w)
       w
@@ -594,7 +594,7 @@ object StreamMediaOps {
         |  FROM v a JOIN v b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
         |SELECT probe_id, corpus_id, hamming FROM p WHERE hamming <= 3""".stripMargin) { (s, d) =>
       val path = imageIdxDirs.computeIfAbsent(d, _ => {
-        val w = java.nio.file.Files.createTempDirectory("graft_img_idx").toString
+        val w = TempDirs.tempDir("graft_img_idx")
         Multimodal.buildImageHashIndex(
           pngFixture(s, d).filter(col("doc_id") % 5 =!= 0), "doc_id", "payload", w)
         w

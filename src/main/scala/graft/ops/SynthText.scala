@@ -122,7 +122,7 @@ object SynthText {
     * (a one-off scan at staging time, not a per-query cost). */
   def docs(s: SparkSession, d: String): DataFrame = {
     val path = stagedDirs.computeIfAbsent(d, _ => {
-      val w = java.nio.file.Files.createTempDirectory("graft_synth_text").toString
+      val w = TempDirs.tempDir("graft_synth_text")
       Tables(s, d, "documents")
         .crossJoin(Tables(s, d, "lineitem").agg(count(lit(1)).as("salt")))
         .select(col("doc_id"), expr(textExpr("spark")).as("text"))

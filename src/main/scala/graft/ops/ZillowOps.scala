@@ -70,9 +70,9 @@ object ZillowOps {
          |  AND price > 100000 AND price <= 20000000""".stripMargin
     }) { (s, d) =>
       val ctx = new Context(s)
-      val root = java.nio.file.Files.createTempDirectory("graft_zillow").toString
+      val root = TempDirs.tempDir("graft_zillow")
       val listings = listingsDirs.computeIfAbsent(d, _ => {
-        val w = java.nio.file.Files.createTempDirectory("graft_zillow_in").toString
+        val w = TempDirs.tempDir("graft_zillow_in")
 
       // ---- synthesize the dirty listings csv (deterministic from orders) --
       val k = col("o_orderkey")
