@@ -201,10 +201,19 @@ def main():
                 continue
             row = {}
             for sf, pdir, eng in points:
+                # single-family staged points omit tables their sweep
+                # queries never read; a query with no engine timing at
+                # this point gets no oracle timing either (a DuckDB-only
+                # number is not a ratio, and e.g. zillow at sf100 costs
+                # ~10 min of oracle time)
+                if eng.get(name, -1.0) < 0:
+                    row[sf] = None
+                    continue
                 c2 = duckdb.connect()
                 for t in TABLES:
-                    c2.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                               f"'{table_src(pdir, t)}'")
+                    if os.path.exists(f"{pdir}/{t}.parquet"):
+                        c2.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                                   f"'{table_src(pdir, t)}'")
                 sql2 = fair_replay_sql(name) or oracle[name]
                 c2.execute(sql2).fetchall()
                 runs = []
