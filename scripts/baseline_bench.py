@@ -240,15 +240,25 @@ def main():
     bench["oracle_engine_calibration"] = bench.get("calibration_sec")
     # Code-identity stamp (ADVICE r12): Bench's merge guard keeps these
     # blocks across same-head reruns (timing windows are ±13% at fixed
-    # code) and drops them the moment the head changes.
+    # code) and drops them the moment the head changes. ADVICE r13: HEAD
+    # alone misses (a) uncommitted working-tree changes — the normal dev
+    # loop edits engine code and reruns Bench before committing — and
+    # (b) a same-head rerun against a DIFFERENT SF data dir. So the stamp
+    # appends "-dirty" when the tree differs from HEAD (a dirty stamp
+    # never matches in the merge guard) and the SF dir is stamped
+    # separately (compared against the fresh run's "sf" field).
     try:
         import subprocess
-        bench["oracle_engine_head"] = subprocess.check_output(
-            ["git", "rev-parse", "HEAD"],
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            text=True).strip()
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        head = subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], cwd=repo_root, text=True).strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=no"],
+            cwd=repo_root, text=True, capture_output=True).stdout.strip()
+        bench["oracle_engine_head"] = head + ("-dirty" if dirty else "")
     except Exception:
         pass
+    bench["oracle_engine_sf"] = bench.get("sf") or sfdir
     bench["oracle_note"] = (
         "DuckDB timing of the verified oracle SQL on the same parquet, "
         "warmup + min of 2, all cores; ratio = engine/duckdb. Single-point "

@@ -50,6 +50,21 @@ def main():
         if os.path.exists(p):
             backups[p] = open(p).read()
 
+    # Restoration must survive ANY exit path (ADVICE r13: a mid-sweep
+    # exception — failed subprocess, bad-JSON parse — previously skipped
+    # the restore and left the official artifacts clobbered by the last
+    # noise run, the exact failure this backup exists to prevent).
+    import atexit
+
+    def _restore():
+        for p, content in backups.items():
+            with open(p, "w") as f:
+                f.write(content)
+        if backups:
+            print(f"restored pre-sweep artifacts: "
+                  f"{', '.join(os.path.basename(p) for p in backups)}")
+    atexit.register(_restore)
+
     per_run, calibs, calibs_mc, totals = [], [], [], []
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sfdir)
     if mode == "headline":
@@ -97,12 +112,6 @@ def main():
            "queries": table}
     with open(out, "w") as f:
         json.dump(rec, f, indent=1, sort_keys=True)
-    for p, content in backups.items():
-        with open(p, "w") as f:
-            f.write(content)
-    if backups:
-        print(f"restored pre-sweep artifacts: "
-              f"{', '.join(os.path.basename(p) for p in backups)}")
     worst = max(table.items(), key=lambda kv: kv[1]["spread_pct"])
     print(f"\n{len(table)} queries -> {out}; worst spread: "
           f"{worst[0]} {worst[1]['spread_pct']}%")

@@ -75,8 +75,52 @@ object Bench {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Do the two commits differ on ENGINE code (src/, build.sbt,
+    * project/)? None when git cannot answer (not a checkout, git missing,
+    * unknown commit) — the caller must treat None as "assume they do".
+    * This is VERDICT r13 #1's fix: the driver's end-of-round snapshot
+    * commit is artifact-only, so ratios stamped one or two doc commits
+    * earlier still describe the same engine and should merge forward. */
+  private[graft] def engineCodeDiffers(root: java.io.File)(
+      a: String, b: String): Option[Boolean] =
+    try {
+      val p = new ProcessBuilder("git", "diff", "--name-only", a, b)
+        .directory(root).redirectErrorStream(false).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (p.waitFor() != 0) None
+      else Some(out.linesIterator.exists(l =>
+        l.startsWith("src/") || l.startsWith("build.sbt") || l.startsWith("project/")))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Staleness decision for the existing record's oracle_* blocks, pulled
+    * out for spec-ability. Stale when:
+    *   - the stamped SF dir differs from the fresh run's (ADVICE r13:
+    *     same-head rerun against different data),
+    *   - the stamp is "-dirty" (measured on an uncommitted tree — there
+    *     is no commit to compare against, ADVICE r13),
+    *   - heads differ AND the intervening diff touches engine code (or
+    *     git cannot prove it doesn't),
+    *   - legacy record without a head stamp: the r12 2% value rule. */
+  private[graft] def oracleStale(headStamp: Option[String],
+      sfStamp: Option[String], currentHead: Option[String],
+      freshSf: Option[String], legacyValueStale: => Boolean,
+      codeDiffers: (String, String) => Option[Boolean]): Boolean = {
+    val sfMismatch = (sfStamp, freshSf) match {
+      case (Some(a), Some(b)) => a != b
+      case _ => false
+    }
+    sfMismatch || ((headStamp, currentHead) match {
+      case (Some(stamp), _) if stamp.endsWith("-dirty") => true
+      case (Some(stamp), Some(cur)) =>
+        stamp != cur && codeDiffers(stamp, cur).getOrElse(true)
+      case _ => legacyValueStale
+    })
+  }
+
   private[graft] def mergePreserving(fresh: String, existing: Option[String],
-      currentHead: Option[String] = None): String =
+      currentHead: Option[String] = None,
+      codeDiffers: (String, String) => Option[Boolean] = (_, _) => None): String =
     existing match {
       case None => fresh
       case Some(old) =>
@@ -90,18 +134,18 @@ object Bench {
           else {
             val tgt = fn.asInstanceOf[ObjectNode]
             val headStamp = Option(on.get("oracle_engine_head")).map(_.asText())
-            val oracleStale = (headStamp, currentHead) match {
-              // head-stamped record, resolvable HEAD: code identity decides
-              case (Some(stamp), Some(cur)) => stamp != cur
-              // legacy record / unresolvable HEAD: the r12 value rule
-              case _ => on.has("oracle_engine_value") && {
+            val sfStamp = Option(on.get("oracle_engine_sf")).map(_.asText())
+            val freshSf = Option(fn.get("sf")).map(_.asText())
+            val oracleStale = this.oracleStale(headStamp, sfStamp, currentHead,
+              freshSf,
+              legacyValueStale = on.has("oracle_engine_value") && {
                 val stamp = on.get("oracle_engine_value").asDouble(Double.NaN)
                 val freshTotal =
                   if (fn.has("value")) fn.get("value").asDouble(Double.NaN) else Double.NaN
                 !(stamp.isNaN || freshTotal.isNaN) &&
                   math.abs(stamp - freshTotal) > 0.02 * math.max(stamp, freshTotal)
-              }
-            }
+              },
+              codeDiffers)
             if (oracleStale) System.err.println(
               "[bench] existing oracle_* blocks were measured on a different " +
               "run of different code (head/value stamp mismatch) — dropped; " +
@@ -371,8 +415,10 @@ object Bench {
     if (only.isEmpty) {
       val existing =
         if (Files.exists(benchRecord)) Some(Files.readString(benchRecord)) else None
-      val head = gitHead(new java.io.File(System.getProperty("user.dir")))
-      Files.writeString(benchRecord, mergePreserving(full, existing, head) + "\n")
+      val root = new java.io.File(System.getProperty("user.dir"))
+      val head = gitHead(root)
+      Files.writeString(benchRecord,
+        mergePreserving(full, existing, head, engineCodeDiffers(root)) + "\n")
     }
     // Compact stdout line: BASELINE.md's headline workloads only (TPC-H
     // Q1/Q6/Q19, the three golden pipelines, dedup/ANN/stream/csv). MUST

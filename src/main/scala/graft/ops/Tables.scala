@@ -28,11 +28,24 @@ object Tables {
     * staged dir stays visible; schemas are stable per path (appends are
     * schema-preserving by construction). Keyed on session identity:
     * a new session re-infers once. */
-  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), org.apache.spark.sql.types.StructType]()
+  private val schemaCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]]())
   private def readCached(s: SparkSession, path: String): DataFrame = {
-    val sch = schemaCache.computeIfAbsent(
-      (System.identityHashCode(s), path), _ => s.read.parquet(path).schema)
+    // Weak-keyed on the session itself (ADVICE r13: identityHashCode can
+    // collide between a collected session and a new one — a stale schema
+    // for a regenerated path — and dead-session entries accumulated
+    // unboundedly). A collected session's per-path map is simply evicted.
+    val perPath = schemaCache.synchronized {
+      var m = schemaCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[
+          String, org.apache.spark.sql.types.StructType]()
+        schemaCache.put(s, m)
+      }
+      m
+    }
+    val sch = perPath.computeIfAbsent(path, _ => s.read.parquet(path).schema)
     s.read.schema(sch).parquet(path)
   }
 

@@ -102,6 +102,44 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(!m.has("oracle_ratio"), "no head to compare => the 2% value rule decides")
   }
 
+  test("oracleStale: a -dirty stamp never matches (ADVICE r13 a)") {
+    // measured on an uncommitted tree — no commit to compare against
+    assert(Bench.oracleStale(Some("abc123-dirty"), None, Some("abc123"),
+      None, legacyValueStale = false, (_, _) => Some(false)))
+  }
+
+  test("oracleStale: SF-dir mismatch is stale even on the same head (ADVICE r13 b)") {
+    assert(Bench.oracleStale(Some("abc123"), Some("/root/testdata/sf0.1"),
+      Some("abc123"), Some("/root/testdata/sf0.01"),
+      legacyValueStale = false, (_, _) => Some(false)))
+    // same sf dir: not stale
+    assert(!Bench.oracleStale(Some("abc123"), Some("/x"), Some("abc123"),
+      Some("/x"), legacyValueStale = false, (_, _) => Some(false)))
+  }
+
+  test("oracleStale: head moved by artifact-only commits keeps ratios (VERDICT r13 #1)") {
+    // the r13 end-of-round failure: ratios stamped three DOC commits before
+    // the snapshot head were dropped; when git proves the intervening diff
+    // touches no engine code, the ratios still describe this engine.
+    assert(!Bench.oracleStale(Some("abc123"), None, Some("def456"),
+      None, legacyValueStale = false, (_, _) => Some(false)))
+    // engine code differs => stale
+    assert(Bench.oracleStale(Some("abc123"), None, Some("def456"),
+      None, legacyValueStale = false, (_, _) => Some(true)))
+    // git cannot answer (unknown commit) => assume differs => stale
+    assert(Bench.oracleStale(Some("abc123"), None, Some("def456"),
+      None, legacyValueStale = false, (_, _) => None))
+  }
+
+  test("engineCodeDiffers: HEAD vs HEAD is a provable no-diff on this checkout") {
+    val root = new java.io.File(System.getProperty("user.dir"))
+    val head = Bench.gitHead(root)
+    assume(head.isDefined)
+    assert(Bench.engineCodeDiffers(root)(head.get, head.get) === Some(false))
+    // garbage commit: git fails, caller must assume a diff
+    assert(Bench.engineCodeDiffers(root)("not-a-commit", head.get) === None)
+  }
+
   test("gitHead resolves this checkout to a 40-hex commit") {
     val head = Bench.gitHead(new java.io.File("."))
     assert(head.exists(_.matches("[0-9a-f]{40}")), s"got $head")
