@@ -25,7 +25,18 @@ object Round {
     val rounds = Option(root.listFiles()).getOrElse(Array.empty).toSeq
       .flatMap(f => artifactPattern.findFirstMatchIn(f.getName)
         .map(_.group(1).toInt))
-    if (rounds.isEmpty) "r1" else s"r${rounds.max + 1}"
+    if (rounds.isEmpty) {
+      // Loud on cwd mismatch (VERDICT r13 #3): deriving `r1` is only
+      // legitimate in a bare round-1 repo root. A Bench/Verify launched
+      // from any OTHER directory sees no artifacts and silently
+      // mis-names its records `*_r1` — warn so the misfire is visible
+      // in the run's own stderr instead of in a later audit.
+      if (!new java.io.File(root, "src/main/scala/graft").isDirectory)
+        Console.err.println(s"[round] derived r1 at $root, which has no " +
+          "src/main/scala/graft — not the repo root? Records would be " +
+          "misnamed; set SPARK_GRAFT_ROUND or launch from the repo root.")
+      "r1"
+    } else s"r${rounds.max + 1}"
   }
 
   val id: String = sys.env.getOrElse("SPARK_GRAFT_ROUND",

@@ -112,6 +112,28 @@ final class DataSet private (
       catch { case e: Throwable => (None: Option[B], errName(e), String.valueOf(e.getMessage)) })
       .asNondeterministic()
 
+  /** Composed try-resolve UDF: the op's function and its resolver fused
+    * into ONE closure (normal-case specialization, the reference's
+    * StageBuilder technique). A row the resolver repairs never
+    * materializes its error class/message into a Catalyst row and never
+    * pays a second ScalaUDF round-trip — the throw is caught and resolved
+    * inside the same invocation. Only rows that stay failed (non-matching
+    * class, or the resolver itself threw) encode error strings. */
+  private def tryResolveUdf[A: TypeTag, B: TypeTag](
+      f: A => B, cls: String, g: A => B) = {
+    val hit = clsHit(cls)
+    udf((a: A) =>
+      try (Option(f(a)), null: String, null: String)
+      catch {
+        case e: Throwable if hit(e) =>
+          try (Option(g(a)), null: String, null: String)
+          catch { case e2: Throwable =>
+            (None: Option[B], errName(e2), String.valueOf(e2.getMessage)) }
+        case e: Throwable =>
+          (None: Option[B], errName(e), String.valueOf(e.getMessage))
+      }).asNondeterministic() // see tryUdf: pin one evaluation per row
+  }
+
   /** Split a frame that has a `_g_res = (value, cls, msg)` struct into
     * (ok-with-column-set, bad-with-original-input) halves. */
   private def split(tmp: DataFrame, name: String): (DataFrame, DataFrame) = {
@@ -133,50 +155,17 @@ final class DataSet private (
       val ug = tryUdf(fn.asInstanceOf[A => B])
       split(rows.drop(ErrCls, ErrMsg).withColumn("_g_res", ug(in)), name)
     }
+    // Single-scan resolve, COMPOSED (r14): one UDF whose closure runs the
+    // op's function and, on a matching throw, the resolver — replacing the
+    // previous two-UDF CaseWhen merge (plan nodes: 2 UDF evals + CASE
+    // projection + keep-filter → 1 UDF eval + null-filter). Built from
+    // `good`, not `tmp`: the op's own split plan is discarded when the
+    // fused path fires, so nothing evaluates twice.
     val fuse = (cls: String, fn: AnyRef) =>
-      fusedResolve(tmp, cls, tryUdf(fn.asInstanceOf[A => B]).apply(in)) { tmp2 =>
-        tmp2.filter(resolvedKeep(cls))
-          .withColumn(name, when(col("_g_res")("_2").isNull,
-            col("_g_res")("_1")).otherwise(col("_g_res2")("_1")))
-          .drop("_g_res", "_g_res2")
-      }
+      split(good.withColumn("_g_res",
+        tryResolveUdf(f, cls, fn.asInstanceOf[A => B]).apply(in)), name)
     new DataSet(ctx, ok,
       BadBatch(opId + 1, failed, Some(reapply), Some(fuse)) :: retired, opId + 1)
-  }
-
-  /** Row-keep predicate over a fused frame (`_g_res` + conditional
-    * `_g_res2`): the first try succeeded, or it failed with the resolved
-    * class and the resolver succeeded. */
-  private def resolvedKeep(cls: String): Column =
-    col("_g_res")("_2").isNull ||
-      (clsMatch(col("_g_res")("_2"), cls) && col("_g_res2")("_2").isNull)
-
-  /** Single-scan resolve (see [[resolve]]): given a UDF op's pre-split
-    * frame `tmp` (carrying `_g_res = (value, cls, msg)`), the error class
-    * being resolved, and the try-wrapped resolver expression, build
-    * (mergedGood, stillBad) as two filters over ONE plan — the resolver
-    * runs conditionally (CaseWhen short-circuit) on exactly the rows whose
-    * first attempt failed with `cls`, so resolution costs zero extra
-    * passes over the input instead of re-executing the whole upstream
-    * subtree to union the repaired rows back in (the union formulation's
-    * cost — at 100 TB that second subtree is a second full scan-join
-    * cascade). `finishMerged` applies the op-specific keep-filter and
-    * output-column transform over the conditional frame. */
-  private def fusedResolve(tmp: DataFrame, cls: String, resolverRes: Column)(
-      finishMerged: DataFrame => DataFrame): (DataFrame, DataFrame) = {
-    val res = col("_g_res")
-    val hit = clsMatch(res("_2"), cls)
-    val tmp2 = tmp.withColumn("_g_res2", when(hit, resolverRes))
-    val merged = finishMerged(tmp2)
-    val newBad = tmp2
-      .filter(res("_2").isNotNull &&
-        !(hit && col("_g_res2")("_2").isNull))
-      .withColumn(ErrCls,
-        when(hit, col("_g_res2")("_2")).otherwise(res("_2")))
-      .withColumn(ErrMsg,
-        when(hit, col("_g_res2")("_3")).otherwise(res("_3")))
-      .drop("_g_res", "_g_res2")
-    (merged, newBad)
   }
 
   /** `withColumn(column, ftor)` with per-row exception capture
@@ -199,20 +188,29 @@ final class DataSet private (
       try (Option(g(a1, a2)), null: String, null: String)
       catch { case e: Throwable => (None: Option[B], errName(e), String.valueOf(e.getMessage)) })
       .asNondeterministic() // see tryUdf: pin one evaluation per row
+    def tryResolveUdf2(cls: String, g: (A1, A2) => B) = {
+      val hit = clsHit(cls)
+      udf((a1: A1, a2: A2) =>
+        try (Option(f(a1, a2)), null: String, null: String)
+        catch {
+          case e: Throwable if hit(e) =>
+            try (Option(g(a1, a2)), null: String, null: String)
+            catch { case e2: Throwable =>
+              (None: Option[B], errName(e2), String.valueOf(e2.getMessage)) }
+          case e: Throwable =>
+            (None: Option[B], errName(e), String.valueOf(e.getMessage))
+        }).asNondeterministic()
+    }
     val tmp = good.withColumn("_g_res", tryUdf2(f)(in1, in2))
     val (ok, failed) = split(tmp, name)
     val reapply = (fn: AnyRef, rows: DataFrame) => {
       val ug = tryUdf2(fn.asInstanceOf[(A1, A2) => B])
       split(rows.drop(ErrCls, ErrMsg).withColumn("_g_res", ug(in1, in2)), name)
     }
+    // composed single-UDF fused resolve — see failableColumnOp
     val fuse = (cls: String, fn: AnyRef) =>
-      fusedResolve(tmp, cls,
-        tryUdf2(fn.asInstanceOf[(A1, A2) => B])(in1, in2)) { tmp2 =>
-        tmp2.filter(resolvedKeep(cls))
-          .withColumn(name, when(col("_g_res")("_2").isNull,
-            col("_g_res")("_1")).otherwise(col("_g_res2")("_1")))
-          .drop("_g_res", "_g_res2")
-      }
+      split(good.withColumn("_g_res",
+        tryResolveUdf2(cls, fn.asInstanceOf[(A1, A2) => B])(in1, in2)), name)
     new DataSet(ctx, ok,
       BadBatch(opId + 1, failed, Some(reapply), Some(fuse)) :: retired, opId + 1)
   }
@@ -353,14 +351,14 @@ final class DataSet private (
       val (rok, rbad) = split(rows.drop(ErrCls, ErrMsg).withColumn("_g_res", ug(in)), "_g_keep")
       (rok.filter(col("_g_keep")).drop("_g_keep"), rbad.drop("_g_keep"))
     }
-    val fuse = (cls: String, fn: AnyRef) =>
-      fusedResolve(tmp, cls, tryUdf(fn.asInstanceOf[A => Boolean]).apply(in)) { tmp2 =>
-        // keep: first-try predicate true, or resolver predicate true
-        tmp2.filter(resolvedKeep(cls) &&
-            when(col("_g_res")("_2").isNull, col("_g_res")("_1") === true)
-              .otherwise(col("_g_res2")("_1") === true))
-          .drop("_g_res", "_g_res2")
-      }
+    // composed single-UDF fused resolve — see failableColumnOp; the kept
+    // rows additionally need the (possibly resolver-supplied) predicate
+    // to be true
+    val fuse = (cls: String, fn: AnyRef) => {
+      val (ok2, failed2) = split(good.withColumn("_g_res",
+        tryResolveUdf(f, cls, fn.asInstanceOf[A => Boolean]).apply(in)), "_g_keep")
+      (ok2.filter(col("_g_keep")).drop("_g_keep"), failed2)
+    }
     new DataSet(ctx, ok,
       BadBatch(opId + 1, failed, Some(reapply), Some(fuse)) :: retired, opId + 1)
   }
@@ -383,12 +381,14 @@ final class DataSet private (
 
   private def resolveName[A, B](cls: String)(f: A => B): DataSet = bad match {
     // Pristine batch (first resolve after the failing op): SINGLE-SCAN
-    // merge — the resolver evaluates conditionally inside the op's own
-    // projection, so the merged good frame is one plan over one pass of
-    // the input instead of `good ∪ re-executed(bad)`, which duplicates the
-    // whole upstream subtree (scans, joins) per resolver. Chained
-    // resolves/ignores mutate the batch and fall back to the union path
-    // below (fuse is only valid against the untouched split).
+    // COMPOSED merge — op function and resolver run inside ONE udf closure
+    // (normal-case specialization), so the merged good frame is one plan
+    // over one pass of the input instead of `good ∪ re-executed(bad)`,
+    // which duplicates the whole upstream subtree (scans, joins) per
+    // resolver — and a repaired row never materializes error strings or
+    // pays a second ScalaUDF round-trip. Chained resolves/ignores mutate
+    // the batch and fall back to the union path below (fuse is only valid
+    // against the untouched split).
     case head :: rest if head.fuse.isDefined =>
       val (merged, newBad) = head.fuse.get(cls, f)
       new DataSet(ctx, merged,
@@ -671,9 +671,16 @@ object DataSet {
     * per-ExceptionCode accounting (ExceptionCodes.h), not one merged
     * JVM-class bucket. */
   private[api] def errName(e: Throwable): String = e match {
-    case g: GraftErr => GraftErr.clsName(g.code)
+    case g: GraftErr => g.clsTag // instance-cached, no per-row concat
     case _ => e.getClass.getName
   }
+
+  /** Closure-side analogue of [[clsMatch]] — same semantics, evaluated on
+    * the Throwable itself so a composed try-resolve UDF can route the
+    * exception without materializing the error-class string at all. */
+  private[api] def clsHit(cls: String): Throwable => Boolean =
+    e => (cls == GraftErr.ClassName && e.isInstanceOf[GraftErr]) ||
+      errName(e) == cls
 
   /** Match predicate over an error-class column: exact name, except the
     * bare [[GraftErr]] class matches every code (prefix match) — so

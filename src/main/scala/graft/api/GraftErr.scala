@@ -22,8 +22,14 @@ package graft.api
   */
 final class GraftErr(val code: Long, msg: String)
     extends RuntimeException(msg, null, false, false) {
+  // Per-instance caches: the hot path rethrows one cached singleton per
+  // code, so the error-channel encoding (class tag + default message)
+  // must not re-concatenate strings per thrown row — at sf10 the goldens
+  // throw ~12M rows per pass.
+  private[api] val clsTag: String = GraftErr.ClassName + ":" + code
+  private val defaultMsg: String = "code " + code
   override def getMessage: String =
-    if (super.getMessage == null) "code " + code else super.getMessage
+    if (super.getMessage == null) defaultMsg else super.getMessage
 }
 
 object GraftErr {

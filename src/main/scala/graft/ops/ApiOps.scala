@@ -187,6 +187,11 @@ object ApiOps {
         .resolveCode[Long, Long](5L)(identity)
         .withColumn("revenue",
           when(col("l_orderkey") % 5 === 0, 0.0).otherwise(col("revenue")))
+        // project to what the fold reads BEFORE aggregating (guide §2.3:
+        // the partial FoldAgg otherwise converts all 10 joined columns —
+        // keys, prices, name strings — into the per-row Row the closure
+        // receives, when it only reads `revenue`)
+        .selectColumns(Seq("cust_nation", "supp_nation", "revenue"))
         .aggregateByKey[(Long, Long)](Seq("cust_nation", "supp_nation"), (0L, 0L))(
           (b, r) => (b._1 + 1,
             b._2 + math.floor(r.getAs[Double]("revenue") * 10000d + 0.5d).toLong),
@@ -225,6 +230,8 @@ object ApiOps {
         .resolveCode(2L)((nm: String) => nm.toUpperCase)
         .join(ctx.fromDataFrame(Tables(s, d, "nation")
           .select("n_nationkey", "n_name")), "c_nationkey", "n_nationkey")
+        // narrow the fold input to what the closure reads (guide §2.3)
+        .selectColumns(Seq("n_name", "o_totalprice"))
         .aggregateByKey[(Long, Long)](Seq("n_name"), (0L, 0L))(
           (b, r) => (b._1 + 1,
             b._2 + math.floor(r.getAs[Double]("o_totalprice") * 10000d + 0.5d).toLong),

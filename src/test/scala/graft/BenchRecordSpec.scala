@@ -145,9 +145,28 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(head.exists(_.matches("[0-9a-f]{40}")), s"got $head")
   }
 
+  test("Round.derive warns on r1 in a non-repo-root cwd, stays quiet at a real root") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_round_cwd").toFile
+    val err = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(err)) {
+      assert(Round.derive(dir) === "r1")
+    }
+    assert(err.toString.contains("not the repo root"),
+      "r1 derived away from the repo root must be loud (VERDICT r13 #3)")
+    // a bare-but-genuine repo root (has the source tree) derives r1 silently
+    assert(new java.io.File(dir, "src/main/scala/graft").mkdirs())
+    val err2 = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(err2)) {
+      assert(Round.derive(dir) === "r1")
+    }
+    assert(err2.toString.isEmpty, "genuine bare repo root must stay quiet")
+  }
+
   test("Round.derive: id = max committed official artifact + 1 (the r11 lag case)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_round_spec").toFile
-    assert(Round.derive(dir) === "r1") // bare tree
+    Console.withErr(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(Round.derive(dir) === "r1") // bare tree
+    }
     java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_r09.json"), "{}")
     java.nio.file.Files.writeString(dir.toPath.resolve("CORRECTNESS_r12.json"), "{}")
     java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_local_r99.json"), "{}")
