@@ -181,10 +181,90 @@ object Prof {
     spark.stop()
   }
 
+  /** Ablation decomposition of q_flights_golden (r14: WHERE does the big
+    * reduce stage's CPU go?). Variants share the exact join chain through
+    * the graft api; each adds one cost layer:
+    *   joins+native-agg        — the Spark join/scan/agg floor
+    *   joins+udfs+native-agg   — adds the two error-channel UDF ops
+    *   joins+native-rev+fold   — adds the FoldAgg (no UDF ops)
+    *   full                    — the registered query
+    * Each: 1 warmup + min-of-2 measured counts. */
+  private def profileFlightsAblate(): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import graft.api.{Context, GraftErr}
+    import graft.ops.Tables
+    def joined(s: SparkSession) = {
+      val ctx = new Context(s)
+      ctx.fromDataFrame(Tables(s, d, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"))
+        .join(ctx.fromDataFrame(Tables(s, d, "orders")
+          .select("o_orderkey", "o_custkey")), "l_orderkey", "o_orderkey")
+        .join(ctx.fromDataFrame(Tables(s, d, "customer")
+          .select("c_custkey", "c_nationkey")), "o_custkey", "c_custkey")
+        .join(ctx.fromDataFrame(Tables(s, d, "nation")
+          .select("n_nationkey", "n_name")), "c_nationkey", "n_nationkey")
+        .renameColumn("n_name", "cust_nation")
+        .join(ctx.fromDataFrame(Tables(s, d, "supplier")
+          .select("s_suppkey", "s_nationkey")), "l_suppkey", "s_suppkey")
+        .leftJoin(ctx.fromDataFrame(Tables(s, d, "nation")
+          .select("n_nationkey", "n_name")), "s_nationkey", "n_nationkey")
+        .renameColumn("n_name", "supp_nation")
+    }
+    val nativeRev = when(col("l_orderkey") % 5 === 0, 0.0)
+      .otherwise(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    def nativeAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("cust_nation", "supp_nation")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("revenue") * 10000d + 0.5d).cast("long")).as("rfp"))
+    def withUdfs(ds: graft.api.DataSet) = ds
+      .withColumnUdf2[Double, Double, Double]("revenue",
+        col("l_extendedprice"), col("l_discount"))((p, disc) => p * (1 - disc))
+      .mapColumnUdf[Long, Long]("l_orderkey") { k =>
+        if (k % 5 == 0) GraftErr.fail(5) else k }
+      .resolveCode[Long, Long](5L)(identity)
+      .withColumn("revenue",
+        when(col("l_orderkey") % 5 === 0, 0.0).otherwise(col("revenue")))
+    import spark.implicits._
+    def fold(ds: graft.api.DataSet) = ds
+      .selectColumns(Seq("cust_nation", "supp_nation", "revenue"))
+      .aggregateByKey[(Long, Long)](Seq("cust_nation", "supp_nation"), (0L, 0L))(
+        (b, r) => (b._1 + 1,
+          b._2 + math.floor(r.getAs[Double]("revenue") * 10000d + 0.5d).toLong),
+        (x, y) => (x._1 + y._1, x._2 + y._2))
+    val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("joins+native-agg", () => nativeAgg(joined(spark).toDF.withColumn("revenue", nativeRev))),
+      ("joins+udfs+native-agg", () => nativeAgg(withUdfs(joined(spark)).toDF)),
+      ("joins+native-rev+fold", () => fold(joined(spark).withColumn("revenue", nativeRev)).toDF),
+      ("full(q_flights_golden)", () => SparkEntry.queries("q_flights_golden")(spark, d)))
+    variants.foreach { case (name, mk) =>
+      mk().count() // warmup
+      spark.sqlContext.clearCache()
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        mk().count(): Unit
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.sqlContext.clearCache()
+        t
+      }
+      println(f"ABLATE $name%-24s min ${times.min}%.2fs  (draws ${times.map(t => f"$t%.2f").mkString(", ")})")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("stages")) { profileStages(args.toSeq.drop(1)); return }
     if (args.headOption.contains("phases")) { profilePhases(args.toSeq.drop(1)); return }
     if (args.headOption.contains("ann")) { profileAnnRecall(); return }
+    if (args.headOption.contains("flights")) { profileFlightsAblate(); return }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -480,7 +480,8 @@ object Dedup {
     * `bits`/`tables` ≤ 0 ⇒ auto-size via [[lshParams]] from the corpus
     * count (the default — fixed parameters are a measured scale cliff). */
   def nearDupEmbeddingLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int, bits: Int = 0, tables: Int = 0): DataFrame = {
+      threshold: Double, dim: Int, bits: Int = 0, tables: Int = 0,
+      confirmBroadcastMax: Long = 1500000L): DataFrame = {
     val vecs = withMinParallelism(
         df.select(col(idCol).as("_id"), col(vecCol).cast("array<float>").as("_v")))
       .persist()
@@ -502,12 +503,15 @@ object Dedup {
     // pair) shuffled dim·4B per pair per side — at 2M vectors even a
     // t=0.95 run carries ~6e8 random candidates ≈ 150+ GB of join
     // shuffle for a 0.5 GB corpus; bucket-locality caps the confirm at
-    // n·tables·dim·4B regardless of collision count. Memory license:
-    // one bucket buffered per task — the sizing rule targets ~16 random
-    // vectors per bucket; a skewed bucket of m rows (one giant dup
-    // cluster) costs m·dim·4B heap and O(m²) local cosines, the
-    // operator's published complexity paid in compute, not shuffle I/O.
-    if (n > 1500000L) {
+    // n·tables·dim·4B regardless of collision count. Memory license
+    // (TILED since r14): one TILE buffered per task (TiledConfirm.
+    // DefaultTileBytes, 32 MB) + one streamed vector, independent of
+    // bucket size — the sizing rule targets ~16 random vectors per
+    // bucket, and a skewed bucket of m rows (one giant dup cluster)
+    // costs O(m²) local cosines plus O(m²/tile) bytes re-streamed from
+    // a task-local spill file, the operator's published complexity paid
+    // in compute + local I/O instead of heap.
+    if (n > confirmBroadcastMax) {
       System.err.println(s"[neardup-lsh] n=$n exceeds the confirm broadcast " +
         s"cutoff — bucket-local confirm engaged (bits=$useBits, tables=$useTables)")
       val spark = vecs.sparkSession
@@ -519,16 +523,19 @@ object Dedup {
           col("_id").cast("long").as("_3"),
           transform(col("_v"), x => coalesce(x, lit(0f))).as("_4"))
         .as[(Long, Long, Long, Array[Float])]
-      val survivors = fat.groupByKey(t => (t._1, t._2)).flatMapGroups {
-        (_, it) =>
-          val members = it.map(t => (t._3, t._4)).toArray.sortBy(_._1)
-          for {
-            j <- members.indices.iterator
-            i <- (0 until j).iterator
-            c = graft.similarity.KMeans.cosArrF(members(i)._2, members(j)._2)
-            if c >= threshold
-          } yield (members(i)._1, members(j)._1, c)
-      }.toDF("id_a", "id_b", "cos").distinct()
+      // TILED confirm (VERDICT r13 #2): members stream id-sorted from
+      // Spark's external sort through byte-budgeted tiles (heap = one
+      // tile + one streamed vector; earlier tiles re-stream from a
+      // task-local spill file), and the matching pairs are emitted
+      // LAZILY — a mega bucket's O(m²) true pairs flow straight to the
+      // distinct without buffering. Pair set identical to the buffered
+      // formulation (every ordered pair visited exactly once).
+      import graft.similarity.TiledConfirm
+      val survivors = fat.groupByKey(t => (t._1, t._2))
+        .flatMapSortedGroups(col("_3")) { (_, it) =>
+          TiledConfirm.pairs(it.map(t => (t._3, t._4)),
+            graft.similarity.KMeans.cosArrF, threshold, TiledConfirm.FloatIO)
+        }.toDF("id_a", "id_b", "cos").distinct()
       materializeThenRelease(survivors, vecs)
     } else
     nearDupEmbeddingLshSmall(vecs, n, threshold, dim, useBits, useTables)

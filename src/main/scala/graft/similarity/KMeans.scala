@@ -162,12 +162,14 @@ object KMeans {
     * cluster-locality makes the fallback shuffle exactly the corpus
     * once, which is the shape that survives 100 TB.
     *
-    * Memory license: one cluster buffered per task — max cluster size ×
-    * dim × 8 B (+ boxing). k ≈ √n keeps the expected cluster at √n rows
-    * (≈ 1.4k vectors / ~1 MB at n=2M, dim=64); a pathologically skewed
-    * cluster of m rows costs m·dim·8 B heap and O(m²) local cosines —
-    * the operator's published complexity, paid in compute instead of
-    * shuffle I/O.
+    * Memory license (TILED since r14): one TILE buffered per task —
+    * [[TiledConfirm.DefaultTileBytes]] (32 MB) + one streamed vector,
+    * independent of cluster size; a pathologically skewed cluster of m
+    * rows costs O(m²) local cosines plus O(m²/tile) sequential bytes
+    * re-streamed from a task-local spill file — the operator's published
+    * complexity, paid in compute + local I/O instead of heap. Clusters
+    * under one tile (the k ≈ √n expected case: √n rows ≈ 1.4k vectors /
+    * ~1 MB at n=2M, dim=64) never touch the file.
     *
     * Drop rule (identical to the broadcast branch): member j is dropped
     * iff ANY lower-id cluster-mate i (kept or dropped itself) has
@@ -186,26 +188,23 @@ object KMeans {
         col(idCol) === col("_eid"))
       .select(col("cluster").cast("long").as("_1"),
         col(idCol).cast("long").as("_2"), safeVec.as("_3"))
+    // TILED confirm (VERDICT r13 #2): the group streams id-sorted from
+    // Spark's external sort (flatMapSortedGroups) through byte-budgeted
+    // tiles — heap caps at one tile + one streamed vector instead of the
+    // whole cluster, so a mega duplicate cluster spills to a task-local
+    // file instead of OOMing the task. Same drop rule, same kernels,
+    // pair-for-pair identical decisions (ClusterSpec ties the legs).
     def dedupGroups[V](rows: org.apache.spark.sql.Dataset[(Long, Long, V)],
-        cos: (V, V) => Double): DataFrame =
-      rows.groupByKey(_._1).flatMapGroups { (cluster, it) =>
-        val members = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
-        members.indices.iterator.map { j =>
-          val vj = members(j)._2
-          var dropped = false
-          var i = 0
-          while (i < j && !dropped) {
-            if (cos(members(i)._2, vj) >= threshold) dropped = true
-            i += 1
-          }
-          (members(j)._1, cluster, !dropped)
-        }
+        cos: (V, V) => Double, io: TiledConfirm.VecIO[V]): DataFrame =
+      rows.groupByKey(_._1).flatMapSortedGroups(col("_2")) { (cluster, it) =>
+        TiledConfirm.semDedup(it.map(t => (t._2, t._3)), cos, threshold, io)
+          .map { case (id, kept) => (id, cluster, kept) }
       }.toDF("_oid", "cluster", "kept")
     val out =
       if (isFloat) dedupGroups[Array[Float]](
-        fat.as[(Long, Long, Array[Float])], cosArrF)
+        fat.as[(Long, Long, Array[Float])], cosArrF, TiledConfirm.FloatIO)
       else dedupGroups[Array[Double]](
-        fat.as[(Long, Long, Array[Double])], cosArrD)
+        fat.as[(Long, Long, Array[Double])], cosArrD, TiledConfirm.DoubleIO)
     out.withColumnRenamed("_oid", idCol).select(col(idCol), col("cluster"), col("kept"))
   }
 
@@ -252,8 +251,16 @@ object KMeans {
     // than the interpreted HOF eval); double inputs stay double, because
     // a silent float downcast can flip near-threshold pairs relative to
     // the oracle's double fold.
+    // Null ELEMENTS coalesce to 0 in the double branch (ADVICE r13):
+    // cosD's HOF fold yields NULL on a null element, so `cos >= t`
+    // silently KEPT such pairs in the broadcast confirm while the
+    // cluster-local confirm (and the float native kernel, which zeroes
+    // nulls internally) dropped them — the two regimes disagreed on
+    // corpora with null elements. Zero-coalescing here makes every
+    // branch score the same arithmetic.
     val ef = emb.select(col(idCol),
-      (if (isFloat) col(vecCol) else transform(col(vecCol), x => x.cast("double")))
+      (if (isFloat) col(vecCol)
+       else transform(col(vecCol), x => coalesce(x.cast("double"), lit(0d))))
         .as("_vf"))
     // Confirm-strategy cutoff, BYTE-aware (ADVICE r12 medium): the row
     // cutoff was budgeted for float vectors (1.5M × 640 dim × 4 B ≈

@@ -154,6 +154,86 @@ class ClusterSpec extends AnyFunSuite {
     assert(viaBroadcast.length > 0)
   }
 
+  test("semDedup null vector elements: broadcast and cluster-local confirms agree") {
+    import spark.implicits._
+    // ADVICE r13: cosD's HOF fold yields NULL on a null element, so the
+    // broadcast confirm silently KEPT a near-dup pair that the
+    // cluster-local confirm (nulls coalesced to 0) dropped. Both regimes
+    // must now make the same decision, and the pair must be DROPPED
+    // (null scores as 0, matching the float kernel's semantics).
+    val rows = Seq(
+      (1L, Seq[java.lang.Double](1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq[java.lang.Double](1.0, null, 0.0, 0.0)), // near-dup of 1 modulo the null
+      (3L, Seq[java.lang.Double](0.0, 1.0, 0.0, 0.0)),
+      (4L, Seq[java.lang.Double](0.0, 0.0, 1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    def run(cutoff: Long) = KMeans.semDedup(rows, "vec_id", "embedding",
+        k = 2, threshold = 0.9, broadcastConfirmMax = cutoff)
+      .select("vec_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val broad = run(Long.MaxValue)
+    val local = run(0L)
+    assert(broad === local,
+      s"confirm regimes disagree on null elements: broadcast=$broad local=$local")
+    assert(broad(2L) === false,
+      "the null-element near-dup must be dropped (null scores as 0)")
+  }
+
+  test("TiledConfirm.semDedup: multi-tile decisions equal the buffered reference") {
+    import graft.similarity.TiledConfirm
+    val rnd = new scala.util.Random(7)
+    val noise = (0 until 400).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    // dense near-dup blob interleaved across the id range, so a tiled
+    // pass must drop members against mates living in EARLIER tiles
+    val base = Array.fill(8)(rnd.nextFloat() + 0.5f)
+    val blob = (0 until 200).map(i =>
+      ((400 + i * 2).toLong, base.map(x => x + rnd.nextFloat() * 1e-3f)))
+    val all = (noise ++ blob).sortBy(_._1).toArray
+    val t = 0.92
+    val ref = all.indices.map { j =>
+      var dropped = false
+      var i = 0
+      while (i < j && !dropped) {
+        if (KMeans.cosArrF(all(i)._2, all(j)._2) >= t) dropped = true
+        i += 1
+      }
+      (all(j)._1, !dropped)
+    }
+    assert(ref.count(!_._2) >= 150, "fixture must actually force drops")
+    // tileBytes 1 = one member per tile (maximal spill-file traffic);
+    // MaxValue = single tile (the untiled fast case)
+    for (tileBytes <- Seq(1L, 300L, 5000L, Long.MaxValue)) {
+      val got = TiledConfirm.semDedup(all.iterator, KMeans.cosArrF, t,
+        TiledConfirm.FloatIO, tileBytes).toSeq
+      assert(got == ref, s"tileBytes=$tileBytes")
+    }
+  }
+
+  test("TiledConfirm.pairs: multi-tile pair set equals the buffered reference") {
+    import graft.similarity.TiledConfirm
+    val rnd = new scala.util.Random(11)
+    val noise = (0 until 300).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val base = Array.fill(8)(rnd.nextFloat() + 0.5f)
+    val blob = (0 until 120).map(i =>
+      ((300 + i * 3).toLong, base.map(x => x + rnd.nextFloat() * 1e-3f)))
+    val all = (noise ++ blob).sortBy(_._1).toArray
+    val t = 0.9
+    val ref = (for {
+      j <- all.indices.iterator
+      i <- (0 until j).iterator
+      c = KMeans.cosArrF(all(i)._2, all(j)._2)
+      if c >= t
+    } yield (all(i)._1, all(j)._1, c)).toSeq.sorted
+    assert(ref.size >= 5000, "fixture must produce a dense pair set")
+    for (tileBytes <- Seq(1L, 300L, 5000L, Long.MaxValue)) {
+      val got = TiledConfirm.pairs(all.iterator, KMeans.cosArrF, t,
+        TiledConfirm.FloatIO, tileBytes).toSeq.sorted
+      assert(got == ref, s"tileBytes=$tileBytes")
+    }
+  }
+
   test("semDedup keeps double embeddings double in the confirm (no float downcast)") {
     import spark.implicits._
     // ADVICE r11: a silent float downcast can flip near-threshold pairs
