@@ -36,12 +36,24 @@ object EchoPlant {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = spark.read.parquet(s"$dir/embeddings.parquet")
+    // Idempotency guard (ADVICE r13): planted ids are id + 10^9 and
+    // 10^9 % every can be 0, so a second run would re-select originals
+    // AND echo the planted rows themselves — duplicate vec_ids corrupt
+    // the staged corpus and every lower-id/uniqueness assumption
+    // downstream. Refuse to re-plant.
+    val maxId = src.agg(max("vec_id")).head().getLong(0)
+    require(maxId < 1000000000L,
+      s"EchoPlant: corpus already contains planted ids (max vec_id=$maxId " +
+        ">= 10^9) — re-planting would duplicate vec_ids; restage the dir first")
     val echoes = src.filter(pmod(col("vec_id"), lit(every)) === 0)
       .withColumn("embedding", transform(col("embedding"), (x, i) =>
         (x + lit(delta.toFloat) *
           when(pmod(xxhash64(col("vec_id"), i), lit(2)) === 1, lit(1f))
             .otherwise(lit(-1f))).cast("float")))
       .withColumn("vec_id", col("vec_id") + lit(1000000000L))
+      // materialize BEFORE appending to the dir being read (ADVICE r13:
+      // an append into one's own lazy source is a self-read hazard)
+      .localCheckpoint(true)
     val nEchoes = echoes.count()
     echoes.repartition(4).write.mode("append").parquet(s"$dir/embeddings.parquet")
     println(s"""{"echoplant":"ok","dir":"$dir","every":$every,"delta":$delta,"planted":$nEchoes}""")

@@ -35,9 +35,18 @@ object CoverageOps {
          |FROM lineitem""".stripMargin) { (s, d) =>
       val ctx = new Context(s)
       val out = tmpDir("graft_csv_rt") + "/lineitem"
-      ctx.fromDataFrame(Tables(s, d, "lineitem")
-          .select("l_orderkey", "l_quantity", "l_extendedprice"))
-        .tocsv(out, numParts = 4)
+      val li = Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      // Scale-adaptive part count (guide §2.2/§6): the fixed 4-part hint
+      // was tuned at sf0.1 (13 MB of pruned scan) and at sf100 made each
+      // writer task sort+shuffle+write 150M rows — measured
+      // execution-memory exhaustion on this host. Derived from the
+      // pruned-scan size estimate with floor 4, so every bench SF ≤ sf1
+      // still writes the identical 4 parts (comparability preserved) and
+      // big inputs land ~250-750 MB of csv per part (guide §6 sizing).
+      val parts = math.max(4L,
+        (li.queryExecution.optimizedPlan.stats.sizeInBytes / (256L << 20)).toLong).toInt
+      ctx.fromDataFrame(li).tocsv(out, numParts = parts)
       ctx.csv(s"$out/*.csv").toDF.agg(
         count(lit(1)).as("n"),
         dsum(col("l_quantity")).as("sum_qty"),
