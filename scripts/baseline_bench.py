@@ -259,6 +259,12 @@ def main():
     except Exception:
         pass
     bench["oracle_engine_sf"] = bench.get("sf") or sfdir
+    # Core-count stamp (VERDICT r14 #5): a rerun at a different cpus count
+    # (the driver's post-snapshot c8 scaling sweep) must not silently keep
+    # ratios measured at another machine width; Bench's merge guard treats
+    # a cpus mismatch like an SF mismatch.
+    if bench.get("cpus") is not None:
+        bench["oracle_engine_cpus"] = bench.get("cpus")
     bench["oracle_note"] = (
         "DuckDB timing of the verified oracle SQL on the same parquet, "
         "warmup + min of 2, all cores; ratio = engine/duckdb. Single-point "

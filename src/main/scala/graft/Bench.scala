@@ -48,7 +48,7 @@ object Bench {
     * drop when the stamped `oracle_engine_value` differs from the fresh
     * total by more than 2%. */
   private[graft] val ownedKeys: Set[String] = Set(
-    "metric", "value", "unit", "queries", "sf", "calibration_sec",
+    "metric", "value", "unit", "queries", "sf", "cpus", "calibration_sec",
     "calibration_interval", "calibration_mc_sec", "calibration_mc_interval",
     "stream_attribution", "stream_tier_degraded")
   /** Resolved git HEAD of `root` (follows one level of `ref:`), None when
@@ -75,6 +75,22 @@ object Bench {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Is the working tree dirty (tracked files differ from HEAD)? ADVICE
+    * r14: `gitHead` alone reports the clean commit even when the tree
+    * carries uncommitted engine edits (the normal dev loop), so a Bench
+    * rerun on a dirty tree would match an old clean stamp and merge
+    * forward oracle ratios that no longer describe the modified engine.
+    * False when git cannot answer — an unprovable dirtiness must not
+    * drop valid blocks on hosts without git. */
+  private[graft] def gitDirty(root: java.io.File): Boolean =
+    try {
+      val p = new ProcessBuilder("git", "status", "--porcelain",
+        "--untracked-files=no").directory(root).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      p.waitFor() == 0 && out.trim.nonEmpty
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** Do the two commits differ on ENGINE code (src/, build.sbt,
     * project/)? None when git cannot answer (not a checkout, git missing,
     * unknown commit) — the caller must treat None as "assume they do".
@@ -97,6 +113,9 @@ object Bench {
     * out for spec-ability. Stale when:
     *   - the stamped SF dir differs from the fresh run's (ADVICE r13:
     *     same-head rerun against different data),
+    *   - the stamped core count differs from the fresh run's (VERDICT
+    *     r14 #5: a post-snapshot c8 rerun silently described a different
+    *     machine width than the committed 32-core sweep),
     *   - the stamp is "-dirty" (measured on an uncommitted tree — there
     *     is no commit to compare against, ADVICE r13),
     *   - heads differ AND the intervening diff touches engine code (or
@@ -105,12 +124,18 @@ object Bench {
   private[graft] def oracleStale(headStamp: Option[String],
       sfStamp: Option[String], currentHead: Option[String],
       freshSf: Option[String], legacyValueStale: => Boolean,
-      codeDiffers: (String, String) => Option[Boolean]): Boolean = {
+      codeDiffers: (String, String) => Option[Boolean],
+      cpusStamp: Option[String] = None,
+      freshCpus: Option[String] = None): Boolean = {
     val sfMismatch = (sfStamp, freshSf) match {
       case (Some(a), Some(b)) => a != b
       case _ => false
     }
-    sfMismatch || ((headStamp, currentHead) match {
+    val cpusMismatch = (cpusStamp, freshCpus) match {
+      case (Some(a), Some(b)) => a != b
+      case _ => false
+    }
+    sfMismatch || cpusMismatch || ((headStamp, currentHead) match {
       case (Some(stamp), _) if stamp.endsWith("-dirty") => true
       case (Some(stamp), Some(cur)) =>
         stamp != cur && codeDiffers(stamp, cur).getOrElse(true)
@@ -136,6 +161,8 @@ object Bench {
             val headStamp = Option(on.get("oracle_engine_head")).map(_.asText())
             val sfStamp = Option(on.get("oracle_engine_sf")).map(_.asText())
             val freshSf = Option(fn.get("sf")).map(_.asText())
+            val cpusStamp = Option(on.get("oracle_engine_cpus")).map(_.asText())
+            val freshCpus = Option(fn.get("cpus")).map(_.asText())
             val oracleStale = this.oracleStale(headStamp, sfStamp, currentHead,
               freshSf,
               legacyValueStale = on.has("oracle_engine_value") && {
@@ -145,7 +172,7 @@ object Bench {
                 !(stamp.isNaN || freshTotal.isNaN) &&
                   math.abs(stamp - freshTotal) > 0.02 * math.max(stamp, freshTotal)
               },
-              codeDiffers)
+              codeDiffers, cpusStamp, freshCpus)
             if (oracleStale) System.err.println(
               "[bench] existing oracle_* blocks were measured on a different " +
               "run of different code (head/value stamp mismatch) — dropped; " +
@@ -399,7 +426,7 @@ object Bench {
       else "concurrent tier, spans scaled to tier wall"
     val degradedTag = if (tierDegraded) ""","stream_tier_degraded":true""" else ""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sec":${f3(calib)},"calibration_interval":[${f3(calibs.head)},${f3(calibs(1))},${f3(calibs(2))}],"calibration_mc_sec":${f3(calibsMc(1))},"calibration_mc_interval":[${f3(calibsMc.head)},${f3(calibsMc(1))},${f3(calibsMc(2))}],"stream_attribution":"$attribution"$degradedTag}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":"$cpus","calibration_sec":${f3(calib)},"calibration_interval":[${f3(calibs.head)},${f3(calibs(1))},${f3(calibs(2))}],"calibration_mc_sec":${f3(calibsMc(1))},"calibration_mc_interval":[${f3(calibsMc.head)},${f3(calibsMc(1))},${f3(calibsMc(2))}],"stream_attribution":"$attribution"$degradedTag}"""
     // filtered iteration runs must not clobber the official artifact
     val benchFile = if (only.isDefined) "bench_partial.json" else "bench.json"
     Files.writeString(Paths.get(benchFile), full + "\n")
@@ -416,7 +443,11 @@ object Bench {
       val existing =
         if (Files.exists(benchRecord)) Some(Files.readString(benchRecord)) else None
       val root = new java.io.File(System.getProperty("user.dir"))
-      val head = gitHead(root)
+      // a dirty tree is not the committed head: suffix the current head so
+      // the merge guard can never match a clean stamp against modified
+      // engine code (ADVICE r14; codeDiffers fails on the suffixed id and
+      // the guard correctly assumes a diff)
+      val head = gitHead(root).map(h => if (gitDirty(root)) h + "-dirty" else h)
       Files.writeString(benchRecord,
         mergePreserving(full, existing, head, engineCodeDiffers(root)) + "\n")
     }

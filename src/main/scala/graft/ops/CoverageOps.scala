@@ -44,8 +44,12 @@ object CoverageOps {
       // pruned-scan size estimate with floor 4, so every bench SF ≤ sf1
       // still writes the identical 4 parts (comparability preserved) and
       // big inputs land ~250-750 MB of csv per part (guide §6 sizing).
-      val parts = math.max(4L,
-        (li.queryExecution.optimizedPlan.stats.sizeInBytes / (256L << 20)).toLong).toInt
+      // clamp BEFORE the Int conversion: unknown stats report the
+      // Long.MaxValue-ish defaultSizeInBytes sentinel, whose /256MiB still
+      // wraps negative through toInt (ADVICE r14); 10k parts ≈ 2.5 TB of
+      // csv — any larger input needs a real cluster, not more local parts
+      val parts = (li.queryExecution.optimizedPlan.stats.sizeInBytes / (256L << 20))
+        .max(4L).min(10000L).toInt
       ctx.fromDataFrame(li).tocsv(out, numParts = parts)
       ctx.csv(s"$out/*.csv").toDF.agg(
         count(lit(1)).as("n"),

@@ -28,7 +28,17 @@ private[graft] object TiledConfirm {
     * (or a cluster with different task memory) can size it without a
     * rebuild. */
   val DefaultTileBytes: Long = sys.env.get("SPARK_GRAFT_CONFIRM_TILE_BYTES")
-    .map(_.toLong).getOrElse(32L << 20)
+    .map { raw =>
+      // a bare .toLong here would surface as ExceptionInInitializerError /
+      // NoClassDefFoundError deep inside executor tasks (ADVICE r14) —
+      // fall back loudly instead
+      scala.util.Try(raw.trim.toLong).filter(_ > 0).getOrElse {
+        System.err.println(
+          s"[graft] SPARK_GRAFT_CONFIRM_TILE_BYTES='$raw' is not a positive " +
+          "long — using the 32 MB default")
+        32L << 20
+      }
+    }.getOrElse(32L << 20)
 
   trait VecIO[V] extends Serializable {
     def write(o: DataOutputStream, v: V): Unit
@@ -82,6 +92,15 @@ private[graft] object TiledConfirm {
   private final class SpillFile[V](io: VecIO[V]) {
     private val file = File.createTempFile("graft_confirm_", ".bin")
     file.deleteOnExit()
+    // A task that stops early (downstream limit, kill, exception mid-group)
+    // never drains the output iterator, so close() is never reached and the
+    // spill would otherwise live until JVM exit — and deleteOnExit entries
+    // accumulate unboundedly in a long-running executor (ADVICE r14). The
+    // task-completion listener cleans up on ANY task end; outside a task
+    // (unit tests drive the kernels directly) TaskContext.get() is null and
+    // close()/deleteOnExit stay the only owners.
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => close()))
     private val out = new DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(file), 1 << 20))
     private var count = 0L

@@ -117,6 +117,43 @@ class BenchRecordSpec extends AnyFunSuite {
       Some("/x"), legacyValueStale = false, (_, _) => Some(false)))
   }
 
+  test("oracleStale: cpus mismatch is stale even on the same head (VERDICT r14 #5)") {
+    assert(Bench.oracleStale(Some("abc123"), Some("/x"), Some("abc123"),
+      Some("/x"), legacyValueStale = false, (_, _) => Some(false),
+      cpusStamp = Some("32"), freshCpus = Some("8")))
+    // same cpus: not stale
+    assert(!Bench.oracleStale(Some("abc123"), Some("/x"), Some("abc123"),
+      Some("/x"), legacyValueStale = false, (_, _) => Some(false),
+      cpusStamp = Some("32"), freshCpus = Some("32")))
+    // legacy record without a cpus stamp: cpus cannot decide
+    assert(!Bench.oracleStale(Some("abc123"), Some("/x"), Some("abc123"),
+      Some("/x"), legacyValueStale = false, (_, _) => Some(false),
+      cpusStamp = None, freshCpus = Some("8")))
+  }
+
+  test("mergePreserving drops oracle blocks when the record's cpus stamp mismatches") {
+    val freshC8 =
+      """{"metric":"total","value":10.5,"queries":{"q1_agg":0.3},"sf":"/x","cpus":"8"}"""
+    val old =
+      """{"value":10.5,"cpus":"32","oracle_engine_head":"abc123","oracle_engine_sf":"/x","oracle_engine_cpus":"32","oracle_ratio":{"q1_agg":5.2},"foreign_other":"kept"}"""
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.mergePreserving(freshC8, Some(old), Some("abc123")))
+    assert(!m.has("oracle_ratio") && !m.has("oracle_engine_cpus"),
+      "ratios measured at 32 cores must not describe an 8-core record")
+    assert(m.get("foreign_other").asText() === "kept")
+    // and the stamp ROUND-TRIPS when cpus match: same record at cpus=32
+    val fresh32 = freshC8.replace("\"cpus\":\"8\"", "\"cpus\":\"32\"")
+    val kept = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.mergePreserving(fresh32, Some(old), Some("abc123")))
+    assert(kept.get("oracle_ratio").get("q1_agg").asDouble() === 5.2)
+    assert(kept.get("oracle_engine_cpus").asText() === "32")
+  }
+
+  test("gitDirty answers false on garbage roots instead of throwing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dirty_spec").toFile
+    assert(!Bench.gitDirty(dir)) // not a repo: git fails => unprovable => clean
+  }
+
   test("oracleStale: head moved by artifact-only commits keeps ratios (VERDICT r13 #1)") {
     // the r13 end-of-round failure: ratios stamped three DOC commits before
     // the snapshot head were dropped; when git proves the intervening diff
