@@ -104,14 +104,24 @@ object MiningOps {
       // ~730 ms basket build running 3× in parallel (stages 35/36/37).
       // One eager pass, then every consumer reads the cache: 2.58→1.7 s.
       arr.count(): Unit
-      // itemCnt feeds TWO broadcast sides (cnt_a, cnt_b) with different
-      // projections, so the explode+agg subtree runs twice — but the two
-      // runs OVERLAP as concurrent AQE stages on idle cores, and an eager
-      // persist+count serializes a job that costs more than it saves
-      // (A/B r9: 2.44 s → 2.56 s). Left duplicated on purpose.
+      // itemCnt feeds TWO broadcast sides (cnt_a, cnt_b). r14 and earlier
+      // renamed the columns BELOW each broadcast, so the two exchanges
+      // canonicalized differently and the explode+agg subtree ran twice
+      // (r15 stage profile: two ~0.7 s 32-task cache-read legs). Joining
+      // on ALIASES of one frame makes the subtrees canonically identical
+      // (AQE-off planning now inserts a ReusedExchange), but AQE's runtime
+      // stage cache still fails to dedupe exchanges whose subtree scans an
+      // InMemoryRelation that was itself adaptively planned — so the
+      // dedup is forced STRUCTURALLY: the (item, cnt)≥2 support table is
+      // node-sized, and an eager local checkpoint materializes it exactly
+      // once; both broadcast builds then read the checkpoint blocks
+      // (guide §2.4 "two operations keyed the same way can share one
+      // exchange"; plans/r15/q_assoc_rules_after.txt — one itemCnt
+      // subtree, two RDDScans of it).
       val itemCnt = arr.select(explode(col("items")).as("item"))
         .groupBy("item").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2)
+        .localCheckpoint(true)
       val pairs = arr.select(explode(expr(
           """flatten(transform(items, (x, i) ->
             |  transform(slice(items, i + 2, size(items)),
@@ -122,12 +132,14 @@ object MiningOps {
         .filter(col("pair_cnt") >= 2)
       // 1-row scalar (labeled broadcast-NLJ, same license as q17-style scalars)
       val nB = arr.agg(count(lit(1)).as("n_baskets"))
+      val ca = broadcast(itemCnt).as("ca")
+      val cb = broadcast(itemCnt).as("cb")
       pairs
-        .join(broadcast(itemCnt.select(col("item").as("item_a"), col("cnt").as("cnt_a"))), Seq("item_a"))
-        .join(broadcast(itemCnt.select(col("item").as("item_b"), col("cnt").as("cnt_b"))), Seq("item_b"))
+        .join(ca, col("item_a") === col("ca.item"))
+        .join(cb, col("item_b") === col("cb.item"))
         .crossJoin(broadcast(nB))
-        .select(col("item_a"), col("item_b"), col("pair_cnt"), col("cnt_a"),
-          col("cnt_b"), col("n_baskets"),
+        .select(col("item_a"), col("item_b"), col("pair_cnt"),
+          col("ca.cnt").as("cnt_a"), col("cb.cnt").as("cnt_b"), col("n_baskets"),
           expr("(pair_cnt * 100) div cnt_a").as("conf_pct"),
           (col("pair_cnt") * col("n_baskets") > col("cnt_a") * col("cnt_b"))
             .cast("int").as("lift_gt1"))
