@@ -74,6 +74,25 @@ object ConfirmAb {
   private def run(spark: SparkSession, dir: String, threshold: Double): Unit = {
     val emb = spark.read.parquet(dir).select("vec_id", "embedding")
     val tile = graft.similarity.TiledConfirm.DefaultTileBytes
+    // Stage attribution (r15, VERDICT r14 #5): the bounded-heap gap needs
+    // a named cause before tile sizing can be blamed — print the top
+    // stages (wall, GC, spill) after the run.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    final case class St(id: Int, ms: Long, tasks: Int, gcMs: Long,
+        spillMb: Long, shufRMb: Long, shufWMb: Long, name: String)
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = (for (s <- si.submissionTime; c <- si.completionTime) yield c - s).getOrElse(-1L)
+        val m = si.taskMetrics
+        stages.add(St(si.stageId, dur, si.numTasks, m.jvmGCTime,
+          (m.memoryBytesSpilled + m.diskBytesSpilled) / 1048576,
+          m.shuffleReadMetrics.totalBytesRead / 1048576,
+          m.shuffleWriteMetrics.bytesWritten / 1048576,
+          si.name.takeWhile(_ != '\n'))): Unit
+      }
+    })
     val t0 = System.nanoTime()
     // k small and fixed: the mega cluster must land in ONE k-means
     // cluster; broadcastConfirmMax=0 forces the cluster-local confirm
@@ -83,6 +102,12 @@ object ConfirmAb {
     val dropped = res.filter(!col("kept")).count()
     val total = res.count()
     val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500) // listener bus settle
+    import scala.jdk.CollectionConverters._
+    println(f"${"ms"}%8s ${"tasks"}%5s ${"gcMs"}%7s ${"spillM"}%7s ${"shufR"}%6s ${"shufW"}%6s  stage")
+    stages.asScala.toSeq.sortBy(-_.ms).take(12).foreach { s =>
+      println(f"${s.ms}%8d ${s.tasks}%5d ${s.gcMs}%7d ${s.spillMb}%7d ${s.shufRMb}%6d ${s.shufWMb}%6d  [${s.id}] ${s.name.take(70)}")
+    }
     println(f"""{"confirm_ab":"run","dir":"$dir","tile_bytes":$tile,""" +
       f""""threshold":$threshold,"rows":$total,"dropped":$dropped,"wall_sec":$wall%.1f}""")
   }

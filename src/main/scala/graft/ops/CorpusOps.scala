@@ -997,6 +997,11 @@ object CorpusOps {
         |  ('4_neardup', (SELECT count(*) FROM d3),
         |    (SELECT count(*) FROM d3) - (SELECT count(*) FROM dr)))
         |  t(stage, n_in, n_out)""".stripMargin) { (s, d) =>
+      // r15: Scale.fanOutScan at d0 was A/B'd and REJECTED (isolated
+      // bench leg 2.42 → 2.67 s, calibration-matched): the cascade's
+      // wall is the serial checkpoint barriers plus many SHORT stages,
+      // and 32-way fan-out adds an exchange plus per-stage task overhead
+      // without shortening the barrier chain.
       val d0 = Tables(s, d, "documents").select(col("doc_id"), col("text"))
       def keep(df: org.apache.spark.sql.DataFrame,
           key: org.apache.spark.sql.Column) = {

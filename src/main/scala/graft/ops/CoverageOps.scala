@@ -71,9 +71,19 @@ object CoverageOps {
          |FROM lineitem""".stripMargin) { (s, d) =>
       val ctx = new Context(s)
       val out = tmpDir("graft_csv_gz") + "/lineitem"
-      Tables(s, d, "lineitem")
+      val li = Tables(s, d, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice")
-        .repartition(4)
+      // gzip members are NOT splittable, so the member count IS the scan
+      // parallelism forever after (guide §2.5/§6; VERDICT r14 #4). Stage
+      // at least one member per session core (never fewer tasks than the
+      // machine has lanes, at any SF) and ~256 MB of csv per member
+      // beyond that (same sizing as q_csv_roundtrip) — scale-adaptive,
+      // nothing pinned to local mode. r15 A/B at sf0.1: the 4-member
+      // fixture serialized both codec legs over 4 of 32 cores.
+      val gzParts = ((li.queryExecution.optimizedPlan.stats.sizeInBytes
+          / (256L << 20)).max(s.sparkContext.defaultParallelism.toLong)
+        .min(10000L)).toInt
+      li.repartition(gzParts)
         .write.option("header", "true").option("compression", "gzip")
         .mode("overwrite").csv(out)
       ctx.csv(s"$out/*.csv.gz").toDF.agg(

@@ -1234,6 +1234,12 @@ object FeatureOps {
          |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
     }) { (s, d) =>
       val bucket = s"(${nib("md5(tok)", 1)} * 16 + ${nib("md5(tok)", 2)})"
+      // r15: Scale.fanOutScan on the one-row-group scan was A/B'd and
+      // REJECTED (1.93 → 2.44 s bench leg; the two 0.5 s tokenize legs
+      // became 32-task stages whose summed task time inflated ~4× — the
+      // twin legs do NOT share the fan-out exchange, and 64 concurrent
+      // explode tasks thrash one local heap). The overlapped twin legs
+      // stay the measured optimum, as in r9.
       val b = documents(s, d)
         .select(col("doc_id"), col("source"),
           explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))

@@ -387,8 +387,12 @@ object PipelineOps {
          |  CAST((c.n_docs * 1000000) // t.n_lang AS BIGINT) AS cell_ppm
          |FROM c JOIN t USING (lang)""".stripMargin
     }) { (s, d) =>
-      val p = Tables(s, d, "documents").select(
-        col("lang"), langId(col("text")).as("lang_pred"))
+      // the langId kernel is the wall (r15 profile: one 2.76 s single-task
+      // stage — the sf0.1 fixture is one parquet row group, so the scan
+      // cannot split); fan the two projected columns out to the cores
+      // before the kernel runs (guide §2.5). Identity at real scale.
+      val p = Scale.fanOutScan(Tables(s, d, "documents").select("lang", "text"))
+        .select(col("lang"), langId(col("text")).as("lang_pred"))
       // per-language totals via a window over the CELL frame (≤ langs ×
       // preds rows), not a groupBy+join-back — the join-back shape
       // re-evaluates the aggregation subtree (two langId kernel scans)

@@ -95,6 +95,26 @@ object Scale {
     }
   }
 
+  /** Spread a kernel-heavy pass over the session's cores when the source
+    * cannot: a single-row-group parquet file (or an unsplittable codec)
+    * yields a one-task scan no matter what `maxPartitionBytes` asks for,
+    * and every downstream per-row kernel (tokenize, langId, BPE encode,
+    * md5 normalization) then runs serially while the other cores idle —
+    * guide §2.5's "input skew: one huge unsplittable file … repartition
+    * immediately after the read". Keyless round-robin repartition to the
+    * session default parallelism, applied ONLY when the scan's natural
+    * split count is below it: at real scale (many files / row groups) the
+    * condition is false and this is the identity, so nothing here is
+    * tuned to local mode. The shuffle moves the projected columns exactly
+    * once, has no key (no skew), and is retry-deterministic via Spark's
+    * sort-before-repartition. Row order within partitions changes — only
+    * order-insensitive consumers (aggregations, joins, equality keys) may
+    * sit downstream. */
+  def fanOutScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Skew-safe equi join. The skewed (big) side is salted into `salts`
     * sub-keys; the other side is replicated `salts`× so every sub-key finds
     * its match. Result equals `skewed.join(other, key, joinType)` exactly;

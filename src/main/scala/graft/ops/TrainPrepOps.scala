@@ -587,6 +587,12 @@ object TrainPrepOps {
         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, true AS pack_ok
         |FROM t WHERE n_words > 0""".stripMargin) { (s, d) =>
       val L = 256L
+      // r15: Scale.fanOutScan was A/B'd here and REJECTED in both
+      // shapes — fanning the shared scan degraded trainMerges 0.8 → 19 s
+      // (its per-iteration pair-count aggregation re-derives from the
+      // fanned frame), and fanning only the encode leg measured flat
+      // (1.78 → 1.83 s isolated, calibration-matched: the encode kernel
+      // saving is cancelled by the extra exchange at this SF).
       val docs = Tables(s, d, "documents")
       val merges = graft.text.Bpe.trainMerges(docs, "text", numMerges = 16)
       val stats = graft.text.Bpe.encodeStats(docs, "doc_id", "text", merges)

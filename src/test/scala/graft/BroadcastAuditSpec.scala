@@ -31,6 +31,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "graft/ops/CorpusOps.scala" -> 3, // 1-row scalars + bounded mix table
     "graft/ops/CoverageOps.scala" -> 1, // per-event_type moments (enum-sized)
     "graft/ops/FeatureOps.scala" -> 11, // bounded vocab/index/sketch/scalar tables
+    "graft/ops/GraphOps.scala" -> 1, // size-GUARDED bcastIfSmall: EXACT row count vs autoBroadcastJoinThreshold, sort-merge fallback (r15)
     "graft/ops/JourneyOps.scala" -> 4, // 1-row totals / horizon scalars
     "graft/ops/LogsOps.scala" -> 2, // 1-row scalar counts
     "graft/ops/MiningOps.scala" -> 6, // item-count dims (vocab-bounded) + scalars

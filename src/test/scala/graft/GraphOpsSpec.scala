@@ -67,4 +67,19 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 5L -> 2L, 3L -> 3L),
       s"wrong distances: $got") // 4 is 4 hops away -> absent at iters=3
   }
+
+  test("r15 bcastIfSmall: ranks identical with the broadcast hint disabled") {
+    // the r15 loop broadcasts the node-sized side when its EXACT count
+    // fits autoBroadcastJoinThreshold; -1 disables the hint entirely
+    // (sort-merge fallback) — results must be bit-identical either way
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (1L, 3L))
+    val edges = cyc.flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 2L)) }
+    val withB = ranks(edges)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val noB = ranks(edges)
+      assert(withB == noB, s"broadcast hint changed results: $withB vs $noB")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
 }
