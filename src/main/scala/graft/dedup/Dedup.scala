@@ -126,7 +126,7 @@ object Dedup {
 
   /** Same as [[shingledDocs]] for any gram hasher (word shingles, char
     * n-grams, …) producing a sorted distinct `array<bigint>`. */
-  private def hashedDocs(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def hashedDocs(df: DataFrame, idCol: String, textCol: String,
       gramHashes: Column => Column, numHashes: Int): DataFrame =
     // filterOnce: a plain .filter(size(_sh) > 0) is pushed through the
     // projection, substituting the gram-hash kernel into the predicate —
@@ -192,10 +192,77 @@ object Dedup {
       hashedDocs(df, idCol, textCol, charNgramHashes(_, n), numHashes),
       threshold, numHashes, bands)
 
+  /** Exact Jaccard of two SORTED-DISTINCT gram-hash arrays — the Scala
+    * twin of the `sortedIntersectCount` expression followed by
+    * `inter / (|a| + |b| - inter)`: same merge walk, same int→double
+    * division, so both confirm regimes produce bit-identical jaccards. */
+  private[graft] val jaccardSortedHashes: (Array[Long], Array[Long]) => Double =
+    (a, b) => {
+      var i = 0; var j = 0; var c = 0
+      while (i < a.length && j < b.length) {
+        val x = a(i); val y = b(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      c.toDouble / (a.length + b.length - c)
+    }
+
+  /** Banded-row cutover to the bucket-local confirm (below). n·bands fat
+    * rows carry each doc's gram-hash set exactly ONCE per band — past
+    * this volume the join-attach confirm's pair-replicated shuffle and
+    * sort-spill dwarf that cost (r15 sf10 profile: 10 GB shuffle +
+    * 103 GB spill for q_dedup_ngram where the fat frame is ~2 GB).
+    * Below it the extra fat shuffle is pure overhead (sf0.1 A/B). */
+  private val BucketLocalBandedRows: Long = 2000000L
+
   /** LSH banding → candidate pairs → exact-Jaccard confirm over the
-    * precomputed gram-hash sets. */
-  private def nearDupOfHashedDocs(docs: DataFrame, threshold: Double,
-      numHashes: Int, bands: Int): DataFrame = {
+    * precomputed gram-hash sets. Two confirm regimes, pair-identical:
+    * small corpora attach the gram-hash sets to the distinct candidate
+    * pairs by join; past [[BucketLocalBandedRows]] (integral-id corpora
+    * only) the confirm goes BUCKET-LOCAL — the same §8 shape as
+    * [[nearDupEmbeddingLsh]]'s: each doc's hash set travels once per
+    * band (n·bands rows, ONE shuffle) instead of once per candidate
+    * pair, and each (band, bucket) group is scored pairwise through
+    * byte-budgeted tiles (TiledConfirm — heap stays one tile + one
+    * streamed set no matter how skewed a bucket is). A true pair
+    * re-found in k buckets emits k identical (id_a, id_b, jaccard)
+    * triples; the closing distinct collapses them — exactly the rows
+    * the join-attach confirm produces. */
+  private[graft] def nearDupOfHashedDocs(docs: DataFrame, threshold: Double,
+      numHashes: Int, bands: Int,
+      bucketLocalCutover: Long = BucketLocalBandedRows): DataFrame = {
+    // LongType only: the bucket-local path round-trips ids through a
+    // Dataset encoder as Long — a narrower integral type would WIDEN the
+    // output schema relative to the join-attach regime, and a string id
+    // cannot take this path at all (both keep the join-attach confirm)
+    val integralId =
+      docs.schema("_id").dataType == org.apache.spark.sql.types.LongType
+    // hashedDocs persisted `docs`; the count both materializes the cache
+    // (AQE cache-stampede guard) and sizes the regime choice exactly.
+    val n = docs.count()
+    if (integralId && n * bands > bucketLocalCutover) {
+      System.err.println(s"[neardup-minhash] n=$n x $bands bands exceeds " +
+        s"the join-attach cutover — bucket-local tiled confirm engaged")
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val rows = numHashes / bands
+      val fat = docs.select(col("_id"), col("_sh"), posexplode(
+          array((0 until bands).map(b =>
+            hash(slice(col("_sig"), b * rows + 1, rows), lit(b))): _*))
+          .as(Seq("_band", "_bucket")))
+        .select(col("_band").cast("long").as("_1"),
+          col("_bucket").cast("long").as("_2"),
+          col("_id").cast("long").as("_3"), col("_sh").as("_4"))
+        .as[(Long, Long, Long, Array[Long])]
+      import graft.similarity.TiledConfirm
+      val confirmed = fat.groupByKey(t => (t._1, t._2))
+        .flatMapSortedGroups(col("_3")) { (_, it) =>
+          TiledConfirm.pairs(it.map(t => (t._3, t._4)),
+            jaccardSortedHashes, threshold, TiledConfirm.LongIO)
+        }.toDF("id_a", "id_b", "jaccard").distinct()
+      return materializeThenRelease(confirmed, docs)
+    }
     val banded = bandBuckets(docs, numHashes, bands)
     val a = banded.toDF("id_a", "band_a", "bucket_a")
     val b = banded.toDF("id_b", "band_b", "bucket_b")

@@ -251,7 +251,13 @@ object TrainPrepOps {
     }) { (s, d) =>
       val h = "md5(CAST(doc_id AS STRING) || ':' || CAST(i AS STRING))"
       val u = expr(Tables.hexUniform(h, 100))
-      val toks = Tables(s, d, "documents")
+      // the per-token md5 mask draw is the wall (r15 profile: one 1.45 s
+      // single-task stage over the one-row-group fixture) — fan the scan
+      // out to the cores before the explode+hash kernel (guide §2.5;
+      // identity at real scale). Unlike q_dsir_select's rejected fan-out
+      // this subtree is evaluated ONCE, so no twin legs fight for the heap.
+      val toks = Scale.fanOutScan(
+          Tables(s, d, "documents").select("doc_id", "text"))
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .filter(col("col") =!= "")
         .select(col("doc_id"), (col("pos") + 1).as("i"))

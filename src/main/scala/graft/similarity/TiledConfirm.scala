@@ -67,6 +67,23 @@ private[graft] object TiledConfirm {
     }
     def bytes(v: Array[Float]): Long = 4L * v.length + 16
   }
+  object LongIO extends VecIO[Array[Long]] {
+    def write(o: DataOutputStream, v: Array[Long]): Unit = {
+      o.writeInt(v.length)
+      val bb = java.nio.ByteBuffer.allocate(8 * v.length)
+      bb.asLongBuffer().put(v)
+      o.write(bb.array())
+    }
+    def read(in: DataInputStream): Array[Long] = {
+      val n = in.readInt()
+      val buf = new Array[Byte](8 * n)
+      in.readFully(buf)
+      val a = new Array[Long](n)
+      java.nio.ByteBuffer.wrap(buf).asLongBuffer().get(a)
+      a
+    }
+    def bytes(v: Array[Long]): Long = 8L * v.length + 16
+  }
   object DoubleIO extends VecIO[Array[Double]] {
     def write(o: DataOutputStream, v: Array[Double]): Unit = {
       o.writeInt(v.length)
