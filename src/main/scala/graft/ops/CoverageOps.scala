@@ -48,13 +48,14 @@ object CoverageOps {
       // Long.MaxValue-ish defaultSizeInBytes sentinel, whose /256MiB still
       // wraps negative through toInt (ADVICE r14); 10k parts ≈ 2.5 TB of
       // csv — any larger input needs a real cluster, not more local parts
-      // (r15: a cores-count floor like q_csv_gzip's was A/B'd here and
-      // REJECTED — 1.59 → 2.09 s at sf0.1: plain csv IS splittable, so
-      // the read side parallelizes regardless and 32 tiny files only pay
-      // per-file open cost. The gzip fixture needs the floor; this one
-      // does not.)
-      val parts = (li.queryExecution.optimizedPlan.stats.sizeInBytes / (256L << 20))
-        .max(4L).min(10000L).toInt
+      // (r15: an unconditional cores-count floor was A/B'd here and
+      // REJECTED — 1.59 → 2.09 s at sf0.1: 32 tiny files only pay
+      // per-file open cost. Scale.sinkParts instead gates the cores
+      // floor on ≥16 MB of input per writer — 4 parts at sf0.1 exactly
+      // as before, cores-wide once the write is data-bound: the r15
+      // sf10 profile showed the 4-task write stage was 15.1 s of the
+      // 25.8 s wall with 28 cores idle.)
+      val parts = Scale.sinkParts(li)
       ctx.fromDataFrame(li).tocsv(out, numParts = parts)
       ctx.csv(s"$out/*.csv").toDF.agg(
         count(lit(1)).as("n"),

@@ -115,6 +115,33 @@ object Scale {
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
+  /** Csv-sink part count from the optimizer's size estimate: one writer
+    * per session core once each core has ≥16 MB of input to format
+    * (below that, extra parts are pure per-file overhead — measured at
+    * sf0.1, a cores-count floor cost q_csv_roundtrip 1.59 → 2.09 s), and
+    * ~256 MB of input per part past cores×256 MB (guide §6 output
+    * sizing). `floor` keeps the small-SF fixture shape; unknown stats
+    * (the Long.MaxValue-ish sentinel) fall back to cores — never
+    * undersize what might be huge, never explode the part count on a
+    * sentinel. */
+  def sinkParts(df: DataFrame, floor: Int = 4): Int = {
+    val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (sz <= 0 || sz > (BigInt(1) << 50)) math.max(floor, cores)
+    else sinkPartsOf(df.sparkSession, sz.toLong, floor)
+  }
+
+  /** [[sinkParts]] from a KNOWN input byte count (for sinks whose plan
+    * runs through row-mapping UDFs — their optimizer estimate is the
+    * unknown sentinel, while the caller often knows the real input
+    * bytes, which upper-bound the output). */
+  def sinkPartsOf(spark: SparkSession, bytes: Long, floor: Int = 4): Int = {
+    val cores = spark.sparkContext.defaultParallelism.toLong
+    val bySize = bytes / (256L << 20)
+    val byCores = math.min(cores, bytes / (16L << 20))
+    math.min(10000L, math.max(floor.toLong, math.max(bySize, byCores))).toInt
+  }
+
   /** Skew-safe equi join. The skewed (big) side is salted into `salts`
     * sub-keys; the other side is replicated `salts`× so every sub-key finds
     * its match. Result equals `skewed.join(other, key, joinType)` exactly;

@@ -113,8 +113,9 @@ object ZillowOps {
 
       // ---- the Z1 pipeline through the graft api --------------------------
       val out = s"$root/clean"
-      val cleaned = ctx.csv(s"$listings/listings/*.csv",
+      val rawListings = ctx.csv(s"$listings/listings/*.csv",
           header = Some(true), delimiter = Some(","))
+      val cleaned = rawListings
         .withColumnUdf[String, Int]("bedrooms", col("facts")) { f =>
           val i = f.indexOf(" bd")
           val s0 = if (i < 0) f else f.substring(0, i)
@@ -181,11 +182,23 @@ object ZillowOps {
           })
         }
       }
-      priced
+      val sink = priced
         .filter(col("price") > 100000 && col("price") <= 20000000)
         .selectColumns(Seq("url", "zipcode", "address", "city", "state",
           "bedrooms", "bathrooms", "sqft", "offer", "type", "price"))
-        .tocsv(out, numParts = 4)
+      // scale-adaptive sink width (r15): the pinned 4 parts made the
+      // sf10 write a 4-task stage (3.4 s of the 11.7 s wall, 28 cores
+      // idle). Sized from the LISTINGS FIXTURE's real on-disk bytes —
+      // both the sink plan and the api csv scan run through row-mapping
+      // UDFs whose optimizer stats are the unknown sentinel (measured:
+      // ~e19), while the fixture bytes upper-bound the output. 4 parts
+      // at sf0.1 exactly as before; cores-wide once each writer has
+      // ≥16 MB to format. (The fixture is a local temp dir by
+      // construction, so java.io sizing is sound here.)
+      val inBytes = Option(new java.io.File(s"$listings/listings").listFiles())
+        .map(_.filter(_.getName.endsWith(".csv")).map(_.length()).sum)
+        .getOrElse(0L)
+      sink.tocsv(out, numParts = Scale.sinkPartsOf(s, inBytes))
 
       // read the sink back — the oracle hashes the finished artifact
       ctx.csv(s"$out/*.csv", header = Some(true), delimiter = Some(","),
